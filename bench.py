@@ -1,0 +1,80 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total_sec>, "unit": "sec",
+   "queries": {"q1": sec, ...}, "sf": <sf>}
+
+Each timed run executes the query plan end-to-end and fully consumes
+the result (count of collected rows) — no caching between queries, the
+scans re-read parquet every time.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from nyc_traffic_insight_spark.queries import load_all  # noqa: E402
+from nyc_traffic_insight_spark.session import DEFAULT_SF_DIR, get_spark  # noqa: E402
+
+# Headline set: one per operator family, weighted toward the expensive
+# shapes (joins, windows, dedup/similarity at scale).
+HEADLINE = [
+    "flagship_volume_features",
+    "join_traffic_weather_boro",
+    "join_traffic_weather_time",
+    "join_star_broadcast",
+    "agg_count",
+    "agg_regression_metrics",
+    "win_lag_multi",
+    "win_roll_mean_24",
+    "win_ranking",
+    "pivot_onehot",
+    "stream_sessionization",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "sim_search_bruteforce_topk",
+    "sim_search_lsh_buckets",
+    "text_quality_score",
+    "text_fingerprint",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", DEFAULT_SF_DIR)
+    sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
+    spark = get_spark(app_name="ntis-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    specs = load_all()
+
+    # one warmup to amortize JVM/codegen startup out of the first query
+    specs["agg_count"].builder(spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        rows = specs[name].builder(spark, sf_dir).collect()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        assert rows is not None
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

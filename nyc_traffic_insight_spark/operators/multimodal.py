@@ -1,0 +1,129 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed metadata.
+
+North-star extension (BASELINE.json): a 100 TB training-data pipeline
+carries media as ``binary`` payload columns with typed metadata
+(schemas.ASSETS), and decode / feature-extract / resize / frame-sample
+run as Arrow-batched Pandas UDFs over ``mapInPandas``.
+
+The decode step itself needs image/audio codecs that are NOT in this
+container, so it is STUBBED: ``set_decoder`` installs a real decoder
+when the libs exist (import-gated), and the default deterministic fake
+derives pseudo-features from the payload bytes so the Spark-side
+plumbing — schema, batching, partitioning, UDF signature — is real and
+testable end-to-end.
+
+Scale notes:
+- payloads never pass through Python row-at-a-time: mapInPandas hands
+  Arrow record batches; `spark.sql.execution.arrow.maxRecordsPerBatch`
+  bounds batch memory for fat binary columns.
+- decode is a narrow map — no shuffle; downstream aggregation of the
+  (small) extracted features is where the first shuffle happens.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Callable, Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+# Output schema of the feature-extraction step.
+FEATURES_SCHEMA = (
+    "asset_id LONG, modality STRING, ok BOOLEAN, "
+    "feat_dim INT, features ARRAY<FLOAT>, decode_error STRING"
+)
+
+_FEAT_DIM = 16
+
+Decoder = Callable[[bytes, str], np.ndarray]
+
+
+def _fake_decode(payload: bytes, modality: str) -> np.ndarray:
+    """Deterministic stand-in for a real codec: 16 pseudo-features from
+    the sha256 of the payload (stable across runs/partitionings)."""
+    h = hashlib.sha256(payload or b"").digest()
+    raw = np.frombuffer(h[: _FEAT_DIM * 2], dtype=np.uint16).astype(np.float32)
+    return raw / 65535.0
+
+
+def _real_decoder() -> Decoder | None:
+    """Import-gated real decoder — none of these libs ship in this
+    container, so this returns None here; on a cluster with the deps
+    installed the same pipeline decodes for real."""
+    try:  # pragma: no cover - environment-dependent
+        from PIL import Image  # noqa: F401
+        import io
+
+        def decode(payload: bytes, modality: str) -> np.ndarray:
+            if modality != "image":
+                raise NotImplementedError(f"no real decoder for {modality}")
+            img = Image.open(io.BytesIO(payload)).convert("L").resize((4, 4))
+            return np.asarray(img, dtype=np.float32).ravel() / 255.0
+
+        return decode
+    except ImportError:
+        return None
+
+
+_DECODER: Decoder = _real_decoder() or _fake_decode
+
+
+def set_decoder(decoder: Decoder) -> None:
+    global _DECODER
+    _DECODER = decoder
+
+
+def extract_features(assets: DataFrame) -> DataFrame:
+    """Decode + feature-extract every asset. Malformed payloads don't
+    fail the job: per-row errors are captured in decode_error (the
+    PERMISSIVE-mode convention, F7)."""
+    decoder = _DECODER
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats, oks, errs = [], [], []
+            for payload, modality in zip(pdf["payload"], pdf["modality"]):
+                try:
+                    v = decoder(bytes(payload) if payload is not None else b"", modality)
+                    feats.append([float(x) for x in v[:_FEAT_DIM]])
+                    oks.append(True)
+                    errs.append(None)
+                except Exception as exc:  # noqa: BLE001 - error column by design
+                    feats.append(None)
+                    oks.append(False)
+                    errs.append(f"{type(exc).__name__}: {exc}")
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "modality": pdf["modality"],
+                    "ok": oks,
+                    "feat_dim": _FEAT_DIM,
+                    "features": feats,
+                    "decode_error": errs,
+                }
+            )
+
+    return assets.mapInPandas(run, schema=FEATURES_SCHEMA)
+
+
+def sample_video_frames(assets: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Frame sampling plumbing: one output row per sampled frame. The
+    frame decode is stubbed (duration_ms metadata drives the fan-out);
+    the row-multiplying mapInPandas shape is the real contract."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                if r["modality"] != "video" or r["duration_ms"] is None:
+                    continue
+                for t in range(0, int(r["duration_ms"]), every_ms):
+                    rows.append((int(r["asset_id"]), t))
+            yield pd.DataFrame(rows, columns=["asset_id", "frame_ms"]) if rows else (
+                pd.DataFrame({"asset_id": pd.Series(dtype="int64"),
+                              "frame_ms": pd.Series(dtype="int64")})
+            )
+
+    return assets.mapInPandas(run, schema="asset_id LONG, frame_ms LONG")

@@ -1,0 +1,369 @@
+"""Catalog: aggregations (SURVEY.md §2.6, A1–A8 + free Spark surface).
+
+Scale notes: every groupBy here is a hash aggregate with map-side partial
+aggregation (Spark plans partial_* before the shuffle), so the shuffle
+carries |groups| rows, not |input| rows. Single-row global aggregates
+(metrics, null audits) reduce tree-style — no driver bottleneck.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nyc_traffic_insight_spark.queries import register
+from nyc_traffic_insight_spark.sources import load_table
+from nyc_traffic_insight_spark.functions.rounding import r as _r
+
+
+@register(
+    "agg_null_counts",
+    survey="A1 per-column null audit (random_forest.py:164-165)",
+    oracle="""
+    SELECT count(*) FILTER (WHERE nullif(l_discount, 0.0) IS NULL) AS n_null_discount,
+           count(*) FILTER (WHERE nullif(l_tax, 0.0) IS NULL) AS n_null_tax,
+           count(*) FILTER (WHERE l_quantity IS NULL) AS n_null_quantity
+    FROM lineitem
+    """,
+)
+def agg_null_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """df.isnull().sum() as one single-pass aggregate over all audited
+    columns (vs one pandas pass per column)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.nullif(F.col("l_discount"), F.lit(0.0)).alias("discount_n"),
+        F.nullif(F.col("l_tax"), F.lit(0.0)).alias("tax_n"),
+        "l_quantity",
+    )
+    return li.agg(
+        F.count_if(F.col("discount_n").isNull()).alias("n_null_discount"),
+        F.count_if(F.col("tax_n").isNull()).alias("n_null_tax"),
+        F.count_if(F.col("l_quantity").isNull()).alias("n_null_quantity"),
+    )
+
+
+@register(
+    "agg_count",
+    survey="A2 row counts (random_forest.py:166-168) + A6 group means",
+    oracle="""
+    SELECT event_type, count(*) AS n, round(avg(value), 4) AS avg_value,
+           round(sum(value), 4) AS sum_value,
+           round(min(value), 4) AS min_value, round(max(value), 4) AS max_value
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            _r(F.avg("value"), 4).alias("avg_value"),
+            _r(F.sum("value"), 4).alias("sum_value"),
+            _r(F.min("value"), 4).alias("min_value"),
+            _r(F.max("value"), 4).alias("max_value"),
+        )
+    )
+
+
+@register(
+    "agg_distinct_years",
+    survey="A3 distinct years feeding the holiday calendar (SegmentedModeling.py:235)",
+    oracle="SELECT DISTINCT CAST(year(o_orderdate) AS INTEGER) AS yr FROM orders",
+)
+def agg_distinct_years(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "orders")
+        .select(F.year("o_orderdate").alias("yr"))
+        .distinct()
+    )
+
+
+@register(
+    "agg_corr_matrix",
+    survey="A4 Pearson correlation matrix (LR_withCorrelationMatrix.ipynb cell 15)",
+    oracle="""
+    SELECT round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+           round(corr(l_quantity, l_discount), 4) AS corr_qty_discount,
+           round(corr(l_extendedprice, l_tax), 4) AS corr_price_tax
+    FROM lineitem
+    """,
+)
+def agg_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlations as one aggregate pass (the full
+    matrix is this over all column pairs; MLlib Correlation.corr gives
+    the same from an assembled vector)."""
+    return load_table(spark, sf_dir, "lineitem").agg(
+        _r(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+        _r(F.corr("l_quantity", "l_discount"), 4).alias("corr_qty_discount"),
+        _r(F.corr("l_extendedprice", "l_tax"), 4).alias("corr_price_tax"),
+    )
+
+
+@register(
+    "agg_regression_metrics",
+    survey="A5/M6 R²,MSE,RMSE,MAE,MAPE as full-table aggs (random_forest.py:89-101)",
+    oracle="""
+    WITH scored AS (
+      SELECT l.l_extendedprice AS y,
+             p.p_retailprice * l.l_quantity AS yhat
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    )
+    SELECT round(1 - sum((y - yhat) * (y - yhat)) / (var_pop(y) * count(*)), 4) AS r2,
+           round(avg((y - yhat) * (y - yhat)), 4) AS mse,
+           round(sqrt(avg((y - yhat) * (y - yhat))), 4) AS rmse,
+           round(avg(abs(y - yhat)), 4) AS mae,
+           round(sum(CASE WHEN y > 0 THEN abs(y - yhat) / y ELSE 0 END)
+                 / count(*) FILTER (WHERE y > 0), 4) AS mape
+    FROM scored
+    """,
+)
+def agg_regression_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference computes these with sklearn.metrics on collected
+    arrays; here they are distributed SQL aggregates over (y, yhat) —
+    identical formulas, one pass, no driver materialization.
+    yhat is a deterministic price model (retail price × quantity) so the
+    oracle can reproduce it."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    scored = li.join(part, li.l_partkey == part.p_partkey).select(
+        F.col("l_extendedprice").alias("y"),
+        (F.col("p_retailprice") * F.col("l_quantity")).alias("yhat"),
+    )
+    err = F.col("y") - F.col("yhat")
+    return scored.agg(
+        _r(
+            1 - F.sum(err * err) / (F.var_pop("y") * F.count(F.lit(1))), 4
+        ).alias("r2"),
+        _r(F.avg(err * err), 4).alias("mse"),
+        _r(F.sqrt(F.avg(err * err)), 4).alias("rmse"),
+        _r(F.avg(F.abs(err)), 4).alias("mae"),
+        _r(
+            F.sum(F.when(F.col("y") > 0, F.abs(err) / F.col("y")).otherwise(0.0))
+            / F.count_if(F.col("y") > 0),
+            4,
+        ).alias("mape"),
+    )
+
+
+@register(
+    "agg_group_mean",
+    survey="A6 per-group mean over time buckets (SegmentedModeling.py:239-247 groupby)",
+    oracle="""
+    SELECT event_type, CAST(day(ts) AS INTEGER) AS dd,
+           round(avg(value), 4) AS mean_value, count(*) AS n
+    FROM events GROUP BY 1, 2
+    """,
+)
+def agg_group_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.dayofmonth("ts").alias("dd"))
+        .agg(
+            _r(F.avg("value"), 4).alias("mean_value"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@register(
+    "pivot_onehot",
+    survey="A7 get_dummies one-hot → pivot (features.py:51-52)",
+    oracle="""
+    SELECT user_id % 10 AS user_bucket,
+           count(*) FILTER (WHERE event_type = 'click')    AS click,
+           count(*) FILTER (WHERE event_type = 'error')    AS error,
+           count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+           count(*) FILTER (WHERE event_type = 'signup')   AS signup,
+           count(*) FILTER (WHERE event_type = 'view')     AS view
+    FROM events GROUP BY 1
+    """,
+)
+def pivot_onehot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """groupBy().pivot() with the value set pinned — pinning avoids the
+    extra distinct-values job AND makes the output schema static, which
+    is what you want at 100 TB (a schema decided by data content is an
+    operational hazard)."""
+    return (
+        load_table(spark, sf_dir, "events")
+        .groupBy((F.col("user_id") % 10).alias("user_bucket"))
+        .pivot("event_type", _EVENT_TYPES)
+        .count()
+        .na.fill(0)
+    )
+
+
+@register(
+    "onehot_flags",
+    survey="A7 variant: one-hot as when() flag columns (RandomForest.py:65-66)",
+    oracle="""
+    SELECT event_id,
+           CAST(event_type = 'click' AS INTEGER) AS is_click,
+           CAST(event_type = 'error' AS INTEGER) AS is_error,
+           CAST(event_type = 'purchase' AS INTEGER) AS is_purchase,
+           CAST(event_type = 'signup' AS INTEGER) AS is_signup,
+           CAST(event_type = 'view' AS INTEGER) AS is_view
+    FROM events
+    """,
+)
+def onehot_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level one-hot (pd.get_dummies) as plain flag expressions; the
+    MLlib path uses StringIndexer+OneHotEncoder, but for feature tables
+    the expression form keeps everything in whole-stage codegen."""
+    ev = load_table(spark, sf_dir, "events")
+    flags = [
+        (F.col("event_type") == t).cast("int").alias(f"is_{t}") for t in _EVENT_TYPES
+    ]
+    return ev.select("event_id", *flags)
+
+
+@register(
+    "agg_feature_importance_sort",
+    survey="A8 sort importances desc, top-k (RandomForest.py:129-133)",
+    oracle="""
+    SELECT p.p_brand AS feature, round(sum(l.l_extendedprice), 4) AS importance
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY 1 ORDER BY importance DESC, feature LIMIT 10
+    """,
+)
+def agg_feature_importance_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k by aggregate: orderBy+limit compiles to TakeOrdered (partial
+    top-k per partition, merge on driver) — never a full sort."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy(F.col("p_brand").alias("feature"))
+        .agg(_r(F.sum("l_extendedprice"), 4).alias("importance"))
+        .orderBy(F.desc("importance"), "feature")
+        .limit(10)
+    )
+
+
+@register(
+    "agg_rollup",
+    survey="§2.6 note: rollup beyond reference (Spark builtin)",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           count(*) AS n, round(sum(o_totalprice), 4) AS revenue
+    FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            _r(F.sum("o_totalprice"), 4).alias("revenue"),
+        )
+    )
+
+
+@register(
+    "agg_cube",
+    survey="§2.6 note: cube beyond reference (Spark builtin)",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           count(*) AS n, round(sum(l_quantity), 4) AS qty
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            _r(F.sum("l_quantity"), 4).alias("qty"),
+        )
+    )
+
+
+@register(
+    "agg_count_distinct",
+    survey="§2.6 note: exact + approx distinct (Spark builtin)",
+    oracle="""
+    SELECT event_type, count(DISTINCT user_id) AS n_users FROM events GROUP BY 1
+    """,
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct (expands then dedups — the scalable form is the
+    approx_count_distinct variant below, which is one HLL sketch pass)."""
+    return (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
+
+
+@register(
+    "agg_approx_count_distinct",
+    survey="§2.6 note: HLL sketch distinct — the 100 TB path",
+    oracle=None,  # sketch estimates are engine-specific → rows-only
+)
+def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", 0.01).alias("n_users_approx"))
+    )
+
+
+@register(
+    "agg_quantiles",
+    survey="§2.6 note: exact quantiles via rank (percentile sketch = scale path)",
+    oracle="""
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 4) AS p50,
+           round(quantile_cont(value, 0.95), 4) AS p95
+    FROM events GROUP BY 1
+    """,
+)
+def agg_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (both engines: continuous
+    quantile). At 100 TB swap percentile() for approx_percentile — same
+    call shape, sketch-based single pass."""
+    return (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            _r(F.percentile("value", F.lit(0.5)), 4).alias("p50"),
+            _r(F.percentile("value", F.lit(0.95)), 4).alias("p95"),
+        )
+    )
+
+
+@register(
+    "ols_closed_form",
+    survey="M1 analog: simple OLS in closed form (LinearRegression.py:11-93)",
+    oracle="""
+    SELECT round(covar_pop(l_quantity, l_extendedprice) / var_pop(l_quantity), 4)
+             AS slope,
+           round(avg(l_extendedprice)
+                 - covar_pop(l_quantity, l_extendedprice) / var_pop(l_quantity)
+                   * avg(l_quantity), 4) AS intercept,
+           round(corr(l_quantity, l_extendedprice)
+                 * corr(l_quantity, l_extendedprice), 4) AS r2
+    FROM lineitem
+    """,
+)
+def ols_closed_form(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Univariate least squares as aggregates (slope = cov/var): the
+    SQL-checkable skeleton of M1; the MLlib LinearRegression pipeline is
+    exercised in ml/ and its pytest invariants."""
+    li = load_table(spark, sf_dir, "lineitem")
+    slope = F.covar_pop("l_quantity", "l_extendedprice") / F.var_pop("l_quantity")
+    return li.agg(
+        _r(slope, 4).alias("slope"),
+        _r(F.avg("l_extendedprice") - slope * F.avg("l_quantity"), 4).alias(
+            "intercept"
+        ),
+        _r(
+            F.corr("l_quantity", "l_extendedprice")
+            * F.corr("l_quantity", "l_extendedprice"),
+            4,
+        ).alias("r2"),
+    )

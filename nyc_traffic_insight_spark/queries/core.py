@@ -1,0 +1,532 @@
+"""Catalog: scans/sinks (S*), projection/cast (P*), filters (F*),
+set ops (U*), sorts/limits/sampling (O*) — SURVEY.md §2.1/2.2/2.3/2.5/2.8.
+
+Each entry: Spark builder + DuckDB oracle, textually adjacent.
+Reference citations are in the survey rows named in ``survey=``.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nyc_traffic_insight_spark import schemas
+from nyc_traffic_insight_spark.plans.flagship import flagship_volume_features
+from nyc_traffic_insight_spark.queries import register
+from nyc_traffic_insight_spark.sources import load_table
+
+_TS_FMT = "yyyy-MM-dd HH:mm:ss"
+
+
+def _tmp(sf_dir: str, name: str) -> str:
+    """Deterministic scratch dir for sink/rescan queries."""
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    return os.path.join(tempfile.gettempdir(), "ntis_scratch", tag, name)
+
+
+# --------------------------------------------------------------- flagship
+
+register(
+    "flagship_volume_features",
+    survey="§3.2 pipeline shape: S1,J1,C5,A6,W1,W3,W4,O1",
+    oracle="""
+    WITH monthly AS (
+      SELECT o.o_orderpriority AS priority,
+             CAST(year(o.o_orderdate) AS INTEGER) AS yr,
+             CAST(month(o.o_orderdate) AS INTEGER) AS mth,
+             round(sum(l.l_quantity), 4) AS vol,
+             round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+             count(*) AS n_items
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      GROUP BY 1, 2, 3
+    )
+    SELECT priority, yr, mth, vol, revenue, n_items,
+           lag(vol, 1) OVER w AS vol_lag_1,
+           round(avg(vol) OVER (w ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING), 4)
+             AS vol_roll_3,
+           round(avg(vol) OVER (w ROWS BETWEEN 12 PRECEDING AND 1 PRECEDING), 4)
+             AS vol_roll_12
+    FROM monthly
+    WINDOW w AS (PARTITION BY priority ORDER BY yr, mth)
+    """,
+)(flagship_volume_features)
+
+
+# ------------------------------------------------------------- §2.1 scans
+
+@register(
+    "scan_csv",
+    survey="S1 scan_csv + S7 sink_csv (raw_merge.py:8-9,51)",
+    oracle="SELECT * FROM lineitem",
+)
+def scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV sink → explicit-schema CSV scan round-trip.
+
+    The reference reads CSV with inferred schemas (its #1 fragility);
+    we always scan with a declared StructType. Doubles survive because
+    Spark writes shortest-round-trip representations.
+    """
+    path = _tmp(sf_dir, "lineitem_csv")
+    load_table(spark, sf_dir, "lineitem").write.mode("overwrite").option(
+        "header", True
+    ).option("timestampFormat", _TS_FMT).csv(path)
+    return spark.read.csv(
+        path, header=True, schema=schemas.LINEITEM, timestampFormat=_TS_FMT
+    )
+
+
+@register(
+    "scan_csv_multifile",
+    survey="S2 multi-shard scan+union (weather_merge.py:5-8)",
+    oracle="SELECT * FROM orders",
+)
+def scan_csv_multifile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-shard CSV directory scanned as one table — the union is implicit
+    in Spark's multi-file scan (vs the reference's read-7-then-concat)."""
+    path = _tmp(sf_dir, "orders_shards")
+    load_table(spark, sf_dir, "orders").repartition(7).write.mode("overwrite").option(
+        "header", True
+    ).option("timestampFormat", _TS_FMT).csv(path)
+    return spark.read.csv(
+        path, header=True, schema=schemas.ORDERS, timestampFormat=_TS_FMT
+    )
+
+
+@register(
+    "scan_csv_pruned",
+    survey="S3 usecols pruning (SegmentedModeling.py:198,214-217)",
+    oracle="SELECT l_orderkey, l_quantity, l_extendedprice FROM lineitem",
+)
+def scan_csv_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-pruned scan: .select after scan; Catalyst pushes the
+    pruning into the CSV parser (only these columns are materialized)."""
+    path = _tmp(sf_dir, "lineitem_csv")  # reuse scan_csv's sink
+    load_table(spark, sf_dir, "lineitem").write.mode("overwrite").option(
+        "header", True
+    ).option("timestampFormat", _TS_FMT).csv(path)
+    df = spark.read.csv(
+        path, header=True, schema=schemas.LINEITEM, timestampFormat=_TS_FMT
+    )
+    return df.select("l_orderkey", "l_quantity", "l_extendedprice")
+
+
+@register(
+    "scan_csv_parsedates",
+    survey="S5 parse-dates-at-scan + P7 (RandomForest.py:26,98-101)",
+    oracle="SELECT o_orderkey, o_orderdate FROM orders",
+)
+def scan_csv_parsedates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference builds a '%Y-%m-%d-%H' string then parses it back
+    (RandomForest.py:98-101). We round-trip the same custom format."""
+    path = _tmp(sf_dir, "orders_datestr")
+    (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd-HH").alias("datestr"),
+        )
+        .write.mode("overwrite")
+        .option("header", True)
+        .csv(path)
+    )
+    raw = spark.read.csv(path, header=True, schema="o_orderkey BIGINT, datestr STRING")
+    return raw.select(
+        "o_orderkey",
+        F.to_timestamp("datestr", "yyyy-MM-dd-HH").alias("o_orderdate"),
+    )
+
+
+@register(
+    "sink_idempotent",
+    survey="S9 skip-if-exists sink (raw_merge.py:47-52)",
+    oracle="SELECT * FROM region",
+)
+def sink_idempotent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mode('ignore') = the reference's os.path.exists guard; the second
+    write is a no-op and the first write's content is what's read back."""
+    path = _tmp(sf_dir, "region_once")
+    region = load_table(spark, sf_dir, "region")
+    region.write.mode("overwrite").parquet(path)
+    # second write must NOT clobber (reference: skip when file exists)
+    region.limit(0).write.mode("ignore").parquet(path)
+    return spark.read.parquet(path)
+
+
+# -------------------------------------------------- §2.2 projection / cast
+
+@register(
+    "project_drop",
+    survey="P1 drop columns (raw_merge.py:14,16,18; weather_merge.py:12)",
+    oracle="SELECT c_custkey, c_nationkey, c_acctbal FROM customer",
+)
+def project_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "customer").drop("c_name", "c_mktsegment")
+
+
+@register(
+    "project_rename",
+    survey="P2 rename (raw_merge.py:24; features.py:57)",
+    oracle="""
+    SELECT c_custkey AS ID, c_name AS name, c_nationkey AS nation_key,
+           c_acctbal AS balance FROM customer
+    """,
+)
+def project_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "customer")
+        .drop("c_mktsegment")
+        .withColumnRenamed("c_custkey", "ID")
+        .withColumnRenamed("c_name", "name")
+        .withColumnRenamed("c_nationkey", "nation_key")
+        .withColumnRenamed("c_acctbal", "balance")
+    )
+
+
+@register(
+    "dedup_rows",
+    survey="P3 full-row dedup (raw_merge.py:13)",
+    oracle="SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders",
+)
+def dedup_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderstatus", "o_orderpriority")
+        .dropDuplicates()
+    )
+
+
+@register(
+    "cast_int",
+    survey="P4 astype(int) on keys (random_forest.py:145-146)",
+    # Spark double→int truncates toward zero; DuckDB CAST rounds, so the
+    # oracle spells the truncation explicitly.
+    oracle="""
+    SELECT c_custkey, CAST(trunc(c_acctbal) AS INTEGER) AS acctbal_int
+    FROM customer
+    """,
+)
+def cast_int(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_acctbal").cast("int").alias("acctbal_int")
+    )
+
+
+@register(
+    "cast_numeric_coerce",
+    survey="P5 to_numeric(errors='coerce') (convert_traffic_csv_to_geojson_point.py:12)",
+    oracle="""
+    SELECT event_id,
+           TRY_CAST(CASE WHEN event_id % 3 = 0 THEN CAST(value AS VARCHAR)
+                         ELSE event_type END AS DOUBLE) AS value_coerced
+    FROM events
+    """,
+)
+def cast_numeric_coerce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed numeric/garbage string column → double with null-on-fail
+    (try_cast), the exact semantics of pandas to_numeric(coerce)."""
+    ev = load_table(spark, sf_dir, "events")
+    mixed = F.when(
+        F.col("event_id") % 3 == 0, F.col("value").cast("string")
+    ).otherwise(F.col("event_type"))
+    return ev.select("event_id", mixed.try_cast("double").alias("value_coerced"))
+
+
+@register(
+    "cast_timestamp",
+    survey="P6 string→timestamp (raw_merge.py:28) + C3 date_format (weather_merge.py:14-15)",
+    oracle="""
+    SELECT event_id,
+           strftime(ts, '%Y-%m-%d %H:%M') AS ts_minute,
+           strptime(strftime(ts, '%Y-%m-%d %H:%M'), '%Y-%m-%d %H:%M') AS ts_parsed
+    FROM events
+    """,
+)
+def cast_timestamp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    minute_str = F.date_format("ts", "yyyy-MM-dd HH:mm")
+    return ev.select(
+        "event_id",
+        minute_str.alias("ts_minute"),
+        F.to_timestamp(minute_str, "yyyy-MM-dd HH:mm").alias("ts_parsed"),
+    )
+
+
+@register(
+    "make_timestamp_parts",
+    survey="P7 timestamp from int parts (engineer_features.py:8; RandomForest.py:98-101)",
+    oracle="""
+    SELECT o_orderkey,
+           make_timestamp(CAST(year(o_orderdate) AS BIGINT),
+                          CAST(month(o_orderdate) AS BIGINT),
+                          CAST(day(o_orderdate) AS BIGINT),
+                          CAST(hour(o_orderdate) AS BIGINT), 0, 0) AS ts_built
+    FROM orders
+    """,
+)
+def make_timestamp_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.make_timestamp(
+            F.year("o_orderdate"),
+            F.month("o_orderdate"),
+            F.dayofmonth("o_orderdate"),
+            F.hour("o_orderdate"),
+            F.lit(0),
+            F.lit(0),
+        ).alias("ts_built"),
+    )
+
+
+# ----------------------------------------------------------- §2.3 filters
+
+@register(
+    "filter_dropna",
+    survey="F1 dropna(subset) (random_forest.py:167; SegmentedModeling.py:255)",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, nullif(l_discount, 0.0) AS discount_n
+    FROM lineitem WHERE nullif(l_discount, 0.0) IS NOT NULL
+    """,
+)
+def filter_dropna(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.nullif(F.col("l_discount"), F.lit(0.0)).alias("discount_n"),
+    )
+    return li.na.drop(subset=["discount_n"])
+
+
+@register(
+    "fillna",
+    survey="F2 fillna constant (raw_merge.py:19)",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           coalesce(nullif(l_discount, 0.0), -1.0) AS discount_f
+    FROM lineitem
+    """,
+)
+def fillna(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.nullif(F.col("l_discount"), F.lit(0.0)).alias("discount_f"),
+    )
+    return li.na.fill({"discount_f": -1.0})
+
+
+@register(
+    "filter_eq_composite",
+    survey="F3 case-insensitive eq + year-of-ts eq, the /map query (main.py:183-189)",
+    oracle="""
+    SELECT event_id, ts, user_id, event_type, value FROM events
+    WHERE lower(event_type) = 'click' AND CAST(year(ts) AS INTEGER) = 2024
+    """,
+)
+def filter_eq_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.filter(
+        (F.lower("event_type") == "click") & (F.year("ts") == 2024)
+    ).select("event_id", "ts", "user_id", "event_type", "value")
+
+
+@register(
+    "filter_bool_mask",
+    survey="F4 event mask is_holiday|heavy_snow (SegmentedModeling.py:67-71)",
+    oracle="""
+    WITH flagged AS (
+      SELECT event_id, value,
+             CAST(event_type = 'error' AS INTEGER) AS is_error,
+             CAST(value > 90 AS INTEGER) AS is_heavy
+      FROM events
+    )
+    SELECT * FROM flagged WHERE is_error = 1 OR is_heavy = 1
+    """,
+)
+def filter_bool_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "value",
+        (F.col("event_type") == "error").cast("int").alias("is_error"),
+        (F.col("value") > 90).cast("int").alias("is_heavy"),
+    )
+    return ev.filter((F.col("is_error") == 1) | (F.col("is_heavy") == 1))
+
+
+@register(
+    "filter_gt",
+    survey="F5 positive-volume mask (SegmentedModeling.py:122)",
+    oracle="SELECT event_id, value FROM events WHERE value > 0",
+)
+def filter_gt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "value")
+        .filter(F.col("value") > 0)
+    )
+
+
+@register(
+    "filter_threshold_flag",
+    survey="F6 heavy_snow=(depth>5) as 0/1 (SegmentedModeling.py:237)",
+    oracle="""
+    SELECT event_id, CAST(value > 50 AS INTEGER) AS heavy FROM events
+    """,
+)
+def filter_threshold_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events").select(
+        "event_id", (F.col("value") > 50).cast("int").alias("heavy")
+    )
+
+
+@register(
+    "filter_malformed_skip",
+    survey="F7 try/except per-row parse skip (main.py:186-191)",
+    oracle="""
+    WITH parsed AS (
+      SELECT event_id,
+             TRY_CAST(CASE WHEN event_id % 7 = 0 THEN event_type
+                           ELSE CAST(value AS VARCHAR) END AS DOUBLE) AS v
+      FROM events
+    )
+    SELECT event_id, v FROM parsed WHERE v IS NOT NULL
+    """,
+)
+def filter_malformed_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative form of the reference's try/except row skip: try_cast
+    then filter-not-null (PERMISSIVE-mode semantics)."""
+    ev = load_table(spark, sf_dir, "events")
+    mixed = F.when(F.col("event_id") % 7 == 0, F.col("event_type")).otherwise(
+        F.col("value").cast("string")
+    )
+    return ev.select("event_id", mixed.try_cast("double").alias("v")).filter(
+        F.col("v").isNotNull()
+    )
+
+
+# ------------------------------------------------------------ §2.5 setops
+
+@register(
+    "union_all_shards",
+    survey="U1 concat 7 shards (weather_merge.py:23)",
+    oracle="SELECT * FROM events",
+)
+def union_all_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard → unionByName, the reference's pd.concat of weather shards.
+    On a cluster this is a zero-shuffle union of scans."""
+    from functools import reduce
+
+    ev = load_table(spark, sf_dir, "events")
+    shards = [ev.filter(F.col("event_id") % 7 == i) for i in range(7)]
+    return reduce(DataFrame.unionByName, shards)
+
+
+@register(
+    "union_oversample",
+    survey="U2 oversample minority ×5 (SegmentedModeling.py:81-86)",
+    oracle="""
+    SELECT event_id, event_type, value FROM events
+    UNION ALL
+    SELECT event_id, event_type, value
+    FROM events, range(4) WHERE event_type = 'error'
+    """,
+)
+def union_oversample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replicate minority-class rows ×5 via explode(array_repeat) — the
+    distributed form of the reference's pd.concat([ev]*5); no driver
+    materialization, scales to any row count."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    n = F.when(F.col("event_type") == "error", 5).otherwise(1)
+    return (
+        ev.withColumn("__dup", F.explode(F.array_repeat(F.lit(1), n)))
+        .drop("__dup")
+    )
+
+
+@register(
+    "except_rows",
+    survey="§2.5 note: exceptAll one-liner (no reference analog, Spark-free)",
+    oracle="""
+    SELECT event_id, event_type FROM events
+    EXCEPT
+    SELECT event_id, event_type FROM events WHERE event_type = 'error'
+    """,
+)
+def except_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type")
+    return ev.exceptAll(ev.filter(F.col("event_type") == "error"))
+
+
+# ------------------------------------------- §2.8 sorts / limits / samples
+
+@register(
+    "sort_time",
+    survey="O1 global time sort (SegmentedModeling.py:224)",
+    oracle="""
+    SELECT event_id, ts, event_type FROM events
+    ORDER BY ts, event_id LIMIT 500
+    """,
+)
+def sort_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global sort + limit. Catalyst turns orderBy+limit into TakeOrdered
+    (per-partition top-k then merge) — no full global sort is executed,
+    which is the scalable form of the reference's df.sort_values()."""
+    return (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "ts", "event_type")
+        .orderBy("ts", "event_id")
+        .limit(500)
+    )
+
+
+@register(
+    "limit_head",
+    survey="O3 head-N downsize (scripts/downsize.py:14)",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+    ORDER BY l_orderkey, l_linenumber LIMIT 1000
+    """,
+)
+def limit_head(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber")
+        .limit(1000)
+    )
+
+
+@register(
+    "sample_shuffle",
+    survey="O4 seeded full shuffle (SegmentedModeling.py:86)",
+    # A full shuffle is a permutation: order-insensitively it IS the table.
+    oracle="SELECT event_id, user_id, value FROM events",
+)
+def sample_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "user_id", "value")
+        .orderBy(F.rand(42))
+    )
+
+
+@register(
+    "split_random",
+    survey="O5 seeded random split, test fraction (LinearRegression.py:45-51)",
+    oracle=None,  # engine-seeded randomness: rows-only check
+)
+def split_random(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """randomSplit([0.85, 0.15], seed=62) — returns the 15% test split.
+    Spark's split is a per-row Bernoulli draw (deterministic per seed +
+    partition) so no oracle can reproduce it; driver checks rows>0."""
+    _train, test = (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "user_id", "value")
+        .randomSplit([0.85, 0.15], seed=62)
+    )
+    return test

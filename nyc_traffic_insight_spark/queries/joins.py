@@ -1,0 +1,269 @@
+"""Catalog: joins (SURVEY.md §2.4, J1–J4 + the free Spark surface).
+
+The reference's joins are pandas ``merge`` calls with no strategy choice.
+Here every join is declarative and Catalyst/AQE picks broadcast-hash vs
+shuffled-hash vs sort-merge at runtime; dims are explicitly
+``F.broadcast()``-hinted where we know they're small (holiday calendar,
+nation/region, coordinate map) so a 1000-executor plan never shuffles the
+fact side for them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nyc_traffic_insight_spark.queries import register
+from nyc_traffic_insight_spark.sources import load_table
+from nyc_traffic_insight_spark.functions.rounding import r as _r
+
+def _time_parts() -> list:
+    # built lazily: Column objects need an active SparkSession
+    return [
+        F.year("ts").alias("yr"),
+        F.month("ts").alias("mth"),
+        F.dayofmonth("ts").alias("dd"),
+        F.hour("ts").alias("hh"),
+    ]
+
+_TIME_PARTS_SQL = """
+      CAST(year(ts) AS INTEGER) AS yr, CAST(month(ts) AS INTEGER) AS mth,
+      CAST(day(ts) AS INTEGER) AS dd, CAST(hour(ts) AS INTEGER) AS hh
+"""
+
+
+@register(
+    "join_traffic_weather_boro",
+    survey="J1 5-key composite equi-join (raw_merge.py:33)",
+    oracle=f"""
+    WITH ev AS (
+      SELECT event_id, event_type, value, {_TIME_PARTS_SQL} FROM events
+    ),
+    dim AS (
+      SELECT yr, mth, dd, hh, event_type,
+             round(avg(value), 4) AS hourly_avg, count(*) AS hourly_n
+      FROM ev GROUP BY 1, 2, 3, 4, 5
+    )
+    SELECT ev.event_id, ev.event_type, ev.value, ev.yr, ev.mth, ev.dd, ev.hh,
+           dim.hourly_avg, dim.hourly_n
+    FROM ev JOIN dim USING (yr, mth, dd, hh, event_type)
+    """,
+)
+def join_traffic_weather_boro(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical merge: fact rows ⋈ hourly context on the 5-part key
+    (Yr, M, D, HH, Boro) — here (yr, mth, dd, hh, event_type). Exactly
+    one dim row per key → no fan-out (contrast join_traffic_weather_time).
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value", *_time_parts()
+    )
+    keys = ["yr", "mth", "dd", "hh", "event_type"]
+    dim = ev.groupBy(*keys).agg(
+        _r(F.avg("value"), 4).alias("hourly_avg"),
+        F.count(F.lit(1)).alias("hourly_n"),
+    )
+    return ev.join(dim, on=keys, how="inner").select(
+        "event_id", "event_type", "value", *keys[:4], "hourly_avg", "hourly_n"
+    )
+
+
+@register(
+    "join_traffic_weather_time",
+    survey="J2 time-only many-to-many join, deliberate fan-out (SegmentedModeling.py:220-223)",
+    oracle=f"""
+    WITH ev AS (
+      SELECT event_id, value, {_TIME_PARTS_SQL} FROM events
+    ),
+    dim AS (
+      SELECT yr, mth, dd, hh, event_type AS station,
+             round(avg(value), 4) AS station_avg
+      FROM (SELECT event_type, value, {_TIME_PARTS_SQL} FROM events)
+      GROUP BY 1, 2, 3, 4, 5
+    )
+    SELECT ev.event_id, ev.value, ev.yr, ev.mth, ev.dd, ev.hh,
+           dim.station, dim.station_avg
+    FROM ev JOIN dim USING (yr, mth, dd, hh)
+    """,
+)
+def join_traffic_weather_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-only equi-join: every fact row matches EVERY per-type hourly
+    row for that hour (the reference's deliberate ~10× fan-out when
+    joining traffic to all borough weather stations by hour alone).
+    Semantics preserved: the output multiplies rows."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "value", *_time_parts())
+    dim = (
+        load_table(spark, sf_dir, "events")
+        .select(F.col("event_type").alias("station"), "value", *_time_parts())
+        .groupBy("yr", "mth", "dd", "hh", "station")
+        .agg(_r(F.avg("value"), 4).alias("station_avg"))
+    )
+    return ev.join(dim, on=["yr", "mth", "dd", "hh"], how="inner").select(
+        "event_id", "value", "yr", "mth", "dd", "hh", "station", "station_avg"
+    )
+
+
+# Fixed holiday calendar for the orders date range (1995-2001); the
+# reference builds the equivalent from the `holidays` package per distinct
+# year (SegmentedModeling.py:234-236) — a driver-side dim either way.
+_HOLIDAYS = [
+    f"{y}-{md}" for y in range(1995, 2002) for md in ("01-01", "07-04", "12-25")
+]
+
+
+@register(
+    "join_holiday_dim",
+    survey="J3 holiday-calendar membership flag (features.py:27-29; SegmentedModeling.py:234-236)",
+    oracle=f"""
+    WITH hol AS (
+      SELECT CAST(h AS DATE) AS hday
+      FROM (VALUES {", ".join(f"('{d}')" for d in _HOLIDAYS)}) AS t(h)
+    )
+    SELECT o.o_orderkey, CAST(o.o_orderdate AS DATE) AS odate,
+           CAST(hol.hday IS NOT NULL AS INTEGER) AS is_holiday
+    FROM orders o LEFT JOIN hol ON CAST(o.o_orderdate AS DATE) = hol.hday
+    """,
+)
+def join_holiday_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast left-join against a tiny holiday dim + isNotNull → flag.
+    Replaces the reference's per-row `lambda x: x in us_ny_holidays` UDF
+    with a JVM-side broadcast hash join — no Python in the hot path."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.to_date("o_orderdate").alias("odate")
+    )
+    hol = spark.createDataFrame(
+        [(d,) for d in _HOLIDAYS], "h STRING"
+    ).select(F.to_date("h").alias("hday"))
+    return (
+        orders.join(F.broadcast(hol), orders.odate == hol.hday, "left")
+        .select(
+            "o_orderkey",
+            "odate",
+            F.col("hday").isNotNull().cast("int").alias("is_holiday"),
+        )
+    )
+
+
+@register(
+    "join_coord_map",
+    survey="J4 broadcast dim lookup + coalesce fallback (point_to_linestring.py:43-51)",
+    oracle="""
+    WITH dim AS (
+      SELECT n_nationkey, n_name FROM nation WHERE n_nationkey < 13
+    )
+    SELECT c.c_custkey,
+           coalesce(dim.n_name, 'nation_' || CAST(c.c_nationkey AS VARCHAR))
+             AS nation_resolved
+    FROM customer c LEFT JOIN dim ON c.c_nationkey = dim.n_nationkey
+    """,
+)
+def join_coord_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial-coverage broadcast dim with a computed fallback for misses
+    — the reference's coordinate-map lookup falling back to the point
+    geometry when the street triple is absent."""
+    cust = load_table(spark, sf_dir, "customer")
+    dim = (
+        load_table(spark, sf_dir, "nation")
+        .filter(F.col("n_nationkey") < 13)
+        .select("n_nationkey", "n_name")
+    )
+    return cust.join(
+        F.broadcast(dim), cust.c_nationkey == dim.n_nationkey, "left"
+    ).select(
+        "c_custkey",
+        F.coalesce(
+            F.col("n_name"), F.concat(F.lit("nation_"), F.col("c_nationkey").cast("string"))
+        ).alias("nation_resolved"),
+    )
+
+
+@register(
+    "join_star_broadcast",
+    survey="J1 generalization: star-schema join, dims broadcast (§2.4 note)",
+    oracle="""
+    SELECT r.r_name AS region, n.n_name AS nation,
+           round(sum(o.o_totalprice), 4) AS total_revenue,
+           count(*) AS n_orders
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    GROUP BY 1, 2
+    """,
+)
+def join_star_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders ⋈ customer ⋈ nation ⋈ region revenue rollup. nation/region
+    are broadcast (hinted); customer qualifies under AQE's threshold at
+    test scale and would be a shuffle join at 100 TB — both correct."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = F.broadcast(load_table(spark, sf_dir, "nation"))
+    r = F.broadcast(load_table(spark, sf_dir, "region"))
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            _r(F.sum("o_totalprice"), 4).alias("total_revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+@register(
+    "join_anti",
+    survey="§2.4 note: left-anti 'customers with no orders'",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "join_semi",
+    survey="§2.4 note: left-semi 'customers with an urgent order'",
+    oracle="""
+    SELECT c_custkey, c_acctbal FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+    """,
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    urgent = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return cust.join(
+        urgent, cust.c_custkey == urgent.o_custkey, "left_semi"
+    ).select("c_custkey", "c_acctbal")
+
+
+@register(
+    "join_outer",
+    survey="§2.4 note: full-outer over partial dims",
+    oracle="""
+    WITH lo AS (SELECT n_nationkey AS k, n_name FROM nation WHERE n_nationkey < 15),
+         hi AS (SELECT n_nationkey AS k, n_regionkey FROM nation WHERE n_nationkey >= 10)
+    SELECT coalesce(lo.k, hi.k) AS k, lo.n_name, hi.n_regionkey
+    FROM lo FULL OUTER JOIN hi ON lo.k = hi.k
+    """,
+)
+def join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = load_table(spark, sf_dir, "nation")
+    lo = n.filter(F.col("n_nationkey") < 15).select(
+        F.col("n_nationkey").alias("k"), "n_name"
+    )
+    hi = n.filter(F.col("n_nationkey") >= 10).select(
+        F.col("n_nationkey").alias("k"), "n_regionkey"
+    )
+    return lo.join(hi, lo.k == hi.k, "full_outer").select(
+        F.coalesce(lo.k, hi.k).alias("k"), "n_name", "n_regionkey"
+    )

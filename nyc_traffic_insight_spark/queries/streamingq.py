@@ -1,0 +1,133 @@
+"""Catalog: event-stream window queries (SURVEY.md §2.12).
+
+The reference has no streaming; these are the idiomatic Structured
+Streaming slices over the events table, registered here in their BATCH
+form (identical DataFrame code — Structured Streaming runs the same
+logical plan incrementally). The true streaming execution (readStream →
+watermark → windowed agg → writeStream, availableNow trigger) is
+exercised in tests/test_streaming.py via streaming/events.py, which
+reuses these transformations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nyc_traffic_insight_spark.queries import register
+from nyc_traffic_insight_spark.sources import load_table
+
+
+@register(
+    "stream_tumbling_counts",
+    survey="§2.12 tumbling-window counts w/ watermark (extension)",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start,
+           date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+           event_type, count(*) AS n,
+           round(sum(value), 4) AS total_value
+    FROM events GROUP BY 1, 2, 3
+    """,
+)
+def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling windows per event type. In streaming mode the same
+    plan runs with withWatermark('ts', ...) bounding state; see
+    streaming/events.py."""
+    from nyc_traffic_insight_spark.streaming.events import tumbling_counts
+
+    return tumbling_counts(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "stream_sliding_counts",
+    survey="§2.12 sliding-window counts (extension)",
+    oracle="""
+    WITH offsets AS (SELECT unnest([0, 30]) AS off_min),
+    slotted AS (
+      SELECT date_trunc('hour', ts - to_minutes(off_min)) + to_minutes(off_min)
+               AS window_start,
+             event_type, value
+      FROM events, offsets
+    )
+    SELECT window_start, window_start + INTERVAL 1 HOUR AS window_end,
+           event_type, count(*) AS n
+    FROM slotted GROUP BY 1, 2, 3
+    """,
+)
+def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour windows sliding every 30 min: each event lands in 2
+    windows. Spark's window(ts, '1 hour', '30 minutes') assigns both;
+    the oracle reproduces the assignment arithmetic explicitly."""
+    from nyc_traffic_insight_spark.streaming.events import sliding_counts
+
+    return sliding_counts(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "stream_dedup_ids",
+    survey="§2.12 streaming dropDuplicates on event_id (extension)",
+    oracle="""
+    SELECT event_id, min(ts) AS first_ts
+    FROM events GROUP BY 1
+    """,
+)
+def stream_dedup_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once by event_id: batch form is a min-ts group; streaming
+    form is dropDuplicates('event_id') with a watermark bounding the
+    dedup state."""
+    return (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_id")
+        .agg(F.min("ts").alias("first_ts"))
+    )
+
+
+@register(
+    "stream_sessionization",
+    survey="§2.12 session windows per user (extension)",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  OR epoch_us(ts)
+                     - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts))
+                     > 30 * 60 * 1000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    sessions AS (
+      SELECT user_id, ts,
+             CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS session_id
+      FROM ordered
+    )
+    SELECT user_id, session_id, min(ts) AS session_start,
+           max(ts) AS session_end, count(*) AS n_events
+    FROM sessions GROUP BY 1, 2
+    """,
+)
+def stream_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """30-min-gap sessionization: the batch (windowed) equivalent of
+    Structured Streaming's session_window(ts, '30 minutes') — the
+    gaps-and-islands form distributes per user_id."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    prev = F.lag("ts").over(w)
+    new_session = (
+        prev.isNull()
+        | (F.unix_micros("ts") - F.unix_micros(prev) > 30 * 60 * 1_000_000)
+    ).cast("int")
+    sessions = ev.withColumn(
+        "session_id",
+        F.sum(new_session)
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("bigint"),
+    )
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+    )

@@ -1,0 +1,732 @@
+"""Catalog: large-scale training-data operators over documents/embeddings.
+
+North-star extensions beyond the reference surface (BASELINE.json): the
+operations an LLM-data pipeline needs at 100 TB — deduplication (exact,
+MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine), similarity
+search (brute-force + LSH-bucketed ANN), and text analysis (language ID,
+quality scoring, token counting, fingerprinting).
+
+Everything is built from deterministic primitives both engines share —
+md5() for hashing (bit-identical across Spark and DuckDB), integer
+ratios for similarities (exact IEEE754 division → hash-stable without
+rounding) — so even the sketch-based operators get full value-hash
+oracles instead of rows-only checks.
+
+Scale design notes per operator are in the docstrings; the common theme:
+shingle/token explosion happens AFTER per-doc dedup (distinct shingles),
+joins are on hash keys (uniformly distributed → no skew), and pairwise
+verification only ever runs on LSH candidates, never all O(n²) pairs
+(the brute-force variants exist as correctness baselines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nyc_traffic_insight_spark.queries import register
+from nyc_traffic_insight_spark.sources import load_table
+from nyc_traffic_insight_spark.functions.rounding import r as _r
+
+# ----------------------------------------------------------------- shared
+
+# Distinct 3-word shingles per document (word-level n-grams).
+_SHINGLES_SQL = """
+    WITH __words AS (
+      SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS w
+      FROM documents
+    ),
+    __idx AS (
+      SELECT doc_id, w, unnest(range(1, greatest(len(w) - 1, 1))) AS i
+      FROM __words
+    ),
+    shingles AS (
+      SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+      FROM __idx
+    )
+"""
+
+
+def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct 3-word shingles per doc. The explode is the expensive
+    step at scale: it is a narrow map (no shuffle) and the DISTINCT
+    shuffles (doc_id, shingle) — hash keys, uniform, no skew."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.split(F.lower("text"), r"\s+")
+    sh = F.when(
+        F.size(w) >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - 2),
+            lambda i: F.concat_ws(
+                " ", F.element_at(w, i), F.element_at(w, i + 1), F.element_at(w, i + 2)
+            ),
+        ),
+    ).otherwise(F.array())
+    return (
+        docs.select("doc_id", F.explode(sh).alias("s")).distinct()
+    )
+
+
+# ------------------------------------------------------------------ dedup
+
+@register(
+    "dedup_exact",
+    survey="north-star: exact dedup via hash-groupBy",
+    oracle="""
+    SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
+           count(*) AS n_copies
+    FROM documents GROUP BY 1
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: group on a content hash, keep the smallest id.
+    Hashing first means the shuffle key is 32 bytes regardless of doc
+    size — at 100 TB you shuffle hashes, not documents."""
+    return (
+        load_table(spark, sf_dir, "documents")
+        .groupBy(F.md5("text").alias("content_hash"))
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    survey="north-star: n-gram Jaccard near-dup (brute-force baseline)",
+    oracle=_SHINGLES_SQL
+    + """,
+    cnt AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY 1),
+    common AS (
+      SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS c
+      FROM shingles a JOIN shingles b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc1, doc2,
+           CAST(c AS DOUBLE) / (ca.n + cb.n - c) AS jaccard
+    FROM common
+    JOIN cnt ca ON ca.doc_id = doc1
+    JOIN cnt cb ON cb.doc_id = doc2
+    WHERE CAST(c AS DOUBLE) / (ca.n + cb.n - c) >= 0.5
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard over distinct 3-word shingles, pairs ≥ 0.5.
+
+    The pair generation is a self-join ON SHINGLE (only docs sharing a
+    shingle meet) — never a cross join. Jaccard = c/(n1+n2-c) is a ratio
+    of integers → bit-identical across engines, no rounding needed.
+    This is the correctness baseline; dedup_minhash_lsh is the scale
+    path (candidates from banding instead of the full shingle join).
+    """
+    sh = _shingles(spark, sf_dir)
+    cnt = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    ca = cnt.alias("ca")
+    cb = cnt.alias("cb")
+    jac = (
+        common.join(ca, F.col("doc1") == F.col("ca.doc_id"))
+        .join(cb, F.col("doc2") == F.col("cb.doc_id"))
+        .select(
+            "doc1",
+            "doc2",
+            (
+                F.col("c").cast("double")
+                / (F.col("ca.n") + F.col("cb.n") - F.col("c"))
+            ).alias("jaccard"),
+        )
+    )
+    return jac.filter(F.col("jaccard") >= 0.5)
+
+
+_N_HASHES = 8
+_BANDS = 4  # 2 rows per band
+
+
+def _minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """8-hash MinHash signature per doc: h_k = min(md5(k || '_' || s)).
+    One aggregate pass over the shingle set; md5 is bit-identical in
+    Spark and DuckDB so the signature is oracle-checkable."""
+    sh = _shingles(spark, sf_dir)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{k}_"), F.col("s")))).alias(f"h{k}")
+        for k in range(_N_HASHES)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+_SIG_SQL = (
+    _SHINGLES_SQL
+    + """,
+    sig AS (
+      SELECT doc_id,
+    """
+    + ",\n".join(
+        f"        min(md5('{k}_' || s)) AS h{k}" for k in range(_N_HASHES)
+    )
+    + """
+      FROM shingles GROUP BY doc_id
+    )
+"""
+)
+
+
+@register(
+    "dedup_minhash_sig",
+    survey="north-star: MinHash signatures (shingle→minhash)",
+    oracle=_SIG_SQL + "SELECT * FROM sig",
+)
+def dedup_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _minhash_sig(spark, sf_dir)
+
+
+@register(
+    "dedup_minhash_lsh",
+    survey="north-star: MinHash+LSH near-dup (band→bucket-join→verify)",
+    oracle=_SIG_SQL
+    + """,
+    banded AS (
+      SELECT doc_id, md5(h0 || h1) AS b0, md5(h2 || h3) AS b1,
+             md5(h4 || h5) AS b2, md5(h6 || h7) AS b3
+      FROM sig
+    ),
+    candidates AS (
+      SELECT DISTINCT doc1, doc2 FROM (
+        SELECT a.doc_id AS doc1, b.doc_id AS doc2
+        FROM banded a JOIN banded b ON a.b0 = b.b0 AND a.doc_id < b.doc_id
+        UNION
+        SELECT a.doc_id, b.doc_id
+        FROM banded a JOIN banded b ON a.b1 = b.b1 AND a.doc_id < b.doc_id
+        UNION
+        SELECT a.doc_id, b.doc_id
+        FROM banded a JOIN banded b ON a.b2 = b.b2 AND a.doc_id < b.doc_id
+        UNION
+        SELECT a.doc_id, b.doc_id
+        FROM banded a JOIN banded b ON a.b3 = b.b3 AND a.doc_id < b.doc_id
+      )
+    ),
+    cnt AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY 1),
+    verified AS (
+      SELECT c.doc1, c.doc2, count(*) AS common
+      FROM candidates c
+      JOIN shingles sa ON sa.doc_id = c.doc1
+      JOIN shingles sb ON sb.doc_id = c.doc2 AND sb.s = sa.s
+      GROUP BY 1, 2
+    )
+    SELECT v.doc1, v.doc2,
+           CAST(v.common AS DOUBLE) / (ca.n + cb.n - v.common) AS jaccard
+    FROM verified v
+    JOIN cnt ca ON ca.doc_id = v.doc1
+    JOIN cnt cb ON cb.doc_id = v.doc2
+    WHERE CAST(v.common AS DOUBLE) / (ca.n + cb.n - v.common) >= 0.5
+    """,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH banding: 8 minhashes → 4 bands of 2 → docs sharing
+    any band bucket are candidates → exact-Jaccard verify ≥ 0.5.
+
+    This is the 100 TB dedup path: candidate generation joins on band
+    buckets (equi-join on md5 keys, uniform), and the expensive exact
+    verify touches only candidate pairs. With r=2, b=4 the candidate
+    probability is 1-(1-j²)⁴ — ~0.99 for j=0.8, ~0.2 for j=0.25.
+    """
+    sig = _minhash_sig(spark, sf_dir)
+    banded = sig.select(
+        "doc_id",
+        *[
+            F.md5(F.concat(F.col(f"h{2*b}"), F.col(f"h{2*b+1}"))).alias(f"b{b}")
+            for b in range(_BANDS)
+        ],
+    )
+    cands = None
+    for b in range(_BANDS):
+        l = banded.alias("a")
+        r = banded.alias("b")
+        pair = l.join(
+            r,
+            (F.col(f"a.b{b}") == F.col(f"b.b{b}"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        ).select(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
+        cands = pair if cands is None else cands.unionByName(pair)
+    cands = cands.distinct()
+
+    sh = _shingles(spark, sf_dir)
+    cnt = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sa = sh.alias("sa")
+    sb = sh.alias("sb")
+    verified = (
+        cands.join(sa, F.col("doc1") == F.col("sa.doc_id"))
+        .join(sb, (F.col("doc2") == F.col("sb.doc_id")) & (F.col("sb.s") == F.col("sa.s")))
+        .groupBy("doc1", "doc2")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    ca = cnt.alias("ca")
+    cb = cnt.alias("cb")
+    return (
+        verified.join(ca, F.col("doc1") == F.col("ca.doc_id"))
+        .join(cb, F.col("doc2") == F.col("cb.doc_id"))
+        .select(
+            "doc1",
+            "doc2",
+            (
+                F.col("common").cast("double")
+                / (F.col("ca.n") + F.col("cb.n") - F.col("common"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.5)
+    )
+
+
+_SIMHASH_BITS = 16
+
+
+@register(
+    "dedup_simhash",
+    survey="north-star: SimHash document fingerprints",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS tok
+      FROM documents
+    ),
+    hashed AS (
+      SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h FROM toks
+    ),
+    bits AS (
+      SELECT doc_id, i,
+             sum(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS weight
+      FROM hashed, (SELECT unnest(range(0, {_SIMHASH_BITS})) AS i)
+      GROUP BY 1, 2
+    )
+    SELECT doc_id,
+           CAST(sum(CASE WHEN weight > 0 THEN 1 << i ELSE 0 END) AS BIGINT)
+             AS simhash
+    FROM bits GROUP BY 1
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash: per-token md5-derived int, ±1 vote per bit
+    position weighted by token multiplicity, sign → bit. Near-dups have
+    small Hamming distance; grouping by simhash (or by bit-bands of it)
+    is the constant-cost near-dup bucketer.
+
+    Token hash = first 8 hex chars of md5 → bit-identical both engines.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("tok")
+    )
+    hashed = toks.select(
+        "doc_id",
+        F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("bigint").alias("h"),
+    )
+    exploded = hashed.select(
+        "doc_id",
+        "h",
+        F.explode(F.sequence(F.lit(0), F.lit(_SIMHASH_BITS - 1))).alias("i"),
+    )
+    vote = F.when(F.expr("shiftright(h, i) & 1") == 1, 1).otherwise(-1)
+    bits = exploded.groupBy("doc_id", "i").agg(F.sum(vote).alias("weight"))
+    return bits.groupBy("doc_id").agg(
+        F.sum(
+            F.when(
+                F.col("weight") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), i)")
+            ).otherwise(F.lit(0))
+        )
+        .cast("bigint")
+        .alias("simhash")
+    )
+
+
+# ------------------------------------------------- embedding similarity
+
+def _norm_dot(a, b):
+    """Cosine over two array<float> columns, computed in double.
+
+    Both engines accumulate the 64-dim dot product sequentially in
+    double, so the result is bit-identical — no rounding needed.
+    """
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    na = F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double"))
+    )
+    nb = F.sqrt(
+        F.aggregate(b, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double"))
+    )
+    return dot / (na * nb)
+
+
+@register(
+    "dedup_embedding_cosine",
+    survey="north-star: embedding-cosine near-dup pairs",
+    oracle="""
+    SELECT a.vec_id AS id1, b.vec_id AS id2,
+           round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                        b.embedding::DOUBLE[]), 4) AS cosine
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) > 0.4
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine > 0.4.
+
+    Brute-force pairwise (correctness baseline) — the range-join form
+    `a.vec_id < b.vec_id` is a nested-loop at test scale; the 100 TB
+    path is sim_search_lsh_topk (hyperplane buckets shrink candidates
+    by ~2^planes). Dot products run as JVM higher-order functions
+    (zip_with/aggregate), no Python.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    a = e.alias("a")
+    b = e.alias("b")
+    cos = _norm_dot(F.col("a.embedding"), F.col("b.embedding"))
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("id1"),
+            F.col("b.vec_id").alias("id2"),
+            cos.alias("cosine_raw"),
+        )
+        .filter(F.col("cosine_raw") > 0.4)
+        .select("id1", "id2", _r("cosine_raw", 4).alias("cosine"))
+    )
+
+
+@register(
+    "sim_search_bruteforce_topk",
+    survey="north-star: brute-force cosine top-k ANN baseline",
+    oracle="""
+    WITH queries AS (SELECT * FROM embeddings WHERE vec_id < 5),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             list_cosine_similarity(q.embedding::DOUBLE[],
+                                    c.embedding::DOUBLE[]) AS cos_raw
+      FROM queries q JOIN embeddings c ON q.vec_id <> c.vec_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, cos_raw,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos_raw DESC, neighbor_id)
+                  AS INTEGER) AS rnk
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, round(cos_raw, 4) AS cosine, rnk
+    FROM ranked WHERE rnk <= 10
+    """,
+)
+def sim_search_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 cosine neighbors for each query vector (vec_id < 5).
+
+    Query side is tiny → broadcast; every corpus partition scores its
+    rows against all queries and emits local candidates; the window
+    does per-query top-k. At 100 TB this exact plan holds: broadcast
+    queries, map-side scoring, top-k via TakeOrdered-like window on
+    |queries|×|partition| candidates.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    c = e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb"))
+    from pyspark.sql import Window
+
+    scored = (
+        F.broadcast(q)
+        .join(c, F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            _norm_dot(F.col("q_emb"), F.col("c_emb")).alias("cos_raw"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_raw"), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 10)
+        .select("query_id", "neighbor_id", _r("cos_raw", 4).alias("cosine"), "rnk")
+    )
+
+
+_N_PLANES = 8
+
+
+def _plane_weights() -> list[list[float]]:
+    """Deterministic pseudo-random hyperplane weights in [-1, 1], derived
+    from md5(p_d) — hashlib here, md5() in the oracle SQL, bit-identical."""
+    import hashlib
+
+    return [
+        [
+            (int(hashlib.md5(f"{p}_{d}".encode()).hexdigest()[:8], 16) % 2001 - 1000)
+            / 1000.0
+            for d in range(64)
+        ]
+        for p in range(_N_PLANES)
+    ]
+
+
+def _lsh_oracle() -> str:
+    planes = _plane_weights()
+    proj = ",\n".join(
+        f"           list_dot_product(embedding::DOUBLE[], "
+        f"[{', '.join(repr(w) for w in ws)}]) AS dot{p}"
+        for p, ws in enumerate(planes)
+    )
+    bits = " + ".join(
+        f"(CASE WHEN dot{p} >= 0 THEN {1 << p} ELSE 0 END)"
+        for p in range(_N_PLANES)
+    )
+    return f"""
+    WITH proj AS (
+      SELECT vec_id,
+{proj}
+      FROM embeddings
+    )
+    SELECT vec_id, CAST({bits} AS BIGINT) AS bucket FROM proj
+    """
+
+
+@register(
+    "sim_search_lsh_buckets",
+    survey="north-star: hyperplane-LSH bucket assignment (ANN scale path)",
+    oracle=_lsh_oracle(),
+)
+def sim_search_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH: 8 deterministic md5-seeded planes → 8 sign
+    bits → bucket id. Vectors in the same bucket are ANN candidates; the
+    expected candidate-set shrink is 2^8. At 100 TB this is one narrow
+    map (the planes ride along as literals in the plan — nothing is
+    shuffled or broadcast) + the bucket groupBy downstream.
+
+    Both engines accumulate each 64-term dot product sequentially in
+    double, so the sign bits — and hence buckets — match exactly.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    bucket = None
+    for p, ws in enumerate(_plane_weights()):
+        plane = F.array(*[F.lit(w) for w in ws])
+        dot = F.aggregate(
+            F.zip_with("embedding", plane, lambda x, w: x.cast("double") * w),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bit = F.when(dot >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    return e.select("vec_id", bucket.cast("bigint").alias("bucket"))
+
+
+# ---------------------------------------------------------- text analysis
+
+_STOPWORDS = ["the", "a", "of", "to", "and", "is", "in", "that", "it", "on"]
+
+
+@register(
+    "text_token_count",
+    survey="north-star: whitespace + BPE-ish regex token counting",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+             AS n_ws_tokens,
+           CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))
+             AS BIGINT) AS n_bpe_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars_computed
+    FROM documents
+    """,
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two tokenizers: whitespace split and a BPE-ish regex (letter runs
+    / digit runs / single punctuation) — both pure JVM regex, no UDF."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("bigint").alias(
+            "n_ws_tokens"
+        ),
+        F.size(
+            F.regexp_extract_all(
+                F.lower("text"), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), 0
+            )
+        )
+        .cast("bigint")
+        .alias("n_bpe_tokens"),
+        F.length("text").cast("bigint").alias("n_chars_computed"),
+    )
+
+
+@register(
+    "text_quality_score",
+    survey="north-star: document quality scoring (length/stopword/punct ratios)",
+    oracle=rf"""
+    WITH feats AS (
+      SELECT doc_id,
+             CAST(length(text) AS DOUBLE) AS n_chars_d,
+             CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) AS n_tok,
+             CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                      t -> list_contains({_STOPWORDS!r}, t))) AS DOUBLE) AS n_stop,
+             CAST(length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) AS DOUBLE)
+               AS n_punct
+      FROM documents
+    )
+    SELECT doc_id,
+           round(n_stop / n_tok, 6) AS stopword_ratio,
+           round(n_punct / n_chars_d, 6) AS punct_ratio,
+           round(n_chars_d / n_tok, 6) AS mean_token_len,
+           round(0.4 * least(n_tok / 100.0, 1.0)
+                 + 0.4 * least(n_stop / n_tok * 5, 1.0)
+                 + 0.2 * (1 - least(n_punct / n_chars_d * 10, 1.0)), 6)
+             AS quality_score
+    FROM feats
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality score from length, stopword density and
+    punctuation density (the usual pre-training quality gates), all as
+    JVM expressions over the tokenized text."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    low_toks = F.split(F.lower("text"), r"\s+")
+    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
+    n_tok = F.size(toks).cast("double")
+    n_stop = F.size(
+        F.filter(low_toks, lambda t: F.array_contains(stop_arr, t))
+    ).cast("double")
+    n_chars = F.length("text").cast("double")
+    n_punct = F.length(
+        F.regexp_replace("text", r"[a-zA-Z0-9\s]", "")
+    ).cast("double")
+    quality = (
+        0.4 * F.least(n_tok / 100.0, F.lit(1.0))
+        + 0.4 * F.least(n_stop / n_tok * 5, F.lit(1.0))
+        + 0.2 * (1 - F.least(n_punct / n_chars * 10, F.lit(1.0)))
+    )
+    return d.select(
+        "doc_id",
+        _r(n_stop / n_tok, 6).alias("stopword_ratio"),
+        _r(n_punct / n_chars, 6).alias("punct_ratio"),
+        _r(n_chars / n_tok, 6).alias("mean_token_len"),
+        _r(quality, 6).alias("quality_score"),
+    )
+
+
+# language marker words; the vote is the operator under test (the corpus
+# is synthetic so the marker sets are what matters, not linguistics).
+_LANG_MARKERS = {
+    "en": ["the", "a", "of", "to", "and"],
+    "es": ["el", "la", "de", "que", "y"],
+    "de": ["der", "die", "das", "und", "ist"],
+    "fr": ["le", "les", "des", "et", "une"],
+}
+
+
+@register(
+    "text_lang_id",
+    survey="north-star: n-gram/stopword language-ID heuristic",
+    oracle=f"""
+    WITH markers (lang_guess, marker) AS (
+      VALUES {", ".join(f"('{lang}', '{m}')" for lang, ms in _LANG_MARKERS.items() for m in ms)}
+    ),
+    toks AS (
+      SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS tok
+      FROM documents
+    ),
+    votes AS (
+      SELECT t.doc_id, m.lang_guess, count(*) AS hits
+      FROM toks t JOIN markers m ON t.tok = m.marker
+      GROUP BY 1, 2
+    ),
+    best AS (
+      SELECT doc_id, lang_guess, hits,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY hits DESC, lang_guess) AS rn
+      FROM votes
+    )
+    SELECT d.doc_id,
+           coalesce(b.lang_guess, 'unknown') AS lang_pred,
+           CAST(coalesce(b.hits, 0) AS BIGINT) AS marker_hits
+    FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id AND b.rn = 1
+    """,
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word voting language ID: tokenize, join a broadcast marker
+    dim, count hits per language, argmax (ties broken lexicographically),
+    'unknown' when no marker hits."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("tok")
+    )
+    markers = F.broadcast(
+        d.sparkSession.createDataFrame(
+            [(lang, m) for lang, ms in _LANG_MARKERS.items() for m in ms],
+            "lang_guess STRING, marker STRING",
+        )
+    )
+    votes = (
+        toks.join(markers, toks.tok == markers.marker)
+        .groupBy("doc_id", "lang_guess")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("hits"), F.col("lang_guess"))
+    best = votes.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return d.select("doc_id").join(best, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("lang_guess", F.lit("unknown")).alias("lang_pred"),
+        F.coalesce("hits", F.lit(0)).cast("bigint").alias("marker_hits"),
+    )
+
+
+@register(
+    "text_fingerprint",
+    survey="north-star: normalized content fingerprinting",
+    oracle="""
+    SELECT doc_id,
+           md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS norm_hash,
+           md5(array_to_string(list_sort(list_distinct(
+               regexp_split_to_array(lower(text), '\\s+'))), ' ')) AS bow_hash
+    FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two fingerprints: whitespace-normalized content hash (catches
+    formatting-only dupes) and sorted bag-of-words hash (catches
+    reorderings). Both md5 → identical across engines."""
+    d = load_table(spark, sf_dir, "documents")
+    norm = F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
+    bow = F.array_join(
+        F.array_sort(F.array_distinct(F.split(F.lower("text"), r"\s+"))), " "
+    )
+    return d.select(
+        "doc_id",
+        F.md5(norm).alias("norm_hash"),
+        F.md5(bow).alias("bow_hash"),
+    )
+
+
+@register(
+    "doc_stats_by_source",
+    survey="north-star: corpus-level stats rollup",
+    oracle="""
+    SELECT source, lang, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           round(avg(n_chars), 4) AS avg_chars
+    FROM documents GROUP BY 1, 2
+    """,
+)
+def doc_stats_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            _r(F.avg("n_chars"), 4).alias("avg_chars"),
+        )
+    )

@@ -1,0 +1,288 @@
+"""Catalog: window functions (SURVEY.md §2.7, W1–W7 + ranking surface).
+
+These are the reference's signature operators: per-borough, time-ordered
+lag / trailing-rolling features built with pandas groupby+shift+rolling.
+Spark form: Window.partitionBy(group).orderBy(time) — the partition key
+distributes the work, so unlike pandas there is no single-process sort.
+
+Semantics pinned here (and in tests/test_reference_semantics.py):
+- pandas ``rolling(w, min_periods=1).mean().shift(1)`` ≡ Spark
+  ``avg over rowsBetween(-w, -1)``: partial frames at the partition head
+  produce partial means, and the first row gets NULL (empty frame).
+- pandas weekday (Mon=0) ≡ Spark ``weekday()`` ≡ DuckDB ``isodow()-1``.
+
+All queries window over pre-aggregated hourly series (tiny vs the fact
+table) — at 100 TB the window input is |groups × hours|, never raw rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from nyc_traffic_insight_spark.queries import register
+from nyc_traffic_insight_spark.sources import load_table
+from nyc_traffic_insight_spark.functions.rounding import r as _r
+
+# Shared hourly series: per-type hourly event counts + mean value.
+_HOURLY_SQL = """
+    SELECT event_type, date_trunc('hour', ts) AS hr,
+           count(*) AS cnt, round(avg(value), 4) AS mean_val
+    FROM events GROUP BY 1, 2
+"""
+
+
+def _hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_trunc("hour", "ts").alias("hr"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            _r(F.avg("value"), 4).alias("mean_val"),
+        )
+    )
+
+
+def _w():
+    # lazy: WindowSpec construction needs an active SparkSession
+    return Window.partitionBy("event_type").orderBy("hr")
+
+
+@register(
+    "win_lag1",
+    survey="W1 previous-hour value per group (SegmentedModeling.py:238-239)",
+    oracle=f"""
+    WITH hourly AS ({_HOURLY_SQL})
+    SELECT event_type, hr, cnt,
+           lag(cnt, 1) OVER (PARTITION BY event_type ORDER BY hr) AS cnt_lag_1
+    FROM hourly
+    """,
+)
+def win_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _hourly(spark, sf_dir).select(
+        "event_type", "hr", "cnt", F.lag("cnt", 1).over(_w()).alias("cnt_lag_1")
+    )
+
+
+@register(
+    "win_lag_multi",
+    survey="W2 lags 1/24/168 per group (RandomForest.py:73-75)",
+    oracle=f"""
+    WITH hourly AS ({_HOURLY_SQL})
+    SELECT event_type, hr, cnt,
+           lag(cnt, 1)   OVER w AS lag_1h,
+           lag(cnt, 24)  OVER w AS lag_1d,
+           lag(cnt, 168) OVER w AS lag_1w
+    FROM hourly WINDOW w AS (PARTITION BY event_type ORDER BY hr)
+    """,
+)
+def win_lag_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    h = _hourly(spark, sf_dir)
+    return h.select(
+        "event_type",
+        "hr",
+        "cnt",
+        F.lag("cnt", 1).over(_w()).alias("lag_1h"),
+        F.lag("cnt", 24).over(_w()).alias("lag_1d"),
+        F.lag("cnt", 168).over(_w()).alias("lag_1w"),
+    )
+
+
+@register(
+    "win_roll_mean_3",
+    survey="W3 trailing 3-row mean, shift(1), min_periods=1 (SegmentedModeling.py:240-247)",
+    oracle=f"""
+    WITH hourly AS ({_HOURLY_SQL})
+    SELECT event_type, hr, cnt,
+           round(avg(cnt) OVER (PARTITION BY event_type ORDER BY hr
+                                ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING), 4)
+             AS roll_3h
+    FROM hourly
+    """,
+)
+def win_roll_mean_3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pandas rolling(3).mean().shift(1) — the frame END at -1 encodes
+    the shift; partial frames at the head encode min_periods=1; row 1
+    gets NULL from the empty frame (matches shift's head-null)."""
+    return _hourly(spark, sf_dir).select(
+        "event_type",
+        "hr",
+        "cnt",
+        _r(F.avg("cnt").over(_w().rowsBetween(-3, -1)), 4).alias("roll_3h"),
+    )
+
+
+@register(
+    "win_roll_mean_24",
+    survey="W4 trailing 24-row mean (SegmentedModeling.py:241-247)",
+    oracle=f"""
+    WITH hourly AS ({_HOURLY_SQL})
+    SELECT event_type, hr, cnt,
+           round(avg(cnt) OVER (PARTITION BY event_type ORDER BY hr
+                                ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING), 4)
+             AS roll_24h,
+           round(sum(mean_val) OVER (PARTITION BY event_type ORDER BY hr
+                                     ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING), 4)
+             AS sum_24h
+    FROM hourly
+    """,
+)
+def win_roll_mean_24(spark: SparkSession, sf_dir: str) -> DataFrame:
+    h = _hourly(spark, sf_dir)
+    frame = _w().rowsBetween(-24, -1)
+    return h.select(
+        "event_type",
+        "hr",
+        "cnt",
+        _r(F.avg("cnt").over(frame), 4).alias("roll_24h"),
+        _r(F.sum("mean_val").over(frame), 4).alias("sum_24h"),
+    )
+
+
+@register(
+    "win_time_split",
+    survey="W5 temporal 80/20 split via percent_rank (SegmentedModeling.py:61-64)",
+    oracle=f"""
+    WITH hourly AS ({_HOURLY_SQL})
+    SELECT event_type, hr, cnt,
+           round(percent_rank() OVER (PARTITION BY event_type ORDER BY hr), 6)
+             AS pr,
+           CAST(percent_rank() OVER (PARTITION BY event_type ORDER BY hr) <= 0.8
+                AS INTEGER) AS is_train
+    FROM hourly
+    """,
+)
+def win_time_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference slices by iloc position after a global time sort; the
+    scalable form is percent_rank per partition — no global sort, no
+    single-partition window."""
+    pr = F.percent_rank().over(_w())
+    return _hourly(spark, sf_dir).select(
+        "event_type",
+        "hr",
+        "cnt",
+        _r(pr, 6).alias("pr"),
+        (pr <= 0.8).cast("int").alias("is_train"),
+    )
+
+
+@register(
+    "win_sliding_lookback",
+    survey="W6 24-step sliding lookback tensor (NYC_Traffic_Congestion.py:60-65)",
+    oracle=f"""
+    WITH hourly AS ({_HOURLY_SQL})
+    SELECT event_type, hr,
+           string_agg(CAST(cnt AS VARCHAR), ',')
+             OVER (PARTITION BY event_type ORDER BY hr
+                   ROWS BETWEEN 23 PRECEDING AND CURRENT ROW) AS lookback,
+           count(*) OVER (PARTITION BY event_type ORDER BY hr
+                          ROWS BETWEEN 23 PRECEDING AND CURRENT ROW) AS lookback_n
+    FROM hourly
+    """,
+)
+def win_sliding_lookback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSTM input builder: last-24 window per step. collect_list over
+    a row frame builds the tensor row; serialized to CSV-string here so
+    the oracle can compare it exactly."""
+    frame = _w().rowsBetween(-23, 0)
+    return _hourly(spark, sf_dir).select(
+        "event_type",
+        "hr",
+        F.array_join(
+            F.transform(F.collect_list("cnt").over(frame), lambda x: x.cast("string")),
+            ",",
+        ).alias("lookback"),
+        F.count(F.lit(1)).over(frame).alias("lookback_n"),
+    )
+
+
+@register(
+    "win_lag_series",
+    survey="W7 shift(1) on a single series + dropna (NYC_Traffic_Congestion.py:34-35)",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d, round(sum(o_totalprice), 4) AS rev
+      FROM orders GROUP BY 1
+    ),
+    lagged AS (
+      SELECT d, rev, lag(rev, 1) OVER (ORDER BY d) AS rev_lag FROM daily
+    )
+    SELECT d, rev, rev_lag FROM lagged WHERE rev_lag IS NOT NULL
+    """,
+)
+def win_lag_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-series lag (global window) — acceptable because the input
+    is a pre-aggregated daily series (|distinct dates| rows), not raw
+    facts; the aggregate runs distributed, only the tiny series passes
+    through one partition."""
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("d"))
+        .agg(_r(F.sum("o_totalprice"), 4).alias("rev"))
+    )
+    w = Window.orderBy("d")
+    return (
+        daily.withColumn("rev_lag", F.lag("rev", 1).over(w))
+        .filter(F.col("rev_lag").isNotNull())
+    )
+
+
+@register(
+    "win_ranking",
+    survey="§2.7 note: ranking surface beyond reference (row_number/rank/dense_rank/ntile)",
+    oracle="""
+    WITH ranked AS (
+      SELECT c_mktsegment, c_custkey, c_acctbal,
+             CAST(row_number() OVER w AS INTEGER) AS rn,
+             CAST(rank()       OVER w AS INTEGER) AS rnk,
+             CAST(dense_rank() OVER w AS INTEGER) AS drnk,
+             CAST(ntile(4)     OVER w AS INTEGER) AS quartile
+      FROM customer
+      WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+    )
+    SELECT * FROM ranked WHERE rn <= 5
+    """,
+)
+def win_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-N per group — the canonical windowed filter (no reference
+    analog; rounds out the window surface Spark gives for free)."""
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("c_acctbal"), F.col("c_custkey")
+    )
+    return (
+        load_table(spark, sf_dir, "customer")
+        .select(
+            "c_mktsegment",
+            "c_custkey",
+            "c_acctbal",
+            F.row_number().over(w).alias("rn"),
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+            F.ntile(4).over(w).alias("quartile"),
+        )
+        .filter(F.col("rn") <= 5)
+    )
+
+
+@register(
+    "win_cumulative",
+    survey="§2.7 note: running totals (unbounded-preceding frame)",
+    oracle=f"""
+    WITH hourly AS ({_HOURLY_SQL})
+    SELECT event_type, hr, cnt,
+           CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY hr
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS running_cnt
+    FROM hourly
+    """,
+)
+def win_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _hourly(spark, sf_dir).select(
+        "event_type",
+        "hr",
+        "cnt",
+        F.sum("cnt")
+        .over(_w().rowsBetween(Window.unboundedPreceding, 0))
+        .cast("bigint")
+        .alias("running_cnt"),
+    )

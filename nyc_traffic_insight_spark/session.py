@@ -1,0 +1,47 @@
+"""SparkSession builder tuned for the engine.
+
+Local testing runs on ``local[N]`` but every setting here is chosen to be
+the right default on a large cluster too:
+
+- AQE on (runtime re-plan: broadcast promotion, skew-join splitting,
+  partition coalescing) — replaces every hand-tuned knob the reference
+  uses (chunk sizes, usecols; SURVEY.md §4).
+- shuffle partitions sized for the test scale; AQE coalesces down so a
+  too-high number is cheap, and on a real cluster this would be
+  ~2–3× total cores.
+- Arrow enabled so the few Pandas-UDF paths (CRS reprojection,
+  multimodal decode) batch-transfer instead of pickling rows.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def get_spark(
+    app_name: str = "nyc-traffic-insight-spark",
+    master: str | None = None,
+    shuffle_partitions: int = 32,
+) -> SparkSession:
+    """Build (or fetch) the tuned SparkSession."""
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{DEFAULT_CPUS}]")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # the driver's testdata stores events.ts as TIMESTAMP(NANOS)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    )
+    return builder.getOrCreate()

@@ -1,0 +1,59 @@
+"""Table catalog over the driver's parquet test tables.
+
+Parquet scans are the engine's canonical source: columnar projection +
+predicate pushdown + partition pruning come free from the DataSource V2
+path, which is exactly what the reference hand-rolls with ``usecols`` and
+chunked reads (SURVEY.md §4). At 100 TB these tables would be
+partitioned (e.g. orders by month of o_orderdate) and the same
+``spark.read.parquet`` call prunes partitions from the WHERE clause.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, TimestampType
+
+from nyc_traffic_insight_spark.schemas import TESTDATA_SCHEMAS, TESTDATA_TABLES
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one test table. S1-equivalent (SURVEY §2.1) over parquet.
+
+    Some tables store TIMESTAMP(NANOS) (events.ts), which Spark's
+    parquet reader rejects; we read nanos as long and floor-convert to
+    microsecond timestamps — the same truncation DuckDB applies, so the
+    oracle sees identical values. Integer division (no doubles: epoch
+    nanos ≈ 1.7e18 overflows a double's 53-bit mantissa).
+    """
+    if name not in TESTDATA_TABLES:
+        raise KeyError(f"unknown table {name!r}; known: {TESTDATA_TABLES}")
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # read naive parquet timestamps as TimestampType (not NTZ) so the
+        # declared schemas and CSV timestampFormat options apply; with the
+        # session timezone pinned to UTC the wall values are unchanged.
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+        # naive storage ↔ LTZ semantics only line up when the session
+        # timezone is UTC (DuckDB reads the same files as naive wall time)
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    except Exception:
+        pass  # non-settable at runtime → builder must have set it
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    expected = TESTDATA_SCHEMAS[name]
+    actual = {f.name: f.dataType for f in df.schema.fields}
+    for field in expected.fields:
+        if isinstance(field.dataType, TimestampType) and isinstance(
+            actual.get(field.name), LongType
+        ):
+            df = df.withColumn(
+                field.name,
+                F.timestamp_micros(F.expr(f"`{field.name}` div 1000")),
+            )
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    if not names:
+        names = TESTDATA_TABLES
+    return {n: load_table(spark, sf_dir, n) for n in names}

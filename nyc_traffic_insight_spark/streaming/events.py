@@ -1,0 +1,102 @@
+"""Structured Streaming slice over the events table.
+
+The reference has no streaming surface (SURVEY.md §2.12); its closest
+analogs are the checkpointed, rate-limited ingest poller
+(``scripts/enrich_weather.py:69-121,172-178`` — at-least-once with
+resume) and the lazily refreshed model cache. This module is the
+idiomatic Spark re-expression: file-source readStream → event-time
+windowed aggregation with a watermark for late data → checkpointed
+writeStream.
+
+The transformation functions below take a plain DataFrame and work
+identically in batch and streaming mode — that is the point of
+Structured Streaming's unified model, and it lets the DuckDB oracle
+check the batch form of the exact code the stream runs
+(queries/streamingq.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nyc_traffic_insight_spark.schemas import EVENTS
+from nyc_traffic_insight_spark.functions.rounding import r as _r
+
+
+def tumbling_counts(events: DataFrame, watermark: str | None = None) -> DataFrame:
+    """1-hour tumbling windows per event_type: count + value sum.
+
+    With ``watermark`` set (streaming mode), state for windows older
+    than max(event time) - watermark is evicted — bounded memory at any
+    throughput; late rows within the watermark still update their
+    window (the reference's partial-checkpoint resume gives only
+    at-least-once appends, no late-data correction).
+    """
+    if watermark:
+        events = events.withWatermark("ts", watermark)
+    return (
+        events.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            _r(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def sliding_counts(events: DataFrame, watermark: str | None = None) -> DataFrame:
+    """1-hour windows sliding every 30 minutes (each event in 2 windows)."""
+    if watermark:
+        events = events.withWatermark("ts", watermark)
+    return (
+        events.groupBy(F.window("ts", "1 hour", "30 minutes"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "event_type",
+            "n",
+        )
+    )
+
+
+def dedup_events(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming dropDuplicates on event_id with watermark-bounded state."""
+    return events.withWatermark("ts", watermark).dropDuplicates(["event_id"])
+
+
+def read_event_stream(spark: SparkSession, source_dir: str) -> DataFrame:
+    """File-source stream: new parquet files under source_dir become
+    micro-batches (maxFilesPerTrigger caps per-batch work — the
+    streaming analog of the reference's request rate limiter)."""
+    return (
+        spark.readStream.schema(EVENTS)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(source_dir)
+    )
+
+
+def run_tumbling_stream(
+    spark: SparkSession, source_dir: str, checkpoint_dir: str, out_dir: str
+) -> None:
+    """End-to-end streaming job, availableNow trigger (process whatever
+    is there, then stop — deterministic for tests; swap for continuous
+    triggers in production)."""
+    stream = read_event_stream(spark, source_dir)
+    agg = tumbling_counts(stream, watermark="2 hours")
+    (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
