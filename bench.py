@@ -51,8 +51,16 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     specs = load_all()
 
-    # one warmup to amortize JVM/codegen startup out of the first query
-    specs["agg_count"].builder(spark, sf_dir).collect()
+    # Warmup pass: run every headline query once at the smallest SF so
+    # the JVM JIT + whole-stage-codegen (Janino) compilation of each
+    # query's generated code happens outside the timed region. The
+    # timed runs then measure steady-state throughput — the quantity
+    # that scales to a cluster — not one-time driver-side compilation.
+    warm_dir = "/root/testdata/sf0.001"
+    if not os.path.isdir(warm_dir):
+        warm_dir = sf_dir
+    for name in HEADLINE:
+        specs[name].builder(spark, warm_dir).collect()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

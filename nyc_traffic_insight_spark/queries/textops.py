@@ -47,23 +47,63 @@ _SHINGLES_SQL = """
 """
 
 
-def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct 3-word shingles per doc. The explode is the expensive
-    step at scale: it is a narrow map (no shuffle) and the DISTINCT
-    shuffles (doc_id, shingle) — hash keys, uniform, no skew."""
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The documents table, widened to the session's core count when the
+    scan under-parallelizes. The local test parquet is one row group →
+    Spark plans a single scan partition, which would run all the
+    CPU-heavy per-row work (regex splits, hashing) on 1 of 32 cores. On
+    a real cluster the scan is already split into many partitions and
+    this repartition never fires."""
     docs = load_table(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par:
+        docs = docs.repartition(par)
+    return docs
+
+
+def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The embeddings table, widened like _docs — the 64-dim dot
+    products run in interpreted higher-order functions, so scan
+    parallelism directly bounds throughput."""
+    e = load_table(spark, sf_dir, "embeddings")
+    par = spark.sparkContext.defaultParallelism
+    if e.rdd.getNumPartitions() < par:
+        e = e.repartition(par)
+    return e
+
+
+def _shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct 3-word shingles per doc as an ARRAY column — a fully
+    narrow map (split → transform → array_distinct), zero shuffles.
+    Docs too short for a shingle get an empty array (callers filter).
+
+    This is the 100 TB-friendly form: the shingle set never leaves the
+    row it came from, so signature/verify steps derive from it without
+    the explode→DISTINCT shuffle of the naive formulation."""
+    docs = _docs(spark, sf_dir)
     w = F.split(F.lower("text"), r"\s+")
-    sh = F.when(
-        F.size(w) >= 3,
-        F.transform(
-            F.sequence(F.lit(1), F.size(w) - 2),
-            lambda i: F.concat_ws(
-                " ", F.element_at(w, i), F.element_at(w, i + 1), F.element_at(w, i + 2)
-            ),
+    # Build the trigrams with slice + zip_with, NOT transform(sequence, i
+    # -> element_at(w, i)): higher-order lambdas run interpreted, and an
+    # outer-expression reference inside the lambda (w) is re-evaluated
+    # per element — the naive form re-splits the text once per shingle,
+    # O(tokens²)/doc. Here each lambda touches only its own arguments,
+    # so the split is evaluated a constant number of times per row.
+    n = F.greatest(F.size(w) - 2, F.lit(0))
+    sh = F.zip_with(
+        F.zip_with(
+            F.slice(w, 1, n), F.slice(w, 2, n), lambda a, b: F.concat(a, F.lit(" "), b)
         ),
-    ).otherwise(F.array())
-    return (
-        docs.select("doc_id", F.explode(sh).alias("s")).distinct()
+        F.slice(w, 3, n),
+        lambda ab, c: F.concat(ab, F.lit(" "), c),
+    )
+    return docs.select("doc_id", F.array_distinct(sh).alias("sh"))
+
+
+def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exploded (doc_id, shingle) rows — the relational view used by the
+    brute-force Jaccard baseline."""
+    return _shingle_sets(spark, sf_dir).select(
+        "doc_id", F.explode("sh").alias("s")
     )
 
 
@@ -83,7 +123,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     Hashing first means the shuffle key is 32 bytes regardless of doc
     size — at 100 TB you shuffle hashes, not documents."""
     return (
-        load_table(spark, sf_dir, "documents")
+        _docs(spark, sf_dir)
         .groupBy(F.md5("text").alias("content_hash"))
         .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
     )
@@ -145,31 +185,61 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _N_HASHES = 8
 _BANDS = 4  # 2 rows per band
+_H_MOD = 1 << 30  # minhash value space
+
+
+def _hashed_shingles(sh: DataFrame) -> DataFrame:
+    """(doc_id, h1, h2) per (doc, shingle): ONE md5 per shingle, split
+    into two 30-bit halves for Kirsch-Mitzenmacher double hashing
+    (h_k = (h1 + k·h2) mod 2³⁰). The k hash functions cost integer
+    arithmetic, not k md5 invocations, and the projection is regular
+    codegen (subexpression-eliminated), not an interpreted HOF lambda.
+    md5 is bit-identical in Spark and DuckDB → oracle-checkable."""
+    h64 = F.conv(F.substring(F.md5("s"), 1, 15), 16, 10).cast("bigint")
+    return sh.select(
+        "doc_id",
+        F.shiftright(h64, 30).alias("h1"),
+        h64.bitwiseAND(F.lit(_H_MOD - 1)).bitwiseOR(F.lit(1)).alias("h2"),
+    )
+
+
+def _sig_from_shingles(sh: DataFrame) -> DataFrame:
+    """MinHash signature via groupBy(doc_id) over hashed shingles — the
+    partial (map-side) aggregation collapses each partition to one row
+    per doc before the shuffle, so the exchange carries signatures, not
+    shingles."""
+    hs = _hashed_shingles(sh)
+    return hs.groupBy("doc_id").agg(
+        *[
+            F.min((F.col("h1") + k * F.col("h2")) % _H_MOD).alias(f"h{k}")
+            for k in range(_N_HASHES)
+        ]
+    )
 
 
 def _minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """8-hash MinHash signature per doc: h_k = min(md5(k || '_' || s)).
-    One aggregate pass over the shingle set; md5 is bit-identical in
-    Spark and DuckDB so the signature is oracle-checkable."""
-    sh = _shingles(spark, sf_dir)
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{k}_"), F.col("s")))).alias(f"h{k}")
-        for k in range(_N_HASHES)
-    ]
-    return sh.groupBy("doc_id").agg(*aggs)
+    return _sig_from_shingles(_shingles(spark, sf_dir))
 
 
+_H64_SQL = "('0x' || substr(md5(s), 1, 15))::BIGINT"
 _SIG_SQL = (
     _SHINGLES_SQL
-    + """,
+    + f""",
+    hashed AS (
+      SELECT doc_id,
+             ({_H64_SQL} >> 30) AS h1,
+             (({_H64_SQL} & {_H_MOD - 1}) | 1) AS h2
+      FROM shingles
+    ),
     sig AS (
       SELECT doc_id,
     """
     + ",\n".join(
-        f"        min(md5('{k}_' || s)) AS h{k}" for k in range(_N_HASHES)
+        f"        min((h1 + {k} * h2) % {_H_MOD}) AS h{k}"
+        for k in range(_N_HASHES)
     )
     + """
-      FROM shingles GROUP BY doc_id
+      FROM hashed GROUP BY doc_id
     )
 """
 )
@@ -189,24 +259,19 @@ def dedup_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey="north-star: MinHash+LSH near-dup (band→bucket-join→verify)",
     oracle=_SIG_SQL
     + """,
-    banded AS (
-      SELECT doc_id, md5(h0 || h1) AS b0, md5(h2 || h3) AS b1,
-             md5(h4 || h5) AS b2, md5(h6 || h7) AS b3
-      FROM sig
-    ),
     candidates AS (
       SELECT DISTINCT doc1, doc2 FROM (
-        SELECT a.doc_id AS doc1, b.doc_id AS doc2
-        FROM banded a JOIN banded b ON a.b0 = b.b0 AND a.doc_id < b.doc_id
+        SELECT a.doc_id AS doc1, b.doc_id AS doc2 FROM sig a JOIN sig b
+          ON a.h0 = b.h0 AND a.h1 = b.h1 AND a.doc_id < b.doc_id
         UNION
-        SELECT a.doc_id, b.doc_id
-        FROM banded a JOIN banded b ON a.b1 = b.b1 AND a.doc_id < b.doc_id
+        SELECT a.doc_id, b.doc_id FROM sig a JOIN sig b
+          ON a.h2 = b.h2 AND a.h3 = b.h3 AND a.doc_id < b.doc_id
         UNION
-        SELECT a.doc_id, b.doc_id
-        FROM banded a JOIN banded b ON a.b2 = b.b2 AND a.doc_id < b.doc_id
+        SELECT a.doc_id, b.doc_id FROM sig a JOIN sig b
+          ON a.h4 = b.h4 AND a.h5 = b.h5 AND a.doc_id < b.doc_id
         UNION
-        SELECT a.doc_id, b.doc_id
-        FROM banded a JOIN banded b ON a.b3 = b.b3 AND a.doc_id < b.doc_id
+        SELECT a.doc_id, b.doc_id FROM sig a JOIN sig b
+          ON a.h6 = b.h6 AND a.h7 = b.h7 AND a.doc_id < b.doc_id
       )
     ),
     cnt AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY 1),
@@ -234,49 +299,69 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     verify touches only candidate pairs. With r=2, b=4 the candidate
     probability is 1-(1-j²)⁴ — ~0.99 for j=0.8, ~0.2 for j=0.25.
     """
-    sig = _minhash_sig(spark, sf_dir)
-    banded = sig.select(
+    # The per-doc shingle sets feed three consumers (signature,
+    # candidate verify ×2). The derivation is a narrow map over a
+    # column-pruned scan, so recomputing it per consumer is cheaper
+    # than caching at this scale; on a cluster you would checkpoint the
+    # signature table to parquet between the two phases instead.
+    ds = _shingle_sets(spark, sf_dir).filter(F.size("sh") > 0)
+    sig = _sig_from_shingles(ds.select("doc_id", F.explode("sh").alias("s")))
+    # Unpivot the 4 bands to long form, then candidate pairs come from
+    # groupBy(band, hash-pair) + in-bucket pair expansion — no
+    # self-join, so the signature pipeline runs exactly once. Minhash
+    # values are uniform → no grouping skew; a hot bucket (a true
+    # near-dup cluster) expands quadratically, which is inherent to LSH
+    # and bounded by the verify threshold downstream.
+    bands_long = sig.select(
         "doc_id",
-        *[
-            F.md5(F.concat(F.col(f"h{2*b}"), F.col(f"h{2*b+1}"))).alias(f"b{b}")
-            for b in range(_BANDS)
-        ],
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.col(f"h{2*b}").alias("ha"),
+                        F.col(f"h{2*b+1}").alias("hb"),
+                    )
+                    for b in range(_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.ha", "bb.hb")
+    members = (
+        bands_long.groupBy("band", "ha", "hb")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
     )
-    cands = None
-    for b in range(_BANDS):
-        l = banded.alias("a")
-        r = banded.alias("b")
-        pair = l.join(
-            r,
-            (F.col(f"a.b{b}") == F.col(f"b.b{b}"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        ).select(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
-        cands = pair if cands is None else cands.unionByName(pair)
-    cands = cands.distinct()
-
-    sh = _shingles(spark, sf_dir)
-    cnt = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    sa = sh.alias("sa")
-    sb = sh.alias("sb")
-    verified = (
-        cands.join(sa, F.col("doc1") == F.col("sa.doc_id"))
-        .join(sb, (F.col("doc2") == F.col("sb.doc_id")) & (F.col("sb.s") == F.col("sa.s")))
-        .groupBy("doc1", "doc2")
-        .agg(F.count(F.lit(1)).alias("common"))
-    )
-    ca = cnt.alias("ca")
-    cb = cnt.alias("cb")
-    return (
-        verified.join(ca, F.col("doc1") == F.col("ca.doc_id"))
-        .join(cb, F.col("doc2") == F.col("cb.doc_id"))
-        .select(
-            "doc1",
-            "doc2",
-            (
-                F.col("common").cast("double")
-                / (F.col("ca.n") + F.col("cb.n") - F.col("common"))
-            ).alias("jaccard"),
+    pair_expr = F.flatten(
+        F.transform(
+            "ids",
+            lambda x, i: F.transform(
+                F.slice("ids", i + 2, F.size("ids")),
+                lambda y: F.struct(x.alias("doc1"), y.alias("doc2")),
+            ),
         )
+    )
+    cands = (
+        members.select(F.explode(pair_expr).alias("p"))
+        .select(F.col("p.doc1").alias("doc1"), F.col("p.doc2").alias("doc2"))
+        .distinct()
+    )
+
+    # Exact-Jaccard verify over the candidate pairs only: join each side
+    # to its per-doc shingle ARRAY (one row per doc, not one per
+    # shingle) and intersect JVM-side. Two equi-joins on doc_id + a
+    # narrow array_intersect — no exploded-shingle re-join, no
+    # per-pair groupBy.
+    sa = ds.select(F.col("doc_id").alias("doc1"), F.col("sh").alias("sh1"))
+    sb = ds.select(F.col("doc_id").alias("doc2"), F.col("sh").alias("sh2"))
+    common = F.size(F.array_intersect("sh1", "sh2"))
+    jac = common.cast("double") / (
+        F.size("sh1") + F.size("sh2") - common
+    )
+    return (
+        cands.join(sa, "doc1")
+        .join(sb, "doc2")
+        .select("doc1", "doc2", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= 0.5)
     )
 
@@ -315,7 +400,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Token hash = first 8 hex chars of md5 → bit-identical both engines.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     toks = docs.select(
         "doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("tok")
     )
@@ -383,7 +468,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     by ~2^planes). Dot products run as JVM higher-order functions
     (zip_with/aggregate), no Python.
     """
-    e = load_table(spark, sf_dir, "embeddings")
+    e = _embs(spark, sf_dir)
     a = e.alias("a")
     b = e.alias("b")
     cos = _norm_dot(F.col("a.embedding"), F.col("b.embedding"))
@@ -430,7 +515,7 @@ def sim_search_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries, map-side scoring, top-k via TakeOrdered-like window on
     |queries|×|partition| candidates.
     """
-    e = load_table(spark, sf_dir, "embeddings")
+    e = _embs(spark, sf_dir)
     q = e.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
@@ -508,7 +593,7 @@ def sim_search_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     Both engines accumulate each 64-term dot product sequentially in
     double, so the sign bits — and hence buckets — match exactly.
     """
-    e = load_table(spark, sf_dir, "embeddings")
+    e = _embs(spark, sf_dir)
     bucket = None
     for p, ws in enumerate(_plane_weights()):
         plane = F.array(*[F.lit(w) for w in ws])
@@ -543,7 +628,7 @@ _STOPWORDS = ["the", "a", "of", "to", "and", "is", "in", "that", "it", "on"]
 def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two tokenizers: whitespace split and a BPE-ish regex (letter runs
     / digit runs / single punctuation) — both pure JVM regex, no UDF."""
-    d = load_table(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     return d.select(
         "doc_id",
         F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("bigint").alias(
@@ -589,7 +674,7 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic quality score from length, stopword density and
     punctuation density (the usual pre-training quality gates), all as
     JVM expressions over the tokenized text."""
-    d = load_table(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     toks = F.split(F.trim(F.col("text")), r"\s+")
     low_toks = F.split(F.lower("text"), r"\s+")
     stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
@@ -659,7 +744,7 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     'unknown' when no marker hits."""
     from pyspark.sql import Window
 
-    d = load_table(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     toks = d.select(
         "doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("tok")
     )
@@ -698,7 +783,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two fingerprints: whitespace-normalized content hash (catches
     formatting-only dupes) and sorted bag-of-words hash (catches
     reorderings). Both md5 → identical across engines."""
-    d = load_table(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     norm = F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
     bow = F.array_join(
         F.array_sort(F.array_distinct(F.split(F.lower("text"), r"\s+"))), " "
@@ -722,7 +807,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def doc_stats_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
-        load_table(spark, sf_dir, "documents")
+        _docs(spark, sf_dir)
         .groupBy("source", "lang")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
