@@ -45,6 +45,8 @@ HEADLINE = [
     "sim_search_lsh_buckets",
     "text_quality_score",
     "text_fingerprint",
+    "geo_reproject_forward",
+    "mm_extract_features",
 ]
 
 

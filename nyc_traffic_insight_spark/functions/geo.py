@@ -115,18 +115,30 @@ def lcc_inverse(x_ft: np.ndarray, y_ft: np.ndarray) -> tuple[np.ndarray, np.ndar
     return np.degrees(lon), np.degrees(phi)
 
 
-@pandas_udf("lon double, lat double")
-def epsg2263_to_wgs84(x_ft: pd.Series, y_ft: pd.Series) -> pd.DataFrame:
+# The pandas_udf wrappers are built lazily: decorating needs an active
+# SparkSession (the DDL return type is parsed through it), and this
+# module must stay importable session-free (catalog collection).
+
+def epsg2263_to_wgs84(x_ft, y_ft) -> Column:
     """C17: the engine's one genuine UDF — vectorized CRS reprojection.
     Arrow-batched: each call reprojects a whole record batch in numpy.
     Reference: convert_traffic_csv_to_geojson_point.py:15-22 (pyproj).
     """
-    lon, lat = lcc_inverse(x_ft.to_numpy(), y_ft.to_numpy())
-    return pd.DataFrame({"lon": lon, "lat": lat})
+
+    @pandas_udf("lon double, lat double")
+    def inv(x: pd.Series, y: pd.Series) -> pd.DataFrame:
+        lon, lat = lcc_inverse(x.to_numpy(), y.to_numpy())
+        return pd.DataFrame({"lon": lon, "lat": lat})
+
+    return inv(x_ft, y_ft)
 
 
-@pandas_udf("x double, y double")
-def wgs84_to_epsg2263(lon: pd.Series, lat: pd.Series) -> pd.DataFrame:
+def wgs84_to_epsg2263(lon, lat) -> Column:
     """Forward transform (round-trip testing + writing state-plane output)."""
-    x, y = lcc_forward(lon.to_numpy(), lat.to_numpy())
-    return pd.DataFrame({"x": x, "y": y})
+
+    @pandas_udf("x double, y double")
+    def fwd(lo: pd.Series, la: pd.Series) -> pd.DataFrame:
+        x, y = lcc_forward(lo.to_numpy(), la.to_numpy())
+        return pd.DataFrame({"x": x, "y": y})
+
+    return fwd(lon, lat)

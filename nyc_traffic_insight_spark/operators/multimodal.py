@@ -29,10 +29,12 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 
-# Output schema of the feature-extraction step.
+# Output schema of the feature-extraction step. Features are DOUBLE so
+# the deterministic fake decoder (uint16/65535.0) is bit-identical to
+# the DuckDB oracle; a real float32 model head would narrow them.
 FEATURES_SCHEMA = (
     "asset_id LONG, modality STRING, ok BOOLEAN, "
-    "feat_dim INT, features ARRAY<FLOAT>, decode_error STRING"
+    "feat_dim INT, features ARRAY<DOUBLE>, decode_error STRING"
 )
 
 _FEAT_DIM = 16
@@ -44,7 +46,7 @@ def _fake_decode(payload: bytes, modality: str) -> np.ndarray:
     """Deterministic stand-in for a real codec: 16 pseudo-features from
     the sha256 of the payload (stable across runs/partitionings)."""
     h = hashlib.sha256(payload or b"").digest()
-    raw = np.frombuffer(h[: _FEAT_DIM * 2], dtype=np.uint16).astype(np.float32)
+    raw = np.frombuffer(h[: _FEAT_DIM * 2], dtype="<u2").astype(np.float64)
     return raw / 65535.0
 
 

@@ -59,8 +59,10 @@ def load_all() -> dict[str, QuerySpec]:
     from nyc_traffic_insight_spark.queries import (  # noqa: F401
         aggregates,
         core,
+        geoq,
         joins,
         mlq,
+        multimodalq,
         scalars,
         streamingq,
         textops,

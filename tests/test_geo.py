@@ -1,0 +1,81 @@
+"""functions/geo: LCC projection math + WKT parse + the pandas UDFs.
+
+The closed-form forward is pinned to the EPSG:2263 projection origin
+(false easting/northing) and the iterative inverse to the forward by
+round-trip; the full-table oracle check lives in
+test_queries_oracle.py::geo_reproject_*.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from nyc_traffic_insight_spark.functions.geo import (
+    lcc_forward,
+    lcc_inverse,
+    wkt_point_x,
+    wkt_point_y,
+)
+
+
+def test_forward_hits_projection_origin():
+    # At the latitude of origin (40°10'N) on the central meridian
+    # (74°W) the projected coordinate IS the false easting/northing.
+    x, y = lcc_forward(np.array([-74.0]), np.array([40.0 + 10.0 / 60.0]))
+    assert abs(x[0] - 984250.0) < 1e-6
+    assert abs(y[0] - 0.0) < 1e-6
+
+
+def test_forward_orientation():
+    # East of the meridian → larger easting; north of origin → larger
+    # northing (sanity on axis orientation and units).
+    x, y = lcc_forward(np.array([-74.0, -73.9]), np.array([40.7, 40.7]))
+    assert x[1] > x[0]
+    x2, y2 = lcc_forward(np.array([-74.0]), np.array([40.8]))
+    assert y2[0] > y[0]
+    # One degree of longitude at 40.7N is ~280k ftUS; allow wide band.
+    assert 20_000 < (x[1] - x[0]) < 40_000
+
+
+def test_roundtrip_precision():
+    rng = np.random.default_rng(42)
+    lon = -74.3 + 0.6 * rng.random(500)
+    lat = 40.4 + 0.6 * rng.random(500)
+    x, y = lcc_forward(lon, lat)
+    lon2, lat2 = lcc_inverse(x, y)
+    assert np.max(np.abs(lon2 - lon)) < 1e-9
+    assert np.max(np.abs(lat2 - lat)) < 1e-9
+
+
+def test_wkt_parse_and_udf_roundtrip(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "POINT (987654.32 187654.1)"),
+            (2, "not a point"),
+            (3, None),
+        ],
+        "id INT, wkt STRING",
+    )
+    parsed = df.select(
+        "id",
+        wkt_point_x("wkt").alias("x"),
+        wkt_point_y("wkt").alias("y"),
+    )
+    rows = {r["id"]: (r["x"], r["y"]) for r in parsed.collect()}
+    assert rows[1] == (987654.32, 187654.1)
+    assert rows[2] == (None, None)  # malformed → null, job survives (F7)
+    assert rows[3] == (None, None)
+
+    from nyc_traffic_insight_spark.functions.geo import (
+        epsg2263_to_wgs84,
+        wgs84_to_epsg2263,
+    )
+
+    good = parsed.filter(F.col("x").isNotNull())
+    ll = good.select("id", epsg2263_to_wgs84(F.col("x"), F.col("y")).alias("ll"))
+    back = ll.select(
+        "id", wgs84_to_epsg2263(F.col("ll.lon"), F.col("ll.lat")).alias("xy")
+    ).collect()
+    assert abs(back[0]["xy"]["x"] - 987654.32) < 1e-6
+    assert abs(back[0]["xy"]["y"] - 187654.1) < 1e-6

@@ -1,0 +1,91 @@
+"""streaming/events: the REAL Structured Streaming execution path.
+
+The batch forms of these transformations are oracle-checked in
+test_queries_oracle.py (stream_* queries); here the same code runs as
+an actual readStream → watermark → windowed agg → checkpointed
+writeStream job (availableNow trigger), proving the unified-model claim
+rather than assuming it.
+"""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from nyc_traffic_insight_spark.sources import load_table
+from nyc_traffic_insight_spark.streaming.events import (
+    dedup_events,
+    run_tumbling_stream,
+    tumbling_counts,
+)
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture()
+def source_dir(spark, tmp_path):
+    """Events parquet re-written through load_table so the stream reads
+    proper TIMESTAMP (the raw testdata file is TIMESTAMP(NANOS))."""
+    src = str(tmp_path / "src")
+    load_table(spark, SF_SMOKE, "events").write.parquet(src)
+    yield src
+    shutil.rmtree(src, ignore_errors=True)
+
+
+def test_streaming_matches_batch(spark, tmp_path, source_dir):
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    run_tumbling_stream(spark, source_dir, ckpt, out)
+
+    got = spark.read.parquet(out)
+    batch = tumbling_counts(load_table(spark, SF_SMOKE, "events"))
+
+    # Append mode emits only windows the 2h watermark has closed; the
+    # final (still-open) windows stay in state. Everything emitted must
+    # match the batch result exactly, and nearly all windows close.
+    emitted = {tuple(r) for r in got.collect()}
+    full = {tuple(r) for r in batch.collect()}
+    assert emitted <= full
+    assert len(emitted) >= len(full) - 10
+    assert len(emitted) > 0
+
+
+def test_streaming_is_incremental_and_resumes(spark, tmp_path, source_dir):
+    # Same job, run twice against the same checkpoint: the second run
+    # sees no new files and must emit nothing new (exactly-once sink).
+    out = str(tmp_path / "out2")
+    ckpt = str(tmp_path / "ckpt2")
+    run_tumbling_stream(spark, source_dir, ckpt, out)
+    n1 = spark.read.parquet(out).count()
+    run_tumbling_stream(spark, source_dir, ckpt, out)
+    n2 = spark.read.parquet(out).count()
+    assert n1 == n2 > 0
+
+
+def test_streaming_dedup(spark, tmp_path, source_dir):
+    # duplicate every source file by copying it alongside itself
+    dup = str(tmp_path / "dup")
+    ev = spark.read.parquet(source_dir)
+    ev.unionAll(ev).write.parquet(dup)
+
+    stream = (
+        spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 4).parquet(dup)
+    )
+    out = str(tmp_path / "ddout")
+    (
+        dedup_events(stream, watermark="1 hour")
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ddckpt"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    got = spark.read.parquet(out)
+    n_src = ev.select("event_id").distinct().count()
+    assert got.count() == got.select("event_id").distinct().count()
+    # at-most-one per id, and the overwhelming majority survive the
+    # watermark (late duplicates beyond 1h may be dropped entirely)
+    assert got.count() >= int(n_src * 0.9)
