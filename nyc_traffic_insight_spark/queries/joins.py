@@ -267,3 +267,110 @@ def join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lo.join(hi, lo.k == hi.k, "full_outer").select(
         F.coalesce(lo.k, hi.k).alias("k"), "n_name", "n_regionkey"
     )
+
+
+# ------------------------------------------------- J5: spatial nearest join
+
+_GRID = 0.05  # cell size in degrees == the snap tolerance
+
+
+def _geo_points(table: str, key: str, id_alias: str, m1: int, d1: float,
+                m2: int, d2: float):
+    """Deterministic NYC-domain coordinates from an integer key —
+    (int % m) / const is exact float64, so Spark and DuckDB build
+    bit-identical points (same scheme as queries/geoq.py)."""
+    def load(spark, sf_dir):
+        t = load_table(spark, sf_dir, table)
+        return t.select(
+            F.col(key).alias(id_alias),
+            (F.lit(-74.3) + (F.col(key) % m1) / d1).alias("lon"),
+            (F.lit(40.5) + (F.col(key) % m2) / d2).alias("lat"),
+        )
+    sql = f"""
+      SELECT {key} AS {id_alias},
+             -74.3 + ({key} % {m1}) / {d1} AS lon,
+             40.5 + ({key} % {m2}) / {d2} AS lat
+      FROM {table}
+    """
+    return load, sql
+
+
+_CUST_PTS, _CUST_PTS_SQL = _geo_points("customer", "c_custkey", "cust_id",
+                                       1000, 2500.0, 797, 1600.0)
+_SUPP_PTS, _SUPP_PTS_SQL = _geo_points("supplier", "s_suppkey", "node_id",
+                                       89, 220.0, 79, 158.0)
+
+
+@register(
+    "join_nearest_spatial",
+    survey="J5 nearest-node spatial join within tolerance "
+    "(point_to_linestring.py:54-65 snaps points to nearest OSM edge)",
+    oracle=f"""
+    WITH a AS ({_CUST_PTS_SQL}),
+    b AS ({_SUPP_PTS_SQL}),
+    pairs AS (
+      SELECT a.cust_id, b.node_id,
+             (a.lon - b.lon) * (a.lon - b.lon)
+               + (a.lat - b.lat) * (a.lat - b.lat) AS dist2
+      FROM a, b
+    ),
+    near AS (
+      SELECT cust_id, node_id, dist2,
+             row_number() OVER (PARTITION BY cust_id
+                                ORDER BY dist2, node_id) AS rn
+      FROM pairs WHERE dist2 <= {_GRID * _GRID!r}
+    )
+    SELECT cust_id, node_id AS nearest_id, dist2 FROM near WHERE rn = 1
+    """,
+)
+def join_nearest_spatial(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded nearest-neighbor join: snap each customer point to the
+    nearest supplier 'node' within one grid cell (0.05°), the engine's
+    form of the reference's nearest-OSM-edge snap (J5 — done there with
+    a per-point osmnx call; here as pure DataFrame ops).
+
+    Scale path: nodes are replicated into their 3×3 cell neighborhood
+    (9× a SMALL table, broadcastable), points join on their single
+    cell, then argmin per point. Two points within distance g differ by
+    ≤1 cell index when the cell size is g, so the 3×3 candidate set is
+    exact — no cross join at any scale. The oracle brute-forces all
+    pairs; dist² is compared unrounded (identical float64 operands on
+    both sides), ties broken by node id.
+    """
+    g = _GRID
+    pts = _CUST_PTS(spark, sf_dir)
+    nodes = _SUPP_PTS(spark, sf_dir)
+
+    off = F.explode(F.array(*[F.lit(i) for i in (-1, 0, 1)]))
+    nodes9 = (
+        nodes.withColumn("dx", off)
+        .withColumn("dy", off)
+        .select(
+            "node_id",
+            F.col("lon").alias("b_lon"),
+            F.col("lat").alias("b_lat"),
+            (F.floor(F.col("lon") / g) + F.col("dx")).alias("cx"),
+            (F.floor(F.col("lat") / g) + F.col("dy")).alias("cy"),
+        )
+    )
+    cand = pts.select(
+        "cust_id",
+        "lon",
+        "lat",
+        F.floor(F.col("lon") / g).alias("cx"),
+        F.floor(F.col("lat") / g).alias("cy"),
+    ).join(F.broadcast(nodes9), ["cx", "cy"])
+
+    dist2 = (F.col("lon") - F.col("b_lon")) * (F.col("lon") - F.col("b_lon")) + (
+        F.col("lat") - F.col("b_lat")
+    ) * (F.col("lat") - F.col("b_lat"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("cust_id").orderBy("dist2", "node_id")
+    return (
+        cand.withColumn("dist2", dist2)
+        .filter(F.col("dist2") <= F.lit(g * g))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("cust_id", F.col("node_id").alias("nearest_id"), "dist2")
+    )

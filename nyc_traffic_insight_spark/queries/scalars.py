@@ -358,7 +358,7 @@ def cond_route(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "json_struct_build",
-    survey="C16 GeoJSON Feature build (convert_traffic_csv_to_geojson_point.py:29-46)",
+    survey="C16 GeoJSON Feature build (convert_traffic_csv_to_geojson_point.py:29-46); S8 FeatureCollection/NDJSON sinks in sources/geojson.py (tests/test_geojson.py)",
     oracle="""
     SELECT event_id,
            printf('{"type":"Feature","geometry":{"type":"Point","coordinates":[%d,%d]},"properties":{"RequestID":%d,"Type":"%s"}}',

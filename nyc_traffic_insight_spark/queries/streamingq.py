@@ -20,7 +20,7 @@ from nyc_traffic_insight_spark.sources import load_table
 
 @register(
     "stream_tumbling_counts",
-    survey="§2.12 tumbling-window counts w/ watermark (extension)",
+    survey="§2.12 tumbling-window counts w/ watermark (extension); S12 rate-limited source analog = maxFilesPerTrigger (enrich_weather.py:69-121)",
     oracle="""
     SELECT date_trunc('hour', ts) AS window_start,
            date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,

@@ -66,7 +66,7 @@ def win_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "win_lag_multi",
-    survey="W2 lags 1/24/168 per group (RandomForest.py:73-75)",
+    survey="W2 lags 1/24/168 per group (RandomForest.py:73-75); O2 sort-by-group-time subsumed by window partitionBy/orderBy (RandomForest.py:73)",
     oracle=f"""
     WITH hourly AS ({_HOURLY_SQL})
     SELECT event_type, hr, cnt,
@@ -141,7 +141,7 @@ def win_roll_mean_24(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "win_time_split",
-    survey="W5 temporal 80/20 split via percent_rank (SegmentedModeling.py:61-64)",
+    survey="W5+M5 temporal 80/20 split via percent_rank (SegmentedModeling.py:61-64)",
     oracle=f"""
     WITH hourly AS ({_HOURLY_SQL})
     SELECT event_type, hr, cnt,
@@ -168,7 +168,7 @@ def win_time_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "win_sliding_lookback",
-    survey="W6 24-step sliding lookback tensor (NYC_Traffic_Congestion.py:60-65)",
+    survey="W6 24-step sliding lookback tensor — the M10 LSTM input shape; the LSTM itself is out of scope (NYC_Traffic_Congestion.py:60-65, broken aspirational file)",
     oracle=f"""
     WITH hourly AS ({_HOURLY_SQL})
     SELECT event_type, hr,
