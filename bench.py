@@ -43,6 +43,7 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "sim_search_bruteforce_topk",
     "sim_search_lsh_buckets",
+    "sim_search_ivf_topk",
     "text_quality_score",
     "text_fingerprint",
     "geo_reproject_forward",

@@ -607,6 +607,145 @@ def sim_search_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select("vec_id", bucket.cast("bigint").alias("bucket"))
 
 
+_DIM = 64
+_NPROBE = 2
+_TOPK = 10
+
+
+@register(
+    "sim_search_ivf_topk",
+    survey="north-star: IVF ANN — coarse centroids, nprobe cells, in-cell top-k",
+    oracle=f"""
+    WITH comp AS (
+      SELECT vec_id, label, i + 1 AS pos,
+             CAST(embedding[i + 1] AS DOUBLE) AS v
+      FROM embeddings, (SELECT unnest(range(0, {_DIM})) AS i)
+    ),
+    cent AS (
+      SELECT label, pos, round(avg(v), 6) AS c
+      FROM comp GROUP BY 1, 2
+    ),
+    centroids AS (
+      SELECT label AS cell, list(c ORDER BY pos) AS cvec
+      FROM cent GROUP BY label
+    ),
+    assign AS (
+      SELECT vec_id, cell, embedding, rn FROM (
+        SELECT e.vec_id, c.cell, e.embedding,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cvec)
+                          DESC, c.cell) AS rn
+        FROM embeddings e, centroids c
+      ) WHERE rn = 1
+    ),
+    probes AS (
+      SELECT vec_id AS query_id, cell, embedding AS q_emb, rn FROM (
+        SELECT e.vec_id, c.cell, e.embedding,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cvec)
+                          DESC, c.cell) AS rn
+        FROM embeddings e, centroids c
+        WHERE e.vec_id < 5
+      ) WHERE rn <= {_NPROBE}
+    ),
+    scored AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id,
+             list_cosine_similarity(p.q_emb::DOUBLE[],
+                                    a.embedding::DOUBLE[]) AS cos_raw
+      FROM probes p JOIN assign a ON a.cell = p.cell
+      WHERE a.vec_id <> p.query_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, cos_raw,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos_raw DESC, neighbor_id)
+                  AS INTEGER) AS rnk
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, round(cos_raw, 4) AS cosine, rnk
+    FROM ranked WHERE rnk <= {_TOPK}
+    """,
+)
+def sim_search_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) ANN — the scale path next to the LSH variant:
+
+    1. coarse quantizer: one centroid per label cell (per-component
+       mean, rounded so both engines hold identical centroids);
+    2. every corpus vector is assigned to its nearest centroid — a
+       broadcast join against the tiny centroid table + argmin;
+    3. each query probes its nprobe=2 nearest cells and ranks ONLY the
+       vectors assigned there — the candidate set shrinks by
+       ~|cells|/nprobe vs brute force.
+
+    At 100 TB: centroids come from a sampled k-means (KMeans in MLlib)
+    instead of labels, the assignment is the same broadcast argmin, and
+    the probe join hits only the inverted lists — never a cross join.
+    Everything (assignment, probing, ranking) is deterministic: cosine
+    accumulates sequentially in double on both engines, ties break by
+    id, so the full IVF pipeline hash-matches the oracle.
+    """
+    from pyspark.sql import Window
+
+    e = _embs(spark, sf_dir)
+    comp = e.select(
+        "vec_id", "label", F.posexplode("embedding").alias("pos", "v")
+    ).select("vec_id", "label", "pos", F.col("v").cast("double").alias("v"))
+    cent = comp.groupBy("label", "pos").agg(_r(F.avg("v"), 6).alias("c"))
+    centroids = cent.groupBy(F.col("label").alias("cell")).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda x: x["c"]
+        ).alias("cvec")
+    )
+
+    def nearest_cells(vecs: DataFrame, id_col: str, keep: int) -> DataFrame:
+        crossed = vecs.crossJoin(F.broadcast(centroids))
+        w = Window.partitionBy(id_col).orderBy(
+            F.desc("cell_cos"), F.col("cell")
+        )
+        return (
+            crossed.withColumn(
+                "cell_cos", _norm_dot(F.col("embedding"), F.col("cvec"))
+            )
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= keep)
+            .drop("cvec", "cell_cos", "rn")
+        )
+
+    assign = nearest_cells(e.select("vec_id", "embedding"), "vec_id", 1)
+    probes = nearest_cells(
+        e.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+        ).withColumnRenamed("q_emb", "embedding"),
+        "query_id",
+        _NPROBE,
+    ).withColumnRenamed("embedding", "q_emb")
+
+    scored = (
+        probes.join(
+            assign.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("embedding").alias("c_emb"),
+                "cell",
+            ),
+            "cell",
+        )
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            _norm_dot(F.col("q_emb"), F.col("c_emb")).alias("cos_raw"),
+        )
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("cos_raw"), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(wq))
+        .filter(F.col("rnk") <= _TOPK)
+        .select("query_id", "neighbor_id", _r("cos_raw", 4).alias("cosine"), "rnk")
+    )
+
+
 # ---------------------------------------------------------- text analysis
 
 _STOPWORDS = ["the", "a", "of", "to", "and", "is", "in", "that", "it", "on"]

@@ -100,3 +100,94 @@ def run_tumbling_stream(
         .start()
         .awaitTermination()
     )
+
+
+# ------------------------------------------------ custom stateful operator
+
+SESSION_GAP_MIN = 30
+
+SESSION_SCHEMA = (
+    "user_id LONG, session_start TIMESTAMP, session_end TIMESTAMP, "
+    "n_events LONG"
+)
+_STATE_SCHEMA = "start LONG, last LONG, n LONG"  # open session, micros
+
+
+def session_windows(events: DataFrame) -> DataFrame:
+    """Declarative streaming sessionization: the built-in
+    session_window gap-merges per user. session end here is
+    last_event + gap (Spark's session_window semantics), vs max(ts) in
+    the batch gaps-and-islands form (queries/streamingq.py)."""
+    return (
+        events.withWatermark("ts", "2 hours")
+        .groupBy("user_id", F.session_window("ts", f"{SESSION_GAP_MIN} minutes"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def sessionize_stateful(events: DataFrame, gap_min: int = SESSION_GAP_MIN) -> DataFrame:
+    """Custom stateful sessionization via applyInPandasWithState — the
+    escape hatch for operators session_window can't express (here:
+    emitting max(ts) as the session end, matching the reference-shaped
+    batch form, plus arbitrary per-session logic).
+
+    Per user_id the state holds the open session (start, last, count)
+    as an Arrow-typed tuple; each micro-batch folds its rows in
+    event-time order, emits every session closed by a > gap jump, and
+    leaves the trailing open session in state (bounded: one tuple per
+    active user). Works identically under availableNow (tests) and
+    continuous triggers.
+    """
+    import pandas as pd  # executor-side import
+
+    gap_us = gap_min * 60 * 1_000_000
+
+    def fn(key, pdfs, state):
+        (user_id,) = key
+        open_sess = state.get if state.exists else None
+        ts_all = []
+        for pdf in pdfs:
+            ts_all.append(pd.to_datetime(pdf["ts"]).astype("int64") // 1000)
+        ts = pd.concat(ts_all).sort_values() if ts_all else pd.Series([], dtype="int64")
+
+        closed = []
+        start = last = n = None
+        if open_sess is not None:
+            start, last, n = open_sess
+        for t in ts:
+            t = int(t)
+            if start is None:
+                start, last, n = t, t, 1
+            elif t - last > gap_us:
+                closed.append((start, last, n))
+                start, last, n = t, t, 1
+            else:
+                last, n = t, n + 1
+        if start is not None:
+            state.update((start, last, n))
+
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id] * len(closed),
+                    "session_start": [pd.Timestamp(s, unit="us") for s, _, _ in closed],
+                    "session_end": [pd.Timestamp(l, unit="us") for _, l, _ in closed],
+                    "n_events": [c for _, _, c in closed],
+                }
+            )
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=SESSION_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

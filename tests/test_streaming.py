@@ -89,3 +89,79 @@ def test_streaming_dedup(spark, tmp_path, source_dir):
     # at-most-one per id, and the overwhelming majority survive the
     # watermark (late duplicates beyond 1h may be dropped entirely)
     assert got.count() >= int(n_src * 0.9)
+
+
+def test_stateful_sessionization_matches_batch(spark, tmp_path, source_dir):
+    # applyInPandasWithState sessionizer vs the oracle-checked batch
+    # gaps-and-islands form: every CLOSED session emitted by the stream
+    # must appear identically (same start, end=max ts, count) in batch.
+    from nyc_traffic_insight_spark.queries import load_all
+    from nyc_traffic_insight_spark.streaming.events import sessionize_stateful
+
+    ev = spark.read.parquet(source_dir)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(source_dir)
+    )
+    out = str(tmp_path / "sess_out")
+    (
+        sessionize_stateful(stream)
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "sess_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    got = spark.read.parquet(out)
+    emitted = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in got.collect()
+    }
+
+    batch = load_all()["stream_sessionization"].builder(spark, SF_SMOKE)
+    full = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in batch.collect()
+    }
+    assert emitted, "stream emitted no closed sessions"
+    assert emitted <= full
+    # only the trailing open session per user stays in state
+    n_users = spark.read.parquet(source_dir).select("user_id").distinct().count()
+    assert len(emitted) >= len(full) - n_users
+
+
+def test_session_window_declarative(spark, tmp_path, source_dir):
+    # built-in session_window streaming run; session end is
+    # last_event + gap by definition, so compare starts and counts.
+    from nyc_traffic_insight_spark.queries import load_all
+    from nyc_traffic_insight_spark.streaming.events import session_windows
+
+    ev = spark.read.parquet(source_dir)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(source_dir)
+    )
+    out = str(tmp_path / "sw_out")
+    (
+        session_windows(stream)
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "sw_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    got = spark.read.parquet(out)
+    emitted = {
+        (r["user_id"], r["session_start"], r["n_events"]) for r in got.collect()
+    }
+    batch = load_all()["stream_sessionization"].builder(spark, SF_SMOKE)
+    full = {
+        (r["user_id"], r["session_start"], r["n_events"]) for r in batch.collect()
+    }
+    assert emitted and emitted <= full
