@@ -57,3 +57,16 @@ def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, Data
     if not names:
         names = TESTDATA_TABLES
     return {n: load_table(spark, sf_dir, n) for n in names}
+
+
+def write_partitioned(
+    df: DataFrame, path: str, *partition_cols: str, mode: str = "overwrite"
+) -> None:
+    """Hive-style partitioned parquet layout — the serving-side design
+    from SURVEY §3.3: the reference's /map endpoint re-parses a 515 MB
+    GeoJSON per request; laid out as parquet partitioned by
+    (Borough, year) the same filter becomes directory pruning and the
+    scan touches one partition. Reads need no special API — WHERE
+    clauses on partition columns turn into PartitionFilters
+    (tests/test_partitioning.py pins this)."""
+    df.write.partitionBy(*partition_cols).mode(mode).parquet(path)
