@@ -374,3 +374,66 @@ def join_nearest_spatial(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("cust_id", F.col("node_id").alias("nearest_id"), "dist2")
     )
+
+
+# --------------------------------------------- skew: salted join technique
+
+_SALT = 8
+
+
+@register(
+    "join_salted_skew",
+    survey="§2.4 scale technique: salted join for skewed keys "
+    "(complements AQE skew-join; SURVEY §4 physical knobs)",
+    oracle="""
+    WITH fact AS (
+      SELECT event_id, value,
+             CASE WHEN event_id % 10 < 9 THEN 0
+                  ELSE CAST(event_id % 100 AS BIGINT) END AS hot_key
+      FROM events
+    ),
+    dim AS (
+      SELECT n_nationkey % 100 AS hot_key, min(n_name) AS dim_name
+      FROM nation GROUP BY 1
+    )
+    SELECT f.hot_key, d.dim_name, count(*) AS n,
+           round(sum(f.value), 4) AS total_value
+    FROM fact f JOIN dim d USING (hot_key)
+    GROUP BY 1, 2
+    """,
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manual salting for a pathologically skewed join key (90% of fact
+    rows share hot_key=0): the fact side appends salt = event_id % S,
+    the dim side explodes ×S so every (key, salt) pair exists, and the
+    join key becomes (hot_key, salt) — the hot key's rows spread over S
+    shuffle partitions instead of one straggler task.
+
+    AQE's skew-join split handles moderate skew automatically (enabled
+    in session.py); explicit salting is the deterministic form that
+    also works where AQE can't re-plan (e.g. a skewed aggregation
+    upstream of the join). Results are identical to the unsalted join —
+    the oracle runs the plain form.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    fact = ev.select(
+        "event_id",
+        "value",
+        F.when(F.col("event_id") % 10 < 9, F.lit(0))
+        .otherwise(F.col("event_id") % 100)
+        .cast("bigint")
+        .alias("hot_key"),
+        (F.col("event_id") % _SALT).cast("int").alias("salt"),
+    )
+    dim = (
+        load_table(spark, sf_dir, "nation")
+        .select((F.col("n_nationkey") % 100).alias("hot_key"), "n_name")
+        .groupBy("hot_key")
+        .agg(F.min("n_name").alias("dim_name"))
+        .withColumn("salt", F.explode(F.array(*[F.lit(s) for s in range(_SALT)])))
+    )
+    joined = fact.join(dim, ["hot_key", "salt"]).drop("salt")
+    return joined.groupBy("hot_key", "dim_name").agg(
+        F.count(F.lit(1)).alias("n"),
+        _r(F.sum("value"), 4).alias("total_value"),
+    )
