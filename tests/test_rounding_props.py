@@ -1,0 +1,68 @@
+"""The rounding contract, fuzzed.
+
+The whole oracle strategy leans on ``functions.rounding.r`` producing
+bit-identical results to DuckDB's ``round(double, n)``. Two layers:
+
+1. hypothesis fuzz of the shared arithmetic model against DuckDB
+   (no Spark needed — fast, wide);
+2. a seeded bulk check that Spark's actual ``r()`` expression equals
+   DuckDB on the same values, including sign boundaries and half-cases.
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+def model(x: float, n: int) -> float:
+    """The arithmetic r() implements: DuckDB's std::round(x·10ⁿ)/10ⁿ."""
+    m = float(10**n)
+    return math.copysign(math.floor(abs(x) * m + 0.5), x) / m if x else x * m / m
+
+
+@settings(max_examples=500, deadline=None)
+@given(
+    x=st.floats(min_value=-1e9, max_value=1e9, allow_nan=False),
+    n=st.integers(min_value=0, max_value=6),
+)
+def test_model_matches_duckdb(x, n):
+    # bind x as a parameter: a 17-digit SQL literal would be parsed as
+    # DECIMAL first and cast to DOUBLE, which can land on a different
+    # double than the host float — that's literal parsing, not rounding
+    want = duckdb.sql(
+        f"SELECT round($x::DOUBLE, {n})", params={"x": x}
+    ).fetchone()[0]
+    got = model(x, n)
+    assert got == want or (math.isnan(got) and math.isnan(want)), (x, n, got, want)
+
+
+@pytest.mark.parametrize("scale", [1, 2, 4, 6])
+def test_spark_r_matches_duckdb_bulk(spark, scale):
+    rng = np.random.default_rng(42)
+    xs = np.concatenate(
+        [
+            rng.uniform(-1e6, 1e6, 400),
+            rng.uniform(-1.0, 1.0, 400),  # cosine/correlation range
+            # exact half-cases at the target scale, both signs
+            np.array([s * (k + 0.5) / 10**scale for k in range(20) for s in (1, -1)]),
+        ]
+    )
+    from nyc_traffic_insight_spark.functions.rounding import r
+
+    sdf = spark.createDataFrame([(float(v),) for v in xs], "x DOUBLE")
+    got = [row["y"] for row in sdf.select(r("x", scale).alias("y")).collect()]
+    want = [
+        row[0]
+        for row in duckdb.sql(
+            "SELECT round(x::DOUBLE, $s) FROM (SELECT unnest($xs) AS x)",
+            params={"s": scale, "xs": [float(v) for v in xs]},
+        ).fetchall()
+    ]
+    mism = [(x, g, w) for x, g, w in zip(xs, got, want) if g != w]
+    assert not mism, f"scale {scale}: {len(mism)} mismatches, first {mism[:3]}"
