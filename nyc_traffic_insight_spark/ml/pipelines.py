@@ -94,12 +94,32 @@ def feature_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 def temporal_split(
     df: DataFrame, ts_col: str = "l_shipdate", train_frac: float = 0.8
 ) -> tuple[DataFrame, DataFrame]:
-    """W5: 80/20 split by time position via percent_rank (the scalable
-    form of the reference's iloc slice after a global sort)."""
+    """W5: 80/20 split by time position via percent_rank — the exact
+    reference semantic (iloc slice after a global sort). The global
+    window is a single partition: correct, oracle-pinned, and only
+    acceptable at test scale — training pipelines use
+    temporal_split_scalable."""
     pr = F.percent_rank().over(Window.orderBy(ts_col))
     flagged = df.withColumn("__pr", pr)
     train = flagged.filter(F.col("__pr") <= train_frac).drop("__pr")
     test = flagged.filter(F.col("__pr") > train_frac).drop("__pr")
+    return train, test
+
+
+def temporal_split_scalable(
+    df: DataFrame, ts_col: str = "l_shipdate", train_frac: float = 0.8
+) -> tuple[DataFrame, DataFrame]:
+    """The 100 TB form of W5: compute the cutoff timestamp as a
+    distributed quantile (one aggregate, no global sort, no
+    single-partition window) and split by filter — both sides stay
+    partition-parallel and the filters push to the scan. Rows exactly
+    at the cutoff land in train, matching percent_rank's `<=` within
+    quantile resolution."""
+    cutoff = df.select(
+        F.percentile_approx(F.unix_micros(ts_col), train_frac, 10_000).alias("c")
+    ).first()["c"]
+    train = df.filter(F.unix_micros(ts_col) <= cutoff)
+    test = df.filter(F.unix_micros(ts_col) > cutoff)
     return train, test
 
 
@@ -174,7 +194,7 @@ def fit_gbt(
 
 def linear_regression_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = feature_table(spark, sf_dir)
-    train, test = temporal_split(df)
+    train, test = temporal_split_scalable(df)
     model = fit_linear_regression(train)
     return _metrics_row(spark, "linear_regression", model.transform(test), LABEL)
 
@@ -183,7 +203,7 @@ def random_forest_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reduced size (20×8) for the per-round driver run; the reference's
     100×15 comes via fit_random_forest defaults in tests."""
     df = feature_table(spark, sf_dir)
-    train, test = temporal_split(df)
+    train, test = temporal_split_scalable(df)
     model = fit_random_forest(train, num_trees=20, max_depth=8)
     rf = model.stages[-1]
     imp_sum = float(sum(rf.featureImportances.toArray()))  # M7 invariant
@@ -194,7 +214,7 @@ def random_forest_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 def gbt_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GBT on log1p target, expm1-inverted for raw-scale metrics (C11)."""
     df = feature_table(spark, sf_dir)
-    train, test = temporal_split(df)
+    train, test = temporal_split_scalable(df)
     model = fit_gbt(train, max_iter=20)
     pred = model.transform(test).withColumn("prediction", F.expm1("prediction"))
     return _metrics_row(spark, "gbt_log_target", pred, LABEL)
@@ -211,7 +231,7 @@ def segmented_model_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = feature_table(spark, sf_dir).withColumn(
         "is_event", (F.col("l_discount") > 0.07).cast("int")
     )
-    train, test = temporal_split(df)
+    train, test = temporal_split_scalable(df)
 
     event_train = train.filter(F.col("is_event") == 1)
     normal_train = train.filter(F.col("is_event") == 0)

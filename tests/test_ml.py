@@ -126,3 +126,19 @@ def test_log_target_roundtrip(spark, split):
     ).first()
     assert row["lo"] > 0  # expm1(log-space prediction) stays positive
     assert row["c"] > 0.8
+
+
+def test_scalable_split_agrees_with_reference_split(spark):
+    # the quantile-cutoff split must place the same fraction and keep
+    # the temporal boundary, without any single-partition window
+    from nyc_traffic_insight_spark.ml.pipelines import temporal_split_scalable
+
+    df = feature_table(spark, SF_SMOKE)
+    train, test = temporal_split_scalable(df)
+    n_train, n_test = train.count(), test.count()
+    assert n_train + n_test == df.count()
+    frac = n_train / (n_train + n_test)
+    assert 0.75 <= frac <= 0.85
+    t_max = train.agg(F.max("l_shipdate")).first()[0]
+    s_min = test.agg(F.min("l_shipdate")).first()[0]
+    assert t_max < s_min
