@@ -437,3 +437,145 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         _r(F.sum("value"), 4).alias("total_value"),
     )
+
+
+# ------------------------------------- as-of & range joins (custom ops)
+
+
+@register(
+    "join_asof",
+    survey="custom operator: as-of join (most recent snapshot <= ts per key); "
+    "Spark lacks it, composed from union + carry-forward window",
+    oracle="""
+    WITH snap AS (
+      SELECT event_type, date_trunc('hour', ts) AS snap_ts,
+             round(avg(value), 4) AS snap_value
+      FROM events GROUP BY 1, 2
+    )
+    SELECT e.event_id, e.event_type, e.ts, s.snap_ts, s.snap_value
+    FROM events e
+    ASOF JOIN snap s
+      ON e.event_type = s.event_type AND e.ts >= s.snap_ts
+    """,
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each event picks the most recent hourly snapshot at
+    or before its timestamp, per key. DuckDB has ASOF JOIN natively;
+    Spark's scalable composition is sort-based carry-forward:
+
+      union(left-tagged, right-tagged)
+        → window per key ordered by (ts, right-first)
+        → last(snapshot, ignorenulls) carries the latest snapshot
+        → keep left rows.
+
+    ONE shuffle of each side on the key (exactly what any as-of
+    algorithm needs for co-location), no range join, no per-row probe.
+    Snapshots sort before events at equal ts, so an event AT a snapshot
+    time matches that snapshot (the >= semantics).
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    snap = (
+        ev.groupBy(
+            "event_type", F.date_trunc("hour", "ts").alias("snap_ts")
+        ).agg(_r(F.avg("value"), 4).alias("snap_value"))
+    )
+    left = ev.select(
+        "event_type",
+        F.col("ts").alias("o_ts"),
+        F.lit(0).alias("is_snap"),
+        "event_id",
+        F.lit(None).cast("timestamp").alias("snap_ts"),
+        F.lit(None).cast("double").alias("snap_value"),
+    )
+    right = snap.select(
+        "event_type",
+        F.col("snap_ts").alias("o_ts"),
+        F.lit(1).alias("is_snap"),
+        F.lit(None).cast("bigint").alias("event_id"),
+        "snap_ts",
+        "snap_value",
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.col("o_ts"), F.desc("is_snap"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    merged = left.unionByName(right).select(
+        "event_type",
+        "o_ts",
+        "is_snap",
+        "event_id",
+        F.last("snap_ts", ignorenulls=True).over(w).alias("snap_ts"),
+        F.last("snap_value", ignorenulls=True).over(w).alias("snap_value"),
+    )
+    return (
+        merged.filter(F.col("is_snap") == 0)
+        .filter(F.col("snap_ts").isNotNull())  # inner-asof: drop unmatched
+        .select(
+            "event_id", "event_type", F.col("o_ts").alias("ts"),
+            "snap_ts", "snap_value",
+        )
+    )
+
+
+_RANGE_BIN_MIN = 60  # bin width = max interval length → ≤2 candidate bins
+
+
+@register(
+    "join_range_binned",
+    survey="custom operator: interval range join via bin bucketing "
+    "(scan-friendly alternative to a nested-loop range join)",
+    oracle="""
+    WITH iv AS (
+      SELECT n_nationkey AS iv_id,
+             TIMESTAMP '2024-01-01' + to_minutes(CAST(n_nationkey * 173 % 10080 AS BIGINT))
+               AS iv_start,
+             TIMESTAMP '2024-01-01' + to_minutes(CAST(n_nationkey * 173 % 10080 + 30 + n_nationkey % 31 AS BIGINT))
+               AS iv_end
+      FROM nation
+    )
+    SELECT e.event_id, iv.iv_id, e.ts, iv.iv_start, iv.iv_end
+    FROM events e JOIN iv
+      ON e.ts >= iv.iv_start AND e.ts < iv.iv_end
+    """,
+)
+def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval range join without a nested loop: every
+    interval (≤ 61 min here) is exploded to the 60-min bins it
+    overlaps (≤ 2 rows), events map to their single bin, the join is a
+    plain EQUI-join on bin + a residual range filter. Shuffle keys are
+    bins — uniform, co-locating, AQE-splittable — where the naive
+    `ts BETWEEN start AND end` join is a broadcast nested loop that
+    stops scaling with the interval side. The oracle runs the naive
+    form; results are identical.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    n = load_table(spark, sf_dir, "nation")
+    base = F.to_timestamp(F.lit("2024-01-01"))
+    start_min = (F.col("n_nationkey") * 173 % 10080).cast("bigint")
+    end_min = start_min + 30 + F.col("n_nationkey") % 31
+    iv = n.select(
+        F.col("n_nationkey").alias("iv_id"),
+        F.timestamp_add("MINUTE", start_min, base).alias("iv_start"),
+        F.timestamp_add("MINUTE", end_min, base).alias("iv_end"),
+    )
+    bin_us = _RANGE_BIN_MIN * 60 * 1_000_000
+    iv_binned = iv.withColumn(
+        "bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.unix_micros("iv_start") / bin_us),
+                F.floor((F.unix_micros("iv_end") - 1) / bin_us),
+            )
+        ),
+    )
+    ev_binned = ev.select(
+        "event_id", "ts", F.floor(F.unix_micros("ts") / bin_us).alias("bin")
+    )
+    return (
+        ev_binned.join(iv_binned, "bin")
+        .filter((F.col("ts") >= F.col("iv_start")) & (F.col("ts") < F.col("iv_end")))
+        .select("event_id", "iv_id", "ts", "iv_start", "iv_end")
+    )
