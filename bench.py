@@ -32,6 +32,10 @@ HEADLINE = [
     "join_traffic_weather_boro",
     "join_traffic_weather_time",
     "join_star_broadcast",
+    "join_asof",
+    "join_range_binned",
+    "join_salted_skew",
+    "join_nearest_spatial",
     "agg_count",
     "agg_regression_metrics",
     "win_lag_multi",
