@@ -75,6 +75,12 @@ def main() -> None:
 
     for name in HEADLINE:
         consume(specs[name].builder(spark, warm_dir))
+    # touch the target-SF files once so the first timed query measures
+    # compute, not cold page-cache IO that every later query skips
+    consume(specs["agg_count"].builder(spark, sf_dir))
+    consume(specs["doc_stats_by_source"].builder(spark, sf_dir))
+    consume(specs["sim_search_lsh_buckets"].builder(spark, sf_dir))
+    consume(specs["join_traffic_weather_boro"].builder(spark, sf_dir))
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -12,6 +12,7 @@ aggregates.py.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from nyc_traffic_insight_spark.queries import register
 
@@ -115,4 +116,62 @@ def ml_inference_single_row(spark: SparkSession, sf_dir: str) -> DataFrame:
     pred = single_row_inference(spark, model, row)
     return spark.createDataFrame(
         [("linear_regression", pred)], "model STRING, prediction DOUBLE"
+    )
+
+
+@register(
+    "ml_grouped_ols",
+    survey="M1 variant via applyInPandas: per-group closed-form OLS "
+    "(the grouped-map UDF surface; SegmentedModeling's per-segment fits)",
+    oracle="""
+    SELECT event_type,
+           round(regr_slope(value, CAST(hour(ts) AS DOUBLE)), 6) AS slope,
+           round(regr_intercept(value, CAST(hour(ts) AS DOUBLE)), 6)
+             AS intercept,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def ml_grouped_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group simple OLS (value ~ hour) as an Arrow-batched grouped
+    map: each group's closed-form fit runs in numpy inside
+    applyInPandas — the pattern for per-segment model fitting when
+    groups are many and each fits in one executor's memory (the
+    reference's SegmentedModeling fits per-segment models the same
+    way, driver-side). Slope/intercept use the covariance form, which
+    matches SQL's regr_slope/regr_intercept to well under the 1e-6
+    rounding."""
+    import numpy as np
+    import pandas as pd
+
+    from nyc_traffic_insight_spark.sources import load_table
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        x = pdf["hh"].to_numpy(dtype="float64")
+        y = pdf["value"].to_numpy(dtype="float64")
+        vx = ((x - x.mean()) ** 2).sum()
+        slope = (((x - x.mean()) * (y - y.mean())).sum() / vx) if vx else None
+        inter = (y.mean() - slope * x.mean()) if slope is not None else None
+        return pd.DataFrame(
+            {
+                "event_type": [pdf["event_type"].iloc[0]],
+                "slope": [slope],
+                "intercept": [inter],
+                "n": [len(pdf)],
+            }
+        )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.hour("ts").cast("double").alias("hh"), "value"
+    )
+    out = ev.groupBy("event_type").applyInPandas(
+        fit, "event_type STRING, slope DOUBLE, intercept DOUBLE, n LONG"
+    )
+    from nyc_traffic_insight_spark.functions.rounding import r as _r
+
+    return out.select(
+        "event_type",
+        _r("slope", 6).alias("slope"),
+        _r("intercept", 6).alias("intercept"),
+        "n",
     )
