@@ -109,3 +109,27 @@ def write_feature_collection(df: DataFrame, path: str) -> None:
         ).alias("value")
     )
     fc.coalesce(1).write.mode("overwrite").text(path)
+
+
+def linestring_feature(df: DataFrame) -> Column:
+    """LineString Feature struct from endpoint columns (lon1, lat1,
+    lon2, lat2) — the reference's OSM-snapped segment output shape
+    (``scripts/point_to_linestring.py:67-80``)."""
+    props = F.struct(*[F.col(f.name) for f in PROPERTIES.fields])
+    return F.struct(
+        F.lit("Feature").alias("type"),
+        F.struct(
+            F.lit("LineString").alias("type"),
+            F.array(
+                F.array("lon1", "lat1"), F.array("lon2", "lat2")
+            ).alias("coordinates"),
+        ).alias("geometry"),
+        props.alias("properties"),
+    )
+
+
+def write_linestrings_ndjson(df: DataFrame, path: str) -> None:
+    """Splittable LineString sink: one Feature per line."""
+    df.select(F.to_json(linestring_feature(df)).alias("value")).write.mode(
+        "overwrite"
+    ).text(path)

@@ -64,3 +64,28 @@ def test_ndjson_sink_is_splittable_shape(spark, tmp_path):
     assert len(lines) == 2
     assert all(l["type"] == "Feature" for l in lines)
     assert {l["properties"]["RequestID"] for l in lines} == {1, 2}
+
+
+def test_linestring_sink(spark, tmp_path):
+    from nyc_traffic_insight_spark.sources.geojson import write_linestrings_ndjson
+
+    rows = [
+        (-73.98, 40.75, -73.97, 40.76, 1, 12.0, "2024-01-01T07:00:00",
+         "BROADWAY", "W 42", "W 43", "NB", "Manhattan"),
+    ]
+    schema = (
+        "lon1 DOUBLE, lat1 DOUBLE, lon2 DOUBLE, lat2 DOUBLE, RequestID LONG, "
+        "Volume DOUBLE, Timestamp STRING, Street STRING, From STRING, "
+        "To STRING, Direction STRING, Borough STRING"
+    )
+    out = str(tmp_path / "lines")
+    write_linestrings_ndjson(spark.createDataFrame(rows, schema), out)
+    lines = []
+    for part in glob.glob(out + "/part-*"):
+        lines += [json.loads(l) for l in open(part) if l.strip()]
+    [f] = lines
+    assert f["geometry"] == {
+        "type": "LineString",
+        "coordinates": [[-73.98, 40.75], [-73.97, 40.76]],
+    }
+    assert f["properties"]["Street"] == "BROADWAY"
