@@ -954,3 +954,101 @@ def doc_stats_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             _r(F.avg("n_chars"), 4).alias("avg_chars"),
         )
     )
+
+
+# ------------------------------------------------------ count-min sketch
+
+_CMS_D = 4  # hash rows
+_CMS_W = 256  # buckets per row
+
+
+@register(
+    "sketch_count_min",
+    survey="north-star: count-min sketch of token frequencies "
+    "(mergeable sketch; deterministic md5 bucketing → full oracle)",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS tok
+      FROM documents
+    ),
+    cells AS (
+      SELECT r.d AS row_id,
+             ('0x' || substr(md5(CAST(r.d AS VARCHAR) || '_' || tok), 1, 8))::BIGINT
+               % {_CMS_W} AS bucket
+      FROM toks, (SELECT unnest(range(0, {_CMS_D})) AS d) r
+    )
+    SELECT row_id, bucket, CAST(count(*) AS BIGINT) AS total
+    FROM cells GROUP BY 1, 2
+    """,
+)
+def sketch_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch over the corpus token stream: d=4 md5-seeded
+    hash rows × w=256 buckets; cell (r, b) totals every token whose
+    r-th hash lands in b. Point-estimate(tok) = min over rows of its
+    cells — always ≥ the true count (tests/test_sketches.py pins the
+    property and the estimate error bound).
+
+    The sketch IS a groupBy — the d×w table is tiny and mergeable
+    (cells add), which is the whole point at 100 TB: per-partition
+    sketches combine map-side, the shuffle carries ≤ d·w rows per
+    partition, and the final table answers any point query without
+    touching the corpus again."""
+    d = _docs(spark, sf_dir)
+    toks = d.select(F.explode(F.split(F.lower("text"), r"\s+")).alias("tok"))
+    cells = toks.select(
+        F.explode(F.sequence(F.lit(0), F.lit(_CMS_D - 1))).alias("row_id"), "tok"
+    ).select(
+        "row_id",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col("row_id").cast("string"), F.lit("_"), "tok")),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % _CMS_W
+        ).alias("bucket"),
+    )
+    return cells.groupBy("row_id", "bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("total")
+    )
+
+
+@register(
+    "sketch_heavy_hitters",
+    survey="north-star: exact heavy hitters (top tokens) — the sketch's "
+    "ground truth (A8-style top-k)",
+    oracle="""
+    WITH toks AS (
+      SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS tok
+      FROM documents
+    ),
+    counts AS (SELECT tok, CAST(count(*) AS BIGINT) AS n FROM toks GROUP BY 1),
+    ranked AS (
+      SELECT tok, n, CAST(row_number() OVER (ORDER BY n DESC, tok) AS INTEGER)
+               AS rnk
+      FROM counts
+    )
+    SELECT tok, n, rnk FROM ranked WHERE rnk <= 20
+    """,
+)
+def sketch_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-20 tokens (partial-agg groupBy + tiny global top-k) —
+    the ground truth the count-min estimates are checked against."""
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    counts = (
+        d.select(F.explode(F.split(F.lower("text"), r"\s+")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    w = Window.orderBy(F.desc("n"), F.col("tok"))
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 20)
+        .select("tok", "n", "rnk")
+    )

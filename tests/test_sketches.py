@@ -1,0 +1,81 @@
+"""Count-min sketch: the estimation guarantees, pinned.
+
+The CMS table itself is oracle-checked (deterministic hashing); this
+test pins the SKETCH SEMANTICS: point estimates never undercount, and
+for heavy hitters the overcount stays within the classic eps*N bound
+(w=256 buckets -> expected overcount ~ N/w per row, min over d=4 rows).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from nyc_traffic_insight_spark.queries import load_all
+from tests.conftest import SF_SMOKE
+
+
+def test_cms_point_estimates_bound_true_counts(spark):
+    specs = load_all()
+    cms = {(r["row_id"], r["bucket"]): r["total"]
+           for r in specs["sketch_count_min"].builder(spark, SF_SMOKE).collect()}
+    top = specs["sketch_heavy_hitters"].builder(spark, SF_SMOKE).collect()
+    n_total = sum(cms[k] for k in cms if k[0] == 0)  # row 0 sees every token
+
+    import hashlib
+
+    def estimate(tok: str) -> int:
+        vals = []
+        for d in range(4):
+            h = int(hashlib.md5(f"{d}_{tok}".encode()).hexdigest()[:8], 16) % 256
+            vals.append(cms.get((d, h), 0))
+        return min(vals)
+
+    assert top, "no heavy hitters found"
+    eps_bound = 2.0 * n_total / 256  # loose 2x of the expected N/w overcount
+    for r in top:
+        est = estimate(r["tok"])
+        assert est >= r["n"], f"{r['tok']}: CMS undercounted {est} < {r['n']}"
+        assert est - r["n"] <= eps_bound, (
+            f"{r['tok']}: overcount {est - r['n']} exceeds bound {eps_bound}"
+        )
+
+
+def test_cms_is_mergeable(spark):
+    # sketch(union) == cellwise sum of per-half sketches: build the CMS
+    # over doc halves by filtering, then add - must equal the full CMS.
+    specs = load_all()
+    full = specs["sketch_count_min"].builder(spark, SF_SMOKE)
+
+    from nyc_traffic_insight_spark.queries.textops import sketch_count_min
+    import nyc_traffic_insight_spark.queries.textops as T
+
+    # reuse the builder logic on filtered halves via monkey-free path:
+    # rebuild cells from _docs with doc_id parity filters
+    def half_cms(parity: int):
+        d = T._docs(spark, SF_SMOKE).filter(F.col("doc_id") % 2 == parity)
+        toks = d.select(F.explode(F.split(F.lower("text"), r"\s+")).alias("tok"))
+        cells = toks.select(
+            F.explode(F.sequence(F.lit(0), F.lit(3))).alias("row_id"), "tok"
+        ).select(
+            "row_id",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.col("row_id").cast("string"),
+                                       F.lit("_"), "tok")), 1, 8),
+                    16, 10,
+                ).cast("bigint") % 256
+            ).alias("bucket"),
+        )
+        return cells.groupBy("row_id", "bucket").agg(
+            F.count(F.lit(1)).cast("bigint").alias("total")
+        )
+
+    merged = (
+        half_cms(0).unionByName(half_cms(1))
+        .groupBy("row_id", "bucket")
+        .agg(F.sum("total").cast("bigint").alias("total"))
+    )
+    a = {(r["row_id"], r["bucket"]): r["total"] for r in full.collect()}
+    b = {(r["row_id"], r["bucket"]): r["total"] for r in merged.collect()}
+    assert a == b
