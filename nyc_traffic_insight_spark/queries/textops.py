@@ -1052,3 +1052,146 @@ def sketch_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 20)
         .select("tok", "n", "rnk")
     )
+
+
+# ---------------------------------------------- embedding storage ops
+
+
+@register(
+    "emb_normalize",
+    survey="north-star: unit-norm embedding normalization (narrow map)",
+    oracle="""
+    SELECT vec_id,
+           round(sqrt(list_sum(list_transform(embedding::DOUBLE[],
+                                              x -> x * x))), 6) AS norm,
+           round(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))
+                 / greatest(list_sum(list_transform(embedding::DOUBLE[],
+                                                    x -> x * x)), 1e-12), 6)
+             AS unit_dot
+    FROM embeddings
+    """,
+)
+def emb_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 normalization: per-vector norm plus the self-dot of the unit
+    vector (≡1, computed through the normalized values — pins that the
+    normalize-then-dot path is numerically sane). Fully narrow; at
+    100 TB this runs inside the scan stage."""
+    e = _embs(spark, sf_dir)
+    sq = F.aggregate(
+        F.col("embedding"),
+        F.lit(0.0),
+        lambda acc, v: acc + v.cast("double") * v.cast("double"),
+    )
+    return e.select(
+        "vec_id",
+        _r(F.sqrt(sq), 6).alias("norm"),
+        _r(sq / F.greatest(sq, F.lit(1e-12)), 6).alias("unit_dot"),
+    )
+
+
+@register(
+    "emb_quantize_int8",
+    survey="north-star: int8 embedding quantization (per-vector scale)",
+    oracle="""
+    WITH scaled AS (
+      SELECT vec_id,
+             list_max(list_transform(embedding::DOUBLE[], x -> abs(x)))
+               AS scale_abs,
+             embedding::DOUBLE[] AS emb
+      FROM embeddings
+    )
+    SELECT vec_id, round(scale_abs, 6) AS scale_out,
+           CAST(list_sum(list_transform(emb,
+                x -> CASE WHEN x < 0
+                     THEN -floor(abs(x) / scale_abs * 127 + 0.5)
+                     ELSE floor(abs(x) / scale_abs * 127 + 0.5) END))
+             AS BIGINT) AS q_sum,
+           CAST(list_max(list_transform(emb,
+                x -> CASE WHEN x < 0
+                     THEN -floor(abs(x) / scale_abs * 127 + 0.5)
+                     ELSE floor(abs(x) / scale_abs * 127 + 0.5) END))
+             AS BIGINT) AS q_max
+    FROM scaled
+    """,
+)
+def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization with a per-vector scale (the 4×
+    storage shrink every embedding store applies): q = round(x/scale ·
+    127), half away from zero on both engines. The query emits the
+    scale and integer aggregates of the quantized vector — exact
+    cross-engine values, no float hashing."""
+    e = _embs(spark, sf_dir)
+    emb = F.transform("embedding", lambda x: x.cast("double"))
+    scale = F.array_max(F.transform(emb, lambda x: F.abs(x)))
+    q = F.transform(
+        emb,
+        lambda x: F.when(x < 0, -F.floor(F.abs(x) / scale * 127 + F.lit(0.5)))
+        .otherwise(F.floor(F.abs(x) / scale * 127 + F.lit(0.5))),
+    )
+    qsum = F.aggregate(q, F.lit(0).cast("bigint"), lambda a, v: a + v.cast("bigint"))
+    return e.select(
+        "vec_id",
+        _r(scale, 6).alias("scale_out"),
+        qsum.alias("q_sum"),
+        F.array_max(q).cast("bigint").alias("q_max"),
+    )
+
+
+# ------------------------------------------- composed text-prep pipeline
+
+
+@register(
+    "pipeline_text_prep",
+    survey="north-star: composed prep pipeline — quality gate → lang "
+    "gate → exact dedup → corpus stats (the end-to-end shape)",
+    oracle="""
+    WITH feats AS (
+      SELECT doc_id, text, lang, source,
+             CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE)
+               AS n_tok,
+             CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g'))
+               AS DOUBLE)
+               / CAST(length(text) AS DOUBLE) AS punct_ratio
+      FROM documents WHERE text IS NOT NULL
+    ),
+    gated AS (
+      SELECT * FROM feats WHERE n_tok >= 10 AND punct_ratio <= 0.2
+        AND lang IN ('en', 'es', 'de', 'fr')
+    ),
+    deduped AS (
+      SELECT md5(text) AS h, min(doc_id) AS keep_id, min(lang) AS lang,
+             min(source) AS source, min(n_tok) AS n_tok
+      FROM gated GROUP BY 1
+    )
+    SELECT lang, source, count(*) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS total_tokens
+    FROM deduped GROUP BY 1, 2
+    """,
+)
+def pipeline_text_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed shape every pre-training prep run has: quality gate
+    (length + punctuation density) → language gate → exact dedup (keep
+    lowest id per content hash) → per-(lang, source) corpus accounting.
+    One narrow scan stage until the dedup shuffle on a 32-byte hash;
+    the final rollup is map-side combinable."""
+    d = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    n_tok = F.size(F.split(F.trim("text"), r"\s+")).cast("double")
+    punct = (
+        F.length(F.regexp_replace("text", r"[a-zA-Z0-9\s]", "")).cast("double")
+        / F.length("text").cast("double")
+    )
+    gated = d.select("doc_id", "text", "lang", "source", n_tok.alias("n_tok")).filter(
+        (n_tok >= 10)
+        & (punct <= 0.2)
+        & F.col("lang").isin("en", "es", "de", "fr")
+    )
+    deduped = gated.groupBy(F.md5("text").alias("h")).agg(
+        F.min("doc_id").alias("keep_id"),
+        F.min("lang").alias("lang"),
+        F.min("source").alias("source"),
+        F.min("n_tok").alias("n_tok"),
+    )
+    return deduped.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("total_tokens"),
+    )

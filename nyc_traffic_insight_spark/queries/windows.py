@@ -286,3 +286,43 @@ def win_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("running_cnt"),
     )
+
+
+@register(
+    "win_range_time",
+    survey="§2.7 extension: event-time RANGE frame (trailing 1h sum per "
+    "key) — the time-window form the reference approximates with row "
+    "counts",
+    oracle="""
+    SELECT event_id, event_type, ts,
+           CAST(count(*) OVER w AS BIGINT) AS n_1h,
+           round(sum(value) OVER w, 4) AS sum_1h
+    FROM events
+    WINDOW w AS (
+      PARTITION BY event_type ORDER BY ts
+      RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+    )
+    """,
+)
+def win_range_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True event-time range frame: all events of the same type within
+    the trailing hour, however many rows that is — rangeBetween over
+    unix microseconds (Spark range frames need a numeric sort key).
+    Partitioned by key: no global window, same frame semantics as
+    DuckDB's RANGE INTERVAL form."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(us)
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "event_type",
+        "ts",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_1h"),
+        _r(F.sum("value").over(w), 4).alias("sum_1h"),
+    )
