@@ -165,3 +165,30 @@ def test_session_window_declarative(spark, tmp_path, source_dir):
         (r["user_id"], r["session_start"], r["n_events"]) for r in batch.collect()
     }
     assert emitted and emitted <= full
+
+
+def test_foreachbatch_upsert_is_idempotent(spark, tmp_path, source_dir):
+    # the upsert sink overwrites touched hour-partitions per batch:
+    # final table equals the batch aggregate for every emitted window,
+    # with no duplicate (window, type) rows even across restarts.
+    from nyc_traffic_insight_spark.streaming.events import (
+        run_upsert_stream,
+        tumbling_counts,
+    )
+
+    out = str(tmp_path / "upsert_out")
+    ckpt = str(tmp_path / "upsert_ckpt")
+    run_upsert_stream(spark, source_dir, ckpt, out)
+    got = spark.read.parquet(out).drop("hour_part")
+    keys = got.groupBy("window_start", "event_type").count()
+    assert keys.filter(F.col("count") > 1).count() == 0
+
+    batch = tumbling_counts(load_table(spark, SF_SMOKE, "events"))
+    full = {tuple(r) for r in batch.collect()}
+    emitted = {tuple(r) for r in got.collect()}
+    assert emitted and emitted <= full
+
+    # replay with the same checkpoint: nothing changes (idempotent)
+    n1 = spark.read.parquet(out).count()
+    run_upsert_stream(spark, source_dir, ckpt, out)
+    assert spark.read.parquet(out).count() == n1
