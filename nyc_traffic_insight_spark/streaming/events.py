@@ -231,3 +231,40 @@ def run_upsert_stream(
         .start()
         .awaitTermination()
     )
+
+
+def enrich_with_static(stream: DataFrame, dim: DataFrame) -> DataFrame:
+    """Stream-static join: each micro-batch joins the (broadcastable)
+    dimension as of that batch — the standard enrich pattern (the
+    engine's holiday/coordinate dims would join a live event stream
+    exactly like this). No watermark needed: the static side is not
+    stateful."""
+    return stream.join(F.broadcast(dim), "event_type", "left")
+
+
+def correlate_streams(clicks: DataFrame, purchases: DataFrame) -> DataFrame:
+    """Stream-stream inner join: purchases within 30 minutes AFTER a
+    click by the same user. Both sides carry watermarks so the join
+    state for expired time ranges is evicted — without them the state
+    grows forever; with them Spark knows a click older than the
+    watermark can never match a future purchase."""
+    c = clicks.withWatermark("ts", "1 hour").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    p = purchases.withWatermark("ts", "1 hour").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("amount"),
+    )
+    return c.join(
+        p,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")
+        ),
+    ).select("c_user", "click_id", "click_ts", "purchase_id", "purchase_ts", "amount")

@@ -192,3 +192,84 @@ def test_foreachbatch_upsert_is_idempotent(spark, tmp_path, source_dir):
     n1 = spark.read.parquet(out).count()
     run_upsert_stream(spark, source_dir, ckpt, out)
     assert spark.read.parquet(out).count() == n1
+
+
+def _run_stream_to_parquet(df, tmp_path, tag):
+    out = str(tmp_path / f"{tag}_out")
+    (
+        df.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / f"{tag}_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return out
+
+
+def test_stream_static_enrich(spark, tmp_path, source_dir):
+    from nyc_traffic_insight_spark.streaming.events import enrich_with_static
+
+    ev = spark.read.parquet(source_dir)
+    dim = ev.select("event_type").distinct().withColumn(
+        "type_id", F.crc32("event_type")
+    )
+    stream = (
+        spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 4).parquet(source_dir)
+    )
+    out = _run_stream_to_parquet(enrich_with_static(stream, dim), tmp_path, "enrich")
+    got = spark.read.parquet(out)
+    assert got.count() == ev.count()  # left join: every event enriched
+    assert got.filter(F.col("type_id").isNull()).count() == 0
+
+    want = ev.join(dim, "event_type", "left")
+    assert {tuple(r) for r in got.collect()} == {tuple(r) for r in want.collect()}
+
+
+def test_stream_stream_join_matches_batch(spark, tmp_path, source_dir):
+    from nyc_traffic_insight_spark.streaming.events import correlate_streams
+
+    ev = spark.read.parquet(source_dir)
+    types = [r[0] for r in ev.select("event_type").distinct().collect()]
+    t_click, t_buy = sorted(types)[0], sorted(types)[-1]
+
+    def side(t):
+        return (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 4)
+            .parquet(source_dir)
+            .filter(F.col("event_type") == t)
+        )
+
+    out = _run_stream_to_parquet(
+        correlate_streams(side(t_click), side(t_buy)), tmp_path, "ss"
+    )
+    got = {tuple(r) for r in spark.read.parquet(out).collect()}
+
+    c = ev.filter(F.col("event_type") == t_click).select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    p = ev.filter(F.col("event_type") == t_buy).select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("amount"),
+    )
+    want = {
+        tuple(r)
+        for r in c.join(
+            p,
+            (F.col("c_user") == F.col("p_user"))
+            & (F.col("purchase_ts") >= F.col("click_ts"))
+            & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")),
+        )
+        .select("c_user", "click_id", "click_ts", "purchase_id", "purchase_ts", "amount")
+        .collect()
+    }
+    # append-mode emits pairs the watermark has finalized; all emitted
+    # pairs must be real, and the vast majority of pairs are emitted
+    assert got <= want
+    assert len(got) >= max(1, int(len(want) * 0.8))
