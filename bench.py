@@ -48,6 +48,7 @@ HEADLINE = [
     "sim_search_bruteforce_topk",
     "sim_search_lsh_buckets",
     "sim_search_ivf_topk",
+    "sim_search_topk_vectorized",
     "text_quality_score",
     "text_fingerprint",
     "geo_reproject_forward",

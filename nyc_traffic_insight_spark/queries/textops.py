@@ -1195,3 +1195,62 @@ def pipeline_text_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tok").cast("bigint").alias("total_tokens"),
     )
+
+
+# ------------------------------- vectorized ANN scorer (pandas batch path)
+
+
+@register(
+    "sim_search_topk_vectorized",
+    survey="north-star: brute-force top-k via numpy-matmul mapInPandas "
+    "(local top-k per batch → global merge; the throughput path)",
+    oracle=None,  # numpy pairwise summation ≠ sequential fold at the
+    # last ulp → rank boundaries can flip; recall vs the exact form is
+    # pinned in tests/test_vectorized_ann.py instead
+)
+def sim_search_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same query as sim_search_bruteforce_topk, executed the way a
+    100 TB scorer actually runs: the query matrix broadcasts inside an
+    Arrow-batched mapInPandas closure, every corpus batch scores ALL
+    queries with one numpy matmul (BLAS, not per-element JVM eval),
+    emits only its local top-k, and a tiny global window merges
+    candidates. Shuffle volume is |queries|·k per partition regardless
+    of corpus size."""
+    import numpy as np
+    import pandas as pd
+
+    k = 10
+    e = _embs(spark, sf_dir)
+    q_rows = (
+        e.filter(F.col("vec_id") < 5).select("vec_id", "embedding").collect()
+    )
+    q_ids = np.array([r["vec_id"] for r in q_rows])
+    q_mat = np.array([r["embedding"] for r in q_rows], dtype=np.float64)
+    q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)
+
+    def score(batches):
+        for pdf in batches:
+            ids = pdf["vec_id"].to_numpy()
+            c = np.array(list(pdf["embedding"]), dtype=np.float64)
+            c /= np.linalg.norm(c, axis=1, keepdims=True)
+            cos = q_mat @ c.T  # |q| × |batch|
+            top = min(k + 1, cos.shape[1])  # +1: self may be in batch
+            idx = np.argpartition(-cos, top - 1, axis=1)[:, :top]
+            out = []
+            for qi, row in enumerate(idx):
+                for ci in row:
+                    if ids[ci] != q_ids[qi]:
+                        out.append((int(q_ids[qi]), int(ids[ci]), float(cos[qi, ci])))
+            yield pd.DataFrame(out, columns=["query_id", "neighbor_id", "cos_raw"])
+
+    from pyspark.sql import Window
+
+    local = e.select("vec_id", "embedding").mapInPandas(
+        score, "query_id LONG, neighbor_id LONG, cos_raw DOUBLE"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_raw"), F.col("neighbor_id"))
+    return (
+        local.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", _r("cos_raw", 4).alias("cosine"), "rnk")
+    )
