@@ -273,3 +273,35 @@ def test_stream_stream_join_matches_batch(spark, tmp_path, source_dir):
     # pairs must be real, and the vast majority of pairs are emitted
     assert got <= want
     assert len(got) >= max(1, int(len(want) * 0.8))
+
+
+def test_transform_with_state_sessionizer(spark, tmp_path, source_dir):
+    # the v2 arbitrary-state API must produce the same closed sessions
+    # as the applyInPandasWithState form and the batch gold standard.
+    # Its Python worker needs grpcio (not in this container) — skip
+    # rather than xfail so the suite stays green either way.
+    pytest.importorskip("grpc", reason="transformWithState worker needs grpcio")
+    from nyc_traffic_insight_spark.queries import load_all
+    from nyc_traffic_insight_spark.streaming.events import sessionize_tws
+
+    ev = spark.read.parquet(source_dir)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(source_dir)
+    )
+    out = _run_stream_to_parquet(sessionize_tws(stream), tmp_path, "tws")
+    got = spark.read.parquet(out)
+    emitted = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in got.collect()
+    }
+    batch = load_all()["stream_sessionization"].builder(spark, SF_SMOKE)
+    full = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in batch.collect()
+    }
+    assert emitted, "no sessions emitted"
+    assert emitted <= full
+    n_users = ev.select("user_id").distinct().count()
+    assert len(emitted) >= len(full) - n_users
