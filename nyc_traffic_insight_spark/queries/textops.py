@@ -1254,3 +1254,110 @@ def sim_search_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= k)
         .select("query_id", "neighbor_id", _r("cos_raw", 4).alias("cosine"), "rnk")
     )
+
+
+# ----------------------------------------- k-means IVF (learned centroids)
+
+
+def _kmeans_centroids(spark: SparkSession, sf_dir: str, k: int = 10):
+    """Fit MLlib KMeans on the embedding column (array → ml vector) and
+    return the centroids as plain python lists. At 100 TB the fit runs
+    on a sample (KMeans is iterative over the full set otherwise);
+    centroids are tiny and ride into the scoring plan as literals."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    e = _embs(spark, sf_dir).select(
+        "vec_id", array_to_vector(F.col("embedding").cast("array<double>")).alias("features")
+    )
+    model = KMeans(k=k, seed=42, maxIter=20).fit(e)
+    return [[float(x) for x in c] for c in model.clusterCenters()]
+
+
+@register(
+    "ml_kmeans",
+    survey="M-extension: MLlib KMeans clustering over embeddings "
+    "(cluster cardinalities)",
+    oracle=None,  # iterative fit: rows-only (k rows, invariants in tests)
+)
+def ml_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMeans cluster sizes: the MLlib clustering surface (the engine's
+    ML coverage is otherwise regression-only). Deterministic row COUNT
+    (= k) regardless of partitioning; assignments themselves depend on
+    the seeded init, hence rows-only."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    e = _embs(spark, sf_dir).select(
+        "vec_id", array_to_vector(F.col("embedding").cast("array<double>")).alias("features")
+    )
+    model = KMeans(k=10, seed=42, maxIter=20).fit(e)
+    return (
+        model.transform(e)
+        .groupBy(F.col("prediction").alias("cluster"))
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+    )
+
+
+@register(
+    "sim_search_ivf_kmeans",
+    survey="north-star: IVF ANN with LEARNED (KMeans) coarse centroids",
+    oracle=None,  # centroids are fit at query time: rows-only; recall
+    # vs the exact baseline is pinned in tests/test_vectorized_ann.py
+)
+def sim_search_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production IVF shape: coarse centroids LEARNED by KMeans
+    (not the label shortcut of sim_search_ivf_topk), frozen into the
+    plan as literals, then the same assign → probe → in-cell top-k
+    pipeline. Everything after the fit is the oracle-checked IVF code
+    path with a different centroid table."""
+    from pyspark.sql import Window
+
+    cents = _kmeans_centroids(spark, sf_dir)
+    centroids = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cents)], "cell INT, cvec ARRAY<DOUBLE>"
+    )
+    e = _embs(spark, sf_dir)
+
+    def nearest_cells(vecs: DataFrame, id_col: str, keep: int) -> DataFrame:
+        crossed = vecs.crossJoin(F.broadcast(centroids))
+        w = Window.partitionBy(id_col).orderBy(F.desc("cell_cos"), F.col("cell"))
+        return (
+            crossed.withColumn(
+                "cell_cos", _norm_dot(F.col("embedding"), F.col("cvec"))
+            )
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= keep)
+            .drop("cvec", "cell_cos", "rn")
+        )
+
+    assign = nearest_cells(e.select("vec_id", "embedding"), "vec_id", 1)
+    probes = nearest_cells(
+        e.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        ),
+        "query_id",
+        _NPROBE,
+    ).withColumnRenamed("embedding", "q_emb")
+    scored = (
+        probes.join(
+            assign.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("embedding").alias("c_emb"),
+                "cell",
+            ),
+            "cell",
+        )
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            _norm_dot(F.col("q_emb"), F.col("c_emb")).alias("cos_raw"),
+        )
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("cos_raw"), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(wq))
+        .filter(F.col("rnk") <= _TOPK)
+        .select("query_id", "neighbor_id", _r("cos_raw", 4).alias("cosine"), "rnk")
+    )

@@ -35,3 +35,38 @@ def test_vectorized_topk_recall(spark):
     af = {(r["query_id"], r["neighbor_id"]): r["cosine"] for r in fast}
     for key in set(ae) & set(af):
         assert abs(ae[key] - af[key]) <= 1e-4, (key, ae[key], af[key])
+
+
+def test_kmeans_ivf_recall(spark):
+    # IVF is an explicit recall/cost trade: nprobe=2 of 10 cells scans
+    # ~20% of the corpus. On this synthetic corpus the exact top-10
+    # cross cluster boundaries heavily (measured recall ~0.4 for
+    # learned centroids vs ~0.28 for the label cells — the learned
+    # quantizer IS better), so the honest contracts are: far above the
+    # ~2% random-candidate baseline, and at least the label variant.
+    specs = load_all()
+    exact = specs["sim_search_bruteforce_topk"].builder(spark, SF_SMOKE).collect()
+    ivf = specs["sim_search_ivf_kmeans"].builder(spark, SF_SMOKE).collect()
+    lab = specs["sim_search_ivf_topk"].builder(spark, SF_SMOKE).collect()
+
+    def g(rows):
+        d = {}
+        for r in rows:
+            d.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        return d
+
+    a, b, c = g(exact), g(ivf), g(lab)
+    assert set(b) == set(a)
+    total = sum(len(v) for v in a.values())
+    hits = sum(len(a[q] & b.get(q, set())) for q in a)
+    hits_lab = sum(len(a[q] & c.get(q, set())) for q in a)
+    assert hits / total >= 0.3, f"recall {hits/total:.3f}"
+    assert hits >= hits_lab, "learned centroids should beat label cells"
+
+
+def test_kmeans_clusters(spark):
+    specs = load_all()
+    rows = specs["ml_kmeans"].builder(spark, SF_SMOKE).collect()
+    assert len(rows) == 10  # every centroid owns a cluster
+    assert sum(r["n_vectors"] for r in rows) == 500  # sf0.001 embeddings
+    assert all(r["n_vectors"] > 0 for r in rows)
