@@ -1361,3 +1361,122 @@ def sim_search_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= _TOPK)
         .select("query_id", "neighbor_id", _r("cos_raw", 4).alias("cosine"), "rnk")
     )
+
+
+# ------------------------------------- dup-cluster connected components
+
+
+@register(
+    "dedup_connected_components",
+    survey="north-star: connected components over near-dup pairs "
+    "(iterative min-label propagation; dup-cluster formation)",
+    # RECURSIVE must be declared on the first WITH of the whole chain
+    oracle=_SIG_SQL.replace("WITH __words", "WITH RECURSIVE __words", 1)
+    + """,
+    candidates AS (
+      SELECT DISTINCT doc1, doc2 FROM (
+        SELECT a.doc_id AS doc1, b.doc_id AS doc2 FROM sig a JOIN sig b
+          ON a.h0 = b.h0 AND a.h1 = b.h1 AND a.doc_id < b.doc_id
+        UNION
+        SELECT a.doc_id, b.doc_id FROM sig a JOIN sig b
+          ON a.h2 = b.h2 AND a.h3 = b.h3 AND a.doc_id < b.doc_id
+        UNION
+        SELECT a.doc_id, b.doc_id FROM sig a JOIN sig b
+          ON a.h4 = b.h4 AND a.h5 = b.h5 AND a.doc_id < b.doc_id
+        UNION
+        SELECT a.doc_id, b.doc_id FROM sig a JOIN sig b
+          ON a.h6 = b.h6 AND a.h7 = b.h7 AND a.doc_id < b.doc_id
+      )
+    ),
+    cnt AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY 1),
+    verified AS (
+      SELECT c.doc1, c.doc2, count(*) AS common
+      FROM candidates c
+      JOIN shingles sa ON sa.doc_id = c.doc1
+      JOIN shingles sb ON sb.doc_id = c.doc2 AND sb.s = sa.s
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT v.doc1, v.doc2
+      FROM verified v
+      JOIN cnt ca ON ca.doc_id = v.doc1
+      JOIN cnt cb ON cb.doc_id = v.doc2
+      WHERE CAST(v.common AS DOUBLE) / (ca.n + cb.n - v.common) >= 0.5
+    ),
+    edges AS (
+      SELECT doc1 AS a, doc2 AS b FROM pairs
+      UNION ALL SELECT doc2, doc1 FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT a AS v FROM edges),
+    reach(src, dst) AS (
+      SELECT v, v FROM nodes
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+    )
+    SELECT src AS doc_id, min(dst) AS component,
+           CAST(count(*) AS BIGINT) AS component_reach
+    FROM reach GROUP BY src
+    """,
+)
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group the verified near-dup pairs into clusters: component id =
+    min doc_id reachable through pair edges (keep-one-per-cluster picks
+    the component id). Iterative min-label propagation, the scalable
+    form of union-find on a shuffle engine:
+
+      labels(v) = v; repeat: labels(v) = min(labels(v), labels(N(v)))
+
+    Each round is one join + one groupBy (edges shuffle on the same key
+    every round — co-partitioned after the first); rounds needed =
+    graph diameter (near-dup clusters are tiny, so a handful). The loop
+    is driver-controlled with an aggregate convergence check, like
+    every iterative algorithm on Spark (MLlib does the same). The
+    oracle computes the same components with a recursive CTE and also
+    returns each node's reachable-set size (pinning that propagation
+    went to full closure, not one hop).
+    """
+    lsh = dedup_minhash_lsh(spark, sf_dir).select("doc1", "doc2")
+    edges = (
+        lsh.select(F.col("doc1").alias("a"), F.col("doc2").alias("b"))
+        .unionByName(lsh.select(F.col("doc2").alias("a"), F.col("doc1").alias("b")))
+        .localCheckpoint()  # the loop reuses edges every round
+    )
+    labels = edges.select(F.col("a").alias("v")).distinct().withColumn(
+        "label", F.col("v")
+    ).localCheckpoint()
+
+    for _ in range(20):  # diameter bound; near-dup clusters are shallow
+        neigh = (
+            edges.join(labels, edges.b == labels.v)
+            .groupBy(F.col("a").alias("v2"))
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neigh, labels.v == neigh.v2, "left")
+            .select(
+                "v",
+                F.least(
+                    F.col("label"), F.coalesce("nmin", F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        if (
+            new_labels.agg(F.sum("label")).first()[0]
+            == labels.agg(F.sum("label")).first()[0]
+        ):
+            labels = new_labels
+            break
+        labels = new_labels
+
+    # reach size per node (for the oracle's closure pin): nodes sharing
+    # a component all reach the same set — its size is the component's
+    comp_sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("csize"))
+    return (
+        labels.join(comp_sizes, "label")
+        .select(
+            F.col("v").alias("doc_id"),
+            F.col("label").alias("component"),
+            F.col("csize").cast("bigint").alias("component_reach"),
+        )
+    )
