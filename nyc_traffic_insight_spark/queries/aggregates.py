@@ -367,3 +367,57 @@ def ols_closed_form(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("r2"),
     )
+
+
+_HIST_BINS = 64
+
+
+@register(
+    "sketch_histogram",
+    survey="north-star: equi-width histogram sketch (mergeable quantile "
+    "estimates; A-family extension beyond approx_count_distinct)",
+    oracle=f"""
+    WITH mm AS (
+      SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi
+      FROM lineitem
+    )
+    SELECT CAST(least(floor((l_extendedprice - mm.lo)
+                            / ((mm.hi - mm.lo) / {_HIST_BINS})),
+                      {_HIST_BINS - 1}) AS INTEGER) AS bin,
+           CAST(count(*) AS BIGINT) AS cnt,
+           round(min(mm.lo), 4) AS domain_lo,
+           round(min(mm.hi), 4) AS domain_hi
+    FROM lineitem, mm
+    GROUP BY 1
+    """,
+)
+def sketch_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bin equi-width histogram of l_extendedprice: the mergeable
+    quantile sketch (cellwise-addable like the count-min sketch, see
+    tests/test_sketches.py). Two aggregate passes — exact min/max
+    (broadcast, 1 row), then the binned count — and every number is
+    deterministic, so the sketch gets a full value oracle where a
+    t-digest (order-dependent centroids) could not.
+
+    Quantile estimate q = upper edge of the first bin whose cumulative
+    count reaches q·N; error ≤ one bin width of the value domain."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_extendedprice")
+    mm = li.agg(
+        F.min("l_extendedprice").alias("lo"), F.max("l_extendedprice").alias("hi")
+    )
+    width = (F.col("hi") - F.col("lo")) / _HIST_BINS
+    binned = li.crossJoin(F.broadcast(mm)).select(
+        F.least(
+            F.floor((F.col("l_extendedprice") - F.col("lo")) / width),
+            F.lit(_HIST_BINS - 1),
+        )
+        .cast("int")
+        .alias("bin"),
+        "lo",
+        "hi",
+    )
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        _r(F.min("lo"), 4).alias("domain_lo"),
+        _r(F.min("hi"), 4).alias("domain_hi"),
+    )

@@ -79,3 +79,61 @@ def test_cms_is_mergeable(spark):
     a = {(r["row_id"], r["bucket"]): r["total"] for r in full.collect()}
     b = {(r["row_id"], r["bucket"]): r["total"] for r in merged.collect()}
     assert a == b
+
+
+def test_histogram_quantile_estimates(spark):
+    # quantile estimated from the histogram must sit within one bin
+    # width of the exact percentile, for every probed q
+    import duckdb
+
+    specs = load_all()
+    rows = specs["sketch_histogram"].builder(spark, SF_SMOKE).collect()
+    lo, hi = rows[0]["domain_lo"], rows[0]["domain_hi"]
+    width = (hi - lo) / 64
+    counts = {r["bin"]: r["cnt"] for r in rows}
+    n = sum(counts.values())
+
+    def estimate(q: float) -> float:
+        acc = 0
+        for b in range(64):
+            acc += counts.get(b, 0)
+            if acc >= q * n:
+                return lo + (b + 1) * width
+        return hi
+
+    exact = duckdb.sql(
+        f"SELECT quantile_cont(l_extendedprice, [0.1, 0.5, 0.9, 0.99]) "
+        f"FROM '{SF_SMOKE}/lineitem.parquet'"
+    ).fetchone()[0]
+    for q, want in zip([0.1, 0.5, 0.9, 0.99], exact):
+        got = estimate(q)
+        assert abs(got - want) <= width + 1e-9, (q, got, want, width)
+
+
+def test_histogram_is_mergeable(spark):
+    # histograms over disjoint halves (with the SAME domain) sum
+    # cellwise to the full histogram
+    from pyspark.sql import functions as F2
+    from nyc_traffic_insight_spark.sources import load_table
+
+    specs = load_all()
+    full = {r["bin"]: r["cnt"]
+            for r in specs["sketch_histogram"].builder(spark, SF_SMOKE).collect()}
+
+    li = load_table(spark, SF_SMOKE, "lineitem").select("l_orderkey", "l_extendedprice")
+    mm = li.agg(F2.min("l_extendedprice").alias("lo"),
+                F2.max("l_extendedprice").alias("hi"))
+    width = (F2.col("hi") - F2.col("lo")) / 64
+
+    def half(parity):
+        h = li.filter(F2.col("l_orderkey") % 2 == parity)
+        binned = h.crossJoin(F2.broadcast(mm)).select(
+            F2.least(F2.floor((F2.col("l_extendedprice") - F2.col("lo")) / width),
+                     F2.lit(63)).cast("int").alias("bin")
+        )
+        return {r["bin"]: r["cnt"] for r in binned.groupBy("bin")
+                .agg(F2.count(F2.lit(1)).alias("cnt")).collect()}
+
+    a, b = half(0), half(1)
+    merged = {k: a.get(k, 0) + b.get(k, 0) for k in set(a) | set(b)}
+    assert merged == full
