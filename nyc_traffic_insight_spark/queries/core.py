@@ -17,6 +17,7 @@ from nyc_traffic_insight_spark import schemas
 from nyc_traffic_insight_spark.plans.flagship import flagship_volume_features
 from nyc_traffic_insight_spark.queries import register
 from nyc_traffic_insight_spark.sources import load_table
+from nyc_traffic_insight_spark.functions.rounding import r as _r
 
 _TS_FMT = "yyyy-MM-dd HH:mm:ss"
 
@@ -460,6 +461,59 @@ def union_oversample(spark: SparkSession, sf_dir: str) -> DataFrame:
 def except_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select("event_id", "event_type")
     return ev.exceptAll(ev.filter(F.col("event_type") == "error"))
+
+
+@register(
+    "intersect_rows",
+    survey="§2.5 note: intersect one-liner (no reference analog, Spark-free)",
+    oracle="""
+    SELECT event_id, event_type FROM events WHERE value > 50
+    INTERSECT
+    SELECT event_id, event_type FROM events WHERE event_type <> 'error'
+    """,
+)
+def intersect_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    hi = ev.filter(F.col("value") > 50).select("event_id", "event_type")
+    ok = ev.filter(F.col("event_type") != "error").select("event_id", "event_type")
+    return hi.intersect(ok)
+
+
+@register(
+    "unpivot_measures",
+    survey="A7 inverse: unpivot/melt wide measures to long form "
+    "(the undo of the one-hot pivot; df.unpivot built-in)",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, measure, round(val, 4) AS val
+    FROM (
+      UNPIVOT (SELECT l_orderkey, l_linenumber, l_quantity AS quantity,
+                      l_discount AS discount, l_tax AS tax
+               FROM lineitem WHERE l_orderkey < 100)
+      ON quantity, discount, tax
+      INTO NAME measure VALUE val
+    )
+    """,
+)
+def unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide → long: the built-in unpivot (melt) turns measure columns
+    into (name, value) rows — a narrow 3× row map, no shuffle; the
+    exact inverse of the pivot that built the one-hot table."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 100)
+    out = li.select("l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_tax").unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_discount", "l_tax"],
+        "measure_raw",
+        "val_raw",
+    )
+    measure = F.expr("substring(measure_raw, 3)")  # l_quantity → quantity
+    return out.select(
+        "l_orderkey",
+        "l_linenumber",
+        measure.alias("measure"),
+        _r("val_raw", 4).alias("val"),
+    )
 
 
 # ------------------------------------------- §2.8 sorts / limits / samples
