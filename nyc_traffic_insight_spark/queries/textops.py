@@ -1480,3 +1480,95 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("csize").cast("bigint").alias("component_reach"),
         )
     )
+
+
+@register(
+    "dedup_edit_distance",
+    survey="north-star: exact Levenshtein verify on LSH candidate pairs "
+    "(char-level near-dup measure beside token Jaccard)",
+    oracle=_SIG_SQL
+    + """,
+    candidates AS (
+      SELECT DISTINCT doc1, doc2 FROM (
+        SELECT a.doc_id AS doc1, b.doc_id AS doc2 FROM sig a JOIN sig b
+          ON a.h0 = b.h0 AND a.h1 = b.h1 AND a.doc_id < b.doc_id
+        UNION
+        SELECT a.doc_id, b.doc_id FROM sig a JOIN sig b
+          ON a.h2 = b.h2 AND a.h3 = b.h3 AND a.doc_id < b.doc_id
+        UNION
+        SELECT a.doc_id, b.doc_id FROM sig a JOIN sig b
+          ON a.h4 = b.h4 AND a.h5 = b.h5 AND a.doc_id < b.doc_id
+        UNION
+        SELECT a.doc_id, b.doc_id FROM sig a JOIN sig b
+          ON a.h6 = b.h6 AND a.h7 = b.h7 AND a.doc_id < b.doc_id
+      )
+    )
+    SELECT c.doc1, c.doc2,
+           CAST(levenshtein(d1.text, d2.text) AS BIGINT) AS edit_dist,
+           CAST(greatest(length(d1.text), length(d2.text)) AS BIGINT)
+             AS max_len
+    FROM candidates c
+    JOIN documents d1 ON d1.doc_id = c.doc1
+    JOIN documents d2 ON d2.doc_id = c.doc2
+    WHERE levenshtein(d1.text, d2.text)
+          <= 0.2 * greatest(length(d1.text), length(d2.text))
+    """,
+)
+def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level near-dup verify: exact Levenshtein over the LSH
+    candidate pairs only (the O(n·m) DP would be absurd pairwise;
+    bounded to candidates it is the precision pass token Jaccard can't
+    give — catches single-character paraphrases). Distance ints are the
+    same classic DP in both engines → exact hash match."""
+    ds = _shingle_sets(spark, sf_dir).filter(F.size("sh") > 0)
+    sig = _sig_from_shingles(ds.select("doc_id", F.explode("sh").alias("s")))
+    bands_long = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.col(f"h{2*b}").alias("ha"),
+                        F.col(f"h{2*b+1}").alias("hb"),
+                    )
+                    for b in range(_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.ha", "bb.hb")
+    members = (
+        bands_long.groupBy("band", "ha", "hb")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    pair_expr = F.flatten(
+        F.transform(
+            "ids",
+            lambda x, i: F.transform(
+                F.slice("ids", i + 2, F.size("ids")),
+                lambda y: F.struct(x.alias("doc1"), y.alias("doc2")),
+            ),
+        )
+    )
+    cands = (
+        members.select(F.explode(pair_expr).alias("p"))
+        .select(F.col("p.doc1").alias("doc1"), F.col("p.doc2").alias("doc2"))
+        .distinct()
+    )
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    d1 = d.select(F.col("doc_id").alias("doc1"), F.col("text").alias("t1"))
+    d2 = d.select(F.col("doc_id").alias("doc2"), F.col("text").alias("t2"))
+    dist = F.levenshtein("t1", "t2")
+    max_len = F.greatest(F.length("t1"), F.length("t2"))
+    return (
+        cands.join(d1, "doc1")
+        .join(d2, "doc2")
+        .filter(dist <= 0.2 * max_len)
+        .select(
+            "doc1",
+            "doc2",
+            dist.cast("bigint").alias("edit_dist"),
+            max_len.cast("bigint").alias("max_len"),
+        )
+    )

@@ -326,3 +326,61 @@ def win_range_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).cast("bigint").alias("n_1h"),
         _r(F.sum("value").over(w), 4).alias("sum_1h"),
     )
+
+
+@register(
+    "time_spine_gapfill",
+    survey="§2.7 prerequisite made explicit: dense hourly spine + zero-fill "
+    "(pandas rolling ≡ Spark rowsBetween ONLY when every slot exists; "
+    "SURVEY §2.7 subtlety)",
+    oracle="""
+    WITH bounds AS (
+      SELECT event_type, date_trunc('hour', min(ts)) AS lo,
+             date_trunc('hour', max(ts)) AS hi
+      FROM events GROUP BY 1
+    ),
+    spine AS (
+      SELECT event_type, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour_ts
+      FROM bounds
+    ),
+    hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour_ts,
+             count(*) AS n, round(sum(value), 4) AS total
+      FROM events GROUP BY 1, 2
+    )
+    SELECT s.event_type, s.hour_ts,
+           CAST(coalesce(h.n, 0) AS BIGINT) AS n,
+           coalesce(h.total, 0.0) AS total,
+           CAST(h.n IS NULL AS BOOLEAN) AS filled
+    FROM spine s LEFT JOIN hourly h USING (event_type, hour_ts)
+    """,
+)
+def time_spine_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense hourly series per key: generate the min→max hour spine
+    with sequence() (a narrow per-key row generator — no driver range,
+    no cross join), left-join the real hourly aggregate, zero-fill
+    gaps and flag them. This is the preprocessing that makes
+    row-frame windows (W1-W4) equal time-frame semantics — the
+    reference silently assumes its series are dense; here the
+    assumption is materialized and checkable."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour_ts")
+    ).agg(F.count(F.lit(1)).alias("n"), _r(F.sum("value"), 4).alias("total"))
+    bounds = ev.groupBy("event_type").agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    spine = bounds.select(
+        "event_type",
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour_ts"),
+    )
+    return spine.join(hourly, ["event_type", "hour_ts"], "left").select(
+        "event_type",
+        "hour_ts",
+        F.coalesce("n", F.lit(0)).cast("bigint").alias("n"),
+        F.coalesce("total", F.lit(0.0)).alias("total"),
+        F.col("n").isNull().alias("filled"),
+    )
