@@ -421,3 +421,34 @@ def sketch_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         _r(F.min("lo"), 4).alias("domain_lo"),
         _r(F.min("hi"), 4).alias("domain_hi"),
     )
+
+
+@register(
+    "agg_grouping_sets",
+    survey="A-family extension: GROUPING SETS in one pass (cube/rollup "
+    "generalization; reference computes such rollups in separate scripts)",
+    oracle="""
+    SELECT event_type,
+           CAST(year(ts) AS INTEGER) AS yr,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 4) AS total
+    FROM events
+    GROUP BY GROUPING SETS ((event_type), (yr), (event_type, yr))
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three aggregation granularities in ONE shuffle (the expand
+    operator replicates rows per grouping set map-side) — the
+    reference runs a separate pandas groupby per granularity."""
+    ev = load_table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("__events_gs")
+    return spark.sql(
+        """
+        SELECT event_type, CAST(year(ts) AS INT) AS yr,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(floor(sum(value) * 10000.0 + 0.5) AS DOUBLE) / 10000.0
+                 AS total
+        FROM __events_gs
+        GROUP BY GROUPING SETS ((event_type), (yr), (event_type, yr))
+        """
+    )
