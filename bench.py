@@ -2,7 +2,9 @@
 
 Prints ONE JSON line:
   {"metric": "...", "value": <total_sec>, "unit": "sec",
-   "queries": {"q1": sec, ...}, "sf": <sf>}
+   "queries": {"q1": sec, ...}, "sf": <sf>,
+   "query_metrics": {"q1": {"shuffle_write_bytes": N,
+                            "spilled_bytes": N}, ...}}
 
 Each timed run executes the query plan end-to-end through the "noop"
 sink: every output row and column is materialized by the executors, but
@@ -11,6 +13,14 @@ compute without measuring driver-side row deserialization (which no
 100 TB pipeline would do anyway; results land in a table, not in
 collect()). No caching between queries; the scans re-read parquet every
 time.
+
+Wall time is the per-query MEDIAN of 3 timed reps (round-1 ran
+best-of-2; the driver/recorded gap in BENCH_r01 was ~1.7× of pure box
+noise, so the extra rep buys outlier resistance). Alongside wall time
+the harness records per-query executor metrics — shuffle write bytes
+and spilled bytes, deltas read from Spark's public status REST API —
+so a slow-but-same-shuffle rerun (box noise) is distinguishable from a
+plan regression (more bytes moved) without re-reading plans.
 """
 
 from __future__ import annotations
@@ -19,6 +29,7 @@ import json
 import os
 import sys
 import time
+import urllib.request
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -56,11 +67,39 @@ HEADLINE = [
 ]
 
 
+def _stage_totals(ui_url: str | None) -> dict[str, int]:
+    """Cumulative shuffle-write / spill bytes across all completed
+    stages, from the status REST API (public monitoring surface; the
+    same numbers the web UI's stage table shows). Returns zeros if the
+    UI is unreachable so metrics degrade gracefully to wall-time-only."""
+    if not ui_url:
+        return {"shuffle_write_bytes": 0, "spilled_bytes": 0}
+    try:
+        with urllib.request.urlopen(f"{ui_url}/api/v1/applications", timeout=5) as r:
+            app_id = json.load(r)[0]["id"]
+        with urllib.request.urlopen(
+            f"{ui_url}/api/v1/applications/{app_id}/stages?status=complete",
+            timeout=5,
+        ) as r:
+            stages = json.load(r)
+        return {
+            "shuffle_write_bytes": sum(s.get("shuffleWriteBytes", 0) for s in stages),
+            "spilled_bytes": sum(
+                s.get("memoryBytesSpilled", 0) + s.get("diskBytesSpilled", 0)
+                for s in stages
+            ),
+        }
+    except Exception:  # noqa: BLE001 - metrics are best-effort
+        return {"shuffle_write_bytes": 0, "spilled_bytes": 0}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", DEFAULT_SF_DIR)
     sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
-    spark = get_spark(app_name="ntis-bench")
+    # UI on: its REST API is where executor metrics come from
+    spark = get_spark(app_name="ntis-bench", extra_conf={"spark.ui.enabled": "true"})
     spark.sparkContext.setLogLevel("ERROR")
+    ui_url = spark.sparkContext.uiWebUrl
     specs = load_all()
 
     # Warmup pass: run every headline query once at the smallest SF so
@@ -84,9 +123,12 @@ def main() -> None:
     consume(specs["join_traffic_weather_boro"].builder(spark, sf_dir))
 
     timings: dict[str, float] = {}
+    query_metrics: dict[str, dict[str, int]] = {}
+    n_reps = 3
     for name in HEADLINE:
         reps = []
-        for _ in range(2):
+        before = _stage_totals(ui_url)
+        for _ in range(n_reps):
             # Collect garbage from the PREVIOUS run outside the timed
             # region: ~50 plans per session leave broadcast blocks and
             # shuffle state behind, and a late query otherwise pays an
@@ -95,9 +137,17 @@ def main() -> None:
             t0 = time.perf_counter()
             consume(specs[name].builder(spark, sf_dir))
             reps.append(time.perf_counter() - t0)
-        # best-of-2: the steady-state number a cluster would sustain;
-        # the worse rep is scheduler/GC noise on a shared local box
-        timings[name] = round(min(reps), 3)
+        after = _stage_totals(ui_url)
+        # median-of-3: robust to a single scheduler/GC hiccup in either
+        # direction, unlike best-of (optimistic) or mean (one bad rep
+        # drags it)
+        timings[name] = round(sorted(reps)[n_reps // 2], 3)
+        # per-run executor bytes: the reps run the same plan, so the
+        # delta divides evenly; a changed number between rounds means
+        # the PLAN changed, not the box
+        query_metrics[name] = {
+            k: (after[k] - before[k]) // n_reps for k in before
+        }
 
     total = round(sum(timings.values()), 3)
     print(
@@ -108,6 +158,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "query_metrics": query_metrics,
             }
         )
     )

@@ -55,18 +55,28 @@ def register(name: str, oracle: str | None = None, survey: str = ""):
 
 
 def load_all() -> dict[str, QuerySpec]:
-    """Import every catalog module (side effect: fills REGISTRY)."""
+    """Import every catalog module (side effect: fills REGISTRY).
+
+    Import order IS driver-check order (REGISTRY is insertion-ordered and
+    the driver's sf0.01 correctness gate walks it front-to-back with a
+    budget).  Round 1 the gate stopped at 50 queries having only reached
+    aggregates/core/geoq/joins[:2]; modules that have never produced a
+    driver-green row therefore register FIRST this round — windows, joins,
+    scalars, textops, streaming, multimodal, ml — and the already-green
+    aggregates/core register LAST, rotating coverage (VERDICT.md round 1,
+    "Next round" #1).
+    """
     from nyc_traffic_insight_spark.queries import (  # noqa: F401
+        windows,
+        joins,
+        scalars,
+        textops,
+        streamingq,
+        multimodalq,
+        mlq,
+        geoq,
         aggregates,
         core,
-        geoq,
-        joins,
-        mlq,
-        multimodalq,
-        scalars,
-        streamingq,
-        textops,
-        windows,
     )
 
     return REGISTRY

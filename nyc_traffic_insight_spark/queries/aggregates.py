@@ -423,6 +423,69 @@ def sketch_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TD_PROBES = [0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+
+
+@register(
+    "sketch_tdigest",
+    survey="north-star: t-digest-style mergeable quantile sketch "
+    "(beside sketch_histogram; NOTES.md backlog item). Rows-only: "
+    "centroid means are accumulation-order-dependent, so no value "
+    "oracle is possible — merge/accuracy invariants pinned in "
+    "tests/test_sketches.py instead",
+    oracle=None,
+)
+def sketch_tdigest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantiles of l_extendedprice via a two-level t-digest.
+
+    Level 1 (``mapInPandas``): each partition builds one ~DELTA-centroid
+    partial digest executor-side — the shuffle then carries centroid
+    rows (O(delta) per partition), not data rows. Level 2: one small
+    reduce merges all partials (P·delta rows — at 1000 executors still
+    only ~10⁵ tiny rows) and reads the probe quantiles. This is the
+    sketch the histogram can't be: no fixed domain needed up front, and
+    tail quantiles (q=0.01/0.99) get the finest resolution by
+    construction (k1 scale function). functions/tdigest.py documents
+    the determinism contract that makes the merge partition-order-safe.
+    """
+    import pandas as pd
+
+    from nyc_traffic_insight_spark.functions import tdigest as td
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_extendedprice")
+
+    def partial(batches):
+        import numpy as np
+
+        chunks = [
+            b["l_extendedprice"].to_numpy(dtype="float64") for b in batches
+        ]
+        vals = np.concatenate(chunks) if chunks else np.empty(0)
+        m, w = td.from_values(vals)
+        yield pd.DataFrame({"mean": m, "weight": w})
+
+    cent = li.mapInPandas(partial, "mean double, weight double")
+
+    def final(pdf: pd.DataFrame) -> pd.DataFrame:
+        m, w = td.compress(
+            pdf["mean"].to_numpy(dtype="float64"),
+            pdf["weight"].to_numpy(dtype="float64"),
+        )
+        return pd.DataFrame(
+            {
+                "q": _TD_PROBES,
+                "est": [td.quantile(m, w, q) for q in _TD_PROBES],
+                "n_centroids": len(m),
+                "total_weight": float(w.sum()),
+            }
+        )
+
+    return cent.groupBy(F.lit(1).alias("g")).applyInPandas(
+        final,
+        "q double, est double, n_centroids int, total_weight double",
+    )
+
+
 @register(
     "agg_grouping_sets",
     survey="A-family extension: GROUPING SETS in one pass (cube/rollup "

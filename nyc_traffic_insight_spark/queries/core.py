@@ -17,6 +17,7 @@ from nyc_traffic_insight_spark import schemas
 from nyc_traffic_insight_spark.plans.flagship import flagship_volume_features
 from nyc_traffic_insight_spark.queries import register
 from nyc_traffic_insight_spark.sources import load_table
+from nyc_traffic_insight_spark.sources.objectstore import load_object_store
 from nyc_traffic_insight_spark.functions.rounding import r as _r
 
 _TS_FMT = "yyyy-MM-dd HH:mm:ss"
@@ -60,7 +61,7 @@ register(
 
 @register(
     "scan_csv",
-    survey="S1 scan_csv + S7 sink_csv (raw_merge.py:8-9,51); S11 remote URIs are the same spark.read over gs:// (main.py:49-105, connector-only)",
+    survey="S1 scan_csv + S7 sink_csv (raw_merge.py:8-9,51)",
     oracle="SELECT * FROM lineitem",
 )
 def scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -77,6 +78,32 @@ def scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.csv(
         path, header=True, schema=schemas.LINEITEM, timestampFormat=_TS_FMT
     )
+
+
+@register(
+    "scan_object_store",
+    survey="S11 remote object fetch (main.py:49-105 GCS list+download, "
+    "main.py:170-176 gdown) — on Spark the fetch IS the scan: one "
+    "spark.read over the store URI, no download step",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def scan_object_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan via an explicit URI through the Hadoop FileSystem layer.
+
+    The reference lists a GCS bucket and downloads every blob to local
+    disk before reading (main.py:49-105); Spark executors instead read
+    byte ranges of remote objects directly, so S11 is ``spark.read``
+    over ``gs://…`` plus a connector jar + auth conf — documented in
+    ``sources/objectstore.py::CONNECTOR_REQUIREMENTS``. No network in
+    this sandbox, so the test path is a ``file://`` URI, which
+    exercises the same scheme→FileSystem resolution and split planning
+    minus the remote transport.
+    """
+    uri = "file://" + os.path.abspath(os.path.join(sf_dir, "nation.parquet"))
+    df = load_object_store(spark, uri, fmt="parquet")
+    # nanos-timestamp normalization is irrelevant for nation (no
+    # timestamp columns) — column order pinned for the hash compare
+    return df.select("n_nationkey", "n_name", "n_regionkey")
 
 
 @register(

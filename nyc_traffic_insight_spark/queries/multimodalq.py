@@ -108,7 +108,7 @@ def mm_extract_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "mm_video_frames",
-    survey="north-star: video frame-sample fan-out via mapInPandas",
+    survey="north-star: video frame-sample fan-out (explode(sequence))",
     oracle=f"""
     WITH {_ASSETS_SQL}
     SELECT asset_id, unnest(range(0, duration_ms, 1000)) AS frame_ms
@@ -116,8 +116,10 @@ def mm_extract_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def mm_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One output row per sampled frame (1 frame/s): the row-multiplying
-    mapInPandas contract a real frame decoder plugs into."""
+    """One output row per sampled frame (1 frame/s). Pure relational
+    fan-out — explode(sequence) inside whole-stage codegen, no Python
+    in the plan; a real frame decoder chains extract_features onto the
+    (asset_id, frame_ms) rows this emits."""
     return sample_video_frames(_assets(spark, sf_dir), every_ms=1000)
 
 

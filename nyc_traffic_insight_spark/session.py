@@ -27,8 +27,14 @@ def get_spark(
     app_name: str = "nyc-traffic-insight-spark",
     master: str | None = None,
     shuffle_partitions: int = 32,
+    extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
-    """Build (or fetch) the tuned SparkSession."""
+    """Build (or fetch) the tuned SparkSession.
+
+    ``extra_conf`` overrides (applied last) let callers flip
+    session-construction-time settings — bench.py turns the UI back on
+    to read executor metrics from the status REST API.
+    """
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master or f"local[{DEFAULT_CPUS}]")
@@ -44,4 +50,6 @@ def get_spark(
         # the driver's testdata stores events.ts as TIMESTAMP(NANOS)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
     return builder.getOrCreate()

@@ -110,6 +110,68 @@ def test_histogram_quantile_estimates(spark):
         assert abs(got - want) <= width + 1e-9, (q, got, want, width)
 
 
+def test_tdigest_merge_commutative_and_weight_preserving():
+    # merge(a, b) == merge(b, a) EXACTLY (compress sorts by mean before
+    # the pass), and total weight survives any merge tree — the two
+    # properties that make the sketch safe as a Spark partial aggregate
+    import numpy as np
+
+    from nyc_traffic_insight_spark.functions import tdigest as td
+
+    rng = np.random.default_rng(7)
+    a = td.from_values(rng.normal(0, 1, 5000))
+    b = td.from_values(rng.exponential(2.0, 3000))
+    ab, ba = td.merge(a, b), td.merge(b, a)
+    assert np.array_equal(ab[0], ba[0]) and np.array_equal(ab[1], ba[1])
+    assert ab[1].sum() == 8000.0
+    # centroid count stays bounded by the delta budget after merging
+    assert len(ab[0]) <= 2 * td.DELTA
+
+
+def test_tdigest_rank_error_bound():
+    # estimate's empirical rank must sit within the k1 resolution of
+    # the probed q: tight at the tails, coarsest at the median
+    import numpy as np
+
+    from nyc_traffic_insight_spark.functions import tdigest as td
+
+    rng = np.random.default_rng(11)
+    vals = rng.lognormal(3.0, 1.0, 50_000)
+    # build as 16 partial digests merged pairwise — the Spark shape
+    parts = [td.from_values(c) for c in np.array_split(vals, 16)]
+    digest = parts[0]
+    for p in parts[1:]:
+        digest = td.merge(digest, p)
+    m, w = digest
+    for q in [0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99]:
+        est = td.quantile(m, w, q)
+        rank = float(np.mean(vals <= est))
+        tol = 0.005 if min(q, 1 - q) < 0.05 else 0.03
+        assert abs(rank - q) <= tol, (q, est, rank)
+
+
+def test_tdigest_spark_query_matches_exact_quantiles(spark):
+    # the catalog entry (partition partials -> one merge) must land
+    # every probe within rank tolerance of the exact column quantile
+    import duckdb
+    import numpy as np
+
+    specs = load_all()
+    rows = specs["sketch_tdigest"].builder(spark, SF_SMOKE).collect()
+    vals = np.asarray(
+        duckdb.sql(
+            f"SELECT l_extendedprice FROM '{SF_SMOKE}/lineitem.parquet'"
+        ).fetchnumpy()["l_extendedprice"],
+        dtype="float64",
+    )
+    assert len(rows) == 7
+    assert rows[0]["total_weight"] == float(len(vals))
+    for r in rows:
+        rank = float(np.mean(vals <= r["est"]))
+        tol = 0.005 if min(r["q"], 1 - r["q"]) < 0.05 else 0.03
+        assert abs(rank - r["q"]) <= tol, (r["q"], r["est"], rank)
+
+
 def test_histogram_is_mergeable(spark):
     # histograms over disjoint halves (with the SAME domain) sum
     # cellwise to the full histogram
