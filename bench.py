@@ -1,10 +1,14 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
 
-Prints ONE JSON line:
+Prints ONE compact JSON line as the FINAL line of stdout:
   {"metric": "...", "value": <total_sec>, "unit": "sec",
-   "queries": {"q1": sec, ...}, "sf": <sf>,
-   "query_metrics": {"q1": {"shuffle_write_bytes": N,
-                            "spilled_bytes": N}, ...}}
+   "queries": {"q1": sec, ...}, "sf": <sf>}
+
+Per-query executor metrics (shuffle-write / spill byte deltas) go to a
+separate file, BENCH_metrics.json next to this script — round 2 put them
+on the headline line, which overflowed the driver's output-tail capture
+and left BENCH_r02.json unparseable (VERDICT r2, "What's wrong" #1).
+The headline line is last so tail-capture always keeps it.
 
 Each timed run executes the query plan end-to-end through the "noop"
 sink: every output row and column is materialized by the executors, but
@@ -96,8 +100,18 @@ def _stage_totals(ui_url: str | None) -> dict[str, int]:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", DEFAULT_SF_DIR)
     sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
-    # UI on: its REST API is where executor metrics come from
-    spark = get_spark(app_name="ntis-bench", extra_conf={"spark.ui.enabled": "true"})
+    # UI on: its REST API is where executor metrics come from.
+    # retainedStages is raised far above the ~500 stages a full bench run
+    # creates — the default (1000) starts evicting completed stages
+    # mid-run, silently corrupting after-before deltas (ADVICE r2 #1).
+    spark = get_spark(
+        app_name="ntis-bench",
+        extra_conf={
+            "spark.ui.enabled": "true",
+            "spark.ui.retainedStages": "20000",
+            "spark.ui.retainedJobs": "20000",
+        },
+    )
     spark.sparkContext.setLogLevel("ERROR")
     ui_url = spark.sparkContext.uiWebUrl
     specs = load_all()
@@ -144,12 +158,24 @@ def main() -> None:
         timings[name] = round(sorted(reps)[n_reps // 2], 3)
         # per-run executor bytes: the reps run the same plan, so the
         # delta divides evenly; a changed number between rounds means
-        # the PLAN changed, not the box
+        # the PLAN changed, not the box.  max(0, ...) clamps the
+        # async-status-store race where 'after' lands before the final
+        # stage posts (ADVICE r2 #1) — a negative delta is always bogus.
         query_metrics[name] = {
-            k: (after[k] - before[k]) // n_reps for k in before
+            k: max(0, after[k] - before[k]) // n_reps for k in before
         }
 
     total = round(sum(timings.values()), 3)
+    # Durable sidecar for the executor metrics; NOT on the headline line
+    # (see module docstring).
+    metrics_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_metrics.json"
+    )
+    with open(metrics_path, "w") as f:
+        json.dump({"sf": sf, "query_metrics": query_metrics}, f, indent=1)
+    spark.stop()
+    # Compact headline line LAST so the driver's output-tail capture
+    # always retains it.
     print(
         json.dumps(
             {
@@ -158,11 +184,9 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "query_metrics": query_metrics,
             }
         )
     )
-    spark.stop()
 
 
 if __name__ == "__main__":

@@ -56,24 +56,37 @@ def compress(
     means, weights = means[order], weights[order]
     total = float(weights.sum())
 
+    # Vectorized greedy span partition (ADVICE r2 #3). The sequential
+    # absorb-or-emit pass absorbs element j into the cluster that started
+    # after emitted weight W0 iff k(C[j]/total) − k(W0/total) ≤ 1, where
+    # C is the inclusive cumulative weight — the decision depends only on
+    # C, not on previously absorbed elements. k is monotone, so each
+    # cluster's last element is found directly with searchsorted against
+    # C at q_limit = k⁻¹(k(W0/total) + 1): the Python loop below runs
+    # once per OUTPUT centroid (≤ ~2δ ≈ 200), not once per input value —
+    # from_values on a 6M-row partition does 6M numpy-cumsum steps and
+    # ~200 loop iterations instead of 6M Python iterations.
+    cum = np.cumsum(weights)
+    mw = means * weights
     out_m: list[float] = []
     out_w: list[float] = []
-    cur_m, cur_w = float(means[0]), float(weights[0])
+    i = 0
     w_before = 0.0  # total weight of emitted centroids
-    for m, w in zip(means[1:], weights[1:]):
-        q0 = w_before / total
-        q2 = (w_before + cur_w + w) / total
-        if _k(q2, delta) - _k(q0, delta) <= 1.0:
-            # still inside one allowed centroid span → absorb
-            cur_m = (cur_m * cur_w + float(m) * float(w)) / (cur_w + float(w))
-            cur_w += float(w)
-        else:
-            out_m.append(cur_m)
-            out_w.append(cur_w)
-            w_before += cur_w
-            cur_m, cur_w = float(m), float(w)
-    out_m.append(cur_m)
-    out_w.append(cur_w)
+    n = means.size
+    half_pi = np.pi / 2.0
+    while i < n:
+        k0 = float(_k(w_before / total, delta))
+        # k1 inverse: q = (sin(2π·k/δ) + 1)/2, clamped at q = 1
+        ang = min((k0 + 1.0) * 2.0 * np.pi / delta, half_pi)
+        q_limit = (np.sin(ang) + 1.0) / 2.0
+        j = int(np.searchsorted(cum, q_limit * total, side="right")) - 1
+        if j < i:
+            j = i  # a cluster always keeps at least its first element
+        cw = float(cum[j]) - w_before
+        out_m.append(float(mw[i : j + 1].sum()) / cw)
+        out_w.append(cw)
+        w_before = float(cum[j])
+        i = j + 1
     return np.asarray(out_m), np.asarray(out_w)
 
 

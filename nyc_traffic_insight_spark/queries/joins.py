@@ -376,6 +376,135 @@ def join_nearest_spatial(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Deterministic road "segments" from supplier keys: anchor at the same
+# node coordinates as _SUPP_PTS, endpoint offset by ≤0.012° so every
+# segment's bounding box spans at most 2 grid cells per axis. Integer
+# mod / double-literal division is bit-identical in Spark and DuckDB, so
+# both engines build the same float64 segments.
+_SEG_SQL = """
+      SELECT s_suppkey AS seg_id,
+             -74.3 + (s_suppkey % 89) / 220.0 AS x1,
+             40.5 + (s_suppkey % 79) / 158.0 AS y1,
+             -74.3 + (s_suppkey % 89) / 220.0 + (s_suppkey % 7 - 3) / 250.0 AS x2,
+             40.5 + (s_suppkey % 79) / 158.0 + (s_suppkey % 5 - 2) / 200.0 AS y2
+      FROM supplier
+"""
+
+
+def _segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load_table(spark, sf_dir, "supplier")
+    k = F.col("s_suppkey")
+    x1 = F.lit(-74.3) + (k % 89) / 220.0
+    y1 = F.lit(40.5) + (k % 79) / 158.0
+    return s.select(
+        k.alias("seg_id"),
+        x1.alias("x1"),
+        y1.alias("y1"),
+        (x1 + (k % 7 - 3) / 250.0).alias("x2"),
+        (y1 + (k % 5 - 2) / 200.0).alias("y2"),
+    )
+
+
+@register(
+    "join_nearest_edge",
+    survey="J5 true nearest-EDGE spatial join: point-to-segment projection "
+    "distance, segment-binned (point_to_linestring.py:54-65 semantics — "
+    "snap each point to the nearest road LINESTRING, not its nearest node)",
+    oracle=f"""
+    WITH a AS ({_CUST_PTS_SQL}),
+    s AS ({_SEG_SQL}),
+    proj AS (
+      SELECT a.cust_id, s.seg_id,
+             CASE WHEN (s.x2 - s.x1) * (s.x2 - s.x1)
+                       + (s.y2 - s.y1) * (s.y2 - s.y1) = 0 THEN 0.0
+                  ELSE least(greatest(
+                    ((a.lon - s.x1) * (s.x2 - s.x1)
+                      + (a.lat - s.y1) * (s.y2 - s.y1))
+                    / ((s.x2 - s.x1) * (s.x2 - s.x1)
+                        + (s.y2 - s.y1) * (s.y2 - s.y1)), 0.0), 1.0)
+             END AS t,
+             a.lon AS px, a.lat AS py
+      FROM a, s
+    ),
+    dist AS (
+      SELECT cust_id, seg_id,
+             (px - (s.x1 + t * (s.x2 - s.x1)))
+               * (px - (s.x1 + t * (s.x2 - s.x1)))
+             + (py - (s.y1 + t * (s.y2 - s.y1)))
+               * (py - (s.y1 + t * (s.y2 - s.y1))) AS dist2
+      FROM proj JOIN s USING (seg_id)
+    ),
+    near AS (
+      SELECT cust_id, seg_id, dist2,
+             row_number() OVER (PARTITION BY cust_id
+                                ORDER BY dist2, seg_id) AS rn
+      FROM dist WHERE dist2 <= {_GRID * _GRID!r}
+    )
+    SELECT cust_id, seg_id AS nearest_seg, dist2 FROM near WHERE rn = 1
+    """,
+)
+def join_nearest_edge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-EDGE snap: each point finds the closest SEGMENT within
+    tolerance by perpendicular-projection distance (t clamped to the
+    segment body), the true semantics of the reference's osmnx
+    `nearest_edges` call — a point near the middle of a long block snaps
+    to the street, not to the far-away intersection node that
+    join_nearest_spatial would pick.
+
+    Scale path: each segment is replicated into every grid cell its
+    bounding box overlaps PLUS a one-cell margin; points join on their
+    single cell. If a point is within g of a segment, the closest point
+    C on the segment lies in a bbox cell and the point's cell is ≤1 cell
+    from C's — so the margin makes the candidate set exact, no cross
+    join. Segments here span ≤0.012° < g, so replication is ≤4×4 cells
+    of a SMALL dim (broadcast); the oracle brute-forces all pairs with
+    the identical float64 formula, ties broken by seg_id.
+    """
+    g = _GRID
+    pts = _CUST_PTS(spark, sf_dir)
+    seg = _segments(spark, sf_dir)
+
+    cxs = F.sequence(
+        F.floor(F.least("x1", "x2") / g).cast("long") - 1,
+        F.floor(F.greatest("x1", "x2") / g).cast("long") + 1,
+    )
+    cys = F.sequence(
+        F.floor(F.least("y1", "y2") / g).cast("long") - 1,
+        F.floor(F.greatest("y1", "y2") / g).cast("long") + 1,
+    )
+    seg_cells = (
+        seg.withColumn("cx", F.explode(cxs)).withColumn("cy", F.explode(cys))
+    )
+    cand = pts.select(
+        "cust_id",
+        F.col("lon").alias("px"),
+        F.col("lat").alias("py"),
+        F.floor(F.col("lon") / g).cast("long").alias("cx"),
+        F.floor(F.col("lat") / g).cast("long").alias("cy"),
+    ).join(F.broadcast(seg_cells), ["cx", "cy"])
+
+    dx = F.col("x2") - F.col("x1")
+    dy = F.col("y2") - F.col("y1")
+    den = dx * dx + dy * dy
+    t_raw = ((F.col("px") - F.col("x1")) * dx + (F.col("py") - F.col("y1")) * dy) / den
+    t = F.when(den == 0, F.lit(0.0)).otherwise(
+        F.least(F.greatest(t_raw, F.lit(0.0)), F.lit(1.0))
+    )
+    ex = F.col("px") - (F.col("x1") + F.col("t") * dx)
+    ey = F.col("py") - (F.col("y1") + F.col("t") * dy)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("cust_id").orderBy("dist2", "seg_id")
+    return (
+        cand.withColumn("t", t)
+        .withColumn("dist2", ex * ex + ey * ey)
+        .filter(F.col("dist2") <= F.lit(g * g))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("cust_id", F.col("seg_id").alias("nearest_seg"), "dist2")
+    )
+
+
 # --------------------------------------------- skew: salted join technique
 
 _SALT = 8
