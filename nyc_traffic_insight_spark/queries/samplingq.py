@@ -1,0 +1,398 @@
+"""Catalog: deterministic sampling + cardinality/membership sketches.
+
+Training-data pipelines sample and profile before they transform: a
+stratified sample to balance sources, a fixed-size per-stratum sample
+for eval sets, a cardinality estimate to size the dedup job, a
+membership filter to subset a 100 TB fact table against a small
+dimension without shuffling it. All four are implemented here on the
+same determinism contract as textops.py: md5() is the only randomness,
+so every operator gets a full DuckDB value-hash oracle — "sampling" and
+"sketching" do not mean "rows-only check".
+
+Scale notes per operator; the common theme is that none of these
+shuffle the big table. Stratified sampling is a pure filter (map-side,
+pushdown-friendly); the reservoir analog shuffles only (stratum, k)
+survivors; HLL registers are a 64-row aggregate with map-side partial
+max; the Bloom build side is tiny and the probe is a broadcast join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from nyc_traffic_insight_spark.functions.rounding import r as _r
+from nyc_traffic_insight_spark.queries import register
+from nyc_traffic_insight_spark.sources import load_table
+
+# ------------------------------------------------------------- sampling
+
+# Deterministic per-row "random" draw in [0, 100): low 8 hex chars of
+# md5(doc_id) mod 100. Bit-identical in Spark and DuckDB, uniform
+# enough for rate-based sampling (2^32 % 100 bias is ~1e-8).
+_DRAW_SQL = "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 25, 8))::BIGINT % 100"
+
+# Per-language sampling rates (percent): downsample dominant English,
+# keep mid-resource languages, upsample nothing (sampling never
+# fabricates rows — oversampling lives in union_oversample).
+_RATES_SQL = (
+    "CASE lang WHEN 'en' THEN 25 WHEN 'zh' THEN 60 WHEN 'de' THEN 60 "
+    "ELSE 90 END"
+)
+
+
+def _draw(col: str = "doc_id") -> F.Column:
+    return (
+        F.conv(F.substring(F.md5(F.col(col).cast("string")), 25, 8), 16, 10)
+        .cast("bigint")
+        % 100
+    )
+
+
+@register(
+    "sample_stratified",
+    survey="north-star: deterministic stratified sampling (per-language "
+    "rates; language-rebalancing a pretraining corpus)",
+    oracle=f"""
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE {_DRAW_SQL} < {_RATES_SQL}
+    """,
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rate-based stratified sample: keep a row iff its deterministic
+    md5 draw falls under its stratum's rate.
+
+    Scale shape: a pure per-row filter — no shuffle, no stratum-size
+    pre-pass, trivially map-side at 100 TB, and reproducible across
+    runs/retries because the draw is content-addressed (md5 of the key),
+    not an RNG. This is how you language-rebalance a pretraining corpus
+    without ever materializing per-language partitions. The md5 never
+    reaches parquet (computed post-scan), but the scan itself still
+    prunes to the three projected columns."""
+    docs = load_table(spark, sf_dir, "documents")
+    rate = (
+        F.when(F.col("lang") == "en", 25)
+        .when(F.col("lang").isin("zh", "de"), 60)
+        .otherwise(90)
+    )
+    return docs.filter(_draw() < rate).select("doc_id", "lang", "source")
+
+
+@register(
+    "sample_reservoir_topk",
+    survey="north-star: fixed-size per-stratum sample (deterministic "
+    "reservoir analog — k smallest md5 draws per source)",
+    oracle="""
+    WITH ranked AS (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rn
+      FROM documents
+    )
+    SELECT source, doc_id, rn FROM ranked WHERE rn <= 5
+    """,
+)
+def sample_reservoir_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size (k=5) uniform sample per stratum: rank rows inside
+    each source by their md5 draw and keep the k smallest — the
+    deterministic analog of reservoir sampling / Efraimidis-Spirakis
+    A-Res, with the md5 string as the priority key.
+
+    Scale shape: row_number over (source) needs each stratum on one
+    partition, which is exactly a reservoir's semantics — but Spark
+    pre-reduces it: rank-k selection has a map-side combine analog
+    (keep k smallest per partition, merge), and AQE handles a skewed
+    stratum. For stratum counts ≫ k, swap the window for
+    groupBy(source).agg(slice(array_sort(collect_list(...)), 1, k)) to
+    force the partial-aggregate path; at k=5 both plans shuffle only
+    survivors of each map task."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.select("source", "doc_id", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 5)
+        .select("source", "doc_id", "rn")
+    )
+
+
+# -------------------------------------------------------------- sketches
+
+# HyperLogLog over a 60-bit md5-derived hash, m=64 registers (p=6).
+# bucket: first 2 hex chars mod 64 (256 % 64 == 0 → uniform).
+# rho: 1 + leading-zero count of the next 13 hex chars (52 bits),
+# computed on the hex STRING — 4 bits per leading '0' char plus the
+# leading zeros inside the first non-zero hex digit — because string
+# ops are bit-identical across engines while float log2 is not.
+_HLL_ALPHA = 0.709  # alpha_64, Flajolet et al. 2007
+_HLL_M = 64
+
+
+@register(
+    "sketch_hll",
+    survey="north-star: HyperLogLog distinct-count sketch (m=64, "
+    "md5-deterministic -> full oracle; mergeable registers)",
+    oracle=f"""
+    WITH h AS (
+      SELECT md5(CAST(l_orderkey AS VARCHAR)) AS hx FROM lineitem
+    ),
+    parts AS (
+      SELECT ('0x' || substr(hx, 1, 2))::BIGINT % {_HLL_M} AS bucket,
+             regexp_replace(substr(hx, 3, 13), '^0+', '') AS stripped
+      FROM h
+    ),
+    rho AS (
+      SELECT bucket,
+             4 * (13 - length(stripped))
+             + CASE substr(stripped, 1, 1)
+                 WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2
+                 WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1
+                 WHEN '7' THEN 1 ELSE 0 END
+             + 1 AS rho
+      FROM parts
+    ),
+    regs AS (
+      SELECT bucket, max(rho) AS max_rho FROM rho GROUP BY bucket
+    )
+    SELECT {_HLL_M} AS m,
+           count(*) AS buckets_used,
+           sum(max_rho) AS reg_sum,
+           {_HLL_ALPHA} * {_HLL_M} * {_HLL_M}
+             / (sum(power(2.0, -max_rho)) + ({_HLL_M} - count(*)))
+             AS hll_estimate
+    FROM regs
+    """,
+)
+def sketch_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-count of lineitem.l_orderkey: 64 registers,
+    each the max leading-zero rank of a 52-bit md5-derived hash slice.
+
+    Scale shape: the entire 100 TB column collapses to a 64-row register
+    table with map-side partial max — this is THE sketch for sizing a
+    dedup job before running it, and the registers are mergeable across
+    shards/days by the same groupBy(bucket).max(rho). The estimate uses
+    only exact-dyadic arithmetic (sum of 2^-rho terms is exact in
+    float64, one multiply + divide after), so the oracle is a full
+    value-hash match, not rows-only; the small-range linear-counting
+    correction (n < 2.5m = 160, needs ln()) is deliberately left to the
+    caller because cross-engine ln() is not bit-stable. Accuracy
+    (~1/sqrt(64) = 13% rel err) is pinned in tests/test_sketches.py."""
+    li = load_table(spark, sf_dir, "lineitem")
+    hx = F.md5(F.col("l_orderkey").cast("string"))
+    stripped = F.regexp_replace(F.substring(hx, 3, 13), "^0+", "")
+    first = F.substring(stripped, 1, 1)
+    lz_in_digit = (
+        F.when(first == "1", 3)
+        .when(first.isin("2", "3"), 2)
+        .when(first.isin("4", "5", "6", "7"), 1)
+        .otherwise(0)
+    )
+    regs = (
+        li.select(
+            (F.conv(F.substring(hx, 1, 2), 16, 10).cast("bigint") % _HLL_M).alias(
+                "bucket"
+            ),
+            (4 * (13 - F.length(stripped)) + lz_in_digit + 1).alias("rho"),
+        )
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("max_rho"))
+    )
+    return regs.agg(
+        F.lit(_HLL_M).alias("m"),
+        F.count("*").alias("buckets_used"),
+        F.sum("max_rho").alias("reg_sum"),
+        (
+            F.lit(_HLL_ALPHA * _HLL_M * _HLL_M)
+            / (
+                F.sum(F.pow(F.lit(2.0), -F.col("max_rho")))
+                + (F.lit(_HLL_M) - F.count("*"))
+            )
+        ).alias("hll_estimate"),
+    )
+
+
+# Bloom filter: m=16384 bits, k=3 md5-seeded hash functions. Build over
+# customer keys, probe with part keys (half the probe range lies above
+# the customer range -> real negatives to exercise the filter). Sized
+# for the sf0.01 build side: n=1500 keys -> kn/m = 0.27 of bits set ~
+# e^-style load 1-e^(-kn/m) = 0.24, fp = 0.24^3 ~ 1.4%.
+_BLOOM_M = 16384
+_BLOOM_K = 3
+
+
+def _bloom_pos_sql(key_expr: str) -> str:
+    return " , ".join(
+        f"('0x' || substr(md5('{i}_' || CAST({key_expr} AS VARCHAR)), 1, 8))"
+        f"::BIGINT % {_BLOOM_M}"
+        for i in range(_BLOOM_K)
+    )
+
+
+def _bloom_positions(key: F.Column) -> F.Column:
+    return F.array(
+        *[
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"{i}_"), key.cast("string"))), 1, 8
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % _BLOOM_M
+            for i in range(_BLOOM_K)
+        ]
+    )
+
+
+@register(
+    "sketch_bloom_filter",
+    survey="north-star: Bloom-filter membership (m=16384, k=3, "
+    "md5-deterministic build over customer keys, broadcast probe)",
+    oracle=f"""
+    WITH built AS (
+      SELECT DISTINCT pos FROM (
+        SELECT unnest([{_bloom_pos_sql('c_custkey')}]) AS pos
+        FROM customer
+      )
+    ),
+    probe AS (
+      SELECT p_partkey AS probe_id,
+             unnest([{_bloom_pos_sql('p_partkey')}]) AS pos
+      FROM part
+    )
+    SELECT probe.probe_id,
+           (count(built.pos) = {_BLOOM_K}) AS maybe_present
+    FROM probe LEFT JOIN built USING (pos)
+    GROUP BY probe.probe_id
+    """,
+)
+def sketch_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership probe: build a 4096-bit filter from
+    customer keys (k=3 md5-derived bit positions each), then classify
+    every part key as maybe-present / definitely-absent.
+
+    Scale shape: this is the sketch behind semi-join reduction — the
+    build side collapses to <=16384 distinct positions regardless of
+    input size (map-side distinct, then a tiny dedup of <=16384 ints),
+    and the probe is a BROADCAST join of that position set against the
+    big table: the 100 TB side never shuffles, matching how Spark's own
+    runtime bloom-filter join pushdown
+    (spark.sql.optimizer.runtime.bloomFilter.enabled) subsets a fact
+    scan by a dimension predicate. No false negatives by construction
+    (Bloom guarantee, pinned in tests/test_sampling.py); false positives
+    at ~(1-e^{{-kn/m}})^k ~ 1.4% for n=1500."""
+    cust = load_table(spark, sf_dir, "customer")
+    part = load_table(spark, sf_dir, "part")
+    built = (
+        cust.select(
+            F.explode(_bloom_positions(F.col("c_custkey"))).alias("pos")
+        )
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    probe = part.select(
+        F.col("p_partkey").alias("probe_id"),
+        F.explode(_bloom_positions(F.col("p_partkey"))).alias("pos"),
+    )
+    return (
+        probe.join(F.broadcast(built), "pos", "left")
+        .groupBy("probe_id")
+        .agg((F.count("hit") == _BLOOM_K).alias("maybe_present"))
+    )
+
+
+@register(
+    "text_pii_scrub",
+    survey="north-star: PII redaction pass (regex email/URL scrub + "
+    "match counting; deterministic injected fixture since the synthetic "
+    "corpus carries no PII)",
+    oracle="""
+    WITH enriched AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com or https://ex.com/d/'
+                  || CAST(doc_id AS VARCHAR) AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(t, '[a-z0-9._]+@[a-z0-9.]+')) AS n_emails,
+           len(regexp_extract_all(t, 'https://[^ ]+')) AS n_urls,
+           regexp_replace(
+             regexp_replace(t, '[a-z0-9._]+@[a-z0-9.]+', '<EMAIL>', 'g'),
+             'https://[^ ]+', '<URL>', 'g') AS clean_text
+    FROM enriched
+    """,
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction over the corpus: count then mask email- and
+    URL-shaped spans. The corpus is synthetic word-salad with no PII, so
+    a deterministic fixture span is appended per doc (same expression in
+    both engines) — the regexes do real work and the oracle hash-checks
+    both the counts and the redacted text.
+
+    Patterns stay in the RE2 ∩ java.util.regex common dialect (character
+    classes + quantifiers, no lookaround/backrefs) so Spark and DuckDB
+    match identical spans.
+
+    Scale shape: pure per-row map — no shuffle, whole-stage codegen
+    string ops, pushdown-friendly. This is the shape of every
+    compliance pass (PII, toxicity masks, boilerplate strip) in a
+    pretraining pipeline: embarrassingly parallel, bounded by scan
+    throughput."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or https://ex.com/d/"),
+        F.col("doc_id").cast("string"),
+    )
+    email, url = "[a-z0-9._]+@[a-z0-9.]+", "https://[^ ]+"
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(t, F.lit(email), F.lit(0))).alias("n_emails"),
+        F.size(F.regexp_extract_all(t, F.lit(url), F.lit(0))).alias("n_urls"),
+        F.regexp_replace(
+            F.regexp_replace(t, email, "<EMAIL>"), url, "<URL>"
+        ).alias("clean_text"),
+    )
+
+
+@register(
+    "agg_percentile_exact",
+    survey="A-extension: exact grouped percentiles (p50/p90/p99 linear "
+    "interpolation; the profile-before-you-sample companion to "
+    "sketch_tdigest's approximate path)",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(CAST(l_quantity AS DOUBLE), 0.5), 6) AS p50,
+           round(quantile_cont(CAST(l_quantity AS DOUBLE), 0.9), 6) AS p90,
+           round(quantile_cont(CAST(l_quantity AS DOUBLE), 0.99), 6) AS p99
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group percentiles via Spark's percentile() (linear
+    interpolation at rank 1+(n-1)p — the same definition DuckDB's
+    quantile_cont uses, so the oracle hash-matches after shared
+    floor-form rounding).
+
+    Scale shape: exact percentile buffers each group's values on the
+    reducer — correct and cheap for LOW-cardinality groups (3 flags here
+    = 3 reducers, each holding one group in memory), which is the
+    profile-a-dimension use case. For high-cardinality or
+    memory-unbounded groups the mergeable path is sketch_tdigest
+    (aggregates.py) — this pair documents the exact/approximate
+    trade."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("double")
+    return li.groupBy("l_returnflag").agg(
+        _r(F.percentile(q, F.lit(0.5)), 6).alias("p50"),
+        _r(F.percentile(q, F.lit(0.9)), 6).alias("p90"),
+        _r(F.percentile(q, F.lit(0.99)), 6).alias("p99"),
+    )
