@@ -15,8 +15,10 @@ sink: every output row and column is materialized by the executors, but
 nothing is shipped to the driver — the standard way to benchmark Spark
 compute without measuring driver-side row deserialization (which no
 100 TB pipeline would do anyway; results land in a table, not in
-collect()). No caching between queries; the scans re-read parquet every
-time.
+collect()). The harness itself caches nothing between queries; the
+catalog's own documented session-scoped caches (widened docs/embeddings,
+shingle sets — the same ones every consumer of the engine gets) do apply,
+and are dropped via clear_caches() at teardown.
 
 Wall time is the per-query MEDIAN of 3 timed reps (round-1 ran
 best-of-2; the driver/recorded gap in BENCH_r01 was ~1.7× of pure box
@@ -71,46 +73,54 @@ HEADLINE = [
 ]
 
 
-def _stage_totals(ui_url: str | None) -> dict[str, int]:
-    """Cumulative shuffle-write / spill bytes across all completed
-    stages, from the status REST API (public monitoring surface; the
-    same numbers the web UI's stage table shows). Returns zeros if the
-    UI is unreachable so metrics degrade gracefully to wall-time-only."""
+def _exec_totals(ui_url: str | None) -> dict[str, int]:
+    """Cumulative shuffle-write bytes from the executors REST endpoint
+    (monotonic per-executor lifetime totals — NOT subject to stage
+    eviction, so no retainedStages bump is needed; that bump kept the
+    driver status store huge and inflated every r3 query ~1.2–1.45×,
+    VERDICT r3 "What's wrong" #3).  Spill bytes are only exposed on
+    stage objects, so those still come from the stages endpoint as a
+    best-effort read at the DEFAULT retention (a full run stays under
+    the 1000-stage default; if eviction ever fires the delta clamps to
+    0 rather than corrupting).  Zeros if the UI is unreachable so
+    metrics degrade gracefully to wall-time-only."""
     if not ui_url:
         return {"shuffle_write_bytes": 0, "spilled_bytes": 0}
+    out = {"shuffle_write_bytes": 0, "spilled_bytes": 0}
     try:
         with urllib.request.urlopen(f"{ui_url}/api/v1/applications", timeout=5) as r:
             app_id = json.load(r)[0]["id"]
+        with urllib.request.urlopen(
+            f"{ui_url}/api/v1/applications/{app_id}/executors", timeout=5
+        ) as r:
+            execs = json.load(r)
+        out["shuffle_write_bytes"] = sum(
+            e.get("totalShuffleWrite", 0) for e in execs
+        )
         with urllib.request.urlopen(
             f"{ui_url}/api/v1/applications/{app_id}/stages?status=complete",
             timeout=5,
         ) as r:
             stages = json.load(r)
-        return {
-            "shuffle_write_bytes": sum(s.get("shuffleWriteBytes", 0) for s in stages),
-            "spilled_bytes": sum(
-                s.get("memoryBytesSpilled", 0) + s.get("diskBytesSpilled", 0)
-                for s in stages
-            ),
-        }
+        out["spilled_bytes"] = sum(
+            s.get("memoryBytesSpilled", 0) + s.get("diskBytesSpilled", 0)
+            for s in stages
+        )
     except Exception:  # noqa: BLE001 - metrics are best-effort
-        return {"shuffle_write_bytes": 0, "spilled_bytes": 0}
+        pass
+    return out
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", DEFAULT_SF_DIR)
     sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
-    # UI on: its REST API is where executor metrics come from.
-    # retainedStages is raised far above the ~500 stages a full bench run
-    # creates — the default (1000) starts evicting completed stages
-    # mid-run, silently corrupting after-before deltas (ADVICE r2 #1).
+    # UI on: its REST API is where executor metrics come from.  Status
+    # store retention stays at defaults — shuffle totals come from the
+    # executors endpoint (lifetime-cumulative, eviction-proof), see
+    # _exec_totals.
     spark = get_spark(
         app_name="ntis-bench",
-        extra_conf={
-            "spark.ui.enabled": "true",
-            "spark.ui.retainedStages": "20000",
-            "spark.ui.retainedJobs": "20000",
-        },
+        extra_conf={"spark.ui.enabled": "true"},
     )
     spark.sparkContext.setLogLevel("ERROR")
     ui_url = spark.sparkContext.uiWebUrl
@@ -141,7 +151,7 @@ def main() -> None:
     n_reps = 3
     for name in HEADLINE:
         reps = []
-        before = _stage_totals(ui_url)
+        before = _exec_totals(ui_url)
         for _ in range(n_reps):
             # Collect garbage from the PREVIOUS run outside the timed
             # region: ~50 plans per session leave broadcast blocks and
@@ -151,7 +161,7 @@ def main() -> None:
             t0 = time.perf_counter()
             consume(specs[name].builder(spark, sf_dir))
             reps.append(time.perf_counter() - t0)
-        after = _stage_totals(ui_url)
+        after = _exec_totals(ui_url)
         # median-of-3: robust to a single scheduler/GC hiccup in either
         # direction, unlike best-of (optimistic) or mean (one bad rep
         # drags it)
@@ -173,6 +183,11 @@ def main() -> None:
     )
     with open(metrics_path, "w") as f:
         json.dump({"sf": sf, "query_metrics": query_metrics}, f, indent=1)
+    # Drop every persisted block the catalog accumulated (widened
+    # docs/embeddings, shingle sets) before stopping — VERDICT r3 #6.
+    from nyc_traffic_insight_spark.queries.textops import clear_caches
+
+    clear_caches(spark)
     spark.stop()
     # Compact headline line LAST so the driver's output-tail capture
     # always retains it.

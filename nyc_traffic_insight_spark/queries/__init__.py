@@ -54,69 +54,119 @@ def register(name: str, oracle: str | None = None, survey: str = ""):
     return deco
 
 
-# Registration-order rotation (VERDICT.md round 2, "Next round" #1).
+# Registration-order rotation (VERDICT.md round 2 #1, round 3 #7).
 # The driver's sf0.01 correctness gate walks REGISTRY front-to-back with a
-# ~50-query budget; rounds 1+2 hash-checked 98 of 126 queries, leaving
-# exactly these 28 never driver-checked (union of CORRECTNESS_r01+r02 keys
-# vs the registry).  They go FIRST this round — module import order alone
-# can't express this because the textops/aggregates/core modules each mix
-# checked and unchecked queries, so load_all() explicitly reorders the
-# registry after import.  New round-3 queries are appended here too so they
-# meet the driver immediately.
+# ~50-query budget.  After r3 every registered query has been checked at
+# least once; the round-4 ordering is freshness-driven:
+#   1. queries whose result changed this round — sketch_hll (r3's only
+#      red row, now round(,4)-ed per the catalog convention) and
+#      sim_search_ivf_topk (plan rebuilt: narrow broadcast-argmax
+#      assignment) — must be re-verified first;
+#   2. the 48 queries last checked in ROUND 1 (oldest evidence — the
+#      scalar/scan/agg/flagship set), so no query's last check ages past
+#      two rounds;
+#   3. the 35 last checked in round 2 (joins, string/date scalars, the
+#      dedup/similarity front half);
+# everything r3-fresh follows in module order.
 _CHECK_FIRST = [
-    # streaming slice (§2.12) — oracle-bearing, cheap
-    "stream_tumbling_counts",
-    "stream_sliding_counts",
-    "stream_dedup_ids",
-    "stream_sessionization",
-    # multimodal (full oracles, sha256-deterministic fake decoder)
-    "mm_extract_features",
-    "mm_video_frames",
-    "mm_asset_stats",
-    # textops back half (oracles present)
-    "text_fingerprint",
-    "doc_stats_by_source",
-    "sketch_count_min",
-    "sketch_heavy_hitters",
-    "emb_normalize",
-    "emb_quantize_int8",
-    "pipeline_text_prep",
-    "dedup_edit_distance",
-    "dedup_connected_components",
-    # scan/sketch stragglers
-    "scan_object_store",
-    "sketch_tdigest",
-    # ML surface (mostly rows-only by design — engine-seeded)
-    "ml_grouped_ols",
-    "ml_linear_regression",
-    "ml_random_forest",
-    "ml_gbt",
-    "ml_segmented_model",
-    "ml_permutation_importance",
-    "ml_inference_single_row",
-    "ml_kmeans",
-    "sim_search_ivf_kmeans",
-    "sim_search_topk_vectorized",
-    # new in round 3
-    "join_nearest_edge",
-    "sample_stratified",
-    "sample_reservoir_topk",
+    # changed this round — re-verify first
     "sketch_hll",
-    "sketch_bloom_filter",
-    "agg_percentile_exact",
-    "text_pii_scrub",
+    "sim_search_ivf_topk",
+    # last checked r1 (aging 3 rounds)
+    "flagship_volume_features",
+    "geo_reproject_forward",
+    "geo_reproject_roundtrip",
+    "agg_null_counts",
+    "agg_count",
+    "agg_distinct_years",
+    "agg_corr_matrix",
+    "agg_regression_metrics",
+    "agg_group_mean",
+    "pivot_onehot",
+    "onehot_flags",
+    "agg_feature_importance_sort",
+    "agg_rollup",
+    "agg_cube",
+    "agg_count_distinct",
+    "agg_approx_count_distinct",
+    "agg_quantiles",
+    "ols_closed_form",
+    "sketch_histogram",
+    "agg_grouping_sets",
+    "scan_csv",
+    "scan_csv_multifile",
+    "scan_csv_pruned",
+    "scan_csv_parsedates",
+    "sink_idempotent",
+    "project_drop",
+    "project_rename",
+    "dedup_rows",
+    "cast_int",
+    "cast_numeric_coerce",
+    "cast_timestamp",
+    "make_timestamp_parts",
+    "filter_dropna",
+    "fillna",
+    "filter_eq_composite",
+    "filter_bool_mask",
+    "filter_gt",
+    "filter_threshold_flag",
+    "filter_malformed_skip",
+    "union_all_shards",
+    "union_oversample",
+    "except_rows",
+    "intersect_rows",
+    "unpivot_measures",
+    "sort_time",
+    "limit_head",
+    "sample_shuffle",
+    "split_random",
+    # last checked r2
+    "join_star_broadcast",
+    "join_anti",
+    "join_semi",
+    "join_outer",
+    "join_nearest_spatial",
+    "join_salted_skew",
+    "join_asof",
+    "join_range_binned",
+    "str_wkt_parse",
+    "str_functions",
+    "str_timestamp_build",
+    "dt_extract",
+    "flag_weekend",
+    "flag_season",
+    "flag_rush_hour",
+    "cyclical_encode",
+    "log1p_expm1",
+    "interaction_products",
+    "case_volume_bins",
+    "round_decimal",
+    "cond_route",
+    "json_struct_build",
+    "json_extract",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_sig",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
+    "sim_search_bruteforce_topk",
+    "sim_search_lsh_buckets",
+    "text_token_count",
+    "text_quality_score",
+    "text_lang_id",
 ]
 
 
 def load_all() -> dict[str, QuerySpec]:
     """Import every catalog module (side effect: fills REGISTRY), then
-    reorder so never-driver-checked queries register first.
+    reorder so the stalest / most-recently-changed queries register
+    first (see ``_CHECK_FIRST``).
 
-    REGISTRY is insertion-ordered and the driver's correctness gate walks
-    it front-to-back with a budget; after two rounds of rotation the 28
-    queries in ``_CHECK_FIRST`` have never been reached, so they are moved
-    to the front (followed by everything else in module order).  Done ⇒
-    every registered query driver-checked at least once across rounds.
+    REGISTRY is insertion-ordered and the driver's correctness gate
+    walks it front-to-back with a ~50-query budget, so front placement
+    decides what gets re-verified this round.
     """
     from nyc_traffic_insight_spark.queries import (  # noqa: F401
         windows,

@@ -161,8 +161,8 @@ _HLL_M = 64
     SELECT {_HLL_M} AS m,
            count(*) AS buckets_used,
            sum(max_rho) AS reg_sum,
-           {_HLL_ALPHA} * {_HLL_M} * {_HLL_M}
-             / (sum(power(2.0, -max_rho)) + ({_HLL_M} - count(*)))
+           round({_HLL_ALPHA} * {_HLL_M} * {_HLL_M}
+             / (sum(power(2.0, -max_rho)) + ({_HLL_M} - count(*))), 4)
              AS hll_estimate
     FROM regs
     """,
@@ -174,13 +174,15 @@ def sketch_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the entire 100 TB column collapses to a 64-row register
     table with map-side partial max — this is THE sketch for sizing a
     dedup job before running it, and the registers are mergeable across
-    shards/days by the same groupBy(bucket).max(rho). The estimate uses
-    only exact-dyadic arithmetic (sum of 2^-rho terms is exact in
-    float64, one multiply + divide after), so the oracle is a full
-    value-hash match, not rows-only; the small-range linear-counting
-    correction (n < 2.5m = 160, needs ln()) is deliberately left to the
-    caller because cross-engine ln() is not bit-stable. Accuracy
-    (~1/sqrt(64) = 13% rel err) is pinned in tests/test_sketches.py."""
+    shards/days by the same groupBy(bucket).max(rho). The register
+    columns (buckets_used, reg_sum) are exact integers; the estimate is
+    one power-sum + divide whose last ulp differs between Spark's pow
+    and DuckDB's power, so per the catalog convention it is round(,4)-ed
+    on both sides (r3's raw emission was the registry's only red row).
+    The small-range linear-counting correction (n < 2.5m = 160, needs
+    ln()) is deliberately left to the caller because cross-engine ln()
+    is not bit-stable. Accuracy (~1/sqrt(64) = 13% rel err) is pinned in
+    tests/test_sketches.py."""
     li = load_table(spark, sf_dir, "lineitem")
     hx = F.md5(F.col("l_orderkey").cast("string"))
     stripped = F.regexp_replace(F.substring(hx, 3, 13), "^0+", "")
@@ -205,12 +207,13 @@ def sketch_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(_HLL_M).alias("m"),
         F.count("*").alias("buckets_used"),
         F.sum("max_rho").alias("reg_sum"),
-        (
+        _r(
             F.lit(_HLL_ALPHA * _HLL_M * _HLL_M)
             / (
                 F.sum(F.pow(F.lit(2.0), -F.col("max_rho")))
                 + (F.lit(_HLL_M) - F.count("*"))
-            )
+            ),
+            4,
         ).alias("hll_estimate"),
     )
 

@@ -1,0 +1,81 @@
+"""Session-scoped cache lifecycle (VERDICT r3 "Next round" #1 and #6).
+
+The textops catalog holds two documented caches — the widened
+docs/embeddings tables (_WIDE_CACHE) and the persisted shingle sets
+(_SHINGLE_CACHE). These tests pin:
+
+- the widening only fires when the parquet footer says the scan cannot
+  reach session parallelism (single-row-group local fixture), and the
+  resulting exchange happens ONCE per (app, sf_dir), not per query;
+- clear_caches() drops every block the module persisted (bench calls it
+  at teardown so no storage outlives the run).
+"""
+
+from __future__ import annotations
+
+from tests.conftest import SF_SMOKE
+
+from nyc_traffic_insight_spark.queries import textops
+
+
+def _n_persistent(spark) -> int:
+    return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+
+def test_wide_table_cached_once_per_session(spark):
+    textops.clear_caches(spark)
+    d1 = textops._docs(spark, SF_SMOKE)
+    d2 = textops._docs(spark, SF_SMOKE)
+    # same persisted DataFrame object — one exchange per session, every
+    # later consumer reads the cached partitions
+    assert d1 is d2
+    key = (spark.sparkContext.applicationId, SF_SMOKE, "documents")
+    assert key in textops._WIDE_CACHE
+    # the fixture is a single row group, so widening must have fired to
+    # session parallelism
+    d1.write.format("noop").mode("overwrite").save()
+    assert d1.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+    textops.clear_caches(spark)
+
+
+def test_row_group_gate_skips_wide_scans(tmp_path, spark):
+    # a table whose row-group count >= defaultParallelism must NOT be
+    # repartitioned or cached — on a cluster the scan is already wide
+    # and the exchange would be a full-corpus shuffle for nothing
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    docs = tmp_path / "documents.parquet"
+    tbl = pa.table(
+        {
+            "doc_id": list(range(64)),
+            "source": ["s"] * 64,
+            "lang": ["en"] * 64,
+            "text": ["hello world"] * 64,
+        }
+    )
+    pq.write_table(tbl, str(docs), row_group_size=1)  # 64 row groups
+    assert textops._parquet_row_groups(str(tmp_path), "documents") == 64
+    n_before = _n_persistent(spark)
+    df = textops._docs(spark, str(tmp_path))
+    key = (spark.sparkContext.applicationId, str(tmp_path), "documents")
+    assert key not in textops._WIDE_CACHE
+    assert _n_persistent(spark) == n_before
+    # pass-through: plan is the raw scan, no Exchange node
+    assert "Exchange" not in df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_clear_caches_unpersists_everything(spark):
+    textops.clear_caches(spark)
+    base = _n_persistent(spark)
+    textops._docs(spark, SF_SMOKE).count()
+    textops._embs(spark, SF_SMOKE).count()
+    textops._shingle_sets_persisted(spark, SF_SMOKE).count()
+    assert _n_persistent(spark) >= base  # blocks materialize lazily but
+    # the cache dicts must be populated
+    assert len(textops._WIDE_CACHE) + len(textops._SHINGLE_CACHE) >= 3
+    dropped = textops.clear_caches(spark)
+    assert dropped >= 3
+    assert not textops._WIDE_CACHE
+    assert not textops._SHINGLE_CACHE
+    assert _n_persistent(spark) <= base
