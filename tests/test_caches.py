@@ -71,11 +71,14 @@ def test_clear_caches_unpersists_everything(spark):
     textops._docs(spark, SF_SMOKE).count()
     textops._embs(spark, SF_SMOKE).count()
     textops._shingle_sets_persisted(spark, SF_SMOKE).count()
+    cents = textops._ivf_centroids(spark, SF_SMOKE)
+    assert cents and cents is textops._ivf_centroids(spark, SF_SMOKE)
     assert _n_persistent(spark) >= base  # blocks materialize lazily but
     # the cache dicts must be populated
     assert len(textops._WIDE_CACHE) + len(textops._SHINGLE_CACHE) >= 3
     dropped = textops.clear_caches(spark)
-    assert dropped >= 3
+    assert dropped >= 4
     assert not textops._WIDE_CACHE
     assert not textops._SHINGLE_CACHE
+    assert not textops._IVF_CENTROID_CACHE
     assert _n_persistent(spark) <= base
