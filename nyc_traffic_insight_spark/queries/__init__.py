@@ -69,9 +69,10 @@ def register(name: str, oracle: str | None = None, survey: str = ""):
 #      dedup/similarity front half);
 # everything r3-fresh follows in module order.
 _CHECK_FIRST = [
-    # changed this round — re-verify first
+    # changed/new this round — re-verify first
     "sketch_hll",
     "sim_search_ivf_topk",
+    "stream_file_ingest",
     # last checked r1 (aging 3 rounds)
     "flagship_volume_features",
     "geo_reproject_forward",

@@ -83,6 +83,44 @@ def stream_dedup_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_file_ingest",
+    survey="S12 rate-limited checkpointed HTTP ingest "
+    "(enrich_weather.py:69-121) as a maxFilesPerTrigger=1 file stream "
+    "with checkpoint/resume; resume semantics pinned in "
+    "tests/test_streaming.py",
+    oracle="""
+    SELECT event_id, ts, user_id, event_type, value, props FROM events
+    """,
+)
+def stream_file_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run the throttled ingest end-to-end and return what landed.
+
+    The events table is staged as 4 source files; the stream drains them
+    one file per micro-batch (availableNow) into a checkpointed parquet
+    sink, and the builder returns the sink's contents. Ingest is
+    pass-through, so the oracle is the full events table — a value-hash
+    check that every row arrived exactly once (the checkpoint + sink
+    commit log guarantee). The two-phase resume (stop, add files,
+    restart from checkpoint, no duplicates) is exercised in
+    tests/test_streaming.py."""
+    import os
+    import tempfile
+
+    from nyc_traffic_insight_spark.streaming.events import run_throttled_ingest
+
+    ev = load_table(spark, sf_dir, "events")
+    base = tempfile.mkdtemp(prefix="ntis_ingest_")
+    src = os.path.join(base, "src")
+    chk = os.path.join(base, "chk")
+    out = os.path.join(base, "out")
+    ev.repartition(4).write.parquet(src)
+    run_throttled_ingest(spark, src, chk, out, files_per_trigger=1)
+    return spark.read.parquet(out).select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+
+
+@register(
     "stream_sessionization",
     survey="§2.12 session windows per user (extension)",
     oracle="""

@@ -102,6 +102,42 @@ def run_tumbling_stream(
     )
 
 
+def run_throttled_ingest(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_dir: str,
+    out_dir: str,
+    files_per_trigger: int = 1,
+) -> None:
+    """S12 closure: the reference's rate-limited, checkpointed ingest
+    poller (``scripts/enrich_weather.py:69-121,172-178`` — 0.8 s
+    inter-request sleep, retry/backoff, partial-checkpoint resume)
+    re-expressed as a throttled file-source stream.
+
+    ``maxFilesPerTrigger=1`` caps per-micro-batch work — the streaming
+    analog of the request rate limit; the checkpoint dir records source
+    offsets — the resume state (a restarted run continues from the last
+    committed file, never re-ingesting); and the parquet sink's commit
+    log upgrades the reference's at-least-once appends to exactly-once
+    (a replayed batch is recognized and skipped). availableNow drains
+    whatever is present then stops — deterministic for tests; a
+    processingTime trigger gives the continuous poller."""
+    stream = (
+        spark.readStream.schema(EVENTS)
+        .option("maxFilesPerTrigger", files_per_trigger)
+        .parquet(source_dir)
+    )
+    (
+        stream.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
 # ------------------------------------------------ custom stateful operator
 
 SESSION_GAP_MIN = 30

@@ -305,3 +305,38 @@ def test_transform_with_state_sessionizer(spark, tmp_path, source_dir):
     assert emitted <= full
     n_users = ev.select("user_id").distinct().count()
     assert len(emitted) >= len(full) - n_users
+
+
+def test_throttled_ingest_resumes_from_checkpoint(spark, tmp_path):
+    """S12: maxFilesPerTrigger=1 ingest with checkpoint/resume.
+
+    Phase 1 stages 3 source files and drains them one per micro-batch;
+    phase 2 adds 2 more files and restarts against the SAME checkpoint —
+    only the new files may be ingested (offsets resume), and nothing is
+    double-counted (exactly-once sink commit log)."""
+    from nyc_traffic_insight_spark.streaming.events import run_throttled_ingest
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    total = ev.count()
+    src = str(tmp_path / "src")
+    chk = str(tmp_path / "chk")
+    out = str(tmp_path / "out")
+
+    first = ev.filter(F.col("event_id") % 5 < 3)
+    second = ev.filter(F.col("event_id") % 5 >= 3)
+    first.repartition(3).write.mode("append").parquet(src)
+
+    run_throttled_ingest(spark, src, chk, out, files_per_trigger=1)
+    n1 = spark.read.parquet(out).count()
+    assert n1 == first.count()
+
+    second.repartition(2).write.mode("append").parquet(src)
+    run_throttled_ingest(spark, src, chk, out, files_per_trigger=1)
+
+    got = spark.read.parquet(out)
+    assert got.count() == total  # nothing lost...
+    assert got.select("event_id").distinct().count() == total  # ...or duplicated
+
+    # re-run with NO new files: offsets say everything is committed
+    run_throttled_ingest(spark, src, chk, out, files_per_trigger=1)
+    assert spark.read.parquet(out).count() == total
