@@ -73,6 +73,10 @@ _CHECK_FIRST = [
     "sketch_hll",
     "sim_search_ivf_topk",
     "stream_file_ingest",
+    "text_decontaminate",
+    "shard_pack_greedy",
+    "vocab_top_ngrams",
+    "sample_temperature_mix",
     # last checked r1 (aging 3 rounds)
     "flagship_volume_features",
     "geo_reproject_forward",

@@ -1743,3 +1743,247 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             max_len.cast("bigint").alias("max_len"),
         )
     )
+
+
+# ----------------------------------------- training-set hygiene & packing
+
+# Decontamination: a training corpus must not contain the eval set.
+# Standard practice flags any training doc sharing a long n-gram with an
+# eval doc (GPT-3 appendix C used 13-grams; The Pile and successors
+# 8–13). The synthetic docs here average ~40 words from a small
+# vocabulary, so the query uses the catalog's 3-word shingles to keep
+# the collision structure non-trivial; the n is a constant in
+# _SHINGLES_SQL / _shingle_sets and widening it changes nothing in the
+# plan. "Eval set" is the deterministic doc_id % 97 == 0 slice.
+_DECON_EVAL_MOD = 97
+
+
+@register(
+    "text_decontaminate",
+    survey="north-star: train/eval n-gram decontamination (overlap join "
+    "against a broadcast eval shingle set)",
+    oracle=_SHINGLES_SQL
+    + f""",
+    eval_sh AS (
+      SELECT DISTINCT s FROM shingles WHERE doc_id % {_DECON_EVAL_MOD} = 0
+    ),
+    hits AS (
+      SELECT t.doc_id, count(DISTINCT t.s) AS n_shared
+      FROM shingles t JOIN eval_sh e ON t.s = e.s
+      WHERE t.doc_id % {_DECON_EVAL_MOD} <> 0
+      GROUP BY 1
+    )
+    SELECT doc_id, CAST(n_shared AS BIGINT) AS n_shared
+    FROM hits WHERE n_shared >= 2
+    """,
+)
+def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flag training docs sharing ≥2 distinct shingles with the eval set.
+
+    Scale shape: the eval side is a benchmark suite — thousands of docs,
+    millions of n-grams at most — so its DISTINCT shingle set broadcasts
+    and the 100 TB training side is scanned ONCE with a map-side
+    broadcast-hash semi-join + partial count; no full-corpus shuffle.
+    (array_intersect against the persisted per-doc shingle arrays would
+    also work, but the exploded broadcast join keeps the probe inside
+    whole-stage codegen.) Counts are integers → exact hash match."""
+    sh = _shingle_sets_persisted(spark, sf_dir).select(
+        "doc_id", F.explode("sh").alias("s")
+    )
+    is_eval = F.col("doc_id") % _DECON_EVAL_MOD == 0
+    eval_sh = sh.filter(is_eval).select("s").distinct()
+    return (
+        sh.filter(~is_eval)
+        .join(F.broadcast(eval_sh), "s")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("s").alias("n_shared"))
+        .filter(F.col("n_shared") >= 2)
+        .select("doc_id", F.col("n_shared").cast("bigint").alias("n_shared"))
+    )
+
+
+_PACK_BUDGET = 256  # whitespace tokens per shard
+
+
+@register(
+    "shard_pack_greedy",
+    survey="north-star: token-budget shard packing (per-source greedy "
+    "prefix-sum assignment for training-shard layout)",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT doc_id, source,
+             len(regexp_split_to_array(trim(text), '\s+')) AS n_tok
+      FROM documents
+    ),
+    run AS (
+      SELECT doc_id, source, n_tok,
+             sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING) AS prior_tok
+      FROM toks
+    )
+    SELECT doc_id, source, CAST(n_tok AS BIGINT) AS n_tok,
+           CAST(COALESCE(prior_tok, 0) // {_PACK_BUDGET} AS BIGINT) AS shard_idx
+    FROM run
+    """,
+)
+def shard_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign each doc to a training shard: within its source, docs are
+    packed in doc_id order until the shard's token budget is exhausted
+    (shard_idx = exclusive-prefix-sum of tokens ÷ budget — greedy
+    first-fit in one pass, a doc straddling the boundary opens the next
+    shard).
+
+    Scale shape: the window partitions by SOURCE, so the prefix sum
+    distributes — one source's docs sort together, never a global
+    single-partition window (the global variant needs the classic
+    two-phase per-partition-offset prefix sum; per-source is what
+    training-data layouts actually do, keeping domains contiguous).
+    Integer tokens and integer division → exact hash match."""
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    toks = d.select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.trim("text"), r"\s+")).alias("n_tok"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prior = F.coalesce(F.sum("n_tok").over(w), F.lit(0))
+    return toks.select(
+        "doc_id",
+        "source",
+        F.col("n_tok").cast("bigint").alias("n_tok"),
+        F.floor(prior / _PACK_BUDGET).cast("bigint").alias("shard_idx"),
+    )
+
+
+_VOCAB_TOPK = 100
+
+
+@register(
+    "vocab_top_ngrams",
+    survey="north-star: vocabulary building — corpus top-k unigrams by "
+    "document frequency (tokenizer-training prep)",
+    oracle=rf"""
+    WITH words AS (
+      SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+'))
+               AS term
+      FROM documents
+    ),
+    df_tf AS (
+      SELECT term, count(DISTINCT doc_id) AS doc_freq, count(*) AS term_freq
+      FROM words GROUP BY 1
+    ),
+    ranked AS (
+      SELECT term, CAST(doc_freq AS BIGINT) AS doc_freq,
+             CAST(term_freq AS BIGINT) AS term_freq,
+             row_number() OVER (ORDER BY doc_freq DESC, term_freq DESC, term)
+               AS rk
+      FROM df_tf
+    )
+    SELECT term, doc_freq, term_freq, CAST(rk AS INTEGER) AS rk
+    FROM ranked WHERE rk <= {_VOCAB_TOPK}
+    """,
+)
+def vocab_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: top-k terms by document frequency (ties by
+    total term frequency, then lexicographic — fully deterministic).
+
+    Scale shape: explode → two-level aggregate with map-side partials
+    (the per-(term, doc) distinct collapses locally before shuffling),
+    then a top-k. Hot terms skew the TERM aggregate but aggregates
+    (unlike joins) absorb skew via partial combine. The final global
+    row_number runs on the k-bounded aggregate output, not the corpus:
+    Spark plans a single-partition window over |vocab| rows, which is
+    the same TakeOrdered shape a 100 TB run would use after the
+    aggregate shrinks the data."""
+    from pyspark.sql import Window
+
+    words = _docs(spark, sf_dir).select(
+        "doc_id", F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("term")
+    )
+    df_tf = words.groupBy("term").agg(
+        F.count_distinct("doc_id").alias("doc_freq"),
+        F.count(F.lit(1)).alias("term_freq"),
+    )
+    wr = Window.orderBy(F.desc("doc_freq"), F.desc("term_freq"), F.col("term"))
+    return (
+        df_tf.withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") <= _VOCAB_TOPK)
+        .select(
+            "term",
+            F.col("doc_freq").cast("bigint").alias("doc_freq"),
+            F.col("term_freq").cast("bigint").alias("term_freq"),
+            F.col("rk").cast("int").alias("rk"),
+        )
+    )
+
+
+# Temperature-based source mixing: up/down-weight sources so the mixture
+# follows share^alpha (alpha<1 flattens toward uniform — the multilingual
+# / domain-balancing trick). Deterministic: per-source keep-quota from
+# exact integer counts, docs ranked by md5(doc_id) so both engines pick
+# the identical subset.
+_MIX_ALPHA = 0.5
+
+
+@register(
+    "sample_temperature_mix",
+    survey="north-star: temperature-based source mixing "
+    "(share^alpha data-balance resample, md5-deterministic)",
+    oracle=f"""
+    WITH counts AS (
+      SELECT source, count(*) AS n FROM documents GROUP BY 1
+    ),
+    quota AS (
+      SELECT source, n,
+             CAST(ceil(pow(n, {_MIX_ALPHA})) AS BIGINT) AS keep_n
+      FROM counts
+    ),
+    ranked AS (
+      SELECT d.doc_id, d.source,
+             row_number() OVER (PARTITION BY d.source
+                                ORDER BY md5(CAST(d.doc_id AS VARCHAR)))
+               AS rk
+      FROM documents d
+    )
+    SELECT r.doc_id, r.source, q.keep_n
+    FROM ranked r JOIN quota q ON q.source = r.source
+    WHERE r.rk <= q.keep_n
+    """,
+)
+def sample_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resample the corpus so each source contributes ~n^alpha docs
+    (alpha=0.5): big sources are down-weighted, small ones kept whole —
+    the standard temperature-mixing step before training-shard layout.
+
+    Scale shape: one aggregate for per-source counts (broadcast back as
+    the quota dim), one per-source window rank on the md5 key — both
+    partition by source, no global ordering anywhere. md5 ranking makes
+    the selection a value-hash-checkable contract instead of an
+    engine-seeded sample (same trick as sample_stratified)."""
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    quota = (
+        d.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "source",
+            F.ceil(F.pow(F.col("n").cast("double"), F.lit(_MIX_ALPHA)))
+            .cast("bigint")
+            .alias("keep_n"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(F.md5(F.col("doc_id").cast("string")))
+    ranked = d.select("doc_id", "source", F.row_number().over(w).alias("rk"))
+    return (
+        ranked.join(F.broadcast(quota), "source")
+        .filter(F.col("rk") <= F.col("keep_n"))
+        .select("doc_id", "source", "keep_n")
+    )
