@@ -1897,11 +1897,12 @@ def vocab_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: explode → two-level aggregate with map-side partials
     (the per-(term, doc) distinct collapses locally before shuffling),
     then a top-k. Hot terms skew the TERM aggregate but aggregates
-    (unlike joins) absorb skew via partial combine. The final global
-    row_number runs on the k-bounded aggregate output, not the corpus:
-    Spark plans a single-partition window over |vocab| rows, which is
-    the same TakeOrdered shape a 100 TB run would use after the
-    aggregate shrinks the data."""
+    (unlike joins) absorb skew via partial combine. The top-k itself is
+    orderBy().limit(k) — Spark's distributed TakeOrdered: each partition
+    keeps its local k, the driver merges k×partitions rows — NOT a
+    row_number window, which would single-partition-sort the entire
+    vocabulary (billions of terms at 100 TB). The rank column is then a
+    window over just the k survivors."""
     from pyspark.sql import Window
 
     words = _docs(spark, sf_dir).select(
@@ -1911,16 +1912,14 @@ def vocab_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("doc_id").alias("doc_freq"),
         F.count(F.lit(1)).alias("term_freq"),
     )
-    wr = Window.orderBy(F.desc("doc_freq"), F.desc("term_freq"), F.col("term"))
-    return (
-        df_tf.withColumn("rk", F.row_number().over(wr))
-        .filter(F.col("rk") <= _VOCAB_TOPK)
-        .select(
-            "term",
-            F.col("doc_freq").cast("bigint").alias("doc_freq"),
-            F.col("term_freq").cast("bigint").alias("term_freq"),
-            F.col("rk").cast("int").alias("rk"),
-        )
+    order = [F.desc("doc_freq"), F.desc("term_freq"), F.col("term")]
+    topk = df_tf.orderBy(*order).limit(_VOCAB_TOPK)
+    wr = Window.orderBy(*order)
+    return topk.select(
+        "term",
+        F.col("doc_freq").cast("bigint").alias("doc_freq"),
+        F.col("term_freq").cast("bigint").alias("term_freq"),
+        F.row_number().over(wr).cast("int").alias("rk"),
     )
 
 
@@ -1966,7 +1965,12 @@ def sample_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     the quota dim), one per-source window rank on the md5 key — both
     partition by source, no global ordering anywhere. md5 ranking makes
     the selection a value-hash-checkable contract instead of an
-    engine-seeded sample (same trick as sample_stratified)."""
+    engine-seeded sample (same trick as sample_stratified). The rank
+    still sorts each source's rows; when exact quotas aren't required
+    at 100 TB, the sort-free variant filters on a per-source md5
+    THRESHOLD (keep if md5(doc_id) < keep_n/n scaled into the hash
+    space) — one narrow pass, approximately keep_n survivors — the
+    same map-side-filter shape as sample_stratified."""
     from pyspark.sql import Window
 
     d = _docs(spark, sf_dir)

@@ -1,0 +1,83 @@
+"""Physical-plan audit: scale red flags must not creep into the catalog.
+
+Scans executed plans for the patterns that kill a 100 TB run —
+CartesianProduct (unbounded pair blowup), BatchEvalPython (row-at-a-time
+Python in the hot path), and unexpected single-partition exchanges
+(global sorts/windows over raw facts). Every currently-flagged query is
+either a documented brute-force baseline, a broadcast join against a
+tiny (k≤10 or 1-row) dimension, or a final one-row aggregate merge — the
+whitelist below says which; anything NEW showing a flag fails the test
+so plan regressions surface at test time, not in the bench.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from nyc_traffic_insight_spark.queries import load_all
+from tests.conftest import SF_SMOKE
+
+# bench headline set + the operators added in round 4: the queries whose
+# plans are performance-graded. (Full-registry audit is run manually per
+# round — some builders execute jobs at build time, too slow for CI.)
+AUDITED = [
+    "flagship_volume_features",
+    "join_traffic_weather_boro",
+    "join_traffic_weather_time",
+    "join_star_broadcast",
+    "join_asof",
+    "join_range_binned",
+    "join_salted_skew",
+    "join_nearest_spatial",
+    "agg_count",
+    "agg_regression_metrics",
+    "win_lag_multi",
+    "win_roll_mean_24",
+    "win_ranking",
+    "pivot_onehot",
+    "stream_sessionization",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "sim_search_bruteforce_topk",
+    "sim_search_lsh_buckets",
+    "sim_search_ivf_topk",
+    "sim_search_topk_vectorized",
+    "text_quality_score",
+    "text_fingerprint",
+    "geo_reproject_forward",
+    "mm_extract_features",
+    "text_decontaminate",
+    "shard_pack_greedy",
+    "vocab_top_ngrams",
+    "sample_temperature_mix",
+]
+
+# query -> flags it is ALLOWED to carry, with the reason pinned here.
+ALLOWED = {
+    # one-row global aggregate: partials shrink map-side, the single
+    # partition merges |partitions| partial rows
+    "agg_regression_metrics": {"single_partition"},
+    # brute-force cosine baseline by design: corpus × broadcast queries
+    "sim_search_bruteforce_topk": {"bnlj"},
+}
+
+
+def _flags(plan: str) -> set[str]:
+    out = set()
+    if "CartesianProduct" in plan:
+        out.add("cartesian")
+    if "BatchEvalPython" in plan:
+        out.add("python_udf_row")
+    if "Exchange SinglePartition" in plan:
+        out.add("single_partition")
+    if "BroadcastNestedLoopJoin" in plan:
+        out.add("bnlj")
+    return out
+
+
+@pytest.mark.parametrize("name", AUDITED)
+def test_plan_has_no_unexpected_scale_flags(spark, name):
+    spec = load_all()[name]
+    plan = spec.builder(spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
+    unexpected = _flags(plan) - ALLOWED.get(name, set())
+    assert not unexpected, f"{name}: new scale flags {unexpected}\n{plan[:2000]}"
