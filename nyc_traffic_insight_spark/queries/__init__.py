@@ -77,6 +77,8 @@ _CHECK_FIRST = [
     "shard_pack_greedy",
     "vocab_top_ngrams",
     "sample_temperature_mix",
+    "text_repetition_filter",
+    "pipeline_pretrain_corpus",
     # last checked r1 (aging 3 rounds)
     "flagship_volume_features",
     "geo_reproject_forward",

@@ -1991,3 +1991,201 @@ def sample_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= F.col("keep_n"))
         .select("doc_id", "source", "keep_n")
     )
+
+
+@register(
+    "text_repetition_filter",
+    survey="north-star: repetition-based quality gate (Gopher-rule "
+    "family: duplicate n-gram fraction, top-word concentration)",
+    oracle=r"""
+    WITH words AS (
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, len(w) AS n_words,
+             len(w) - 1 AS n_2g,
+             len(list_distinct(list_transform(
+               range(1, greatest(len(w), 1)),
+               i -> w[i] || ' ' || w[i+1]))) AS d_2g,
+             len(w) - 2 AS n_3g,
+             len(list_distinct(list_transform(
+               range(1, greatest(len(w) - 1, 1)),
+               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS d_3g
+      FROM words WHERE len(w) >= 3
+    ),
+    top_word AS (
+      SELECT doc_id, max(c) AS top_c FROM (
+        SELECT doc_id, count(*) AS c
+        FROM (SELECT doc_id, unnest(w) AS t FROM words) GROUP BY doc_id, t
+      ) GROUP BY doc_id
+    )
+    SELECT g.doc_id,
+           CAST(g.n_words AS BIGINT) AS n_words,
+           CAST(g.n_2g - g.d_2g AS DOUBLE) / g.n_2g AS dup_2gram_frac,
+           CAST(g.n_3g - g.d_3g AS DOUBLE) / g.n_3g AS dup_3gram_frac,
+           CAST(t.top_c AS DOUBLE) / g.n_words AS top_word_frac,
+           (CAST(g.n_2g - g.d_2g AS DOUBLE) / g.n_2g) <= 0.9
+             AND (CAST(t.top_c AS DOUBLE) / g.n_words) <= 0.3 AS keep
+    FROM grams g JOIN top_word t ON t.doc_id = g.doc_id
+    """,
+)
+def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition quality gate (the Gopher-rule family): fraction of
+    duplicated 2-/3-grams and the top word's share of the doc. Docs
+    dominated by repeated n-grams or a single token are boilerplate /
+    spam and get keep=false (thresholds 0.9 / 0.3 — the synthetic
+    small-vocabulary corpus makes high dup fractions normal, so the
+    2-gram gate is intentionally loose; production corpora use ~0.2).
+
+    Scale shape: the n-gram duplicate fractions are FULLY NARROW — the
+    slice/zip_with shingle construction and array_distinct never leave
+    the row. The top-word count does explode → groupBy, but the grouping
+    key is (doc_id, term): cardinality ~tokens, uniformly distributed,
+    with map-side partial max folding — no hot keys (unlike a global
+    term count, a per-doc count cannot skew). Ratios of integers →
+    exact IEEE754 division, hash-stable without rounding."""
+    d = _docs(spark, sf_dir)
+    w = F.split(F.lower(F.trim("text")), r"\s+")
+    n2 = F.greatest(F.size(w) - 1, F.lit(0))
+    g2 = F.zip_with(F.slice(w, 1, n2), F.slice(w, 2, n2),
+                    lambda a, b: F.concat(a, F.lit(" "), b))
+    n3 = F.greatest(F.size(w) - 2, F.lit(0))
+    g3 = F.zip_with(
+        F.zip_with(F.slice(w, 1, n3), F.slice(w, 2, n3),
+                   lambda a, b: F.concat(a, F.lit(" "), b)),
+        F.slice(w, 3, n3),
+        lambda ab, c: F.concat(ab, F.lit(" "), c),
+    )
+    grams = d.select(
+        "doc_id",
+        F.size(w).cast("bigint").alias("n_words"),
+        F.size(g2).alias("n_2g"),
+        F.size(F.array_distinct(g2)).alias("d_2g"),
+        F.size(g3).alias("n_3g"),
+        F.size(F.array_distinct(g3)).alias("d_3g"),
+    ).filter(F.col("n_words") >= 3)
+
+    top = (
+        d.select("doc_id", F.explode(w).alias("t"))
+        .groupBy("doc_id", "t")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_c"))
+    )
+
+    dup2 = (F.col("n_2g") - F.col("d_2g")).cast("double") / F.col("n_2g")
+    dup3 = (F.col("n_3g") - F.col("d_3g")).cast("double") / F.col("n_3g")
+    topf = F.col("top_c").cast("double") / F.col("n_words")
+    return (
+        grams.join(top, "doc_id")
+        .select(
+            "doc_id",
+            "n_words",
+            dup2.alias("dup_2gram_frac"),
+            dup3.alias("dup_3gram_frac"),
+            topf.alias("top_word_frac"),
+            ((dup2 <= 0.9) & (topf <= 0.3)).alias("keep"),
+        )
+    )
+
+
+@register(
+    "pipeline_pretrain_corpus",
+    survey="north-star: composed pretraining-corpus pipeline — "
+    "repetition/length gate -> eval decontamination -> exact dedup -> "
+    "token-budget shard packing",
+    oracle=_SHINGLES_SQL
+    + rf""",
+    eval_sh AS (
+      SELECT DISTINCT s FROM shingles WHERE doc_id % {_DECON_EVAL_MOD} = 0
+    ),
+    contaminated AS (
+      SELECT DISTINCT t.doc_id
+      FROM shingles t JOIN eval_sh e ON t.s = e.s
+      WHERE t.doc_id % {_DECON_EVAL_MOD} <> 0
+      GROUP BY t.doc_id, t.s
+      HAVING count(*) >= 1
+    ),
+    gated AS (
+      SELECT doc_id, source, text,
+             len(regexp_split_to_array(lower(trim(text)), '\s+')) AS n_tok
+      FROM documents
+      WHERE doc_id % {_DECON_EVAL_MOD} <> 0
+        AND len(regexp_split_to_array(lower(trim(text)), '\s+')) >= 10
+        AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+    ),
+    deduped AS (
+      SELECT doc_id, source, n_tok FROM (
+        SELECT doc_id, source, n_tok,
+               row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id)
+                 AS rn
+        FROM gated
+      ) WHERE rn = 1
+    ),
+    packed AS (
+      SELECT doc_id, source, n_tok,
+             sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING) AS prior_tok
+      FROM deduped
+    )
+    SELECT doc_id, source, CAST(n_tok AS BIGINT) AS n_tok,
+           CAST(COALESCE(prior_tok, 0) // {_PACK_BUDGET} AS BIGINT)
+             AS shard_idx
+    FROM packed
+    """,
+)
+def pipeline_pretrain_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed corpus-construction pipeline, start to finish: drop
+    eval docs, gate on length, drop anything sharing an n-gram with the
+    eval set, keep the first copy of exact duplicates, then pack the
+    survivors into per-source token-budget shards — each stage is the
+    registered standalone operator, chained.
+
+    Scale shape is the union of its parts and stays clean end-to-end:
+    the decontamination filter is a broadcast anti-join (eval n-grams
+    are tiny), exact dedup shuffles 32-byte md5 keys via a per-hash
+    row_number (first-copy-wins), and the final prefix-sum window
+    partitions by source. No stage widens data before a narrower stage
+    shrinks it — the gates run FIRST so dedup and packing only see
+    survivors."""
+    from pyspark.sql import Window
+
+    ds = _shingle_sets_persisted(spark, sf_dir).select(
+        "doc_id", F.explode("sh").alias("s")
+    )
+    is_eval = F.col("doc_id") % _DECON_EVAL_MOD == 0
+    eval_sh = ds.filter(is_eval).select("s").distinct()
+    contaminated = (
+        ds.filter(~is_eval).join(F.broadcast(eval_sh), "s").select("doc_id").distinct()
+    )
+
+    d = _docs(spark, sf_dir)
+    n_tok = F.size(F.split(F.lower(F.trim("text")), r"\s+"))
+    gated = (
+        d.filter(F.col("doc_id") % _DECON_EVAL_MOD != 0)
+        .select("doc_id", "source", "text", n_tok.alias("n_tok"))
+        .filter(F.col("n_tok") >= 10)
+        .join(F.broadcast(contaminated), "doc_id", "left_anti")
+    )
+
+    wd = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    deduped = (
+        gated.withColumn("rn", F.row_number().over(wd))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "source", "n_tok")
+    )
+
+    wp = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prior = F.coalesce(F.sum("n_tok").over(wp), F.lit(0))
+    return deduped.select(
+        "doc_id",
+        "source",
+        F.col("n_tok").cast("bigint").alias("n_tok"),
+        F.floor(prior / _PACK_BUDGET).cast("bigint").alias("shard_idx"),
+    )
