@@ -79,6 +79,7 @@ _CHECK_FIRST = [
     "sample_temperature_mix",
     "text_repetition_filter",
     "pipeline_pretrain_corpus",
+    "scan_jsonl_roundtrip",
     # last checked r1 (aging 3 rounds)
     "flagship_volume_features",
     "geo_reproject_forward",

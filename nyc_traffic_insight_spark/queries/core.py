@@ -611,3 +611,44 @@ def split_random(spark: SparkSession, sf_dir: str) -> DataFrame:
         .randomSplit([0.85, 0.15], seed=62)
     )
     return test
+
+
+@register(
+    "scan_jsonl_roundtrip",
+    survey="S1/S7 family extension: JSON-Lines sink + source round-trip "
+    "(the interchange format LLM corpora actually ship as)",
+    oracle="""
+    SELECT doc_id, text, lang, source, CAST(n_chars AS BIGINT) AS n_chars
+    FROM documents
+    """,
+)
+def scan_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write the documents table as JSON-Lines, read it back with an
+    explicit schema, return the rows — sink and source in one contract
+    (the value-hash oracle proves byte-faithful text round-tripping,
+    including JSON string escaping).
+
+    Scale notes: JSONL is line-splittable, so the read parallelizes like
+    CSV (each task scans a byte range to the next newline); the explicit
+    schema skips the whole-file inference pass Spark would otherwise
+    run. Compression at scale would be per-file zstd, which trades away
+    intra-file splits — shard count becomes the parallelism bound."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = os.path.join(
+        tempfile.mkdtemp(prefix="ntis_jsonl_"), "documents.jsonl"
+    )
+    docs.write.mode("overwrite").json(out)
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+            StructField("lang", StringType()),
+            StructField("source", StringType()),
+            StructField("n_chars", LongType()),
+        ]
+    )
+    return spark.read.schema(schema).json(out).select(
+        "doc_id", "text", "lang", "source", F.col("n_chars").cast("bigint").alias("n_chars")
+    )
