@@ -120,7 +120,12 @@ def main() -> None:
     # _exec_totals.
     spark = get_spark(
         app_name="ntis-bench",
-        extra_conf={"spark.ui.enabled": "true"},
+        extra_conf={
+            "spark.ui.enabled": "true",
+            # progress bars write \r-frames onto stdout in this setup,
+            # wrapping the headline JSON line the driver tail-captures
+            "spark.ui.showConsoleProgress": "false",
+        },
     )
     spark.sparkContext.setLogLevel("ERROR")
     ui_url = spark.sparkContext.uiWebUrl
