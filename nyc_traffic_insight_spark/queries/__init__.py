@@ -80,6 +80,7 @@ _CHECK_FIRST = [
     "text_repetition_filter",
     "pipeline_pretrain_corpus",
     "scan_jsonl_roundtrip",
+    "scan_jsonl_malformed_skip",
     # last checked r1 (aging 3 rounds)
     "flagship_volume_features",
     "geo_reproject_forward",

@@ -652,3 +652,55 @@ def scan_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.schema(schema).json(out).select(
         "doc_id", "text", "lang", "source", F.col("n_chars").cast("bigint").alias("n_chars")
     )
+
+
+@register(
+    "scan_jsonl_malformed_skip",
+    survey="F7/S-family extension: PERMISSIVE JSONL scan — malformed "
+    "lines quarantined to _corrupt_record, valid rows survive",
+    oracle="""
+    SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+    FROM documents WHERE doc_id % 10 <> 3
+    """,
+)
+def scan_jsonl_malformed_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corrupt-tolerant JSONL ingest: every doc_id % 10 == 3 line is
+    deliberately truncated mid-record before the read; PERMISSIVE mode
+    (Spark's default) routes those lines into the corrupt-record column
+    instead of failing the scan, and the query keeps the clean rows —
+    the JSON analog of the reference's try/except row skip and of F7's
+    try_cast CSV form.
+
+    Scale note: corruption handling is per-line and per-task — a broken
+    shard never poisons the job, and the corrupt column can be routed to
+    a quarantine sink for audit. The oracle pins EXACTLY which rows
+    survive (value-hash, not just a count)."""
+    import os
+    import tempfile
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.col("n_chars").cast("bigint").alias("n_chars")
+    )
+    good = F.to_json(F.struct("doc_id", "lang", "n_chars"))
+    # truncate every 10th record mid-JSON → guaranteed-invalid line
+    line = F.when(
+        F.col("doc_id") % 10 == 3, F.substring(good, 1, 12)
+    ).otherwise(good)
+    out = os.path.join(tempfile.mkdtemp(prefix="ntis_badjsonl_"), "docs.jsonl")
+    docs.select(line.alias("value")).write.mode("overwrite").text(out)
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("lang", StringType()),
+            StructField("n_chars", LongType()),
+            StructField("_corrupt_record", StringType()),
+        ]
+    )
+    parsed = spark.read.schema(schema).option("mode", "PERMISSIVE").json(out)
+    return (
+        parsed.filter(F.col("_corrupt_record").isNull())
+        .select("doc_id", "lang", "n_chars")
+    )
