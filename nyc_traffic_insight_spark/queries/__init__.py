@@ -81,6 +81,7 @@ _CHECK_FIRST = [
     "pipeline_pretrain_corpus",
     "scan_jsonl_roundtrip",
     "scan_jsonl_malformed_skip",
+    "dedup_incremental_batch",
     # last checked r1 (aging 3 rounds)
     "flagship_volume_features",
     "geo_reproject_forward",

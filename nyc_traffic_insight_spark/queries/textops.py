@@ -2189,3 +2189,109 @@ def pipeline_pretrain_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_tok").cast("bigint").alias("n_tok"),
         F.floor(prior / _PACK_BUDGET).cast("bigint").alias("shard_idx"),
     )
+
+
+# Incremental ingestion: at 100 TB you never re-dedup the whole corpus —
+# each new crawl batch is probed against the existing corpus's indexes
+# (content-hash set for exact dups, LSH buckets for near-dups) and only
+# survivors append. The deterministic doc_id % 5 == 4 slice plays the
+# "new batch"; everything else is the standing corpus.
+_INCR_MOD = 5
+_INCR_NEW = 4
+
+
+@register(
+    "dedup_incremental_batch",
+    survey="north-star: incremental batch dedup — probe the new batch "
+    "against the standing corpus (exact hash anti-join + shingle "
+    "overlap), never re-dedup the corpus",
+    oracle=_SHINGLES_SQL
+    + f""",
+    new_docs AS (
+      SELECT doc_id, md5(text) AS h FROM documents
+      WHERE doc_id % {_INCR_MOD} = {_INCR_NEW}
+    ),
+    corpus AS (
+      SELECT doc_id, md5(text) AS h FROM documents
+      WHERE doc_id % {_INCR_MOD} <> {_INCR_NEW}
+    ),
+    exact_survivors AS (
+      SELECT n.doc_id FROM new_docs n
+      WHERE n.h NOT IN (SELECT h FROM corpus)
+    ),
+    overlap AS (
+      SELECT a.doc_id, max(j) AS best_j FROM (
+        SELECT sa.doc_id, sb.doc_id AS corpus_id,
+               CAST(count(*) AS DOUBLE)
+                 / ((SELECT count(*) FROM shingles x WHERE x.doc_id = sa.doc_id)
+                    + (SELECT count(*) FROM shingles y WHERE y.doc_id = sb.doc_id)
+                    - count(*)) AS j
+        FROM shingles sa
+        JOIN shingles sb ON sb.s = sa.s
+          AND sb.doc_id % {_INCR_MOD} <> {_INCR_NEW}
+        WHERE sa.doc_id % {_INCR_MOD} = {_INCR_NEW}
+        GROUP BY sa.doc_id, sb.doc_id
+      ) a GROUP BY a.doc_id
+    )
+    SELECT e.doc_id,
+           round(COALESCE(o.best_j, 0.0), 4) AS best_corpus_jaccard,
+           COALESCE(o.best_j, 0.0) < 0.5 AS keep
+    FROM exact_survivors e LEFT JOIN overlap o ON o.doc_id = e.doc_id
+    """,
+)
+def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup a new ingest batch against the standing corpus: exact dups
+    die on a content-hash anti-join; near-dups are scored by the best
+    Jaccard against any corpus doc sharing a shingle, and keep=false
+    above 0.5.
+
+    Scale shape — the whole point of the incremental form: the CORPUS
+    side is only ever touched through its indexes (hash set, shingle
+    postings), both shuffled by uniform md5/shingle keys; the expensive
+    per-pair scoring is bounded by |new batch| × (docs sharing a
+    shingle), never |corpus|². In production the corpus's shingle
+    postings are a standing bucketed table, so each daily batch probes
+    co-located buckets without re-shuffling the corpus (same layout
+    tests/test_bucketing.py pins). Jaccard is a ratio of ints; the max
+    over candidates is order-free → round(,4) only for the final
+    column."""
+    d = _docs(spark, sf_dir)
+    is_new = F.col("doc_id") % _INCR_MOD == _INCR_NEW
+    hashed = d.select("doc_id", F.md5("text").alias("h"))
+    new_h = hashed.filter(is_new)
+    corpus_h = hashed.filter(~is_new).select("h").distinct()
+    exact_survivors = new_h.join(corpus_h, "h", "left_anti").select("doc_id")
+
+    sh = _shingle_sets_persisted(spark, sf_dir)
+    cnt = sh.select("doc_id", F.size("sh").alias("n"))
+    posts = sh.select("doc_id", F.explode("sh").alias("s"))
+    new_posts = posts.filter(is_new)
+    corpus_posts = posts.filter(~is_new).select(
+        F.col("doc_id").alias("corpus_id"), "s"
+    )
+    pair_common = (
+        new_posts.join(corpus_posts, "s")
+        .groupBy("doc_id", "corpus_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    ca = cnt.select(F.col("doc_id"), F.col("n").alias("na"))
+    cb = cnt.select(F.col("doc_id").alias("corpus_id"), F.col("n").alias("nb"))
+    best = (
+        pair_common.join(ca, "doc_id")
+        .join(cb, "corpus_id")
+        .select(
+            "doc_id",
+            (F.col("c").cast("double") / (F.col("na") + F.col("nb") - F.col("c"))).alias("j"),
+        )
+        .groupBy("doc_id")
+        .agg(F.max("j").alias("best_j"))
+    )
+    best_j = F.coalesce(F.col("best_j"), F.lit(0.0))
+    return (
+        exact_survivors.join(best, "doc_id", "left")
+        .select(
+            "doc_id",
+            _r(best_j, 4).alias("best_corpus_jaccard"),
+            (best_j < 0.5).alias("keep"),
+        )
+    )
