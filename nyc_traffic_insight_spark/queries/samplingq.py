@@ -399,3 +399,84 @@ def agg_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         _r(F.percentile(q, F.lit(0.9)), 6).alias("p90"),
         _r(F.percentile(q, F.lit(0.99)), 6).alias("p99"),
     )
+
+
+@register(
+    "sketch_hll_by_group",
+    survey="north-star: grouped HyperLogLog — per-event_type distinct "
+    "users, the mergeable per-key rollup shape",
+    oracle=f"""
+    WITH h AS (
+      SELECT event_type, md5(CAST(user_id AS VARCHAR)) AS hx FROM events
+    ),
+    parts AS (
+      SELECT event_type,
+             ('0x' || substr(hx, 1, 2))::BIGINT % {_HLL_M} AS bucket,
+             regexp_replace(substr(hx, 3, 13), '^0+', '') AS stripped
+      FROM h
+    ),
+    rho AS (
+      SELECT event_type, bucket,
+             4 * (13 - length(stripped))
+             + CASE substr(stripped, 1, 1)
+                 WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2
+                 WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1
+                 WHEN '7' THEN 1 ELSE 0 END
+             + 1 AS rho
+      FROM parts
+    ),
+    regs AS (
+      SELECT event_type, bucket, max(rho) AS max_rho
+      FROM rho GROUP BY 1, 2
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS buckets_used,
+           round({_HLL_ALPHA} * {_HLL_M} * {_HLL_M}
+             / (sum(power(2.0, -max_rho)) + ({_HLL_M} - count(*))), 4)
+             AS hll_estimate
+    FROM regs GROUP BY 1
+    """,
+)
+def sketch_hll_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event_type HLL distinct-user estimate: the grouped form of
+    sketch_hll, whose register table keys on (group, bucket).
+
+    This is the rollup shape that matters operationally: per-day /
+    per-shard register tables (|groups| × 64 rows) are tiny, mergeable
+    by the same groupBy(group, bucket).max(rho) — so "distinct users
+    per type per day" rolls up to per-month WITHOUT rescanning events,
+    and the same map-side partial max collapses the 100 TB fact scan.
+    Estimate rounded to 4dp on both sides per the catalog convention
+    (see sketch_hll)."""
+    ev = load_table(spark, sf_dir, "events")
+    hx = F.md5(F.col("user_id").cast("string"))
+    stripped = F.regexp_replace(F.substring(hx, 3, 13), "^0+", "")
+    first = F.substring(stripped, 1, 1)
+    lz_in_digit = (
+        F.when(first == "1", 3)
+        .when(first.isin("2", "3"), 2)
+        .when(first.isin("4", "5", "6", "7"), 1)
+        .otherwise(0)
+    )
+    regs = (
+        ev.select(
+            "event_type",
+            (F.conv(F.substring(hx, 1, 2), 16, 10).cast("bigint") % _HLL_M).alias(
+                "bucket"
+            ),
+            (4 * (13 - F.length(stripped)) + lz_in_digit + 1).alias("rho"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(F.max("rho").alias("max_rho"))
+    )
+    return regs.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("buckets_used"),
+        _r(
+            F.lit(_HLL_ALPHA * _HLL_M * _HLL_M)
+            / (
+                F.sum(F.pow(F.lit(2.0), -F.col("max_rho")))
+                + (F.lit(_HLL_M) - F.count("*"))
+            ),
+            4,
+        ).alias("hll_estimate"),
+    )
