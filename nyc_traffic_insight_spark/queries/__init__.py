@@ -83,6 +83,7 @@ _CHECK_FIRST = [
     "scan_jsonl_malformed_skip",
     "dedup_incremental_batch",
     "sketch_hll_by_group",
+    "qa_referential_integrity",
     # last checked r1 (aging 3 rounds)
     "flagship_volume_features",
     "geo_reproject_forward",

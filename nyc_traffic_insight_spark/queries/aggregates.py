@@ -515,3 +515,61 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((event_type), (yr), (event_type, yr))
         """
     )
+
+
+@register(
+    "qa_referential_integrity",
+    survey="north-star: referential-integrity audit across the star "
+    "schema (orphan counts per foreign key, one row per edge)",
+    oracle="""
+    SELECT 'lineitem.l_orderkey->orders' AS fk_edge,
+           CAST((SELECT count(*) FROM lineitem) AS BIGINT) AS n_child,
+           CAST((SELECT count(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_orderkey = l.l_orderkey))
+                AS BIGINT) AS n_orphans
+    UNION ALL
+    SELECT 'orders.o_custkey->customer',
+           CAST((SELECT count(*) FROM orders) AS BIGINT),
+           CAST((SELECT count(*) FROM orders r
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = r.o_custkey))
+                AS BIGINT)
+    UNION ALL
+    SELECT 'customer.c_nationkey->nation',
+           CAST((SELECT count(*) FROM customer) AS BIGINT),
+           CAST((SELECT count(*) FROM customer c
+                 WHERE NOT EXISTS (SELECT 1 FROM nation n
+                                   WHERE n.n_nationkey = c.c_nationkey))
+                AS BIGINT)
+    """,
+)
+def qa_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orphan audit over three FK edges of the star schema — the
+    pre-flight data-quality gate every pipeline runs before joins are
+    trusted (the reference discovers bad keys as silent NaN fan-in
+    after its merges; this surfaces them as counts up front).
+
+    Scale shape: each edge is a LEFT ANTI join counted — the parent
+    side (orders/customer/nation keys) broadcasts when small, and the
+    anti-join short-circuits per probe; the child table is scanned once
+    per edge with only the FK column read (column pruning). Counts are
+    exact integers → hash-stable."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+
+    def edge(name: str, child: DataFrame, fk: str, parent: DataFrame, pk: str):
+        orphans = child.join(
+            parent.select(pk), child[fk] == parent[pk], "left_anti"
+        )
+        return child.agg(
+            F.lit(name).alias("fk_edge"),
+            F.count(F.lit(1)).alias("n_child"),
+        ).crossJoin(orphans.agg(F.count(F.lit(1)).alias("n_orphans")))
+
+    e1 = edge("lineitem.l_orderkey->orders", li, "l_orderkey", orders, "o_orderkey")
+    e2 = edge("orders.o_custkey->customer", orders, "o_custkey", cust, "c_custkey")
+    e3 = edge("customer.c_nationkey->nation", cust, "c_nationkey", nation, "n_nationkey")
+    return e1.unionByName(e2).unionByName(e3)
