@@ -84,6 +84,8 @@ _CHECK_FIRST = [
     "dedup_incremental_batch",
     "sketch_hll_by_group",
     "qa_referential_integrity",
+    "text_perplexity_proxy",
+    "join_interval_overlap",
     # last checked r1 (aging 3 rounds)
     "flagship_volume_features",
     "geo_reproject_forward",

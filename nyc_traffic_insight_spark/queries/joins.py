@@ -708,3 +708,98 @@ def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("ts") >= F.col("iv_start")) & (F.col("ts") < F.col("iv_end")))
         .select("event_id", "iv_id", "ts", "iv_start", "iv_end")
     )
+
+
+@register(
+    "join_interval_overlap",
+    survey="J-family extension: interval x interval OVERLAP join via "
+    "double binning - both sides are ranges, neither nested-loops",
+    oracle="""
+    WITH a AS (
+      SELECT s_suppkey AS a_id,
+             TIMESTAMP '2024-01-01' + to_minutes((s_suppkey * 137) % 10080)
+               AS a_start,
+             TIMESTAMP '2024-01-01' + to_minutes((s_suppkey * 137) % 10080
+               + 20 + s_suppkey % 45) AS a_end
+      FROM supplier
+    ),
+    b AS (
+      SELECT n_nationkey AS b_id,
+             TIMESTAMP '2024-01-01' + to_minutes((n_nationkey * 211) % 10080)
+               AS b_start,
+             TIMESTAMP '2024-01-01' + to_minutes((n_nationkey * 211) % 10080
+               + 15 + n_nationkey % 50) AS b_end
+      FROM nation
+    )
+    SELECT a.a_id, b.b_id,
+           greatest(a.a_start, b.b_start) AS ov_start,
+           least(a.a_end, b.b_end) AS ov_end,
+           CAST(epoch_us(least(a.a_end, b.b_end))
+                - epoch_us(greatest(a.a_start, b.b_start)) AS BIGINT) // 60000000
+             AS ov_min
+    FROM a JOIN b ON a.a_start < b.b_end AND b.b_start < a.a_end
+    """,
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval × interval overlap join (a.start < b.end AND b.start <
+    a.end) — the two-sided generalization of join_range_binned, e.g.
+    sessions × maintenance windows.
+
+    Plan: BOTH sides explode to the 60-min bins they span (≤3 bins here
+    — bin width of the order of the max interval length caps the
+    fan-out), the join
+    is an equi-join on bin with the exact overlap predicate as residual,
+    and a distinct() collapses pairs that met in more than one shared
+    bin. Shuffle keys are uniform bins — co-locating and AQE-splittable
+    — where the naive predicate join is a broadcast nested loop that
+    stops scaling the moment neither interval table is broadcastable.
+    The oracle runs the naive form; results are identical."""
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    base = F.to_timestamp(F.lit("2024-01-01"))
+
+    def intervals(df: DataFrame, key: str, mult: int, base_len: int, mod: int,
+                  id_col: str, s_col: str, e_col: str) -> DataFrame:
+        start_min = (F.col(key) * mult % 10080).cast("bigint")
+        end_min = start_min + base_len + F.col(key) % mod
+        return df.select(
+            F.col(key).alias(id_col),
+            F.timestamp_add("MINUTE", start_min, base).alias(s_col),
+            F.timestamp_add("MINUTE", end_min, base).alias(e_col),
+        )
+
+    a = intervals(sup, "s_suppkey", 137, 20, 45, "a_id", "a_start", "a_end")
+    b = intervals(nat, "n_nationkey", 211, 15, 50, "b_id", "b_start", "b_end")
+
+    bin_us = _RANGE_BIN_MIN * 60 * 1_000_000
+
+    def binned(df: DataFrame, s_col: str, e_col: str) -> DataFrame:
+        return df.withColumn(
+            "bin",
+            F.explode(
+                F.sequence(
+                    F.floor(F.unix_micros(s_col) / bin_us),
+                    F.floor((F.unix_micros(e_col) - 1) / bin_us),
+                )
+            ),
+        )
+
+    ov_start = F.greatest("a_start", "b_start")
+    ov_end = F.least("a_end", "b_end")
+    return (
+        binned(a, "a_start", "a_end")
+        .join(binned(b, "b_start", "b_end"), "bin")
+        .filter(
+            (F.col("a_start") < F.col("b_end")) & (F.col("b_start") < F.col("a_end"))
+        )
+        .select(
+            "a_id",
+            "b_id",
+            ov_start.alias("ov_start"),
+            ov_end.alias("ov_end"),
+            F.floor(
+                (F.unix_micros(ov_end) - F.unix_micros(ov_start)) / 60_000_000
+            ).cast("bigint").alias("ov_min"),
+        )
+        .distinct()
+    )

@@ -2295,3 +2295,53 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             (best_j < 0.5).alias("keep"),
         )
     )
+
+
+@register(
+    "text_perplexity_proxy",
+    survey="north-star: unigram-LM cross-entropy scoring (the CCNet-style "
+    "LM quality filter, with the corpus's own unigram table as the LM)",
+    oracle=r"""
+    WITH words AS (
+      SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+'))
+               AS term
+      FROM documents
+    ),
+    vocab AS (SELECT term, count(*) AS c FROM words GROUP BY 1),
+    tot AS (SELECT sum(c) AS t FROM vocab)
+    SELECT w.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tok,
+           round(avg(ln(tot.t) - ln(v.c)), 4) AS unigram_xent
+    FROM words w JOIN vocab v ON v.term = w.term CROSS JOIN tot
+    GROUP BY w.doc_id
+    """,
+)
+def text_perplexity_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc unigram cross-entropy, avg(-ln p(token)) — the language-
+    model quality signal (CCNet ranks Common Crawl by small-LM
+    perplexity; a unigram table is its degenerate, dependency-free
+    form, here trained on the corpus itself). Low = natural running
+    text; high = rare-token soup.
+
+    Scale shape: the LM is a (term, count) table — in production a
+    pre-trained top-K vocabulary that BROADCASTS (small by
+    construction, the same way CCNet ships its 5-gram model to every
+    worker), so scoring is a narrow broadcast-hash join over the
+    exploded tokens; no shuffle keyed on hot terms ever happens (a
+    shuffled term join would skew on stopwords). Cross-entropy is an
+    order-dependent float accumulation → round(,4) on both sides per
+    the catalog convention."""
+    words = _docs(spark, sf_dir).select(
+        "doc_id", F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("term")
+    )
+    vocab = words.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    tot = vocab.agg(F.sum("c").alias("t"))
+    return (
+        words.join(F.broadcast(vocab), "term")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tok"),
+            _r(F.avg(F.log("t") - F.log("c")), 4).alias("unigram_xent"),
+        )
+    )
