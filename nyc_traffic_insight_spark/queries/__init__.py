@@ -86,6 +86,8 @@ _CHECK_FIRST = [
     "qa_referential_integrity",
     "text_perplexity_proxy",
     "join_interval_overlap",
+    "agg_mode_by_group",
+    "win_ntile_buckets",
     # last checked r1 (aging 3 rounds)
     "flagship_volume_features",
     "geo_reproject_forward",

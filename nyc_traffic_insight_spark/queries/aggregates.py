@@ -573,3 +573,79 @@ def qa_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     e2 = edge("orders.o_custkey->customer", orders, "o_custkey", cust, "c_custkey")
     e3 = edge("customer.c_nationkey->nation", cust, "c_nationkey", nation, "n_nationkey")
     return e1.unionByName(e2).unionByName(e3)
+
+
+@register(
+    "agg_mode_by_group",
+    survey="A-family extension: deterministic grouped mode (most "
+    "frequent event_type per user, ties lexicographic)",
+    oracle="""
+    WITH counts AS (
+      SELECT user_id, event_type, count(*) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT user_id, event_type, c,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY c DESC, event_type) AS rn
+      FROM counts
+    )
+    SELECT user_id, event_type AS mode_event_type, CAST(c AS BIGINT) AS n
+    FROM ranked WHERE rn = 1
+    """,
+)
+def agg_mode_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most frequent event_type per user — mode, made deterministic with
+    a lexicographic tie-break (Spark's built-in ``mode`` and most
+    engines' MODE() break ties arbitrarily, which can never hash-match
+    across engines; the explicit (count DESC, value ASC) contract can).
+
+    Scale shape: two-level aggregate — groupBy(user, type) with map-side
+    partials, then an argmin per user over at most |distinct types|
+    rows; no window over raw facts. The tie-break rides inside a
+    min_by struct key (-count, value): struct comparison is
+    field-by-field, so ordering by (-c, value) ascending is exactly
+    (count DESC, value ASC)."""
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    pick = F.min_by(
+        F.struct("event_type", "c"), F.struct((-F.col("c")).alias("nc"), "event_type")
+    )
+    return counts.groupBy("user_id").agg(
+        pick["event_type"].alias("mode_event_type"),
+        pick["c"].cast("bigint").alias("n"),
+    )
+
+
+@register(
+    "win_ntile_buckets",
+    survey="W-family extension: ntile quartile bucketing per group "
+    "(feature binning by within-group rank)",
+    oracle="""
+    SELECT event_id, event_type,
+           CAST(ntile(4) OVER (PARTITION BY event_type
+                               ORDER BY value, event_id) AS INTEGER)
+             AS value_quartile
+    FROM events
+    """,
+)
+def win_ntile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-group quartile assignment via ntile(4) — the rank-based
+    feature binning that, unlike fixed-edge bins (case_volume_bins),
+    adapts to each group's distribution.
+
+    Scale shape: one shuffle on the PARTITION BY key; the orderBy
+    includes event_id so equal values land in a deterministic quartile
+    (bare ntile over ties is engine-dependent). Skewed groups split via
+    AQE; no global ordering anywhere."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.ntile(4).over(w).cast("int").alias("value_quartile"),
+    )
