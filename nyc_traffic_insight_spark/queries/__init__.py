@@ -54,73 +54,24 @@ def register(name: str, oracle: str | None = None, survey: str = ""):
     return deco
 
 
-# Registration-order rotation (VERDICT.md round 2 #1, round 3 #7).
+# Registration-order rotation (VERDICT.md round 2 #1, r3 #7, r4 #2).
 # The driver's sf0.01 correctness gate walks REGISTRY front-to-back with a
-# ~50-query budget.  After r3 every registered query has been checked at
-# least once; the round-4 ordering is freshness-driven:
-#   1. queries whose result changed this round — sketch_hll (r3's only
-#      red row, now round(,4)-ed per the catalog convention) and
-#      sim_search_ivf_topk (plan rebuilt: narrow broadcast-argmax
-#      assignment) — must be re-verified first;
-#   2. the 48 queries last checked in ROUND 1 (oldest evidence — the
-#      scalar/scan/agg/flagship set), so no query's last check ages past
-#      two rounds;
-#   3. the 35 last checked in round 2 (joins, string/date scalars, the
-#      dedup/similarity front half);
-# everything r3-fresh follows in module order.
+# ~50-query budget.  Round-5 ordering, freshness-driven:
+#   1. sketch_hll — r4's sole red row; the root cause (oracle reg_sum left
+#      un-cast, DuckDB widened to HUGEINT) is fixed this round and must be
+#      re-verified first;
+#   2. the 16 queries whose last evidence is ROUND 1 (the filter/union/
+#      sort/sample tail that r4's 50-query budget cut off) — VERDICT r4 #2;
+#   3. queries changed or added this round (null-ordering pin, staging-dir
+#      reuse, new operators) — their results/plans moved, re-verify;
+#   4. the 34 queries last checked in round 2 (joins, string/date scalars,
+#      the dedup/similarity front half) — whatever fits the remaining
+#      budget; the rest roll to round 6.
+# everything r3/r4-fresh follows in module order.
 _CHECK_FIRST = [
-    # changed/new this round — re-verify first
+    # 1. the fixed red row
     "sketch_hll",
-    "sim_search_ivf_topk",
-    "stream_file_ingest",
-    "text_decontaminate",
-    "shard_pack_greedy",
-    "vocab_top_ngrams",
-    "sample_temperature_mix",
-    "text_repetition_filter",
-    "pipeline_pretrain_corpus",
-    "scan_jsonl_roundtrip",
-    "scan_jsonl_malformed_skip",
-    "dedup_incremental_batch",
-    "sketch_hll_by_group",
-    "qa_referential_integrity",
-    "text_perplexity_proxy",
-    "join_interval_overlap",
-    "agg_mode_by_group",
-    "win_ntile_buckets",
-    # last checked r1 (aging 3 rounds)
-    "flagship_volume_features",
-    "geo_reproject_forward",
-    "geo_reproject_roundtrip",
-    "agg_null_counts",
-    "agg_count",
-    "agg_distinct_years",
-    "agg_corr_matrix",
-    "agg_regression_metrics",
-    "agg_group_mean",
-    "pivot_onehot",
-    "onehot_flags",
-    "agg_feature_importance_sort",
-    "agg_rollup",
-    "agg_cube",
-    "agg_count_distinct",
-    "agg_approx_count_distinct",
-    "agg_quantiles",
-    "ols_closed_form",
-    "sketch_histogram",
-    "agg_grouping_sets",
-    "scan_csv",
-    "scan_csv_multifile",
-    "scan_csv_pruned",
-    "scan_csv_parsedates",
-    "sink_idempotent",
-    "project_drop",
-    "project_rename",
-    "dedup_rows",
-    "cast_int",
-    "cast_numeric_coerce",
-    "cast_timestamp",
-    "make_timestamp_parts",
+    # 2. last checked r1 (aging 4 rounds — evidence hygiene, VERDICT r4 #2)
     "filter_dropna",
     "fillna",
     "filter_eq_composite",
@@ -137,7 +88,12 @@ _CHECK_FIRST = [
     "limit_head",
     "sample_shuffle",
     "split_random",
-    # last checked r2
+    # 3. changed/added this round
+    "win_ntile_buckets",
+    "scan_jsonl_roundtrip",
+    "scan_jsonl_malformed_skip",
+    "stream_file_ingest",
+    # 4. last checked r2 — fill the remaining budget, rest roll to r6
     "join_star_broadcast",
     "join_anti",
     "join_semi",

@@ -160,7 +160,7 @@ _HLL_M = 64
     )
     SELECT {_HLL_M} AS m,
            count(*) AS buckets_used,
-           sum(max_rho) AS reg_sum,
+           CAST(sum(max_rho) AS BIGINT) AS reg_sum,
            round({_HLL_ALPHA} * {_HLL_M} * {_HLL_M}
              / (sum(power(2.0, -max_rho)) + ({_HLL_M} - count(*))), 4)
              AS hll_estimate
@@ -178,7 +178,10 @@ def sketch_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     columns (buckets_used, reg_sum) are exact integers; the estimate is
     one power-sum + divide whose last ulp differs between Spark's pow
     and DuckDB's power, so per the catalog convention it is round(,4)-ed
-    on both sides (r3's raw emission was the registry's only red row).
+    on both sides. Two cross-engine hazards hit this query historically:
+    the raw float estimate (fixed r4 via round) and DuckDB widening
+    sum(max_rho) to HUGEINT while Spark emits BIGINT — the oracle now
+    CASTs reg_sum to BIGINT per the catalog's integer-sum convention.
     The small-range linear-counting correction (n < 2.5m = 160, needs
     ln()) is deliberately left to the caller because cross-engine ln()
     is not bit-stable. Accuracy (~1/sqrt(64) = 13% rel err) is pinned in
