@@ -626,7 +626,7 @@ def agg_mode_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_id, event_type,
            CAST(ntile(4) OVER (PARTITION BY event_type
-                               ORDER BY value, event_id) AS INTEGER)
+                               ORDER BY value NULLS LAST, event_id) AS INTEGER)
              AS value_quartile
     FROM events
     """,
@@ -638,12 +638,17 @@ def win_ntile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: one shuffle on the PARTITION BY key; the orderBy
     includes event_id so equal values land in a deterministic quartile
-    (bare ntile over ties is engine-dependent). Skewed groups split via
-    AQE; no global ordering anywhere."""
+    (bare ntile over ties is engine-dependent), and null ordering is
+    pinned NULLS LAST on both sides — Spark ASC defaults to NULLS FIRST
+    while DuckDB ASC defaults to NULLS LAST, so a bare ORDER BY value
+    would silently flip quartiles if nulls ever appear. Skewed groups
+    split via AQE; no global ordering anywhere."""
     from pyspark.sql import Window
 
     ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    w = Window.partitionBy("event_type").orderBy(
+        F.asc_nulls_last("value"), "event_id"
+    )
     return ev.select(
         "event_id",
         "event_type",

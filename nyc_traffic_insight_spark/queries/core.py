@@ -636,9 +636,9 @@ def scan_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.types import LongType, StringType, StructField, StructType
 
     docs = load_table(spark, sf_dir, "documents")
-    out = os.path.join(
-        tempfile.mkdtemp(prefix="ntis_jsonl_"), "documents.jsonl"
-    )
+    # deterministic scratch path (not mkdtemp): repeated bench/test runs
+    # overwrite in place instead of accumulating orphaned copies
+    out = _tmp(sf_dir, "documents_jsonl")
     docs.write.mode("overwrite").json(out)
     schema = StructType(
         [
@@ -675,9 +675,6 @@ def scan_jsonl_malformed_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
     shard never poisons the job, and the corrupt column can be routed to
     a quarantine sink for audit. The oracle pins EXACTLY which rows
     survive (value-hash, not just a count)."""
-    import os
-    import tempfile
-
     from pyspark.sql.types import LongType, StringType, StructField, StructType
 
     docs = load_table(spark, sf_dir, "documents").select(
@@ -688,7 +685,7 @@ def scan_jsonl_malformed_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
     line = F.when(
         F.col("doc_id") % 10 == 3, F.substring(good, 1, 12)
     ).otherwise(good)
-    out = os.path.join(tempfile.mkdtemp(prefix="ntis_badjsonl_"), "docs.jsonl")
+    out = _tmp(sf_dir, "documents_badjsonl")  # deterministic: overwritten per run
     docs.select(line.alias("value")).write.mode("overwrite").text(out)
 
     schema = StructType(

@@ -104,12 +104,18 @@ def stream_file_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     restart from checkpoint, no duplicates) is exercised in
     tests/test_streaming.py."""
     import os
-    import tempfile
+    import shutil
 
+    from nyc_traffic_insight_spark.queries.core import _tmp
     from nyc_traffic_insight_spark.streaming.events import run_throttled_ingest
 
     ev = load_table(spark, sf_dir, "events")
-    base = tempfile.mkdtemp(prefix="ntis_ingest_")
+    # deterministic scratch base, wiped per invocation: a fresh
+    # checkpoint/source/sink triple every run (the resume-from-checkpoint
+    # path is exercised separately in tests/test_streaming.py) without
+    # mkdtemp's orphan accumulation across bench reps
+    base = _tmp(sf_dir, "stream_ingest")
+    shutil.rmtree(base, ignore_errors=True)
     src = os.path.join(base, "src")
     chk = os.path.join(base, "chk")
     out = os.path.join(base, "out")
