@@ -56,3 +56,43 @@ def test_partition_scan_reads_single_directory(spark, tmp_path):
     assert one.count() == ev.filter(F.col("event_type") == "click").count() > 0
     files = one.inputFiles()
     assert files and all("event_type=click" in f for f in files)
+
+
+def test_wide_table_passthrough_on_cluster_shaped_layout(spark, tmp_path):
+    """VERDICT r4 #4: the engine's cluster-shape claim, pinned end-to-end.
+
+    `_wide_table` repartitions+persists ONLY when the parquet footer says
+    the scan cannot parallelize (row groups < cores). Stage the
+    documents/embeddings tables the way a cluster writer would — a
+    64-file directory via repartition(64).write — and pin that the
+    builder returns the raw scan: no Exchange, no InMemoryRelation, no
+    cache entry, and a real downstream query produces identical results
+    against either layout."""
+    from nyc_traffic_insight_spark.queries import textops
+
+    staged = tmp_path / "sf_cluster"
+    staged.mkdir()
+    for name in ("documents", "embeddings"):
+        src = load_table(spark, SF_SMOKE, name)
+        src.repartition(64).write.parquet(str(staged / f"{name}.parquet"))
+        rg = textops._parquet_row_groups(str(staged), name)
+        assert rg is not None and rg >= 64  # one row group per file min
+
+        df = textops._wide_table(spark, str(staged), name)
+        key = (spark.sparkContext.applicationId, str(staged), name)
+        assert key not in textops._WIDE_CACHE
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        optimized = df._jdf.queryExecution().optimizedPlan().toString()
+        assert "Exchange" not in plan
+        assert "InMemoryRelation" not in optimized
+        assert "InMemoryTableScan" not in plan
+        assert "Scan parquet" in plan
+
+    # a real catalog query over the cluster-shaped layout matches the
+    # same query over the original single-row-group fixture
+    from nyc_traffic_insight_spark.queries import load_all
+
+    builder = load_all()["text_token_count"].builder
+    got = {tuple(r) for r in builder(spark, str(staged)).collect()}
+    want = {tuple(r) for r in builder(spark, SF_SMOKE).collect()}
+    assert got == want and len(want) > 0
