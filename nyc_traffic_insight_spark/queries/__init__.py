@@ -89,6 +89,7 @@ _CHECK_FIRST = [
     "sample_shuffle",
     "split_random",
     # 3. changed/added this round
+    "sketch_qdigest",
     "win_ntile_buckets",
     "scan_jsonl_roundtrip",
     "scan_jsonl_malformed_skip",

@@ -447,6 +447,23 @@ def sketch_tdigest(spark: SparkSession, sf_dir: str) -> DataFrame:
     tail quantiles (q=0.01/0.99) get the finest resolution by
     construction (k1 scale function). functions/tdigest.py documents
     the determinism contract that makes the merge partition-order-safe.
+
+    Why no value oracle (VERDICT r4 #5, attempted twice): the digest is
+    deterministic for a FIXED partitioning (compress is a pure function
+    of the centroid multiset), but the level-1 partials depend on which
+    rows share a partition, and a cross-engine oracle would have to
+    reproduce the greedy k1 clustering itself — a sequential
+    data-dependent scan that SQL can only express as an O(N)-iteration
+    recursive CTE (one step per input row; DuckDB executes it but at
+    ~60k iterations it is slower than the query by orders of magnitude
+    and numerically fragile, since each step's weight-averaged mean must
+    match numpy's accumulation bit-for-bit). Rounding the estimates to a
+    coarse grid does not help either: the t-digest error bound is in
+    RANK (≤ q(1−q)·4/δ), not in value, so no value grid is provably
+    coarser than the estimate error. The deterministic, SQL-expressible
+    member of this family is sketch_qdigest below — that one carries
+    the full value-hash oracle; this entry keeps the rank-error and
+    merge-algebra invariants in tests/test_sketches.py.
     """
     import pandas as pd
 
@@ -483,6 +500,211 @@ def sketch_tdigest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cent.groupBy(F.lit(1).alias("g")).applyInPandas(
         final,
         "q double, est double, n_centroids int, total_weight double",
+    )
+
+
+# q-digest (Shrivastava et al. 2004, "Medians and Beyond") over a
+# 2^_QD_LEVELS-leaf dyadic universe. Unlike the t-digest, the canonical
+# level-synchronous form below is a pure function of the value MULTISET:
+# leaf counts are an order-free groupBy, and each compression level
+# merges sibling pairs by a count-only threshold test — no
+# accumulation-order anywhere. That is what makes a full cross-engine
+# value oracle possible, and both engines literally run the same
+# generated SQL text (_qdigest_sql), so the algorithm cannot drift
+# between the Spark side and the DuckDB side.
+_QD_LEVELS = 10  # universe: 1024 leaf buckets over [min, max]
+_QD_K = 256  # compression: merge threshold T = floor(n / K)
+_QD_PROBES = [0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+
+
+def _qd_leaf_body() -> str:
+    """The leaf-histogram SELECT (expects CTEs ``base(v)`` and
+    ``dom(lo, hi, n, t)`` in scope) — shared by the oracle's inline CTE
+    and the Spark builder's one-shot materialization."""
+    leaves = 2**_QD_LEVELS
+    return f"""
+  SELECT CAST(least(CAST(floor((b.v - d.lo)
+           / (greatest(d.hi - d.lo, 1e-12) / {leaves}.0)) AS BIGINT),
+           {leaves - 1}) AS BIGINT) AS id,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM base b CROSS JOIN dom d
+  GROUP BY 1
+"""
+
+
+def _qdigest_sql(
+    table: str,
+    dom_select: str | None = None,
+    leaves_select: str | None = None,
+) -> str:
+    """One SQL text, both engines: build the canonical q-digest of
+    ``l_extendedprice`` and read the probe quantiles.
+
+    Portability rules: every floor/ceil result is CAST explicitly
+    (Spark's floor returns BIGINT, DuckDB's returns DOUBLE), integer
+    halving is floor(id / 2.0) (no engine-specific `//` or shiftright),
+    probes are UNION ALL literals (VALUES syntax differs), and the final
+    estimate is floor-form-rounded (never bare round(): engine rounding
+    modes differ).
+
+    ``dom_select`` replaces the domain-statistics CTE body. The dom row
+    is referenced by every level CTE, and Spark INLINES non-reused CTE
+    plans — leaving dom as an aggregate over base would re-scan the
+    fact table once per reference (~23 scans; the executed plan showed
+    266 single-partition exchanges). The Spark builder therefore
+    computes the row once and inlines the exact values as literals;
+    DuckDB materializes multiply-referenced CTEs, so the oracle keeps
+    the aggregate form. min/max/count/floor are exact, so both forms
+    produce bit-identical constants.
+
+    ``leaves_select`` does the same for the leaf histogram: the level
+    tree references c10 transitively from every level, and CTE inlining
+    replicated the fact-table scan ~75× in the executed plan. The Spark
+    builder materializes the ≤1024-row histogram once (localCheckpoint)
+    from the SAME _qd_leaf_body text and points this parameter at it."""
+    leaves = 2**_QD_LEVELS
+    probes = " UNION ALL ".join(
+        f"SELECT CAST({q} AS DOUBLE) AS q" for q in _QD_PROBES
+    )
+    if dom_select is None:
+        dom_select = f"""
+  SELECT min(v) AS lo, max(v) AS hi,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(floor(CAST(count(*) AS DOUBLE) / {_QD_K}.0) AS BIGINT) AS t
+  FROM base
+"""
+    if leaves_select is None:
+        leaves_select = _qd_leaf_body()
+    parts = [
+        f"""
+WITH base AS (SELECT l_extendedprice AS v FROM {table}),
+dom AS ({dom_select}),
+c{_QD_LEVELS} AS ({leaves_select})"""
+    ]
+    for lv in range(_QD_LEVELS, 0, -1):
+        parts.append(
+            f""",
+g{lv} AS (
+  SELECT CAST(floor(id / 2.0) AS BIGINT) AS pid,
+         CAST(sum(cnt) AS BIGINT) AS s
+  FROM c{lv} GROUP BY 1
+),
+c{lv - 1} AS (
+  SELECT g.pid AS id, g.s AS cnt FROM g{lv} g CROSS JOIN dom d
+  WHERE g.s <= d.t
+),
+f{lv} AS (
+  SELECT CAST({lv} AS INTEGER) AS lvl, c.id, c.cnt
+  FROM c{lv} c
+  JOIN g{lv} g ON CAST(floor(c.id / 2.0) AS BIGINT) = g.pid
+  CROSS JOIN dom d
+  WHERE g.s > d.t
+)"""
+        )
+    unions = " UNION ALL ".join(
+        [f"SELECT lvl, id, cnt FROM f{lv}" for lv in range(_QD_LEVELS, 0, -1)]
+        + ["SELECT CAST(0 AS INTEGER) AS lvl, id, cnt FROM c0"]
+    )
+    parts.append(
+        f""",
+nodes AS ({unions}),
+ranked AS (
+  SELECT lvl, id, cnt,
+         (id + 1) * CAST(power(2.0, {_QD_LEVELS} - lvl) AS BIGINT) - 1 AS ub,
+         id * CAST(power(2.0, {_QD_LEVELS} - lvl) AS BIGINT) AS lb
+  FROM nodes
+),
+cum AS (
+  SELECT ub, lb, cnt,
+         sum(cnt) OVER (ORDER BY ub ASC, lb DESC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS csum
+  FROM ranked
+),
+probes AS ({probes}),
+hits AS (
+  SELECT p.q AS q, min(c.ub) AS ub_leaf
+  FROM probes p
+  CROSS JOIN dom d
+  JOIN cum c
+    ON c.csum >= CAST(ceil(p.q * CAST(d.n AS DOUBLE)) AS BIGINT)
+  GROUP BY p.q
+)
+SELECT h.q AS q,
+       CAST(floor((d.lo + (h.ub_leaf + 1)
+              * (greatest(d.hi - d.lo, 1e-12) / {leaves}.0))
+              * 10000.0 + 0.5) AS DOUBLE) / 10000.0 AS est,
+       (SELECT CAST(count(*) AS BIGINT) FROM nodes) AS n_nodes,
+       d.n AS total_weight
+FROM hits h CROSS JOIN dom d
+"""
+    )
+    return "".join(parts)
+
+
+@register(
+    "sketch_qdigest",
+    survey="north-star: q-digest mergeable quantile sketch — the "
+    "deterministic (order-independent) member of the quantile-sketch "
+    "family, hence the one that can carry a full value-hash oracle "
+    "(closes VERDICT r4 #5's oracle gap for quantile sketches)",
+    oracle=_qdigest_sql("lineitem"),
+)
+def sketch_qdigest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probe quantiles of l_extendedprice via a canonical q-digest over
+    a 1024-leaf dyadic universe (Shrivastava et al. 2004).
+
+    Algorithm (level-synchronous, count-only, fully deterministic):
+    bucketize values to 1024 leaves over [min, max]; then for each level
+    from the leaves up, every sibling pair whose combined subtree count
+    is ≤ T = floor(n/256) collapses into its parent, otherwise both
+    children are emitted into the digest. Quantile read: sort surviving
+    nodes by (range upper bound ASC, lower bound DESC) — the q-digest
+    post-order — cumulative-sum the counts and take the first node
+    covering rank ceil(q·n); the estimate is that node's upper leaf
+    edge. Rank error ≤ LEVELS·T ranks (≈4% at K=256); value resolution
+    is one leaf width.
+
+    Scale shape: the only full-data op is the 1024-key leaf groupBy
+    (map-side partials, one shuffle of ≤1024 rows per task); the ten
+    compression levels and the quantile read run over ≤1024-row
+    intermediates (broadcast one-row domain joins, a single tiny
+    window). The digest is mergeable by construction — union two
+    digests' node counts and re-run the count-only compression — which
+    is the q-digest's original sensor-network use. Spark executes the
+    IDENTICAL generated SQL text the oracle runs for everything
+    downstream of the domain row, so the cross-engine check pins the
+    algorithm, not two hopefully-equal implementations; the domain row
+    itself (exact min/max/count) is computed in ONE pass and inlined as
+    literals — see _qdigest_sql's dom_select note for why (Spark CTE
+    inlining would otherwise rescan the fact table per reference).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    lo, hi, n = li.agg(
+        F.min("l_extendedprice"),
+        F.max("l_extendedprice"),
+        F.count(F.lit(1)).cast("bigint"),
+    ).first()
+    t = n // _QD_K
+    li.createOrReplaceTempView("__qd_lineitem")
+    dom = (
+        f"SELECT CAST({float(lo)!r} AS DOUBLE) AS lo, "
+        f"CAST({float(hi)!r} AS DOUBLE) AS hi, "
+        f"CAST({n} AS BIGINT) AS n, CAST({t} AS BIGINT) AS t"
+    )
+    # one real pass over the fact table -> ≤1024-row histogram,
+    # materialized so CTE inlining can't replicate the scan
+    leaves = spark.sql(
+        f"WITH base AS (SELECT l_extendedprice AS v FROM __qd_lineitem),"
+        f" dom AS ({dom}) {_qd_leaf_body()}"
+    ).localCheckpoint()
+    leaves.createOrReplaceTempView("__qd_leaves")
+    return spark.sql(
+        _qdigest_sql(
+            "__qd_lineitem",
+            dom_select=dom,
+            leaves_select="SELECT id, cnt FROM __qd_leaves",
+        )
     )
 
 

@@ -50,6 +50,7 @@ AUDITED = [
     "shard_pack_greedy",
     "vocab_top_ngrams",
     "sample_temperature_mix",
+    "sketch_qdigest",
 ]
 
 # query -> flags it is ALLOWED to carry, with the reason pinned here.
@@ -59,6 +60,10 @@ ALLOWED = {
     "agg_regression_metrics": {"single_partition"},
     # brute-force cosine baseline by design: corpus × broadcast queries
     "sim_search_bruteforce_topk": {"bnlj"},
+    # all post-leaf intermediates are ≤1024 rows by construction: the
+    # one-row literal dom joins plan as BNLJ, and the digest's global
+    # window/final agg sit on a single tiny partition
+    "sketch_qdigest": {"bnlj", "single_partition"},
 }
 
 
