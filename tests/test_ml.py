@@ -142,3 +142,46 @@ def test_scalable_split_agrees_with_reference_split(spark):
     t_max = train.agg(F.max("l_shipdate")).first()[0]
     s_min = test.agg(F.min("l_shipdate")).first()[0]
     assert t_max < s_min
+
+
+def test_mllib_lr_matches_closed_form_ols(spark):
+    # VERDICT r4 #6: close the loop between the oracle-green closed-form
+    # OLS (aggregates.py::ols_closed_form — slope = cov/var, checked
+    # against DuckDB by value hash) and the MLlib optimizer path. An
+    # unregularized univariate LinearRegression on the same (x, y)
+    # column pair must reproduce the closed-form slope/intercept to
+    # optimizer precision — if MLlib's answer drifts from the aggregate
+    # algebra, one of the two M1 paths is wrong.
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.regression import LinearRegression
+
+    from nyc_traffic_insight_spark.sources import load_table
+
+    li = load_table(spark, SF_SMOKE, "lineitem").select(
+        "l_quantity", "l_extendedprice"
+    )
+    agg = li.agg(
+        (
+            F.covar_pop("l_quantity", "l_extendedprice")
+            / F.var_pop("l_quantity")
+        ).alias("slope"),
+        F.avg("l_extendedprice").alias("my"),
+        F.avg("l_quantity").alias("mx"),
+    ).first()
+    want_slope = agg["slope"]
+    want_intercept = agg["my"] - want_slope * agg["mx"]
+
+    train = VectorAssembler(
+        inputCols=["l_quantity"], outputCol="features"
+    ).transform(li)
+    model = LinearRegression(
+        featuresCol="features",
+        labelCol="l_extendedprice",
+        regParam=0.0,
+        solver="normal",
+    ).fit(train)
+    got_slope = float(model.coefficients[0])
+    got_intercept = float(model.intercept)
+
+    assert math.isclose(got_slope, want_slope, rel_tol=1e-6)
+    assert math.isclose(got_intercept, want_intercept, rel_tol=1e-6)
