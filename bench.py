@@ -2,7 +2,8 @@
 
 Prints ONE compact JSON line as the FINAL line of stdout:
   {"metric": "...", "value": <total_sec>, "unit": "sec",
-   "queries": {"q1": sec, ...}, "sf": <sf>}
+   "queries": {"q1": median_sec, ...},
+   "spread": {"q1": [min_sec, max_sec], ...}, "sf": <sf>}
 
 Per-query executor metrics (shuffle-write / spill byte deltas) go to a
 separate file, BENCH_metrics.json next to this script — round 2 put them
@@ -152,6 +153,7 @@ def main() -> None:
     consume(specs["join_traffic_weather_boro"].builder(spark, sf_dir))
 
     timings: dict[str, float] = {}
+    spreads: dict[str, list[float]] = {}
     query_metrics: dict[str, dict[str, int]] = {}
     n_reps = 3
     for name in HEADLINE:
@@ -171,6 +173,12 @@ def main() -> None:
         # direction, unlike best-of (optimistic) or mean (one bad rep
         # drags it)
         timings[name] = round(sorted(reps)[n_reps // 2], 3)
+        # [min, max] across reps rides the headline line (VERDICT r4
+        # #7): a reader can separate box noise (wide spread around a
+        # stable median) from real drift (tight spread at a new level)
+        # without access to this machine. Full rep lists go to the
+        # metrics sidecar.
+        spreads[name] = [round(min(reps), 3), round(max(reps), 3)]
         # per-run executor bytes: the reps run the same plan, so the
         # delta divides evenly; a changed number between rounds means
         # the PLAN changed, not the box.  max(0, ...) clamps the
@@ -179,6 +187,7 @@ def main() -> None:
         query_metrics[name] = {
             k: max(0, after[k] - before[k]) // n_reps for k in before
         }
+        query_metrics[name]["rep_secs"] = [round(x, 3) for x in reps]
 
     total = round(sum(timings.values()), 3)
     # Durable sidecar for the executor metrics; NOT on the headline line
@@ -203,6 +212,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "spread": spreads,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
