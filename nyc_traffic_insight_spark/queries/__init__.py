@@ -90,6 +90,12 @@ _CHECK_FIRST = [
     "split_random",
     # 3. changed/added this round
     "sketch_qdigest",
+    "funnel_conversion",
+    "cohort_retention",
+    "agg_outlier_mad",
+    "dedup_substring_exact",
+    "emb_centroid_by_label",
+    "join_fuzzy_key",
     "win_ntile_buckets",
     "scan_jsonl_roundtrip",
     "scan_jsonl_malformed_skip",

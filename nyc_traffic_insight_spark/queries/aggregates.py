@@ -876,3 +876,220 @@ def win_ntile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.ntile(4).over(w).cast("int").alias("value_quartile"),
     )
+
+
+@register(
+    "funnel_conversion",
+    survey="A/J-family extension: ordered event funnel "
+    "(view -> click -> purchase, strictly increasing timestamps) — the "
+    "product-analytics staple the reference computes nowhere but its "
+    "users would reach for first on an events table",
+    oracle="""
+    WITH ew AS (
+      SELECT * FROM events WHERE ts < TIMESTAMP '2024-01-03 00:00:00'
+    ),
+    v AS (
+      SELECT user_id, min(ts) AS t0 FROM ew
+      WHERE event_type = 'view' GROUP BY 1
+    ),
+    c AS (
+      SELECT e.user_id, min(e.ts) AS t1
+      FROM ew e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t0 GROUP BY 1
+    ),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM ew e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t1 GROUP BY 1
+    )
+    SELECT CAST(1 AS INTEGER) AS stage_ord, 'view' AS stage,
+           CAST((SELECT count(*) FROM v) AS BIGINT) AS n_users
+    UNION ALL
+    SELECT CAST(2 AS INTEGER), 'click',
+           CAST((SELECT count(*) FROM c) AS BIGINT)
+    UNION ALL
+    SELECT CAST(3 AS INTEGER), 'purchase',
+           CAST((SELECT count(*) FROM p) AS BIGINT)
+    """,
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict-order funnel: a user converts a stage only with an event
+    AFTER their previous stage's first event (min-ts chaining, the
+    textbook semantics — an earlier purchase does not count).
+
+    The analysis window (first two days of the fixture) is part of the
+    operator: without it every fixture user converts every stage and
+    the strict-ordering semantics go untested — windowed funnels are
+    also the production shape (campaign windows).
+
+    Scale shape: three groupBy(user_id) aggregations and two joins, all
+    keyed on user_id — one shuffle establishes the partitioning and AQE
+    reuses it; each stage's table shrinks monotonically (funnel!), so
+    later joins broadcast. No windows over raw events, no cross-stage
+    state beyond one timestamp per user."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("ts") < F.lit("2024-01-03 00:00:00").cast("timestamp")
+    )
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t0"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+
+    def stage(ord_: int, name: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.lit(ord_).cast("int").alias("stage_ord"),
+            F.lit(name).alias("stage"),
+            F.count(F.lit(1)).alias("n_users"),
+        )
+
+    return stage(1, "view", v).unionAll(stage(2, "click", c)).unionAll(
+        stage(3, "purchase", p)
+    )
+
+
+@register(
+    "cohort_retention",
+    survey="A/W-family extension: weekly cohort retention matrix "
+    "(first-seen week x week offset -> active users)",
+    oracle="""
+    WITH firstseen AS (
+      SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+      FROM events GROUP BY 1
+    ),
+    activity AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS active_week
+      FROM events
+    )
+    SELECT strftime(f.cohort_week, '%Y-%m-%d') AS cohort_week,
+           CAST(floor(date_diff('day', f.cohort_week, a.active_week) / 7.0)
+                AS INTEGER) AS week_offset,
+           CAST(count(*) AS BIGINT) AS n_active
+    FROM firstseen f JOIN activity a ON f.user_id = a.user_id
+    GROUP BY 1, 2
+    """,
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic retention triangle: cohort = Monday-truncated week of a
+    user's first event; one row per (cohort, weeks-since) with the
+    distinct active-user count. Both engines Monday-truncate weeks and
+    the offset is an exact day-difference / 7 (both weeks are trunc'd,
+    so the division is exact).
+
+    Scale shape: groupBy(user) for first-seen, DISTINCT over
+    (user, week) — both shuffle on user_id and AQE co-locates the join
+    that follows; the output is bounded by cohorts x offsets, not by
+    events. At 100 TB the DISTINCT is the heavy op and it partial-
+    aggregates map-side."""
+    ev = load_table(spark, sf_dir, "events")
+    fs = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    act = ev.select(
+        "user_id", F.date_trunc("week", "ts").cast("date").alias("active_week")
+    ).distinct()
+    return (
+        fs.join(act, "user_id")
+        .groupBy(
+            # ISO string, not DATE: the engines surface DATE through
+            # Arrow differently (date32 vs datetime64), which the value
+            # hash would see as a type mismatch on identical days
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+            F.floor(
+                F.datediff("active_week", "cohort_week") / F.lit(7.0)
+            )
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+
+
+@register(
+    "agg_outlier_mad",
+    survey="A-family extension: robust outlier audit per group "
+    "(median absolute deviation, 3.5-sigma-equivalent rule) — the "
+    "data-quality gate a training pipeline runs before ingesting a "
+    "numeric column",
+    oracle="""
+    WITH med AS (
+      SELECT event_type,
+             round(quantile_cont(value, 0.5), 4) AS med
+      FROM events GROUP BY 1
+    ),
+    mad AS (
+      SELECT e.event_type,
+             round(quantile_cont(abs(e.value - m.med), 0.5), 4) AS mad
+      FROM events e JOIN med m ON e.event_type = m.event_type
+      GROUP BY 1
+    )
+    SELECT e.event_type, m.med, d.mad,
+           CAST(count(*) FILTER (WHERE abs(e.value - m.med) > 3.5 * d.mad)
+                AS BIGINT) AS n_outliers,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM events e
+    JOIN med m ON e.event_type = m.event_type
+    JOIN mad d ON e.event_type = d.event_type
+    GROUP BY 1, m.med, d.mad
+    """,
+)
+def agg_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group robust outlier counts: |value - median| > 3.5 * MAD.
+
+    Cross-engine contract: the median and MAD are floor-form-rounded to
+    4 dp BEFORE the threshold comparison on BOTH sides — the engines'
+    interpolated percentiles can differ in the last ulp, and an
+    unrounded threshold would let a borderline row flip the count
+    (same hazard class as the ntile null-ordering pin). Null values
+    drop out identically: percentile ignores them, and the outlier
+    predicate is null (not true) for them on both engines.
+
+    Scale shape: two percentile passes and a final count, all shuffled
+    on the same small group key; the per-group stats tables are tiny
+    and broadcast back onto the fact scan. At 100 TB swap the exact
+    percentile for approx_percentile — same call shape, one pass."""
+    ev = load_table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        _r(F.percentile("value", F.lit(0.5)), 4).alias("med")
+    )
+    mad = (
+        ev.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(
+            _r(
+                F.percentile(F.abs(F.col("value") - F.col("med")), F.lit(0.5)),
+                4,
+            ).alias("mad")
+        )
+    )
+    return (
+        ev.join(F.broadcast(med), "event_type")
+        .join(F.broadcast(mad), "event_type")
+        .groupBy("event_type", "med", "mad")
+        .agg(
+            F.sum(
+                F.when(
+                    F.abs(F.col("value") - F.col("med"))
+                    > 3.5 * F.col("mad"),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_outliers"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )

@@ -2345,3 +2345,106 @@ def text_perplexity_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
             _r(F.avg(F.log("t") - F.log("c")), 4).alias("unigram_xent"),
         )
     )
+
+
+@register(
+    "dedup_substring_exact",
+    survey="north-star dedup tier: exact duplicated-substring detection "
+    "(Lee et al. 2022, 'Deduplicating Training Data Makes Language "
+    "Models Better' — the ExactSubstr pass that catches boilerplate "
+    "shared across otherwise-distinct documents, which whole-doc "
+    "hashing misses)",
+    oracle="""
+    WITH spans AS (
+      SELECT doc_id,
+             CAST(unnest(generate_series(1, length(text) - 79, 40))
+                  AS INTEGER) AS s,
+             text
+      FROM documents WHERE length(text) >= 80
+    )
+    SELECT md5(substr(text, s, 80)) AS span_hash,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_occurrences
+    FROM spans
+    GROUP BY 1
+    HAVING count(DISTINCT doc_id) > 1
+    """,
+)
+def dedup_substring_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated spans: tile every document with
+    80-char windows at stride 40 (every 80-char duplicate region ≥2
+    windows long is guaranteed to produce at least one aligned window
+    pair), hash each window, and keep hashes seen in more than one
+    document. The output is the boilerplate inventory — the spans an
+    ExactSubstr dedup pass would cut.
+
+    Scale shape: the explode is a narrow per-row op (~len/stride rows
+    per doc, all JVM expressions), and the only shuffle groups by the
+    window hash — uniformly distributed by construction, no skew. This
+    is the distributed analog of Lee et al.'s suffix-array pass:
+    windows instead of suffixes trades exactness at span boundaries
+    for a shuffle-friendly fixed fan-out (documented; the suffix array
+    itself is not partition-parallel). At 100 TB the group-by carries
+    (hash, doc) pairs only — bytes, not text."""
+    d = _docs(spark, sf_dir).filter(F.length("text") >= 80)
+    spans = d.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(1), F.length("text") - 79, F.lit(40))
+        ).alias("s"),
+        "text",
+    )
+    return (
+        spans.select(
+            "doc_id",
+            F.md5(F.expr("substring(text, s, 80)")).alias("span_hash"),
+        )
+        .groupBy("span_hash")
+        .agg(
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+@register(
+    "emb_centroid_by_label",
+    survey="north-star similarity tier: per-class embedding centroids "
+    "(the training step of a nearest-centroid classifier and the seed "
+    "step of IVF coarse quantization — elementwise array aggregation)",
+    oracle="""
+    WITH ex AS (
+      SELECT label,
+             CAST(unnest(generate_series(1, len(embedding))) AS INTEGER)
+               AS dim,
+             embedding
+      FROM embeddings
+    )
+    SELECT label, dim,
+           round(avg(embedding[dim]), 4) AS centroid,
+           CAST(count(*) AS BIGINT) AS n_vectors
+    FROM ex GROUP BY 1, 2
+    """,
+)
+def emb_centroid_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean embedding per label, one output row per (label, dimension)
+    — long format so the aggregation is a plain groupBy with map-side
+    partials instead of a whole-array reduce.
+
+    Scale shape: posexplode fans each vector into |dim| rows map-side,
+    then ONE shuffle on (label, dim) carries partial (sum, count)
+    pairs — |labels|·|dims| groups regardless of corpus size. The
+    wide-format alternative (aggregate() over zipped arrays) avoids
+    the fan-out but loses partial aggregation and skews on label; long
+    format is the 100 TB shape. Float sums are accumulation-order
+    dependent → round(,4) both sides per the catalog convention."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return (
+        e.select("label", F.posexplode("embedding").alias("pos", "val"))
+        .groupBy("label", (F.col("pos") + 1).cast("int").alias("dim"))
+        .agg(
+            _r(F.avg("val"), 4).alias("centroid"),
+            F.count(F.lit(1)).alias("n_vectors"),
+        )
+    )

@@ -51,6 +51,12 @@ AUDITED = [
     "vocab_top_ngrams",
     "sample_temperature_mix",
     "sketch_qdigest",
+    "funnel_conversion",
+    "cohort_retention",
+    "agg_outlier_mad",
+    "dedup_substring_exact",
+    "emb_centroid_by_label",
+    "join_fuzzy_key",
 ]
 
 # query -> flags it is ALLOWED to carry, with the reason pinned here.
@@ -64,6 +70,9 @@ ALLOWED = {
     # one-row literal dom joins plan as BNLJ, and the digest's global
     # window/final agg sit on a single tiny partition
     "sketch_qdigest": {"bnlj", "single_partition"},
+    # three one-row stage-count aggregates (each a partial-agg merge of
+    # a per-user table that shrinks down the funnel)
+    "funnel_conversion": {"single_partition"},
 }
 
 
