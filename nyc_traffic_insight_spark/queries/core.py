@@ -701,3 +701,149 @@ def scan_jsonl_malformed_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
         parsed.filter(F.col("_corrupt_record").isNull())
         .select("doc_id", "lang", "n_chars")
     )
+
+
+@register(
+    "sink_merge_upsert",
+    survey="S-family extension: MERGE INTO semantics (upsert a change "
+    "batch into a keyed table) — the write pattern every incremental "
+    "pipeline needs and plain parquet lacks; expressed engine-side as "
+    "the full-outer-join MERGE equivalent",
+    oracle="""
+    WITH target AS (
+      SELECT o_orderkey AS k, o_totalprice AS price FROM orders
+    ),
+    updates AS (
+      SELECT o_orderkey AS k, o_totalprice * 1.1 AS price
+      FROM orders WHERE o_orderkey % 5 = 0
+      UNION ALL
+      SELECT o_orderkey + (SELECT max(o_orderkey) FROM orders) AS k,
+             o_totalprice AS price
+      FROM orders WHERE o_orderkey % 50 = 0
+    )
+    SELECT coalesce(t.k, u.k) AS o_orderkey,
+           round(coalesce(u.price, t.price), 4) AS o_totalprice,
+           CASE WHEN t.k IS NULL THEN 'insert'
+                WHEN u.k IS NULL THEN 'keep'
+                ELSE 'update' END AS merge_action
+    FROM target t FULL OUTER JOIN updates u ON t.k = u.k
+    """,
+)
+def sink_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO target USING updates: matched keys take the update's
+    value, unmatched update keys insert, untouched target rows keep.
+    The change batch is derived deterministically from the table itself
+    (every 5th key updated with a 10% price bump, every 50th key
+    re-keyed past the max as an insert) so the oracle can reproduce it.
+
+    Scale shape: one full outer join on the key — shuffle-partitioned
+    on both sides, or a broadcast join when the change batch is small
+    (the common case; Spark picks it from stats). This is exactly the
+    join Delta/Iceberg MERGE executes under the hood; expressing it as
+    a query makes the semantics testable without a table format.
+    foreachBatch streaming upsert over the same semantics:
+    streaming/events.py::run_upsert_stream."""
+    orders = load_table(spark, sf_dir, "orders")
+    target = orders.select(
+        F.col("o_orderkey").alias("k"), F.col("o_totalprice").alias("price")
+    )
+    max_key = orders.agg(F.max("o_orderkey")).first()[0]
+    updates = (
+        orders.filter(F.col("o_orderkey") % 5 == 0)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            (F.col("o_totalprice") * 1.1).alias("price"),
+        )
+        .unionAll(
+            orders.filter(F.col("o_orderkey") % 50 == 0).select(
+                (F.col("o_orderkey") + F.lit(max_key)).alias("k"),
+                F.col("o_totalprice").alias("price"),
+            )
+        )
+    )
+    t, u = target.alias("t"), updates.alias("u")
+    merged = t.join(u, F.col("t.k") == F.col("u.k"), "full_outer")
+    return merged.select(
+        F.coalesce(F.col("t.k"), F.col("u.k")).alias("o_orderkey"),
+        _r(F.coalesce(F.col("u.price"), F.col("t.price")), 4).alias(
+            "o_totalprice"
+        ),
+        F.when(F.col("t.k").isNull(), "insert")
+        .when(F.col("u.k").isNull(), "keep")
+        .otherwise("update")
+        .alias("merge_action"),
+    )
+
+
+@register(
+    "qa_snapshot_diff",
+    survey="north-star QA tier: change-data-capture diff between two "
+    "table snapshots (added / removed / changed / unchanged, with "
+    "value deltas) — the audit a daily-refreshed corpus runs before "
+    "publishing",
+    oracle="""
+    WITH v1 AS (
+      SELECT o_orderkey AS k, o_totalprice AS price FROM orders
+      WHERE o_orderkey % 13 <> 0
+    ),
+    v2 AS (
+      SELECT o_orderkey AS k,
+             CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 1.05
+                  ELSE o_totalprice END AS price
+      FROM orders WHERE o_orderkey % 11 <> 0
+    )
+    SELECT CASE WHEN v1.k IS NULL THEN 'added'
+                WHEN v2.k IS NULL THEN 'removed'
+                WHEN v1.price <> v2.price THEN 'changed'
+                ELSE 'unchanged' END AS status,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           round(sum(coalesce(v2.price, 0) - coalesce(v1.price, 0)), 4)
+             AS price_delta
+    FROM v1 FULL OUTER JOIN v2 ON v1.k = v2.k
+    GROUP BY 1
+    """,
+)
+def qa_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-to-snapshot CDC report: full outer join on the key,
+    classify each row added/removed/changed/unchanged, aggregate counts
+    and the net value drift per class. The two snapshots are carved
+    deterministically from the same table (v1 drops keys %13=0 — those
+    are 'added' in v2; v2 drops %11=0 — 'removed' — and bumps %7=0 —
+    'changed') so the oracle reproduces them exactly.
+
+    Scale shape: ONE full outer join on the key and a 4-group
+    aggregate; both snapshots shuffle once on the same key so AQE
+    co-partitions them. The float equality in 'changed' is safe here
+    because both engines compute the bump with the same double
+    arithmetic on identical inputs — for production data you'd diff a
+    content hash instead (see dedup_exact)."""
+    orders = load_table(spark, sf_dir, "orders")
+    v1 = orders.filter(F.col("o_orderkey") % 13 != 0).select(
+        F.col("o_orderkey").alias("k"), F.col("o_totalprice").alias("price")
+    )
+    v2 = orders.filter(F.col("o_orderkey") % 11 != 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.when(
+            F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") * 1.05
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("price"),
+    )
+    a, b = v1.alias("a"), v2.alias("b")
+    diff = a.join(b, F.col("a.k") == F.col("b.k"), "full_outer")
+    status = (
+        F.when(F.col("a.k").isNull(), "added")
+        .when(F.col("b.k").isNull(), "removed")
+        .when(F.col("a.price") != F.col("b.price"), "changed")
+        .otherwise("unchanged")
+    )
+    return diff.groupBy(status.alias("status")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        _r(
+            F.sum(
+                F.coalesce(F.col("b.price"), F.lit(0.0))
+                - F.coalesce(F.col("a.price"), F.lit(0.0))
+            ),
+            4,
+        ).alias("price_delta"),
+    )

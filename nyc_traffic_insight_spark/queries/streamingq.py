@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from nyc_traffic_insight_spark.queries import register
 from nyc_traffic_insight_spark.sources import load_table
+from nyc_traffic_insight_spark.functions.rounding import r as _r
 
 
 @register(
@@ -174,4 +175,74 @@ def stream_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts").alias("session_start"),
         F.max("ts").alias("session_end"),
         F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@register(
+    "stream_stream_join",
+    survey="§2.12 stream-stream interval join (extension): purchases "
+    "within 30 min after a click by the same user — the batch-"
+    "equivalent registry entry for streaming/events.py::"
+    "correlate_streams (real two-stream run + watermark-eviction "
+    "semantics pinned in tests/test_streaming.py)",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, event_id AS click_id, ts AS click_ts
+      FROM events WHERE event_type = 'click'
+    ),
+    p AS (
+      SELECT user_id, event_id AS purchase_id, ts AS purchase_ts,
+             value AS amount
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT c.user_id, c.click_id, p.purchase_id,
+           CAST(date_diff('second', c.click_ts, p.purchase_ts) AS BIGINT)
+             AS secs_to_purchase,
+           round(p.amount, 4) AS amount
+    FROM c JOIN p
+      ON c.user_id = p.user_id
+     AND p.purchase_ts >= c.click_ts
+     AND p.purchase_ts <= c.click_ts + INTERVAL 30 MINUTE
+    """,
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Click→purchase attribution pairs: same user, purchase inside the
+    30 minutes after the click. This is the batch expression of the
+    watermarked stream-stream join (correlate_streams); identical join
+    predicate, so the streaming test's batch gold standard and this
+    oracle are the same semantics.
+
+    Scale shape: the EQUI key (user_id) drives the shuffle — both
+    sides co-partition on user and the time predicate is a residual
+    filter inside the sorted join, never a cross product. In streaming
+    mode the same plan bounds its state with the two watermarks (a
+    click older than the watermark can never match a future purchase
+    and is evicted)."""
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("amount"),
+    )
+    joined = c.join(p, "user_id").filter(
+        (F.col("purchase_ts") >= F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")
+        )
+    )
+    return joined.select(
+        "user_id",
+        "click_id",
+        "purchase_id",
+        (F.unix_timestamp("purchase_ts") - F.unix_timestamp("click_ts"))
+        .cast("bigint")
+        .alias("secs_to_purchase"),
+        _r(F.col("amount"), 4).alias("amount"),
     )

@@ -57,6 +57,9 @@ AUDITED = [
     "dedup_substring_exact",
     "emb_centroid_by_label",
     "join_fuzzy_key",
+    "stream_stream_join",
+    "sink_merge_upsert",
+    "qa_snapshot_diff",
 ]
 
 # query -> flags it is ALLOWED to carry, with the reason pinned here.
