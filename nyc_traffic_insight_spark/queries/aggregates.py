@@ -1093,3 +1093,64 @@ def agg_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_rows"),
         )
     )
+
+
+_PROFILE_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+@register(
+    "qa_profile_table",
+    survey="north-star QA tier: one-pass column profile "
+    "(rows/nulls/distincts/min/max/mean per column, long format) — the "
+    "first thing a data engineer runs on an unknown 100 TB table",
+    oracle="\n    UNION ALL\n".join(
+        f"""
+    SELECT '{c}' AS col_name,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(*) - count({c}) AS BIGINT) AS n_nulls,
+           CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+           round(min({c}), 4) AS min_v,
+           round(max({c}), 4) AS max_v,
+           round(avg({c}), 4) AS avg_v
+    FROM lineitem"""
+        for c in _PROFILE_COLS
+    ),
+)
+def qa_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profile of the lineitem measures, one output row per
+    column. The Spark side computes ALL columns' aggregates in a single
+    scan (one wide agg row) and unpivots driver-side expression-wise;
+    the oracle spells the same numbers as one UNION branch per column
+    (DuckDB scans per branch — fine for an oracle, wrong for 100 TB,
+    which is exactly why the engine side is the one-pass form).
+
+    Scale shape: one pass, map-side partial aggregation for every
+    stat; count(DISTINCT) rewrites to a two-stage expand aggregate
+    (Spark's standard plan — |distinct| partial rows per column, not
+    |input|). The unpivot is a zero-cost projection of a ONE-ROW
+    intermediate. At 100 TB swap exact distincts for
+    approx_count_distinct (same call shape, see
+    agg_approx_count_distinct)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__n_rows"),
+            (F.count(F.lit(1)) - F.count(c)).alias(f"{c}__n_nulls"),
+            F.count_distinct(F.col(c)).alias(f"{c}__n_distinct"),
+            _r(F.min(c), 4).alias(f"{c}__min_v"),
+            _r(F.max(c), 4).alias(f"{c}__max_v"),
+            _r(F.avg(c), 4).alias(f"{c}__avg_v"),
+        ]
+    wide = li.agg(*aggs)
+    stats = ["n_rows", "n_nulls", "n_distinct", "min_v", "max_v", "avg_v"]
+    per_col = [
+        F.struct(
+            F.lit(c).alias("col_name"),
+            *[F.col(f"{c}__{s}").alias(s) for s in stats],
+        )
+        for c in _PROFILE_COLS
+    ]
+    return wide.select(
+        F.explode(F.array(*per_col)).alias("p")
+    ).select("p.*")

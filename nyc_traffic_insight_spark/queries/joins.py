@@ -881,3 +881,65 @@ def join_fuzzy_key(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.levenshtein("name_a", "name_b").cast("int").alias("dist"),
         )
     )
+
+
+@register(
+    "dim_scd2_build",
+    survey="J/W-family extension: build a slowly-changing-dimension "
+    "(SCD type 2) version table from a change-event stream — validity "
+    "intervals via lead(), the warehouse op that turns events into the "
+    "dimension join_asof/join_interval_overlap then probe",
+    oracle="""
+    WITH changes AS (
+      SELECT o_custkey AS custkey,
+             CAST(o_orderdate AS DATE) AS change_date,
+             max_by(o_orderpriority, o_orderkey) AS priority
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT custkey,
+           strftime(change_date, '%Y-%m-%d') AS valid_from,
+           coalesce(strftime(lead(change_date) OVER w, '%Y-%m-%d'),
+                    '9999-01-01') AS valid_to,
+           CAST(row_number() OVER w AS INTEGER) AS version,
+           priority
+    FROM changes
+    WINDOW w AS (PARTITION BY custkey ORDER BY change_date)
+    """,
+)
+def dim_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Versioned customer-priority dimension from the order stream:
+    collapse same-day changes deterministically (max_by on the highest
+    order key), then each change opens a version valid until the next
+    change's date (lead(); open-ended final version pinned to
+    9999-01-01). Validity bounds are emitted as ISO strings — DATE
+    surfaces through Arrow differently per engine and would fail the
+    value hash on identical days (same pin as cohort_retention).
+
+    Scale shape: one groupBy (custkey, day) with map-side partials,
+    then lead/row_number over windows PARTITIONED BY custkey — no
+    global window, shuffle keyed on the dimension's natural key. The
+    result is exactly the table join_asof-style point-in-time lookups
+    probe; at 100 TB you'd persist it bucketed by custkey so the probe
+    join needs no shuffle (tests/test_bucketing.py pins that layout
+    pattern)."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    changes = (
+        orders.groupBy(
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_orderdate").cast("date").alias("change_date"),
+        )
+        .agg(F.max_by("o_orderpriority", "o_orderkey").alias("priority"))
+    )
+    w = Window.partitionBy("custkey").orderBy("change_date")
+    return changes.select(
+        "custkey",
+        F.date_format("change_date", "yyyy-MM-dd").alias("valid_from"),
+        F.coalesce(
+            F.date_format(F.lead("change_date").over(w), "yyyy-MM-dd"),
+            F.lit("9999-01-01"),
+        ).alias("valid_to"),
+        F.row_number().over(w).cast("int").alias("version"),
+        "priority",
+    )

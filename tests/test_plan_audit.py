@@ -60,6 +60,8 @@ AUDITED = [
     "stream_stream_join",
     "sink_merge_upsert",
     "qa_snapshot_diff",
+    "qa_profile_table",
+    "dim_scd2_build",
 ]
 
 # query -> flags it is ALLOWED to carry, with the reason pinned here.
@@ -76,6 +78,8 @@ ALLOWED = {
     # three one-row stage-count aggregates (each a partial-agg merge of
     # a per-user table that shrinks down the funnel)
     "funnel_conversion": {"single_partition"},
+    # one-row wide-aggregate merge (per-column stats collapse map-side)
+    "qa_profile_table": {"single_partition"},
 }
 
 
