@@ -1154,3 +1154,72 @@ def qa_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wide.select(
         F.explode(F.array(*per_col)).alias("p")
     ).select("p.*")
+
+
+@register(
+    "agg_skew_kurtosis",
+    survey="A-family extension: per-group skewness and excess kurtosis "
+    "via explicit central moments — the distribution-shape audit for a "
+    "numeric feature, spelled as portable moment arithmetic because "
+    "the engines' built-ins disagree on bias correction (Spark "
+    "skewness() is population-form, DuckDB's is sample-form)",
+    oracle="""
+    WITH mu AS (
+      SELECT event_type,
+             round(avg(value), 4) AS m
+      FROM events WHERE value IS NOT NULL GROUP BY 1
+    ),
+    mom AS (
+      SELECT e.event_type,
+             avg(power(e.value - mu.m, 2)) AS m2,
+             avg(power(e.value - mu.m, 3)) AS m3,
+             avg(power(e.value - mu.m, 4)) AS m4,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events e JOIN mu ON e.event_type = mu.event_type
+      WHERE e.value IS NOT NULL
+      GROUP BY 1
+    )
+    SELECT event_type,
+           round(m3 / power(m2, 1.5), 4) AS skewness_pop,
+           round(m4 / (m2 * m2) - 3, 4) AS kurtosis_excess,
+           n
+    FROM mom
+    """,
+)
+def agg_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population skewness g1 = m3/m2^1.5 and excess kurtosis
+    g2 = m4/m2² − 3 from explicit central moments.
+
+    Cross-engine contract: the group mean is floor-form-rounded to 4 dp
+    BEFORE the moment computation on both sides (same hazard class as
+    agg_outlier_mad — an unrounded last-ulp mean difference would leak
+    into every cubed/quartic deviation), and the final ratios are
+    rounded per the catalog convention. The built-in skewness()/
+    kurtosis() functions are deliberately NOT used: the engines
+    disagree on sample-vs-population bias correction, so the moment
+    algebra is the portable form — and it is also the mergeable form
+    (partial (n, Σd², Σd³, Σd⁴) per partition).
+
+    Scale shape: two passes shuffled on the same small group key, the
+    tiny mean table broadcast back onto the fact scan."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    mu = ev.groupBy("event_type").agg(_r(F.avg("value"), 4).alias("m"))
+    d = F.col("value") - F.col("m")
+    mom = (
+        ev.join(F.broadcast(mu), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.avg(d * d).alias("m2"),
+            F.avg(d * d * d).alias("m3"),
+            F.avg(d * d * d * d).alias("m4"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    return mom.select(
+        "event_type",
+        _r(F.col("m3") / F.pow("m2", 1.5), 4).alias("skewness_pop"),
+        _r(F.col("m4") / (F.col("m2") * F.col("m2")) - 3, 4).alias(
+            "kurtosis_excess"
+        ),
+        "n",
+    )

@@ -483,3 +483,77 @@ def sketch_hll_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("hll_estimate"),
     )
+
+
+@register(
+    "join_bloom_prefilter",
+    survey="J/sketch bridge: bloom-prefiltered semi-join reduction — "
+    "the fact side is thinned through the dimension's Bloom filter "
+    "BEFORE the exact join (what Spark's runtime bloomFilter join "
+    "pushdown does internally, spelled explicitly); the filter is "
+    "semantically transparent, so the oracle is the plain join",
+    oracle="""
+    WITH dim AS (
+      SELECT o_orderkey, o_orderdate FROM orders
+      WHERE o_orderpriority = '1-URGENT'
+    )
+    SELECT CAST(year(d.o_orderdate) AS INTEGER) AS yr,
+           CAST(month(d.o_orderdate) AS INTEGER) AS mth,
+           CAST(count(*) AS BIGINT) AS n_items,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+    FROM lineitem l JOIN dim d ON l.l_orderkey = d.o_orderkey
+    GROUP BY 1, 2
+    """,
+)
+def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Urgent-order revenue by month, with the lineitem scan reduced
+    through a Bloom filter built from the urgent-order keys before the
+    exact join. Correctness does not depend on the filter (false
+    positives are eliminated by the exact join; false negatives are
+    impossible), so the DuckDB oracle is the unfiltered join — the
+    value hash proves the bloom pass is transparent.
+
+    Scale shape: the filter's bit positions collapse to ≤16384 distinct
+    ints regardless of dimension size; each of the k=3 probe checks is
+    a BROADCAST left-semi join, so the 100 TB fact side is thinned
+    row-by-row with NO shuffle before the (also broadcastable) exact
+    join. This is precisely what
+    spark.sql.optimizer.runtime.bloomFilter.enabled injects at plan
+    time; spelling it as DataFrame ops makes the mechanism testable
+    and keeps it available when the optimizer declines (e.g. a
+    non-equi residual or a disabled AQE)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    dim = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey", "o_orderdate")
+    )
+    built = (
+        dim.select(
+            F.explode(_bloom_positions(F.col("o_orderkey"))).alias("pos")
+        )
+        .distinct()
+    )
+    probe_pos = _bloom_positions(F.col("l_orderkey"))
+    thinned = li.select(
+        "l_orderkey", "l_extendedprice", "l_discount", probe_pos.alias("pp")
+    )
+    for i in range(_BLOOM_K):
+        thinned = thinned.join(
+            F.broadcast(built),
+            thinned["pp"][i] == built["pos"],
+            "left_semi",
+        )
+    return (
+        thinned.join(F.broadcast(dim), thinned.l_orderkey == dim.o_orderkey)
+        .groupBy(
+            F.year("o_orderdate").cast("int").alias("yr"),
+            F.month("o_orderdate").cast("int").alias("mth"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            _r(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue"),
+        )
+    )

@@ -394,3 +394,42 @@ def time_spine_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("total", F.lit(0.0)).alias("total"),
         F.col("n").isNull().alias("filled"),
     )
+
+
+@register(
+    "win_first_last",
+    survey="W-family extension: first_value/last_value over an "
+    "explicit full-partition frame (anchor events per group)",
+    oracle="""
+    SELECT event_id, event_type,
+           first_value(event_id) OVER w AS first_event_id,
+           last_value(event_id) OVER w AS last_event_id
+    FROM events
+    WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND UNBOUNDED FOLLOWING)
+    """,
+)
+def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each event annotated with its group's first and last event id in
+    time order. The frame is EXPLICIT full-partition: last_value's
+    default frame ends at CURRENT ROW (both engines), which silently
+    returns the row itself — the classic window footgun, pinned here
+    the correct way. Ordering includes event_id so timestamp ties are
+    deterministic.
+
+    Scale shape: one shuffle on the partition key; Spark evaluates
+    both anchors in a single WindowExec pass."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.first("event_id").over(w).alias("first_event_id"),
+        F.last("event_id").over(w).alias("last_event_id"),
+    )

@@ -62,6 +62,9 @@ AUDITED = [
     "qa_snapshot_diff",
     "qa_profile_table",
     "dim_scd2_build",
+    "win_first_last",
+    "agg_skew_kurtosis",
+    "join_bloom_prefilter",
 ]
 
 # query -> flags it is ALLOWED to carry, with the reason pinned here.
