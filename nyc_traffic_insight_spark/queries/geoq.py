@@ -123,3 +123,96 @@ def geo_reproject_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         _r(F.col("ll.lon"), 6).alias("lon_rt"),
         _r(F.col("ll.lat"), 6).alias("lat_rt"),
     )
+
+
+_Z_BITS = 8  # 256 x 256 grid over the NYC bounding box
+_Z_LON0, _Z_LON_W = -74.3, 0.4
+_Z_LAT0, _Z_LAT_H = 40.5, 0.5
+
+
+def _z_interleave_sql(xcol: str, ycol: str) -> str:
+    """Morton interleave as portable integer arithmetic (no engine
+    shift operators): bit i of x lands at position 2i, bit i of y at
+    2i+1 — spelled ((v div 2^i) % 2) * 4^i (*2 for the y plane). One
+    generated text, both engines."""
+    terms = []
+    for i in range(_Z_BITS):
+        terms.append(
+            f"((CAST(floor({xcol} / {2**i}.0) AS BIGINT) % 2) * {4**i})"
+        )
+        terms.append(
+            f"((CAST(floor({ycol} / {2**i}.0) AS BIGINT) % 2) * {2 * 4**i})"
+        )
+    return " + ".join(terms)
+
+
+@register(
+    "layout_zorder_key",
+    survey="layout/scale tier: Z-order (Morton) clustering key over the "
+    "point grid — the Delta/Iceberg Z-ORDER primitive that makes a "
+    "2-D bounding-box predicate prune row groups in BOTH dimensions "
+    "when files are written sorted by this key",
+    oracle=f"""
+    WITH {_PTS_SQL},
+    cells AS (
+      SELECT id,
+             CAST(least(CAST(floor((lon - {_Z_LON0!r})
+                    / ({_Z_LON_W!r} / {2**_Z_BITS}.0)) AS BIGINT),
+                    {2**_Z_BITS - 1}) AS BIGINT) AS cx,
+             CAST(least(CAST(floor((lat - {_Z_LAT0!r})
+                    / ({_Z_LAT_H!r} / {2**_Z_BITS}.0)) AS BIGINT),
+                    {2**_Z_BITS - 1}) AS BIGINT) AS cy
+      FROM pts
+    )
+    SELECT id, cx, cy,
+           CAST({_z_interleave_sql('cx', 'cy')} AS BIGINT) AS zorder,
+           CAST(floor(({_z_interleave_sql('cx', 'cy')}) / 256.0) AS BIGINT)
+             AS zbucket
+    FROM cells
+    """,
+)
+def layout_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton code per point: quantize (lon, lat) to a 256×256 grid
+    over the NYC box and interleave the cell bits. Writing files
+    sorted/bucketed by this key gives every 2-D range predicate
+    locality in ONE sort key — a lat or lon band maps to O(√n) Morton
+    ranges instead of striping across every file, which is how
+    Delta/Iceberg Z-ORDER BY makes min/max row-group stats prunable in
+    both dimensions at once (a plain lexicographic (lon, lat) sort
+    prunes only the leading column).
+
+    The zbucket column (top 8 Morton bits) is the file-assignment
+    demonstration: 256 buckets, each covering a compact 16×16-cell
+    tile. Scale shape: pure per-row integer arithmetic — narrow map,
+    no shuffle; the downstream writer's repartitionByRange(zorder) is
+    the only exchange and is exactly the clustering you are paying
+    for. Both engines evaluate the same generated interleave text, so
+    the key is bit-identical cross-engine."""
+    pts = _pts(spark, sf_dir)
+    cell_w = _Z_LON_W / 2**_Z_BITS
+    cell_h = _Z_LAT_H / 2**_Z_BITS
+    cx = F.least(
+        F.floor((F.col("lon") - _Z_LON0) / cell_w).cast("bigint"),
+        F.lit(2**_Z_BITS - 1),
+    ).cast("bigint")
+    cy = F.least(
+        F.floor((F.col("lat") - _Z_LAT0) / cell_h).cast("bigint"),
+        F.lit(2**_Z_BITS - 1),
+    ).cast("bigint")
+    cells = pts.select("id", cx.alias("cx"), cy.alias("cy"))
+    z = None
+    for i in range(_Z_BITS):
+        xbit = (F.floor(F.col("cx") / float(2**i)).cast("bigint") % 2) * (
+            4**i
+        )
+        ybit = (F.floor(F.col("cy") / float(2**i)).cast("bigint") % 2) * (
+            2 * 4**i
+        )
+        z = xbit + ybit if z is None else z + xbit + ybit
+    return cells.select(
+        "id",
+        "cx",
+        "cy",
+        z.cast("bigint").alias("zorder"),
+        F.floor(z / 256.0).cast("bigint").alias("zbucket"),
+    )

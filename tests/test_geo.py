@@ -79,3 +79,27 @@ def test_wkt_parse_and_udf_roundtrip(spark):
     ).collect()
     assert abs(back[0]["xy"]["x"] - 987654.32) < 1e-6
     assert abs(back[0]["xy"]["y"] - 187654.1) < 1e-6
+
+
+def test_zorder_buckets_are_compact_tiles(spark):
+    # the point of the Morton key: the top bits address a COMPACT 2-D
+    # tile, so file-level min/max stats prune in both dimensions. Every
+    # zbucket (top 8 of 16 bits) must cover at most a 16x16-cell extent
+    from nyc_traffic_insight_spark.queries import load_all
+    from tests.conftest import SF_SMOKE
+
+    df = load_all()["layout_zorder_key"].builder(spark, SF_SMOKE)
+    ext = df.groupBy("zbucket").agg(
+        (F.max("cx") - F.min("cx")).alias("wx"),
+        (F.max("cy") - F.min("cy")).alias("wy"),
+    )
+    bad = ext.filter((F.col("wx") > 15) | (F.col("wy") > 15)).count()
+    assert bad == 0
+    # and the key is bijective with the cell: decoding round-trips
+    one = df.select("cx", "cy", "zorder").collect()
+    for r in one[:100]:
+        x = y = 0
+        for i in range(8):
+            x |= ((r["zorder"] >> (2 * i)) & 1) << i
+            y |= ((r["zorder"] >> (2 * i + 1)) & 1) << i
+        assert (x, y) == (r["cx"], r["cy"])

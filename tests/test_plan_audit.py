@@ -65,6 +65,7 @@ AUDITED = [
     "win_first_last",
     "agg_skew_kurtosis",
     "join_bloom_prefilter",
+    "layout_zorder_key",
 ]
 
 # query -> flags it is ALLOWED to carry, with the reason pinned here.
