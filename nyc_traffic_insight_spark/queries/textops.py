@@ -2448,3 +2448,69 @@ def emb_centroid_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_vectors"),
         )
     )
+
+
+@register(
+    "dedup_containment",
+    survey="north-star dedup tier: asymmetric shingle containment "
+    "|A∩B| / |A| — the sub-document signal Jaccard misses (a short doc "
+    "pasted inside a long one has high containment but low Jaccard, "
+    "so a Jaccard-only pipeline keeps the duplication)",
+    oracle=_SHINGLES_SQL
+    + """,
+    cnt AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY 1),
+    common AS (
+      SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS c
+      FROM shingles a JOIN shingles b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc1, doc2,
+           CAST(c AS DOUBLE) / least(ca.n, cb.n) AS containment,
+           CAST(c AS DOUBLE) / (ca.n + cb.n - c) AS jaccard
+    FROM common
+    JOIN cnt ca ON ca.doc_id = doc1
+    JOIN cnt cb ON cb.doc_id = doc2
+    WHERE CAST(c AS DOUBLE) / least(ca.n, cb.n) >= 0.8
+    """,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs where the SMALLER document's shingle set is ≥80% contained
+    in the other — emitted with the Jaccard beside it so downstream
+    policy can see exactly the pairs where the two scores disagree
+    (high containment + low Jaccard = sub-document duplication).
+
+    Containment c/min(n1,n2) is a ratio of integers like Jaccard —
+    bit-identical cross-engine, no rounding. Same shingle self-join
+    shape as dedup_ngram_jaccard (pairs meet only on shared shingles,
+    never a cross join); the LSH banding path generates the candidate
+    pairs at 100 TB and this scoring runs on candidates only."""
+    sh = _shingles(spark, sf_dir)
+    cnt = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    ca, cb = cnt.alias("ca"), cnt.alias("cb")
+    scored = (
+        common.join(ca, F.col("doc1") == F.col("ca.doc_id"))
+        .join(cb, F.col("doc2") == F.col("cb.doc_id"))
+        .select(
+            "doc1",
+            "doc2",
+            (
+                F.col("c").cast("double")
+                / F.least(F.col("ca.n"), F.col("cb.n"))
+            ).alias("containment"),
+            (
+                F.col("c").cast("double")
+                / (F.col("ca.n") + F.col("cb.n") - F.col("c"))
+            ).alias("jaccard"),
+        )
+    )
+    return scored.filter(F.col("containment") >= 0.8)

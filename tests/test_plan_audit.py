@@ -66,6 +66,7 @@ AUDITED = [
     "agg_skew_kurtosis",
     "join_bloom_prefilter",
     "layout_zorder_key",
+    "dedup_containment",
 ]
 
 # query -> flags it is ALLOWED to carry, with the reason pinned here.
