@@ -1223,3 +1223,56 @@ def agg_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "n",
     )
+
+
+@register(
+    "agg_entropy_by_group",
+    survey="A-family extension: Shannon entropy of the event-type "
+    "distribution per user — the behavioral-diversity / anomaly audit "
+    "(entropy 0 = single-action bots, high = organic mixes)",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, event_type, CAST(count(*) AS DOUBLE) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    t AS (
+      SELECT user_id, sum(c) AS n FROM c GROUP BY 1
+    )
+    SELECT c.user_id,
+           CAST(t.n AS BIGINT) AS n_events,
+           CAST(count(*) AS BIGINT) AS n_types,
+           round(-sum((c.c / t.n) * ln(c.c / t.n)), 4) AS entropy
+    FROM c JOIN t ON c.user_id = t.user_id
+    GROUP BY c.user_id, t.n
+    """,
+)
+def agg_entropy_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user Shannon entropy (nats) of the action distribution:
+    H = −Σ p·ln p with p = count(type)/count(*).
+
+    Scale shape: two groupBys on the same key (user, then user×type
+    collapsing back to user) — the second join/aggregate runs on the
+    already-reduced counts table, so the fact table is scanned once.
+    The log-sum is an order-dependent float accumulation → round(,4)
+    both sides per the catalog convention; the count ratios themselves
+    are exact."""
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("c")
+    )
+    t = c.groupBy("user_id").agg(F.sum("c").alias("n"))
+    p = F.col("c") / F.col("n")
+    return (
+        c.join(t, "user_id")
+        .groupBy("user_id", "n")
+        .agg(
+            F.count(F.lit(1)).alias("n_types"),
+            _r(-F.sum(p * F.log(p)), 4).alias("entropy"),
+        )
+        .select(
+            "user_id",
+            F.col("n").cast("bigint").alias("n_events"),
+            "n_types",
+            "entropy",
+        )
+    )

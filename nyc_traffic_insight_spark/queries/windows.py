@@ -433,3 +433,68 @@ def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("event_id").over(w).alias("first_event_id"),
         F.last("event_id").over(w).alias("last_event_id"),
     )
+
+
+@register(
+    "win_streaks",
+    survey="W-family extension: gaps-and-islands daily-activity streaks "
+    "per user (longest consecutive-day run) — the sessionization "
+    "pattern at day granularity, engagement analytics' bread and "
+    "butter",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id,
+             CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                  AS BIGINT) AS d
+      FROM events
+    ),
+    islands AS (
+      SELECT user_id, d,
+             d - row_number() OVER (PARTITION BY user_id ORDER BY d)
+               AS island
+      FROM days
+    ),
+    streaks AS (
+      SELECT user_id, island, CAST(count(*) AS BIGINT) AS len
+      FROM islands GROUP BY 1, 2
+    )
+    SELECT user_id,
+           CAST(sum(len) AS BIGINT) AS n_active_days,
+           CAST(max(len) AS BIGINT) AS longest_streak,
+           CAST(count(*) AS BIGINT) AS n_streaks
+    FROM streaks GROUP BY 1
+    """,
+)
+def win_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity run per user via the classic
+    gaps-and-islands trick: consecutive day numbers minus their
+    within-user rank share a constant island key, so one groupBy turns
+    runs into streak lengths. Day numbers are integer offsets from a
+    fixed epoch (both engines compute the identical subtraction — no
+    timezone or DATE-surface hazard reaches the output).
+
+    Scale shape: DISTINCT (user, day) partial-aggregates map-side;
+    row_number windows partition on user_id (no global window); the two
+    closing aggregates run on |user × island| rows. Same shape family
+    as stream_sessionization, one granularity up."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id",
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+        .cast("bigint")
+        .alias("d"),
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    islands = days.select(
+        "user_id", "d", (F.col("d") - F.row_number().over(w)).alias("island")
+    )
+    streaks = islands.groupBy("user_id", "island").agg(
+        F.count(F.lit(1)).alias("len")
+    )
+    return streaks.groupBy("user_id").agg(
+        F.sum("len").cast("bigint").alias("n_active_days"),
+        F.max("len").cast("bigint").alias("longest_streak"),
+        F.count(F.lit(1)).alias("n_streaks"),
+    )

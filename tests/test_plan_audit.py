@@ -67,6 +67,8 @@ AUDITED = [
     "join_bloom_prefilter",
     "layout_zorder_key",
     "dedup_containment",
+    "agg_entropy_by_group",
+    "win_streaks",
 ]
 
 # query -> flags it is ALLOWED to carry, with the reason pinned here.
