@@ -943,3 +943,179 @@ def dim_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(w).cast("int").alias("version"),
         "priority",
     )
+
+
+@register(
+    "report_shipping_priority",
+    survey="J/A composite: TPC-H Q3-shaped shipping-priority report — "
+    "segment-filtered customer ⋈ orders ⋈ lineitem, revenue top-10 "
+    "(the canonical selective-star + top-k OLAP query, here as proof "
+    "the engine composes its primitives into benchmark shapes)",
+    oracle="""
+    SELECT l.l_orderkey,
+           strftime(CAST(o.o_orderdate AS DATE), '%Y-%m-%d') AS orderdate,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY 1, 2
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def report_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 unshipped revenue in the BUILDING segment at the cutoff
+    date (orders placed before it, lines shipped after it).
+
+    Determinism note for the top-k: revenue is floor-form-rounded
+    BEFORE the sort on both sides and the sort breaks ties on
+    l_orderkey — an unrounded sort key could disagree in the last ulp
+    across engines and flip the cutoff row.
+
+    Scale shape: the segment filter prunes customers BEFORE the join
+    (predicate pushdown to the scan), the pruned customer side
+    broadcasts, and orderBy+limit compiles to TakeOrdered (per-
+    partition top-10, then a 10-row merge — no global sort)."""
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1997-01-01 00:00:00").cast("timestamp")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        )
+        .agg(
+            _r(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4)
+            .alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "report_region_supplier_volume",
+    survey="J composite: TPC-H Q5-shaped local-supplier volume — the "
+    "full 6-table snowflake (region→nation→supplier ⋈ lineitem ⋈ "
+    "orders ⋈ customer with the local-supplier co-nation condition)",
+    oracle="""
+    SELECT n.n_name,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM region r
+    JOIN nation n ON r.r_regionkey = n.n_regionkey
+    JOIN supplier s ON s.s_nationkey = n.n_nationkey
+    JOIN lineitem l ON l.l_suppkey = s.s_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+                   AND c.c_nationkey = s.s_nationkey
+    WHERE r.r_name IN ('AMERICA', 'ASIA')
+    GROUP BY 1
+    """,
+)
+def report_region_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue where customer and supplier share a nation inside the
+    selected regions — the snowflake traversal with a cross-dimension
+    equality (c_nationkey = s_nationkey) that makes Q5 the classic
+    join-order test.
+
+    Scale shape: region/nation/supplier chain collapses to a tiny
+    broadcast dimension BEFORE touching lineitem (Catalyst reorders
+    the dim-dim joins; the region filter prunes first); the only big
+    shuffles are lineitem⋈orders and ⋈customer on their natural keys.
+    The co-nation predicate rides the customer join as a residual —
+    no extra shuffle."""
+    r = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name").isin("AMERICA", "ASIA")
+    )
+    n = load_table(spark, sf_dir, "nation")
+    s = load_table(spark, sf_dir, "supplier")
+    dims = (
+        r.join(n, r.r_regionkey == n.n_regionkey)
+        .join(s, s.s_nationkey == n.n_nationkey)
+        .select("s_suppkey", "s_nationkey", "n_name")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        li.join(F.broadcast(dims), li.l_suppkey == dims.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(
+            c,
+            (o.o_custkey == c.c_custkey)
+            & (c.c_nationkey == dims.s_nationkey),
+        )
+        .groupBy("n_name")
+        .agg(
+            _r(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4)
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "report_returned_customers",
+    survey="J/A composite: TPC-H Q10-shaped returned-item report — "
+    "customers ranked by revenue lost to returns in a quarter, with "
+    "their nation",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 4)
+             AS lost_revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+    GROUP BY 1, 2, 3
+    ORDER BY lost_revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def report_returned_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 customers by returned-line revenue in 1997Q1 with their
+    nation — Q10's shape: one selective fact quarter, a return-flag
+    filter, two dimension joins, a top-k.
+
+    Same determinism pin as report_shipping_priority: the sort key is
+    the ROUNDED revenue plus a unique tiebreak. Scale shape: the
+    quarter predicate prunes orders at the scan; nation broadcasts;
+    TakeOrdered for the top-k."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            _r(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4)
+            .alias("lost_revenue")
+        )
+        .orderBy(F.desc("lost_revenue"), "c_custkey")
+        .limit(20)
+    )

@@ -69,6 +69,9 @@ AUDITED = [
     "dedup_containment",
     "agg_entropy_by_group",
     "win_streaks",
+    "report_shipping_priority",
+    "report_region_supplier_volume",
+    "report_returned_customers",
 ]
 
 # query -> flags it is ALLOWED to carry, with the reason pinned here.
