@@ -557,3 +557,37 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("revenue"),
         )
     )
+
+
+@register(
+    "split_deterministic",
+    survey="M5/O5 hardening: content-addressed train/test split with a "
+    "FULL value oracle — the deterministic complement to the rows-only "
+    "engine-seeded split_random (same 85/15 contract, reproducible "
+    "across engines, runs, and retries)",
+    oracle=f"""
+    SELECT event_id, user_id, value,
+           CASE WHEN {_DRAW_SQL.replace("doc_id", "event_id")} < 85
+                THEN 'train' ELSE 'test' END AS split
+    FROM events
+    """,
+)
+def split_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """85/15 split decided by each row's md5 draw — the split every
+    production pipeline should use instead of an RNG: retries, engine
+    swaps, and re-runs assign every row identically, and the test set
+    can be reconstructed from keys alone. split_random (engine-seeded
+    randomSplit) stays registered beside this as the API-parity entry;
+    this one carries the value hash.
+
+    Scale shape: a pure per-row projection — no shuffle, no
+    coordination, trivially map-side at 100 TB."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.when(_draw("event_id") < 85, "train")
+        .otherwise("test")
+        .alias("split"),
+    )

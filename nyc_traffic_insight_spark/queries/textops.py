@@ -2514,3 +2514,88 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scored.filter(F.col("containment") >= 0.8)
+
+
+@register(
+    "text_tfidf_top_terms",
+    survey="north-star text tier: per-document TF-IDF top-3 terms — "
+    "the keyword/topic signal beside vocab_top_ngrams (corpus-global) "
+    "and text_perplexity_proxy (fluency): what makes THIS doc "
+    "distinctive",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+'))
+               AS term
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+      FROM words GROUP BY 1, 2
+    ),
+    df AS (
+      SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df FROM words
+      GROUP BY 1
+    ),
+    n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             CAST(floor(tf.tf * ln(n.n / df.df) * 10000.0 + 0.5) AS DOUBLE)
+               / 10000.0 AS tfidf
+      FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+    ),
+    ranked AS (
+      SELECT doc_id, term, tfidf,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY tfidf DESC, term) AS rnk
+      FROM scored
+    )
+    SELECT doc_id, term, tfidf, CAST(rnk AS INTEGER) AS rnk
+    FROM ranked WHERE rnk <= 3
+    """,
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 distinctive terms per document by tf·ln(N/df).
+
+    The score is floor-form-rounded BEFORE the within-doc ranking on
+    both sides (ln() is libm-dependent in the last ulp; ranking on the
+    raw double could flip near-ties across engines) and ties break on
+    the term string.
+
+    Scale shape: words explode narrow; tf groups on (doc, term); the
+    document-frequency table is small by Zipf's law (vocabulary, not
+    corpus, sized) and BROADCASTS onto the tf table — the same
+    no-hot-term-shuffle argument as text_perplexity_proxy; the top-3
+    window partitions by doc_id. N is a one-row literal-style
+    aggregate."""
+    words = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("term"),
+    )
+    tf = words.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("double").alias("tf")
+    )
+    df = words.groupBy("term").agg(
+        F.count_distinct("doc_id").cast("double").alias("df")
+    )
+    n = _docs(spark, sf_dir).agg(F.count(F.lit(1)).cast("double").alias("n"))
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            _r(F.col("tf") * F.log(F.col("n") / F.col("df")), 4).alias(
+                "tfidf"
+            ),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "term")
+    return (
+        scored.select(
+            "doc_id", "term", "tfidf", F.row_number().over(w).alias("rnk")
+        )
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "term", "tfidf", F.col("rnk").cast("int").alias("rnk"))
+    )

@@ -72,6 +72,8 @@ AUDITED = [
     "report_shipping_priority",
     "report_region_supplier_volume",
     "report_returned_customers",
+    "split_deterministic",
+    "text_tfidf_top_terms",
 ]
 
 # query -> flags it is ALLOWED to carry, with the reason pinned here.
@@ -90,6 +92,9 @@ ALLOWED = {
     "funnel_conversion": {"single_partition"},
     # one-row wide-aggregate merge (per-column stats collapse map-side)
     "qa_profile_table": {"single_partition"},
+    # one-row corpus-size aggregate broadcast onto the tf table (same
+    # accounted shape as text_perplexity_proxy's corpus constants)
+    "text_tfidf_top_terms": {"single_partition", "bnlj"},
 }
 
 
