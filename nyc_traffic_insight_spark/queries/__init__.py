@@ -56,18 +56,21 @@ def register(name: str, oracle: str | None = None, survey: str = ""):
 
 # Registration-order rotation (VERDICT.md round 2 #1, r3 #7, r4 #2).
 # The driver's sf0.01 correctness gate walks REGISTRY front-to-back with a
-# ~50-query budget.  Round-5 ordering, freshness-driven:
+# 50-query budget (CORRECTNESS_r04 carried exactly 50 rows).  Round-5
+# ordering, freshness-driven — never-checked beats stale beats fresh:
 #   1. sketch_hll — r4's sole red row; the root cause (oracle reg_sum left
 #      un-cast, DuckDB widened to HUGEINT) is fixed this round and must be
 #      re-verified first;
 #   2. the 16 queries whose last evidence is ROUND 1 (the filter/union/
 #      sort/sample tail that r4's 50-query budget cut off) — VERDICT r4 #2;
-#   3. queries changed or added this round (null-ordering pin, staging-dir
-#      reuse, new operators) — their results/plans moved, re-verify;
-#   4. the 34 queries last checked in round 2 (joins, string/date scalars,
-#      the dedup/similarity front half) — whatever fits the remaining
-#      budget; the rest roll to round 6.
-# everything r3/r4-fresh follows in module order.
+#   3. EVERY operator added this round (zero driver evidence yet — each was
+#      hash-verified locally at sf0.001 and sf0.01 before registration, but
+#      only a CORRECTNESS row counts);
+#   4. queries whose code changed this round (ntile null-ordering pin,
+#      JSONL/stream staging-dir reuse) — results/plans moved, re-verify.
+# 1+16+29+4 = 50: exactly the budget.  The 34 r2-era queries roll to
+# round 6 wholesale (deliberate: zero-evidence > stale-evidence); r6's
+# front-load is section "5." below plus whatever r5 adds late.
 _CHECK_FIRST = [
     # 1. the fixed red row
     "sketch_hll",
@@ -88,7 +91,7 @@ _CHECK_FIRST = [
     "limit_head",
     "sample_shuffle",
     "split_random",
-    # 3. changed/added this round
+    # 3. added this round — zero driver evidence until CORRECTNESS_r05
     "sketch_qdigest",
     "funnel_conversion",
     "cohort_retention",
@@ -96,45 +99,40 @@ _CHECK_FIRST = [
     "dedup_substring_exact",
     "emb_centroid_by_label",
     "join_fuzzy_key",
+    "win_first_last",
+    "win_streaks",
+    "dim_scd2_build",
+    "report_shipping_priority",
+    "report_region_supplier_volume",
+    "report_returned_customers",
+    "dedup_containment",
+    "text_tfidf_top_terms",
+    "stream_stream_join",
+    "join_bloom_prefilter",
+    "split_deterministic",
+    "layout_zorder_key",
+    "qa_profile_table",
+    "agg_skew_kurtosis",
+    "agg_entropy_by_group",
+    "sink_merge_upsert",
+    "qa_snapshot_diff",
+    "win_sessionize_batch",
+    "event_transition_matrix",
+    "report_market_share",
+    "agg_audience_overlap",
+    "report_rfm_scores",
+    # 4. code changed this round (ntile ordering pin, staging-dir reuse)
     "win_ntile_buckets",
     "scan_jsonl_roundtrip",
     "scan_jsonl_malformed_skip",
     "stream_file_ingest",
-    # 4. last checked r2 — fill the remaining budget, rest roll to r6
-    "join_star_broadcast",
-    "join_anti",
-    "join_semi",
-    "join_outer",
-    "join_nearest_spatial",
-    "join_salted_skew",
-    "join_asof",
-    "join_range_binned",
-    "str_wkt_parse",
-    "str_functions",
-    "str_timestamp_build",
-    "dt_extract",
-    "flag_weekend",
-    "flag_season",
-    "flag_rush_hour",
-    "cyclical_encode",
-    "log1p_expm1",
-    "interaction_products",
-    "case_volume_bins",
-    "round_decimal",
-    "cond_route",
-    "json_struct_build",
-    "json_extract",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_sig",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_embedding_cosine",
-    "sim_search_bruteforce_topk",
-    "sim_search_lsh_buckets",
-    "text_token_count",
-    "text_quality_score",
-    "text_lang_id",
+    # 5. (rolls to r6) the 34 r2-era queries: join_star_broadcast,
+    #    join_anti/semi/outer, join_nearest_spatial, join_salted_skew,
+    #    join_asof, join_range_binned, str_*/dt_*/flag_*/cyclical/log1p/
+    #    interaction/case_volume/round/cond_route/json_*, dedup front half
+    #    (exact, ngram_jaccard, minhash_sig/lsh, simhash, embedding_cosine),
+    #    sim_search_bruteforce/lsh_buckets, text_token_count/quality_score/
+    #    lang_id — all passed r2; re-verify in r6's front-load.
 ]
 
 
@@ -158,6 +156,7 @@ def load_all() -> dict[str, QuerySpec]:
         mlq,
         geoq,
         aggregates,
+        behaviorq,
         core,
     )
 

@@ -1,0 +1,350 @@
+"""Catalog: behavioral / product-analytics operators (round 5).
+
+The reference's events surface (`enrich_weather.py` ingests an event
+stream; `main.py:120-180` aggregates per-entity activity) stops at
+per-hour counts. Users of an events table reach for the next tier the
+moment it exists: sessionization, path analysis, share-of-total,
+audience overlap, RFM scoring. These are that tier, batch-side (the
+streaming sessionizer lives in `queries/streamingq.py`), each with a
+full DuckDB value-hash oracle.
+
+Cross-engine determinism rules (see `queries/__init__` docstring):
+window order is always pinned to a unique key suffix ``(ts, event_id)``
+— the fixture has no duplicate (user_id, ts) today, but a tie would
+otherwise flip lag/ntile results between engines silently.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from nyc_traffic_insight_spark.functions.rounding import r as _r
+from nyc_traffic_insight_spark.queries import register
+from nyc_traffic_insight_spark.sources import load_table
+
+# 30-minute inactivity gap: the de-facto industry default (GA, Amplitude).
+_GAP_MIN = 30
+
+
+@register(
+    "win_sessionize_batch",
+    survey="W/streaming-family extension: gap-based batch sessionization "
+    "(30-min inactivity cutoff) — the batch twin of stream_sessionization "
+    "(enrich_weather.py's stream is the reference's only session surface)",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER w <= INTERVAL {_GAP_MIN} MINUTE
+                  THEN 0 ELSE 1 END AS new_sess
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, ts,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS session_seq
+      FROM seq
+    )
+    SELECT user_id,
+           CAST(session_seq AS INTEGER) AS session_seq,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           CAST(date_diff('second', min(ts), max(ts)) AS BIGINT) AS duration_s,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM sess GROUP BY 1, 2
+    """,
+)
+def win_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic gap sessionization: a session breaks when >30 min pass
+    between a user's consecutive events; session_seq is the running
+    count of breaks (the first event of every user opens session 1 —
+    lag is NULL there, and NULL <= interval is false on both engines).
+
+    Scale shape: ONE shuffle on user_id serves both windows and the
+    final groupBy (same partitioning expression, Spark reuses the
+    Exchange); state per user is a timestamp, output is bounded by
+    |sessions|, never raw events. This is the standard distributed
+    sessionize — the pandas equivalent would single-thread the sort.
+
+    duration_s = unix_timestamp(max) - unix_timestamp(min): both sides
+    floor to epoch seconds, identical to DuckDB's date_diff('second')
+    boundary count on microsecond timestamps.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w_lag = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    gap_ok = (
+        F.col("ts").cast("long") - F.lag("ts", 1).over(w_lag).cast("long")
+    ) <= _GAP_MIN * 60
+    return (
+        ev.select(
+            "user_id",
+            "ts",
+            F.when(gap_ok, F.lit(0)).otherwise(F.lit(1)).alias("new_sess"),
+        )
+        .select(
+            "user_id",
+            "ts",
+            F.sum("new_sess").over(w_run).cast("int").alias("session_seq"),
+        )
+        .groupBy("user_id", "session_seq")
+        .agg(
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start"
+            ),
+            (
+                F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))
+            ).alias("duration_s"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+@register(
+    "event_transition_matrix",
+    survey="W/A-family extension: first-order Markov transition counts "
+    "between consecutive event types per user (path analysis)",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ),
+    trans AS (
+      SELECT prev_type, event_type AS next_type,
+             CAST(count(*) AS BIGINT) AS n_transitions
+      FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT prev_type, next_type, n_transitions,
+           round(n_transitions / CAST(sum(n_transitions)
+                 OVER (PARTITION BY prev_type) AS DOUBLE), 4) AS p_next
+    FROM trans
+    """,
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event sequences → (prev, next) transition counts →
+    row-normalized transition probabilities. The lag window shuffles on
+    user_id; the count collapses to at most |types|² rows, so the
+    normalizing window is over a constant-size table.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        ev.select(
+            F.lag("event_type", 1).over(w).alias("prev_type"),
+            F.col("event_type").alias("next_type"),
+        )
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+    w_norm = Window.partitionBy("prev_type")
+    return trans.select(
+        "prev_type",
+        "next_type",
+        "n_transitions",
+        _r(
+            F.col("n_transitions")
+            / F.sum("n_transitions").over(w_norm).cast("double"),
+            4,
+        ).alias("p_next"),
+    )
+
+
+@register(
+    "report_market_share",
+    survey="A/W-family extension: per-day share-of-total by event type "
+    "(windowed share-of-total is the report shape main.py:120-180 "
+    "approximates with repeated full-table scans)",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, day, cnt,
+           round(cnt / CAST(sum(cnt) OVER (PARTITION BY day) AS DOUBLE), 4)
+             AS share
+    FROM daily
+    """,
+)
+def report_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share-of-total without a second scan: aggregate once to
+    (type, day) counts — bounded by |types|×|days| — then a window sum
+    over the aggregate computes each day's denominator. The naive form
+    (join against a separate per-day total query) scans the fact table
+    twice; this scans once.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("day")
+    return daily.select(
+        "event_type",
+        "day",
+        "cnt",
+        _r(F.col("cnt") / F.sum("cnt").over(w).cast("double"), 4).alias(
+            "share"
+        ),
+    )
+
+
+@register(
+    "agg_audience_overlap",
+    survey="A-family extension: exact pairwise audience overlap + Jaccard "
+    "between event types — the exact baseline the sketch tier "
+    "(sketch_hll_by_group) approximates at scale",
+    oracle="""
+    WITH aud AS (SELECT DISTINCT event_type, user_id FROM events),
+    sizes AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM aud GROUP BY 1
+    ),
+    pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             CAST(count(*) AS BIGINT) AS n_both
+      FROM aud a JOIN aud b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT p.type_a, p.type_b, p.n_both, sa.n AS n_a, sb.n AS n_b,
+           round(p.n_both / CAST(sa.n + sb.n - p.n_both AS DOUBLE), 4)
+             AS jaccard
+    FROM pairs p
+    JOIN sizes sa ON p.type_a = sa.event_type
+    JOIN sizes sb ON p.type_b = sb.event_type
+    """,
+)
+def agg_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """|A ∩ B| / |A ∪ B| for every unordered pair of event types.
+
+    Scale shape: the self-join is keyed on user_id over the DISTINCT
+    (type, user) projection — each user carries at most |types| rows,
+    so the per-key fan-out is bounded by |types|² (25 here), not by
+    activity; the heavy op is the DISTINCT, which partial-aggregates
+    map-side. The size lookups broadcast (|types| rows). This is the
+    exact-counting twin of the HLL-sketch path for when the audience
+    table fits a shuffle.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    aud = ev.select("event_type", "user_id").distinct()
+    sizes = aud.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    a = aud.select(
+        F.col("event_type").alias("type_a"), F.col("user_id").alias("user_id")
+    )
+    b = aud.select(
+        F.col("event_type").alias("type_b"), F.col("user_id").alias("user_id")
+    )
+    pairs = (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    sa = F.broadcast(sizes.select(F.col("event_type").alias("type_a"), F.col("n").alias("n_a")))
+    sb = F.broadcast(sizes.select(F.col("event_type").alias("type_b"), F.col("n").alias("n_b")))
+    return (
+        pairs.join(sa, "type_a")
+        .join(sb, "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_both",
+            "n_a",
+            "n_b",
+            _r(
+                F.col("n_both")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_both")).cast(
+                    "double"
+                ),
+                4,
+            ).alias("jaccard"),
+        )
+    )
+
+
+@register(
+    "report_rfm_scores",
+    survey="A/W-family extension: RFM customer scoring over orders "
+    "(recency/frequency/monetary quartiles) — per-entity score table, "
+    "the serving-side shape of main.py's per-entity summaries",
+    oracle="""
+    WITH rfm AS (
+      SELECT o_custkey,
+             CAST(date_diff('day', CAST(max(o_orderdate) AS DATE),
+                  (SELECT CAST(max(o_orderdate) AS DATE) FROM orders))
+                  AS BIGINT) AS recency_days,
+             CAST(count(*) AS BIGINT) AS frequency,
+             round(sum(o_totalprice), 2) AS monetary
+      FROM orders GROUP BY 1
+    )
+    SELECT o_custkey, recency_days, frequency, monetary,
+           CAST(ntile(4) OVER (ORDER BY recency_days, o_custkey)
+                AS INTEGER) AS r_score,
+           CAST(ntile(4) OVER (ORDER BY frequency DESC, o_custkey)
+                AS INTEGER) AS f_score,
+           CAST(ntile(4) OVER (ORDER BY monetary DESC, o_custkey)
+                AS INTEGER) AS m_score
+    FROM rfm
+    """,
+)
+def report_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency (days since last order vs corpus max), frequency (order
+    count), monetary (total spend, 2dp) per customer, each quartiled
+    with ntile(4) — score 1 is best on every axis. Ordering carries the
+    o_custkey tie-break so bucket edges are engine-independent (the
+    win_ntile_buckets lesson).
+
+    Scale shape: one groupBy(o_custkey) over the fact table, then three
+    global ntile windows over the PER-CUSTOMER aggregate — bounded by
+    |customers|, orders of magnitude under the fact table, same
+    accounted single-partition shape as win_ntile_buckets. If the
+    entity table itself outgrew one partition, the scale path is
+    breakpoint-based scoring (approx quantile cutoffs broadcast onto a
+    narrow map) — same trade the sketch tier makes.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    global_max = orders.agg(
+        F.max(F.col("o_orderdate").cast("date")).alias("mx")
+    )
+    rfm = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.max(F.col("o_orderdate").cast("date")).alias("last_order"),
+            F.count(F.lit(1)).alias("frequency"),
+            _r(F.sum("o_totalprice"), 2).alias("monetary"),
+        )
+        .join(F.broadcast(global_max))
+        .select(
+            "o_custkey",
+            F.datediff("mx", "last_order").cast("bigint").alias(
+                "recency_days"
+            ),
+            "frequency",
+            "monetary",
+        )
+    )
+    return rfm.select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.ntile(4)
+        .over(Window.orderBy("recency_days", "o_custkey"))
+        .cast("int")
+        .alias("r_score"),
+        F.ntile(4)
+        .over(Window.orderBy(F.desc("frequency"), "o_custkey"))
+        .cast("int")
+        .alias("f_score"),
+        F.ntile(4)
+        .over(Window.orderBy(F.desc("monetary"), "o_custkey"))
+        .cast("int")
+        .alias("m_score"),
+    )

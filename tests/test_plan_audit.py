@@ -74,6 +74,12 @@ AUDITED = [
     "report_returned_customers",
     "split_deterministic",
     "text_tfidf_top_terms",
+    # round 5 behavioral tier
+    "win_sessionize_batch",
+    "event_transition_matrix",
+    "report_market_share",
+    "agg_audience_overlap",
+    "report_rfm_scores",
 ]
 
 # query -> flags it is ALLOWED to carry, with the reason pinned here.
@@ -95,6 +101,10 @@ ALLOWED = {
     # one-row corpus-size aggregate broadcast onto the tf table (same
     # accounted shape as text_perplexity_proxy's corpus constants)
     "text_tfidf_top_terms": {"single_partition", "bnlj"},
+    # three global ntile windows over the PER-CUSTOMER aggregate
+    # (bounded by |customers|, same accounted shape as
+    # win_ntile_buckets) + the one-row global-max-date broadcast join
+    "report_rfm_scores": {"single_partition", "bnlj"},
 }
 
 
