@@ -24,9 +24,33 @@ _TS_FMT = "yyyy-MM-dd HH:mm:ss"
 
 
 def _tmp(sf_dir: str, name: str) -> str:
-    """Deterministic scratch dir for sink/rescan queries."""
+    """Deterministic PER-PROCESS scratch dir for sink/rescan queries.
+
+    Deterministic within a process so bench reps overwrite in place
+    (no mkdtemp orphan accumulation); namespaced by PID so two
+    concurrent processes (a bench run next to a test run) never rmtree
+    each other's staging mid-read — a file-stream whose source dir
+    vanishes dies with a confusing 'basePath not found'. The process
+    root is removed at interpreter exit."""
     tag = os.path.basename(os.path.normpath(sf_dir))
-    return os.path.join(tempfile.gettempdir(), "ntis_scratch", tag, name)
+    root = os.path.join(
+        tempfile.gettempdir(), "ntis_scratch", f"pid{os.getpid()}"
+    )
+    _register_scratch_cleanup(root)
+    return os.path.join(root, tag, name)
+
+
+_CLEANUP_REGISTERED: set[str] = set()
+
+
+def _register_scratch_cleanup(root: str) -> None:
+    if root in _CLEANUP_REGISTERED:
+        return
+    _CLEANUP_REGISTERED.add(root)
+    import atexit
+    import shutil
+
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
 
 
 # --------------------------------------------------------------- flagship
