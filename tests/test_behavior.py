@@ -114,3 +114,81 @@ def test_rfm_quartiles_balanced(spark):
         assert len(sizes) == 4
         assert max(sizes) - min(sizes) <= 1, (col, sizes)
     assert sum(sizes) == total
+
+
+# ----------------------------- pandas-differential (reference engine)
+
+
+def _events_pdf():
+    import pandas as pd
+
+    pdf = pd.read_parquet(f"{SF_SMOKE}/events.parquet")[
+        ["user_id", "ts", "event_id", "event_type"]
+    ]
+    return pdf.sort_values(["user_id", "ts", "event_id"]).reset_index(
+        drop=True
+    )
+
+
+def test_sessionize_matches_pandas_golden(spark, sessions):
+    """The reference's engine is pandas: groupby.diff + cumsum is the
+    canonical single-machine sessionize. Spark must reproduce it
+    exactly — session boundaries, numbering, floor-second durations."""
+    import pandas as pd
+
+    pdf = _events_pdf()
+    gap = pdf.groupby("user_id")["ts"].diff()
+    new_sess = gap.isna() | (gap > pd.Timedelta(minutes=30))
+    pdf["session_seq"] = new_sess.astype(int).groupby(pdf["user_id"]).cumsum()
+    golden = (
+        pdf.groupby(["user_id", "session_seq"])
+        .agg(start=("ts", "min"), end=("ts", "max"), n_events=("ts", "size"))
+        .reset_index()
+    )
+    # ts loads as datetime64[us]: int64 view is epoch MICROseconds;
+    # floor-divide to whole epoch seconds like Spark's unix_timestamp
+    golden["duration_s"] = (
+        golden["end"].astype("datetime64[us]").astype("int64") // 10**6
+        - golden["start"].astype("datetime64[us]").astype("int64") // 10**6
+    )
+    got = (
+        sessions.toPandas()
+        .sort_values(["user_id", "session_seq"])
+        .reset_index(drop=True)
+    )
+    golden = golden.sort_values(["user_id", "session_seq"]).reset_index(
+        drop=True
+    )
+    assert len(got) == len(golden)
+    assert (got["user_id"].to_numpy() == golden["user_id"].to_numpy()).all()
+    assert (
+        got["session_seq"].to_numpy() == golden["session_seq"].to_numpy()
+    ).all()
+    assert (got["n_events"].to_numpy() == golden["n_events"].to_numpy()).all()
+    assert (
+        got["duration_s"].to_numpy() == golden["duration_s"].to_numpy()
+    ).all()
+
+
+def test_transitions_match_pandas_golden(spark):
+    """groupby.shift is the pandas spelling of the per-user lag; the
+    (prev, next) count table must agree cell for cell."""
+    df = SPECS["event_transition_matrix"].builder(spark, SF_SMOKE)
+    pdf = _events_pdf()
+    pdf["prev_type"] = pdf.groupby("user_id")["event_type"].shift(1)
+    golden = (
+        pdf.dropna(subset=["prev_type"])
+        .groupby(["prev_type", "event_type"])
+        .size()
+        .reset_index(name="n_transitions")
+        .rename(columns={"event_type": "next_type"})
+        .sort_values(["prev_type", "next_type"])
+        .reset_index(drop=True)
+    )
+    got = (
+        df.select("prev_type", "next_type", "n_transitions")
+        .toPandas()
+        .sort_values(["prev_type", "next_type"])
+        .reset_index(drop=True)
+    )
+    assert got.equals(golden.astype({"n_transitions": got["n_transitions"].dtype}))
