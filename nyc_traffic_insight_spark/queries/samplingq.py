@@ -591,3 +591,181 @@ def split_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("test")
         .alias("split"),
     )
+
+
+# ---------------------------------------------------- HLL set algebra
+
+# Shared register-building fragments for the overlap query below. The
+# hash → bucket/rho arithmetic is identical to sketch_hll /
+# sketch_hll_by_group (md5-deterministic, string-domain leading-zero
+# count); factored here as text + column builders so the union-merge
+# query cannot drift from the base sketches.
+_HLL_REGS_SQL = f"""
+    SELECT event_type,
+           ('0x' || substr(hx, 1, 2))::BIGINT % {_HLL_M} AS bucket,
+           max(4 * (13 - length(stripped))
+               + CASE substr(stripped, 1, 1)
+                   WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2
+                   WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1
+                   WHEN '7' THEN 1 ELSE 0 END
+               + 1) AS max_rho
+    FROM (
+      SELECT event_type, hx, regexp_replace(substr(hx, 3, 13), '^0+', '')
+               AS stripped
+      FROM (SELECT event_type, md5(CAST(user_id AS VARCHAR)) AS hx
+            FROM events)
+    )
+    GROUP BY 1, 2
+"""
+
+# estimate over a (bucket, max_rho) register group — plugged into a
+# grouped SELECT on both sides
+_HLL_EST_SQL = (
+    f"round({_HLL_ALPHA} * {_HLL_M} * {_HLL_M} "
+    f"/ (sum(power(2.0, -max_rho)) + ({_HLL_M} - count(*))), 4)"
+)
+
+
+def _hll_regs_df(spark: SparkSession, sf_dir: str):
+    ev = load_table(spark, sf_dir, "events")
+    hx = F.md5(F.col("user_id").cast("string"))
+    stripped = F.regexp_replace(F.substring(hx, 3, 13), "^0+", "")
+    first = F.substring(stripped, 1, 1)
+    lz_in_digit = (
+        F.when(first == "1", 3)
+        .when(first.isin("2", "3"), 2)
+        .when(first.isin("4", "5", "6", "7"), 1)
+        .otherwise(0)
+    )
+    return (
+        ev.select(
+            "event_type",
+            (
+                F.conv(F.substring(hx, 1, 2), 16, 10).cast("bigint") % _HLL_M
+            ).alias("bucket"),
+            (4 * (13 - F.length(stripped)) + lz_in_digit + 1).alias("rho"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(F.max("rho").alias("max_rho"))
+    )
+
+
+def _hll_est(count_col, powsum_col):
+    return _r(
+        F.lit(_HLL_ALPHA * _HLL_M * _HLL_M)
+        / (powsum_col + (F.lit(_HLL_M) - count_col)),
+        4,
+    )
+
+
+@register(
+    "sketch_hll_overlap",
+    survey="north-star: HLL set algebra — pairwise audience-overlap "
+    "ESTIMATE from mergeable registers (inclusion-exclusion on "
+    "elementwise-max union registers); the sketch twin of the exact "
+    "agg_audience_overlap",
+    oracle=f"""
+    WITH regs AS ({_HLL_REGS_SQL}),
+    est_t AS (
+      SELECT event_type, {_HLL_EST_SQL} AS est FROM regs GROUP BY 1
+    ),
+    types AS (SELECT DISTINCT event_type FROM regs),
+    pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b
+      FROM types a JOIN types b ON a.event_type < b.event_type
+    ),
+    tagged AS (
+      SELECT p.type_a, p.type_b, r.bucket, r.max_rho
+      FROM pairs p JOIN regs r ON r.event_type = p.type_a
+      UNION ALL
+      SELECT p.type_a, p.type_b, r.bucket, r.max_rho
+      FROM pairs p JOIN regs r ON r.event_type = p.type_b
+    ),
+    union_regs AS (
+      SELECT type_a, type_b, bucket, max(max_rho) AS max_rho
+      FROM tagged GROUP BY 1, 2, 3
+    ),
+    est_u AS (
+      SELECT type_a, type_b, {_HLL_EST_SQL} AS est_union
+      FROM union_regs GROUP BY 1, 2
+    )
+    SELECT u.type_a, u.type_b,
+           ea.est AS est_a, eb.est AS est_b, u.est_union,
+           round(ea.est + eb.est - u.est_union, 4) AS est_intersect,
+           round((ea.est + eb.est - u.est_union) / u.est_union, 4)
+             AS jaccard_est
+    FROM est_u u
+    JOIN est_t ea ON ea.event_type = u.type_a
+    JOIN est_t eb ON eb.event_type = u.type_b
+    """,
+)
+def sketch_hll_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """|A ∩ B| and Jaccard for every event-type pair WITHOUT touching
+    the fact table per pair: per-type HLL registers (|types|×64 rows)
+    merge by elementwise max into union registers, and inclusion-
+    exclusion on the three estimates gives the intersection. This is
+    the 100 TB shape for audience overlap — the exact twin
+    (agg_audience_overlap) shuffles the full DISTINCT (type, user)
+    projection, while this one scans facts once into registers and does
+    ALL pair algebra on sketch rows. Register merge = max is exactly
+    the HLL union property (Flajolet et al. 2007 §4).
+
+    Determinism: registers are md5-derived (same as sketch_hll), each
+    estimate is floor-form-rounded to 4dp BEFORE the inclusion-
+    exclusion arithmetic, so the combined values are bit-identical
+    cross-engine. Accuracy of the intersection is additive in the three
+    estimates' errors (~13% at m=64 each) — production uses m=2¹⁴;
+    m=64 keeps the register table readable in tests, and the relative
+    ordering of pair overlaps is pinned against the exact twin in
+    tests/test_sketches.py."""
+    regs = _hll_regs_df(spark, sf_dir)
+    est_t = regs.groupBy("event_type").agg(
+        _hll_est(
+            F.count(F.lit(1)),
+            F.sum(F.pow(F.lit(2.0), -F.col("max_rho"))),
+        ).alias("est")
+    )
+    types = regs.select("event_type").distinct()
+    pairs = (
+        types.select(F.col("event_type").alias("type_a"))
+        .join(
+            types.select(F.col("event_type").alias("type_b")),
+            F.col("type_a") < F.col("type_b"),
+        )
+    )
+    tagged = pairs.join(
+        regs.withColumnRenamed("event_type", "type_a"), "type_a"
+    ).select("type_a", "type_b", "bucket", "max_rho").unionAll(
+        pairs.join(
+            regs.withColumnRenamed("event_type", "type_b"), "type_b"
+        ).select("type_a", "type_b", "bucket", "max_rho")
+    )
+    union_regs = tagged.groupBy("type_a", "type_b", "bucket").agg(
+        F.max("max_rho").alias("max_rho")
+    )
+    est_u = union_regs.groupBy("type_a", "type_b").agg(
+        _hll_est(
+            F.count(F.lit(1)),
+            F.sum(F.pow(F.lit(2.0), -F.col("max_rho"))),
+        ).alias("est_union")
+    )
+    ea = est_t.select(
+        F.col("event_type").alias("type_a"), F.col("est").alias("est_a")
+    )
+    eb = est_t.select(
+        F.col("event_type").alias("type_b"), F.col("est").alias("est_b")
+    )
+    inter = F.col("est_a") + F.col("est_b") - F.col("est_union")
+    return (
+        est_u.join(ea, "type_a")
+        .join(eb, "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "est_a",
+            "est_b",
+            "est_union",
+            _r(inter, 4).alias("est_intersect"),
+            _r(inter / F.col("est_union"), 4).alias("jaccard_est"),
+        )
+    )

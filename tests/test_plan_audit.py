@@ -80,6 +80,8 @@ AUDITED = [
     "report_market_share",
     "agg_audience_overlap",
     "report_rfm_scores",
+    # round 5 late additions (r6 front-load)
+    "sketch_hll_overlap",
 ]
 
 # query -> flags it is ALLOWED to carry, with the reason pinned here.
@@ -105,6 +107,10 @@ ALLOWED = {
     # (bounded by |customers|, same accounted shape as
     # win_ntile_buckets) + the one-row global-max-date broadcast join
     "report_rfm_scores": {"single_partition", "bnlj"},
+    # the type-pair spine is a |types|×|types| inequality join over the
+    # DISTINCT-types projection of the 64-row-per-type register table —
+    # bounded by |types|² (25 here), never fact-table-sized
+    "sketch_hll_overlap": {"bnlj"},
 }
 
 

@@ -296,3 +296,40 @@ def test_qdigest_compresses_and_covers(spark):
              FROM '{SF_SMOKE}/lineitem.parquet')"""
     ).fetchone()[0]
     assert 0 < n_nodes < n_leaves
+
+
+def test_hll_overlap_tracks_exact_within_sketch_error(spark):
+    """The HLL inclusion-exclusion overlap must land near the exact
+    pairwise intersection: per-pair error bounded by the additive
+    three-estimate error budget (~3·13% at m=64) relative to the UNION
+    size, and the union estimate must never fall below either
+    single-set estimate.
+
+    Runs at sf0.01, not the smoke SF: sketch_hll documents that the
+    small-range linear-counting correction (needed when n < 2.5·m =
+    160) is left to the caller, and sf0.001 audiences are ~15 users —
+    deep in that uncorrected-bias regime, where NO overlap estimator
+    built on these registers can be accurate. sf0.01 audiences (~1.5k)
+    clear the threshold."""
+    sf = "/root/testdata/sf0.01"
+    specs = load_all()
+    est = {
+        (r["type_a"], r["type_b"]): r
+        for r in specs["sketch_hll_overlap"].builder(spark, sf).collect()
+    }
+    exact = {
+        (r["type_a"], r["type_b"]): r
+        for r in specs["agg_audience_overlap"].builder(spark, sf).collect()
+    }
+    assert set(est) == set(exact)
+    for pair, r in est.items():
+        assert r["est_union"] >= max(r["est_a"], r["est_b"]) - 1e-9, pair
+        ex = exact[pair]
+        union = ex["n_a"] + ex["n_b"] - ex["n_both"]
+        # inclusion-exclusion compounds the three ±1.04/sqrt(64)≈13%
+        # estimate errors, each scaling with ITS set size ≤ |union| —
+        # so the intersection error budget is ~3·13% of the UNION
+        # (×1.5 slack for the m=64 test configuration), never a
+        # relative error on the (possibly tiny) intersection itself
+        err = abs(r["est_intersect"] - ex["n_both"])
+        assert err < 0.6 * union, (pair, r["est_intersect"], ex["n_both"], union)
