@@ -348,3 +348,201 @@ def report_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("m_score"),
     )
+
+
+@register(
+    "event_attribution_last_touch",
+    survey="W/J-family extension: last-touch attribution — each "
+    "purchase credited to the user's most recent prior click within a "
+    "7-day window (the marketing-analytics staple on an events table)",
+    oracle="""
+    WITH tagged AS (
+      SELECT event_id, user_id, ts, event_type,
+             last_value(CASE WHEN event_type = 'click' THEN event_id END
+                        IGNORE NULLS)
+               OVER w AS click_id,
+             last_value(CASE WHEN event_type = 'click' THEN ts END
+                        IGNORE NULLS)
+               OVER w AS click_ts
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_id AS purchase_id, user_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+           CASE WHEN click_ts IS NOT NULL
+                 AND date_diff('second', click_ts, ts) <= 604800
+                THEN click_id END AS touch_id,
+           CASE WHEN click_ts IS NOT NULL
+                 AND date_diff('second', click_ts, ts) <= 604800
+                THEN CAST(date_diff('second', click_ts, ts) AS BIGINT)
+           END AS secs_since_touch
+    FROM tagged WHERE event_type = 'purchase'
+    """,
+)
+def event_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Credit each purchase to the user's latest click at most 7 days
+    earlier; purchases with no qualifying touch keep NULLs (the
+    'organic' bucket every attribution report carries).
+
+    Spark form: a single carry-forward window — last(click, ignorenulls)
+    over the user's time-ordered history — then filter to purchases.
+    One shuffle on user_id, one sorted pass, regardless of how many
+    purchases or clicks a user has; the pandas equivalent is a
+    per-user merge_asof loop. The conditional carry-forward (last of a
+    CASE) is the idiomatic Spark spelling of 'most recent event of
+    type X before me'; both engines floor the touch age to whole
+    seconds (unix_timestamp diff ≡ date_diff('second'))."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    click_id = F.last(
+        F.when(F.col("event_type") == "click", F.col("event_id")), True
+    ).over(w)
+    click_ts = F.last(
+        F.when(F.col("event_type") == "click", F.col("ts")), True
+    ).over(w)
+    tagged = ev.select(
+        "event_id", "user_id", "ts", "event_type",
+        click_id.alias("click_id"), click_ts.alias("click_ts"),
+    ).filter(F.col("event_type") == "purchase")
+    age = F.unix_timestamp("ts") - F.unix_timestamp("click_ts")
+    qualified = F.col("click_ts").isNotNull() & (age <= 604800)
+    return tagged.select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+        F.when(qualified, F.col("click_id")).alias("touch_id"),
+        F.when(qualified, age.cast("bigint")).alias("secs_since_touch"),
+    )
+
+
+# negative sampling: draws per customer and kept negatives per customer
+_NEG_DRAWS = 10
+_NEG_K = 5
+
+
+@register(
+    "sample_negatives_per_user",
+    survey="north-star: deterministic negative sampling for ranking/"
+    "retrieval training — K never-purchased parts per customer via "
+    "md5 index draws + anti-join; linear in |customers|·K, never "
+    "|customers|×|parts|",
+    oracle=f"""
+    WITH custs AS (SELECT DISTINCT o_custkey FROM orders),
+    pos AS (
+      SELECT DISTINCT o.o_custkey, l.l_partkey
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ),
+    draws AS (
+      SELECT c.o_custkey, s.i,
+             ('0x' || substr(md5(CAST(c.o_custkey AS VARCHAR) || '#'
+                || CAST(s.i AS VARCHAR)), 1, 12))::BIGINT
+               % (SELECT CAST(count(*) AS BIGINT) FROM part) AS cand
+      FROM custs c
+      CROSS JOIN LATERAL (
+        SELECT unnest(generate_series(0, {_NEG_DRAWS - 1})) AS i
+      ) s
+    ),
+    dedup AS (
+      SELECT o_custkey, cand, min(i) AS i FROM draws GROUP BY 1, 2
+    ),
+    neg AS (
+      SELECT d.o_custkey, d.cand AS neg_partkey, d.i
+      FROM dedup d
+      WHERE NOT EXISTS (
+        SELECT 1 FROM pos p
+        WHERE p.o_custkey = d.o_custkey AND p.l_partkey = d.cand
+      )
+    )
+    SELECT o_custkey, neg_partkey,
+           CAST(i AS INTEGER) AS draw_idx,
+           CAST(rnk AS INTEGER) AS rnk
+    FROM (
+      SELECT o_custkey, neg_partkey, i,
+             row_number() OVER (PARTITION BY o_custkey ORDER BY i) AS rnk
+      FROM neg
+    ) WHERE rnk <= {_NEG_K}
+    """,
+)
+def sample_negatives_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K=5 deterministic negatives (parts the customer never ordered)
+    per customer, for contrastive/ranking training sets.
+
+    The draw is content-addressed — md5(custkey#i) mod |parts| — so
+    retries, engine swaps, and incremental reruns regenerate byte-
+    identical training negatives (same rationale as
+    split_deterministic). 2K draws per customer bound the work at
+    |customers|·2K candidate rows; with ~10 positives per customer in
+    a 2000-part catalog the chance a draw collides with a positive is
+    ~0.5%, so 2K draws deliver the full K with overwhelming margin —
+    the 'expected-K' trade every production negative sampler makes
+    instead of enumerating the |customers|×|parts| complement.
+
+    Scale shape: explode(sequence) fans out 2K rows per customer
+    (narrow), the dedup and the positives anti-join both shuffle on
+    (custkey, partkey) — AQE co-locates them — and the final top-K is
+    a bounded per-customer window. Part keys are assumed dense
+    0..P-1 (true of the fixture; a sparse dimension adds one
+    broadcast index→key lookup). |parts| is read once and inlined as
+    a literal (exact integer, same one-row-constant pattern as
+    sketch_qdigest's domain row)."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    n_parts = load_table(spark, sf_dir, "part").count()
+    custs = orders.select("o_custkey").distinct()
+    pos = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select("o_custkey", "l_partkey")
+        .distinct()
+    )
+    draws = custs.select(
+        "o_custkey",
+        F.explode(F.sequence(F.lit(0), F.lit(_NEG_DRAWS - 1))).alias("i"),
+    ).select(
+        "o_custkey",
+        "i",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("o_custkey").cast("string"),
+                            F.lit("#"),
+                            F.col("i").cast("string"),
+                        )
+                    ),
+                    1,
+                    12,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % F.lit(n_parts)
+        ).alias("cand"),
+    )
+    dedup = draws.groupBy("o_custkey", "cand").agg(F.min("i").alias("i"))
+    neg = dedup.join(
+        pos,
+        (dedup.o_custkey == pos.o_custkey) & (dedup.cand == pos.l_partkey),
+        "left_anti",
+    )
+    w = Window.partitionBy("o_custkey").orderBy("i")
+    return (
+        neg.select(
+            "o_custkey",
+            F.col("cand").alias("neg_partkey"),
+            "i",
+            F.row_number().over(w).alias("rnk"),
+        )
+        .filter(F.col("rnk") <= _NEG_K)
+        .select(
+            "o_custkey",
+            "neg_partkey",
+            F.col("i").cast("int").alias("draw_idx"),
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )

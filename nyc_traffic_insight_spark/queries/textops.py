@@ -2599,3 +2599,61 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 3)
         .select("doc_id", "term", "tfidf", F.col("rnk").cast("int").alias("rnk"))
     )
+
+
+@register(
+    "text_chunk_fixed",
+    survey="north-star: fixed-window document chunking with overlap "
+    "(200-char window, 150-char stride) — the sequence-packing "
+    "precursor every pretraining tokenizer pipeline runs before "
+    "shard_pack_greedy",
+    oracle="""
+    SELECT d.doc_id,
+           CAST(s.i AS INTEGER) AS chunk_idx,
+           CAST(s.i * 150 + 1 AS BIGINT) AS chunk_start,
+           substr(d.text, CAST(s.i * 150 + 1 AS BIGINT), 200) AS chunk_text,
+           CAST(length(substr(d.text, CAST(s.i * 150 + 1 AS BIGINT), 200))
+                AS BIGINT) AS chunk_len
+    FROM documents d
+    CROSS JOIN LATERAL (
+      SELECT unnest(generate_series(
+        0, CAST(floor((greatest(d.n_chars, 1) - 1) / 150.0) AS BIGINT))) AS i
+    ) s
+    """,
+)
+def text_chunk_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slice every document into 200-char windows advancing 150 chars
+    (50-char overlap so no boundary-spanning n-gram is lost): chunk i
+    covers [i·150, i·150+200), the last chunk is the short tail, and a
+    doc shorter than one stride still yields exactly one chunk.
+
+    Character windows stand in for token windows: the chunk boundary
+    arithmetic, the explode shape, and the overlap semantics are
+    identical once a tokenizer maps chars→tokens (token counting lives
+    in text_token_count; a real deployment chunks on its output).
+
+    Scale shape: sequence() + explode is a narrow per-row transform —
+    rows fan out ~n_chars/stride with NO shuffle at all; chunks stream
+    straight to the next stage (tokenize/pack). This is the canonical
+    Spark spelling of per-doc windowing — the pandas equivalent
+    iterates rows in Python. The 1-based chunk_start matches substr's
+    1-based addressing on both engines."""
+    d = _docs(spark, sf_dir)
+    i = F.explode(
+        F.sequence(
+            F.lit(0),
+            F.floor((F.greatest("n_chars", F.lit(1)) - 1) / F.lit(150.0)).cast(
+                "long"
+            ),
+        )
+    ).alias("i")
+    base = d.select("doc_id", "text", i)
+    start = (F.col("i") * 150 + 1).cast("long")
+    chunk = F.substring(F.col("text"), start, F.lit(200))
+    return base.select(
+        "doc_id",
+        F.col("i").cast("int").alias("chunk_idx"),
+        start.alias("chunk_start"),
+        chunk.alias("chunk_text"),
+        F.length(chunk).cast("long").alias("chunk_len"),
+    )

@@ -498,3 +498,67 @@ def win_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("len").cast("bigint").alias("longest_streak"),
         F.count(F.lit(1)).alias("n_streaks"),
     )
+
+
+# ------------------------------------------------------ EWMA (bounded)
+
+# Exponentially weighted moving average over the trailing _EWMA_K rows:
+# the pandas ewm(alpha=0.3).mean() analog with a FINITE window so the
+# weights are a closed literal list instead of an unbounded recursion —
+# at k=8 the dropped tail weight is (1-α)^8 ≈ 5.8% of the mass, and
+# (crucially) the truncated form is expressible as the same lag-sum SQL
+# on both engines. Weights are Python-float literals shared by the
+# oracle text and the Spark columns, so the arithmetic is bit-identical.
+_EWMA_ALPHA = 0.3
+_EWMA_K = 8
+_EWMA_W = [(1.0 - _EWMA_ALPHA) ** k for k in range(_EWMA_K)]
+
+
+def _ewma_sql() -> str:
+    num = " + ".join(
+        f"coalesce(lag(cnt, {k}) OVER w * {w!r}, 0.0)"
+        for k, w in enumerate(_EWMA_W)
+    )
+    den = " + ".join(
+        f"CASE WHEN lag(cnt, {k}) OVER w IS NOT NULL THEN {w!r} ELSE 0.0 END"
+        for k, w in enumerate(_EWMA_W)
+    )
+    return f"round(({num}) / ({den}), 4)"
+
+
+@register(
+    "win_ewma",
+    survey="W-family extension: trailing exponentially weighted moving "
+    "average (α=0.3, 8-term truncation) per group — the forecasting "
+    "smoother one step past the reference's flat rolling means "
+    "(SegmentedModeling.py:240-247)",
+    oracle=f"""
+    WITH hourly AS ({_HOURLY_SQL})
+    SELECT event_type, hr, cnt, {_ewma_sql()} AS ewma
+    FROM hourly WINDOW w AS (PARTITION BY event_type ORDER BY hr)
+    """,
+)
+def win_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing EWMA of the hourly count series: weights (1-α)^k over
+    the current row and 7 predecessors, renormalized over the terms
+    actually present so partial head windows average correctly
+    (pandas ewm's adjust=True semantics, truncated at 8 terms).
+
+    Scale shape: identical to the other W-family queries — the window
+    partitions by event_type over the pre-aggregated hourly series, so
+    the input is |groups × hours| and the 8 lag reads share one sorted
+    pass. No recursion, no state: at 100 TB the truncation is what
+    makes EWMA a plain window expression instead of a sequential scan."""
+    h = _hourly(spark, sf_dir)
+    w = _w()
+    num = None
+    den = None
+    for k, wt in enumerate(_EWMA_W):
+        lagged = F.lag("cnt", k).over(w)
+        term = F.coalesce(lagged * F.lit(wt), F.lit(0.0))
+        wterm = F.when(lagged.isNotNull(), F.lit(wt)).otherwise(F.lit(0.0))
+        num = term if num is None else num + term
+        den = wterm if den is None else den + wterm
+    return h.select(
+        "event_type", "hr", "cnt", _r(num / den, 4).alias("ewma")
+    )

@@ -82,6 +82,10 @@ AUDITED = [
     "report_rfm_scores",
     # round 5 late additions (r6 front-load)
     "sketch_hll_overlap",
+    "text_chunk_fixed",
+    "win_ewma",
+    "event_attribution_last_touch",
+    "sample_negatives_per_user",
 ]
 
 # query -> flags it is ALLOWED to carry, with the reason pinned here.
