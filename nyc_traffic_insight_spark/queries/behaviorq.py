@@ -546,3 +546,128 @@ def sample_negatives_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rnk").cast("int").alias("rnk"),
         )
     )
+
+
+@register(
+    "report_copurchase_pairs",
+    survey="J/A-family extension: market-basket co-purchase pairs — "
+    "parts appearing in the same order, top 25 by support (the "
+    "association-mining primer every orders table eventually runs)",
+    oracle="""
+    WITH op AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             CAST(count(*) AS BIGINT) AS n_orders
+      FROM op a JOIN op b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    )
+    SELECT part_a, part_b, n_orders,
+           CAST(rnk AS INTEGER) AS rnk
+    FROM (
+      SELECT part_a, part_b, n_orders,
+             row_number() OVER (ORDER BY n_orders DESC, part_a, part_b)
+               AS rnk
+      FROM pairs
+    ) WHERE rnk <= 25
+    """,
+)
+def report_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-25 part pairs by the number of orders containing both: the
+    support counts behind association rules / 'bought together'.
+
+    Scale shape: the self-join is keyed on l_orderkey over the DISTINCT
+    (order, part) projection — per-order fan-out is bounded by basket
+    size squared (~4 lines → 6 pairs), NOT by catalog size; the pair
+    aggregate shuffles on (part_a, part_b) with map-side partials, and
+    the global top-25 is orderBy+limit, which Spark executes as
+    distributed TakeOrdered (per-partition heaps, no single-partition
+    sort — the vocab_top_ngrams lesson). Ties broken by the pair keys
+    so both engines rank identically."""
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a = op.select(
+        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("part_a")
+    )
+    b = op.select(
+        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("part_b")
+    )
+    pairs = (
+        a.join(b, "k")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    top = (
+        pairs.orderBy(
+            F.desc("n_orders"), F.asc("part_a"), F.asc("part_b")
+        )
+        .limit(25)
+    )
+    w = Window.orderBy(F.desc("n_orders"), F.asc("part_a"), F.asc("part_b"))
+    return top.select(
+        "part_a",
+        "part_b",
+        "n_orders",
+        F.row_number().over(w).cast("int").alias("rnk"),
+    )
+
+
+@register(
+    "agg_gini_by_group",
+    survey="A-family extension: Gini concentration of per-user activity "
+    "within each event type — the inequality audit for skew-aware "
+    "partitioning decisions",
+    oracle="""
+    WITH per_user AS (
+      SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT event_type, x,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY x, user_id) AS i
+      FROM per_user
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(x) AS BIGINT) AS n_events,
+           round(2.0 * sum(i * x) / (count(*) * CAST(sum(x) AS DOUBLE))
+                 - (count(*) + 1.0) / count(*), 4) AS gini
+    FROM ranked GROUP BY 1
+    """,
+)
+def agg_gini_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of the per-user event-count distribution inside
+    each type (0 = everyone equally active, →1 = one user dominates),
+    via the sorted-rank identity G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n.
+
+    Operationally this is the SKEW audit: a high-Gini key column is the
+    one that needs salting (join_salted_skew) before it becomes a
+    straggler at 100 TB. Determinism: every accumulated term (Σx, Σi·x)
+    is an exact integer sum; ranks tie-break on user_id; the single
+    float division is floor-form-rounded. Scale shape: groupBy(type,
+    user) with map-side partials, then a rank window and final
+    aggregate over the per-user table — bounded by |users|·|types|."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("x")
+    )
+    w = Window.partitionBy("event_type").orderBy("x", "user_id")
+    ranked = per_user.select(
+        "event_type", "x", F.row_number().over(w).alias("i")
+    )
+    n = F.count(F.lit(1))
+    sx = F.sum("x")
+    six = F.sum(F.col("i") * F.col("x"))
+    return ranked.groupBy("event_type").agg(
+        n.alias("n_users"),
+        sx.alias("n_events"),
+        _r(
+            F.lit(2.0) * six / (n * sx.cast("double"))
+            - (n + F.lit(1.0)) / n,
+            4,
+        ).alias("gini"),
+    )

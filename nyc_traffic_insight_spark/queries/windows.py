@@ -562,3 +562,161 @@ def win_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     return h.select(
         "event_type", "hr", "cnt", _r(num / den, 4).alias("ewma")
     )
+
+
+@register(
+    "time_spine_locf",
+    survey="W-family extension: dense spine + last-observation-carried-"
+    "forward interpolation (the fill strategy for VALUE series, where "
+    "gapfill's zero-fill is only right for COUNT series)",
+    oracle="""
+    WITH bounds AS (
+      SELECT event_type, date_trunc('hour', min(ts)) AS lo,
+             date_trunc('hour', max(ts)) AS hi
+      FROM events GROUP BY 1
+    ),
+    spine AS (
+      SELECT event_type,
+             unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour_ts
+      FROM bounds
+    ),
+    hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour_ts,
+             round(avg(value), 4) AS mean_val
+      FROM events GROUP BY 1, 2
+    ),
+    joined AS (
+      SELECT s.event_type, s.hour_ts, h.mean_val
+      FROM spine s LEFT JOIN hourly h USING (event_type, hour_ts)
+    )
+    SELECT event_type, hour_ts,
+           mean_val AS mean_val_raw,
+           last_value(mean_val IGNORE NULLS)
+             OVER (PARTITION BY event_type ORDER BY hour_ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS mean_val_locf,
+           CAST(mean_val IS NULL AS BOOLEAN) AS filled
+    FROM joined
+    """,
+)
+def time_spine_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense hourly spine per key with gaps filled by the last observed
+    hourly mean (LOCF): the right interpolation for a VALUE series — a
+    missing hour means 'no new reading', not 'reading was zero'. Hours
+    before a key's first observation stay NULL (LOCF has nothing to
+    carry), which is the honest representation.
+
+    Scale shape: identical to time_spine_gapfill (narrow per-key
+    sequence() spine, one equi-join) plus one carry-forward window that
+    reuses the same event_type partitioning — no extra shuffle. The
+    hourly mean is rounded BEFORE the carry-forward so both engines
+    propagate identical doubles."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour_ts")
+    ).agg(_r(F.avg("value"), 4).alias("mean_val"))
+    bounds = ev.groupBy("event_type").agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    spine = bounds.select(
+        "event_type",
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias(
+            "hour_ts"
+        ),
+    )
+    joined = spine.join(hourly, ["event_type", "hour_ts"], "left")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_ts")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return joined.select(
+        "event_type",
+        "hour_ts",
+        F.col("mean_val").alias("mean_val_raw"),
+        F.last("mean_val", True).over(w).alias("mean_val_locf"),
+        F.col("mean_val").isNull().alias("filled"),
+    )
+
+
+@register(
+    "win_anomaly_zscore",
+    survey="W-family extension: trailing-window z-score anomaly flags "
+    "on the hourly count series — the monitoring gate a pipeline runs "
+    "on its own throughput",
+    oracle=f"""
+    WITH hourly AS ({_HOURLY_SQL})
+    SELECT event_type, hr, cnt, z,
+           CASE WHEN z IS NOT NULL AND abs(z) > 3.0
+                THEN TRUE ELSE FALSE END AS is_anomaly
+    FROM (
+      SELECT event_type, hr, cnt,
+             CASE WHEN n >= 12 AND (s2 * n - s * s) > 0 THEN
+               round((cnt - CAST(s AS DOUBLE) / n)
+                 / sqrt((CAST(s2 AS DOUBLE) * n - CAST(s AS DOUBLE) * s)
+                        / (CAST(n AS DOUBLE) * (n - 1))), 4)
+             END AS z
+      FROM (
+        SELECT event_type, hr, cnt,
+               count(cnt) OVER w AS n,
+               sum(cnt) OVER w AS s,
+               sum(cnt * cnt) OVER w AS s2
+        FROM hourly
+        WINDOW w AS (PARTITION BY event_type ORDER BY hr
+                     ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+      )
+    )
+    """,
+)
+def win_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each hour scored against its own trailing 24 hours (current row
+    excluded — an anomaly must not dilute its own baseline): z =
+    (x - mean) / sample-std, flagged beyond |z| > 3; hours with fewer
+    than 12 baseline points or zero variance stay unscored (NULL z,
+    not-anomalous) rather than emitting ±inf.
+
+    Determinism: the baseline moments come from INTEGER window sums
+    (Σx, Σx²) — exact on both engines regardless of accumulation
+    order — and the one float expression is floor-form-rounded before
+    the |z|>3 comparison, per the catalog's round-before-compare rule
+    (a last-ulp std difference must not flip a borderline flag).
+
+    Scale shape: same single event_type-partitioned sorted pass as the
+    other W-family queries, three window aggregates sharing one frame."""
+    h = _hourly(spark, sf_dir)
+    w = _w().rowsBetween(-24, -1)
+    n = F.count("cnt").over(w)
+    s = F.sum("cnt").over(w)
+    s2 = F.sum(F.col("cnt") * F.col("cnt")).over(w)
+    scored = h.select(
+        "event_type",
+        "hr",
+        "cnt",
+        n.alias("n"),
+        s.alias("s"),
+        s2.alias("s2"),
+    )
+    var_num = F.col("s2").cast("double") * F.col("n") - F.col("s").cast(
+        "double"
+    ) * F.col("s")
+    z = F.when(
+        (F.col("n") >= 12)
+        & ((F.col("s2") * F.col("n") - F.col("s") * F.col("s")) > 0),
+        _r(
+            (F.col("cnt") - F.col("s").cast("double") / F.col("n"))
+            / F.sqrt(
+                var_num / (F.col("n").cast("double") * (F.col("n") - 1))
+            ),
+            4,
+        ),
+    )
+    return scored.select(
+        "event_type",
+        "hr",
+        "cnt",
+        z.alias("z"),
+        F.when(z.isNotNull() & (F.abs(z) > 3.0), F.lit(True))
+        .otherwise(F.lit(False))
+        .alias("is_anomaly"),
+    )

@@ -86,6 +86,10 @@ AUDITED = [
     "win_ewma",
     "event_attribution_last_touch",
     "sample_negatives_per_user",
+    "time_spine_locf",
+    "win_anomaly_zscore",
+    "report_copurchase_pairs",
+    "agg_gini_by_group",
 ]
 
 # query -> flags it is ALLOWED to carry, with the reason pinned here.
