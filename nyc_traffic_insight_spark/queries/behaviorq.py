@@ -671,3 +671,316 @@ def agg_gini_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("gini"),
     )
+
+
+@register(
+    "report_session_conversion",
+    survey="composition: session-outcome labeling on top of "
+    "win_sessionize_batch — sessions that clicked, purchased, or "
+    "abandoned (clicked without purchasing), rolled up per user",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, ts, event_type,
+             CASE WHEN ts - lag(ts) OVER w <= INTERVAL {_GAP_MIN} MINUTE
+                  THEN 0 ELSE 1 END AS new_sess
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, event_type,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS session_seq
+      FROM seq
+    ),
+    outcomes AS (
+      SELECT user_id, session_seq,
+             max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+               AS has_click,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS has_purchase
+      FROM sess GROUP BY 1, 2
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(sum(has_purchase) AS BIGINT) AS n_converted,
+           CAST(sum(CASE WHEN has_click = 1 AND has_purchase = 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_abandoned,
+           round(sum(has_purchase) / CAST(count(*) AS DOUBLE), 4)
+             AS conversion_rate
+    FROM outcomes GROUP BY 1
+    """,
+)
+def report_session_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label every session converted (contains a purchase) or abandoned
+    (clicked but never purchased), then roll up per user. The session
+    boundaries are EXACTLY win_sessionize_batch's — same gap constant,
+    same window — so the two queries compose into one consistent
+    session model.
+
+    Scale shape: the same single user_id shuffle drives the gap window,
+    the per-session outcome aggregate, and the per-user rollup — three
+    stages, one partitioning, output bounded by |users|."""
+    ev = load_table(spark, sf_dir, "events")
+    w_lag = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    gap_ok = (
+        F.col("ts").cast("long") - F.lag("ts", 1).over(w_lag).cast("long")
+    ) <= _GAP_MIN * 60
+    sess = ev.select(
+        "user_id",
+        "ts",
+        "event_type",
+        F.when(gap_ok, F.lit(0)).otherwise(F.lit(1)).alias("new_sess"),
+    ).select(
+        "user_id",
+        "event_type",
+        F.sum("new_sess").over(w_run).alias("session_seq"),
+    )
+    outcomes = sess.groupBy("user_id", "session_seq").agg(
+        F.max(
+            F.when(F.col("event_type") == "click", 1).otherwise(0)
+        ).alias("has_click"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("has_purchase"),
+    )
+    return outcomes.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("has_purchase").cast("bigint").alias("n_converted"),
+        F.sum(
+            F.when(
+                (F.col("has_click") == 1) & (F.col("has_purchase") == 0), 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_abandoned"),
+        _r(
+            F.sum("has_purchase") / F.count(F.lit(1)).cast("double"), 4
+        ).alias("conversion_rate"),
+    )
+
+
+@register(
+    "win_rank_change",
+    survey="W-family extension: day-over-day leaderboard movement — "
+    "each type's daily volume rank and its change vs the previous day "
+    "(the 'trending' report)",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT event_type, day, cnt,
+             CAST(row_number() OVER (PARTITION BY day
+                     ORDER BY cnt DESC, event_type) AS INTEGER) AS rnk
+      FROM daily
+    )
+    SELECT event_type, day, cnt, rnk,
+           CAST(lag(rnk) OVER (PARTITION BY event_type ORDER BY day)
+                - rnk AS INTEGER) AS rank_gain
+    FROM ranked
+    """,
+)
+def win_rank_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank types by daily volume (ties broken by name so both engines
+    agree), then diff each type's rank against its previous day —
+    positive rank_gain = climbed the leaderboard, NULL on a type's
+    first day.
+
+    Scale shape: two windows over the (type × day)-bounded daily
+    aggregate — the per-day ranking partitions by day, the day-over-day
+    lag partitions by type; both inputs are tiny regardless of fact
+    volume."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    w_rank = Window.partitionBy("day").orderBy(
+        F.desc("cnt"), F.asc("event_type")
+    )
+    ranked = daily.select(
+        "event_type",
+        "day",
+        "cnt",
+        F.row_number().over(w_rank).cast("int").alias("rnk"),
+    )
+    w_lag = Window.partitionBy("event_type").orderBy("day")
+    return ranked.select(
+        "event_type",
+        "day",
+        "cnt",
+        "rnk",
+        (F.lag("rnk").over(w_lag) - F.col("rnk")).cast("int").alias(
+            "rank_gain"
+        ),
+    )
+
+
+@register(
+    "agg_seasonality_profile",
+    survey="A/C-family composition: weekday(Mon=0) × hour activity "
+    "profile per type — counts, mean value, and share of the type's "
+    "total (the heatmap behind main.py's hour/weekday feature pair)",
+    oracle="""
+    WITH cells AS (
+      SELECT event_type,
+             CAST(isodow(ts) - 1 AS INTEGER) AS wd,
+             CAST(hour(ts) AS INTEGER) AS hh,
+             CAST(count(*) AS BIGINT) AS cnt,
+             round(avg(value), 4) AS mean_val
+      FROM events GROUP BY 1, 2, 3
+    )
+    SELECT event_type, wd, hh, cnt, mean_val,
+           round(cnt / CAST(sum(cnt) OVER (PARTITION BY event_type)
+                 AS DOUBLE), 4) AS share
+    FROM cells
+    """,
+)
+def agg_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 7×24 activity grid per type: event count and mean value per
+    (weekday, hour) cell plus each cell's share of the type's volume —
+    the table a dashboard heatmaps and a feature pipeline joins back
+    onto raw rows (C5/C6/C9's hour/weekday features are lookups into
+    exactly this profile). Weekday is Mon=0 on both engines (Spark
+    weekday() ≡ DuckDB isodow()-1, the catalog's pinned convention).
+
+    Scale shape: one groupBy to a ≤|types|·168-row grid, map-side
+    partials; the share window runs over the grid, not the facts."""
+    ev = load_table(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        "event_type",
+        F.weekday("ts").cast("int").alias("wd"),
+        F.hour("ts").cast("int").alias("hh"),
+    ).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        _r(F.avg("value"), 4).alias("mean_val"),
+    )
+    w = Window.partitionBy("event_type")
+    return cells.select(
+        "event_type",
+        "wd",
+        "hh",
+        "cnt",
+        "mean_val",
+        _r(F.col("cnt") / F.sum("cnt").over(w).cast("double"), 4).alias(
+            "share"
+        ),
+    )
+
+
+@register(
+    "pipeline_user_features",
+    survey="composition: the per-user feature-store snapshot — "
+    "activity, variety, conversion, recency and session features in "
+    "one wide row per user (the materialization serving.py would "
+    "read for M9-style inference)",
+    oracle=f"""
+    WITH gmax AS (SELECT max(ts) AS mx FROM events),
+    base AS (
+      SELECT user_id,
+             CAST(count(*) AS BIGINT) AS n_events,
+             CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+             CAST(count(DISTINCT CAST(date_trunc('day', ts) AS DATE))
+                  AS BIGINT) AS n_active_days,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_purchases,
+             round(avg(value), 4) AS mean_value,
+             CAST(date_diff('second', max(ts), (SELECT mx FROM gmax))
+                  AS BIGINT) AS recency_s
+      FROM events GROUP BY 1
+    ),
+    seq AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id)
+                    <= INTERVAL {_GAP_MIN} MINUTE
+                  THEN 0 ELSE 1 END AS new_sess
+      FROM events
+    ),
+    sess_count AS (
+      SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions
+      FROM seq GROUP BY 1
+    )
+    SELECT b.user_id, b.n_events, b.n_types, b.n_active_days,
+           b.n_purchases, b.mean_value, b.recency_s, s.n_sessions,
+           round(b.n_events / CAST(s.n_sessions AS DOUBLE), 4)
+             AS events_per_session
+    FROM base b JOIN sess_count s ON b.user_id = s.user_id
+    """,
+)
+def pipeline_user_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One wide feature row per user: volume (n_events, active days),
+    variety (distinct types), conversion (purchase count), magnitude
+    (mean value), recency (seconds before the corpus max timestamp),
+    and session shape (session count via the catalog's standard 30-min
+    gap, events per session). This is the feature-store table an
+    inference service keys on — the batch materialization of what the
+    reference computes per-request.
+
+    Scale shape: every stage keys on user_id — the base aggregate, the
+    session-break window, and the final join share one shuffle; the
+    global max timestamp is a one-row broadcast. Output is |users|
+    rows however large the fact table."""
+    ev = load_table(spark, sf_dir, "events")
+    gmax = ev.agg(F.max("ts").alias("mx"))
+    base = (
+        ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("event_type").alias("n_types"),
+            F.countDistinct(
+                F.date_trunc("day", "ts").cast("date")
+            ).alias("n_active_days"),
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_purchases"),
+            _r(F.avg("value"), 4).alias("mean_value"),
+            F.max("ts").alias("last_ts"),
+        )
+        .join(F.broadcast(gmax))
+        .select(
+            "user_id",
+            "n_events",
+            "n_types",
+            "n_active_days",
+            "n_purchases",
+            "mean_value",
+            (F.unix_timestamp("mx") - F.unix_timestamp("last_ts"))
+            .cast("bigint")
+            .alias("recency_s"),
+        )
+    )
+    w_lag = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_ok = (
+        F.col("ts").cast("long") - F.lag("ts", 1).over(w_lag).cast("long")
+    ) <= _GAP_MIN * 60
+    sess_count = (
+        ev.select(
+            "user_id",
+            F.when(gap_ok, F.lit(0)).otherwise(F.lit(1)).alias("new_sess"),
+        )
+        .groupBy("user_id")
+        .agg(F.sum("new_sess").cast("bigint").alias("n_sessions"))
+    )
+    return base.join(sess_count, "user_id").select(
+        "user_id",
+        "n_events",
+        "n_types",
+        "n_active_days",
+        "n_purchases",
+        "mean_value",
+        "recency_s",
+        "n_sessions",
+        _r(
+            F.col("n_events") / F.col("n_sessions").cast("double"), 4
+        ).alias("events_per_session"),
+    )

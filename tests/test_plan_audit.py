@@ -90,6 +90,10 @@ AUDITED = [
     "win_anomaly_zscore",
     "report_copurchase_pairs",
     "agg_gini_by_group",
+    "report_session_conversion",
+    "win_rank_change",
+    "agg_seasonality_profile",
+    "pipeline_user_features",
 ]
 
 # query -> flags it is ALLOWED to carry, with the reason pinned here.
@@ -119,6 +123,10 @@ ALLOWED = {
     # DISTINCT-types projection of the 64-row-per-type register table —
     # bounded by |types|² (25 here), never fact-table-sized
     "sketch_hll_overlap": {"bnlj"},
+    # one-row global-max-timestamp aggregate broadcast onto the
+    # per-user table (same accounted shape as report_rfm_scores'
+    # max-date row)
+    "pipeline_user_features": {"single_partition", "bnlj"},
 }
 
 
