@@ -984,3 +984,69 @@ def pipeline_user_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_events") / F.col("n_sessions").cast("double"), 4
         ).alias("events_per_session"),
     )
+
+
+@register(
+    "agg_time_to_convert",
+    survey="A/W-family extension: view→purchase latency distribution — "
+    "per-user first-view to first-subsequent-purchase, summarized as "
+    "mean / exact percentiles (the funnel's time dimension)",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, min(ts) AS t0 FROM events
+      WHERE event_type = 'view' GROUP BY 1
+    ),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS t1
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > v.t0
+      GROUP BY 1
+    ),
+    lat AS (
+      SELECT p.user_id,
+             CAST(date_diff('second', v.t0, p.t1) AS BIGINT) AS secs
+      FROM p JOIN v ON p.user_id = v.user_id
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_converters,
+           round(avg(CAST(secs AS DOUBLE)), 4) AS mean_s,
+           round(quantile_cont(CAST(secs AS DOUBLE), 0.5), 4) AS p50_s,
+           round(quantile_cont(CAST(secs AS DOUBLE), 0.9), 4) AS p90_s
+    FROM lat
+    """,
+)
+def agg_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How long users take to convert: seconds from first view to the
+    first purchase AFTER it (the funnel_conversion ordering rule),
+    summarized with mean and interpolated percentiles (Spark
+    percentile() ≡ DuckDB quantile_cont, the agg_percentile_exact
+    pairing). Latencies are integer seconds, so only the summary
+    divisions are floats — rounded floor-form.
+
+    Scale shape: two user-keyed min-aggregates and a join, same
+    monotone-shrink profile as funnel_conversion; the final summary is
+    a one-row merge over |converters|."""
+    ev = load_table(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t0"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    lat = p.join(v, "user_id").select(
+        (F.unix_timestamp("t1") - F.unix_timestamp("t0"))
+        .cast("bigint")
+        .alias("secs")
+    )
+    secs_d = F.col("secs").cast("double")
+    return lat.agg(
+        F.count(F.lit(1)).alias("n_converters"),
+        _r(F.avg(secs_d), 4).alias("mean_s"),
+        _r(F.percentile(secs_d, F.lit(0.5)), 4).alias("p50_s"),
+        _r(F.percentile(secs_d, F.lit(0.9)), 4).alias("p90_s"),
+    )

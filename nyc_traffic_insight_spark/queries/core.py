@@ -871,3 +871,64 @@ def qa_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("price_delta"),
     )
+
+
+@register(
+    "layout_compact_files",
+    survey="S/layout-family extension: small-file compaction — rewrite "
+    "a 64-fragment dataset into size-targeted files and prove content "
+    "preservation (the daily maintenance job every streaming sink "
+    "needs; the ingest path of enrich_weather.py appends exactly such "
+    "fragments)",
+    oracle="""
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           CAST(count(DISTINCT event_id) AS BIGINT) AS n_ids
+    FROM events GROUP BY 1
+    """,
+)
+def layout_compact_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage the events table as 64 deliberately-tiny parquet files
+    (what a micro-batching sink leaves behind), then compact: size the
+    output file count from the actual input bytes against a target
+    file size and rewrite. The returned per-type counts come from
+    RE-SCANNING the compacted output, so the oracle (the same counts
+    off the original table) hash-proves the rewrite lost and invented
+    nothing — the only acceptance test a compaction job needs.
+
+    Scale shape: compaction is one repartition(n_out) — a shuffle
+    whose width is chosen from bytes, not row counts, so output files
+    land near the target size regardless of schema width. At 100 TB
+    this runs per-partition-directory (compact yesterday's directory,
+    not the table); the 128 MiB default target matches
+    spark.sql.files.maxPartitionBytes so ONE output file feeds ONE
+    scan task downstream. The 1 MiB target here only keeps the
+    fixture's output multi-file so tests/test_partitioning.py can pin
+    the before/after file counts."""
+    import os
+
+    ev = load_table(spark, sf_dir, "events")
+    base = _tmp(sf_dir, "compact_events")
+    frag_dir = os.path.join(base, "fragments")
+    out_dir = os.path.join(base, "compacted")
+    ev.repartition(64).write.mode("overwrite").parquet(frag_dir)
+
+    def _bytes(d: str) -> int:
+        return sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _, fs in os.walk(d)
+            for f in fs
+            if f.endswith(".parquet")
+        )
+
+    target = 1 * 1024 * 1024  # test-scale target; production: 128 MiB
+    n_out = max(1, -(-_bytes(frag_dir) // target))
+    frags = spark.read.parquet(frag_dir)
+    frags.repartition(n_out).write.mode("overwrite").parquet(out_dir)
+    return (
+        spark.read.parquet(out_dir)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("event_id").alias("n_ids"),
+        )
+    )

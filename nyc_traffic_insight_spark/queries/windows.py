@@ -720,3 +720,93 @@ def win_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(False))
         .alias("is_anomaly"),
     )
+
+
+@register(
+    "win_topn_per_key",
+    survey="W/O-family extension: top-3 orders per customer by spend — "
+    "the per-key top-N idiom (rank window + filter), the distributed "
+    "replacement for pandas groupby.nlargest",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           CAST(rnk AS INTEGER) AS rnk
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+      FROM orders
+    ) WHERE rnk <= 3
+    """,
+)
+def win_topn_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each customer's three biggest orders. row_number (not rank) so
+    exactly N rows survive per key; o_orderkey tie-break keeps the two
+    engines' frames identical on equal prices.
+
+    Scale shape: one shuffle on the partition key, per-key heaps inside
+    the sort — never a global sort. This idiom (rank window + rnk <= N
+    filter) is what replaces pandas' groupby().nlargest(n) loop, and
+    Spark pushes the rnk <= 3 limit INTO the window operator
+    (WindowGroupLimit) so each partition only materializes N rows per
+    key."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rnk"),
+        )
+        .filter(F.col("rnk") <= 3)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )
+
+
+@register(
+    "win_pct_change",
+    survey="W-family extension: day-over-day percent change of daily "
+    "volume per type (pandas pct_change analog)",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, day, cnt,
+           round((cnt - lag(cnt) OVER w)
+                 / CAST(lag(cnt) OVER w AS DOUBLE), 4) AS pct_change
+    FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day)
+    """,
+)
+def win_pct_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pandas series.pct_change() distributed: (x_t - x_{t-1}) / x_{t-1}
+    over each type's daily count series; the first day is NULL (no
+    base), and the integer counts make the one division the only float
+    op (rounded floor-form on both engines).
+
+    Scale shape: lag window over the (type × day) aggregate — input
+    bounded by the calendar, not the fact table."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    prev = F.lag("cnt").over(w)
+    return daily.select(
+        "event_type",
+        "day",
+        "cnt",
+        _r((F.col("cnt") - prev) / prev.cast("double"), 4).alias(
+            "pct_change"
+        ),
+    )

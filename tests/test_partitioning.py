@@ -96,3 +96,31 @@ def test_wide_table_passthrough_on_cluster_shaped_layout(spark, tmp_path):
     got = {tuple(r) for r in builder(spark, str(staged)).collect()}
     want = {tuple(r) for r in builder(spark, SF_SMOKE).collect()}
     assert got == want and len(want) > 0
+
+
+def test_compaction_reduces_file_count_and_preserves_rows(spark):
+    """layout_compact_files must leave fewer, larger files with exactly
+    the staged content (count parity is also hash-proven vs the oracle
+    in test_queries_oracle)."""
+    import glob
+    import os
+    import tempfile
+
+    from nyc_traffic_insight_spark.queries import load_all
+
+    load_all()["layout_compact_files"].builder(spark, SF_SMOKE).collect()
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "ntis_scratch",
+        f"pid{os.getpid()}",
+        os.path.basename(os.path.normpath(SF_SMOKE)),
+        "compact_events",
+    )
+    frags = glob.glob(os.path.join(base, "fragments", "*.parquet"))
+    compacted = glob.glob(os.path.join(base, "compacted", "*.parquet"))
+    assert len(frags) == 64
+    assert 1 <= len(compacted) < len(frags)
+    total = sum(os.path.getsize(f) for f in frags)
+    import math
+
+    assert len(compacted) == max(1, math.ceil(total / (1024 * 1024)))

@@ -94,6 +94,9 @@ AUDITED = [
     "win_rank_change",
     "agg_seasonality_profile",
     "pipeline_user_features",
+    "win_topn_per_key",
+    "win_pct_change",
+    "agg_time_to_convert",
 ]
 
 # query -> flags it is ALLOWED to carry, with the reason pinned here.
@@ -127,6 +130,10 @@ ALLOWED = {
     # per-user table (same accounted shape as report_rfm_scores'
     # max-date row)
     "pipeline_user_features": {"single_partition", "bnlj"},
+    # one-row summary merge over the |converters| latency table (the
+    # exact-percentile buffer — same accounted shape as
+    # agg_regression_metrics' final row)
+    "agg_time_to_convert": {"single_partition"},
 }
 
 
