@@ -1050,3 +1050,146 @@ def agg_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         _r(F.percentile(secs_d, F.lit(0.5)), 4).alias("p50_s"),
         _r(F.percentile(secs_d, F.lit(0.9)), 4).alias("p90_s"),
     )
+
+
+@register(
+    "qa_freshness_audit",
+    survey="QA-family extension: per-stream freshness — how far each "
+    "event type's newest record lags the corpus watermark, with a "
+    "staleness flag (the first alert any ingest pipeline wires up)",
+    oracle="""
+    WITH gmax AS (SELECT max(ts) AS mx FROM events)
+    SELECT event_type,
+           strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS latest_ts,
+           CAST(date_diff('second', max(ts), (SELECT mx FROM gmax))
+                AS BIGINT) AS lag_s,
+           CAST(date_diff('second', max(ts), (SELECT mx FROM gmax))
+                > 86400 AS BOOLEAN) AS is_stale
+    FROM events GROUP BY 1
+    """,
+)
+def qa_freshness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each event type's newest timestamp, its lag behind the corpus
+    maximum, and a >24 h staleness flag — the 'did source X stop
+    sending?' check. The flag compares INTEGER seconds, so it can
+    never flip on float noise.
+
+    Scale shape: one grouped max with map-side partials plus a one-row
+    watermark broadcast; output is |types| rows."""
+    ev = load_table(spark, sf_dir, "events")
+    gmax = ev.agg(F.max("ts").alias("mx"))
+    lag_s = (F.unix_timestamp("mx") - F.unix_timestamp("latest")).cast(
+        "bigint"
+    )
+    return (
+        ev.groupBy("event_type")
+        .agg(F.max("ts").alias("latest"))
+        .join(F.broadcast(gmax))
+        .select(
+            "event_type",
+            F.date_format("latest", "yyyy-MM-dd HH:mm:ss").alias(
+                "latest_ts"
+            ),
+            lag_s.alias("lag_s"),
+            (lag_s > 86400).alias("is_stale"),
+        )
+    )
+
+
+@register(
+    "report_revenue_bridge",
+    survey="A/W-family extension: month-over-month revenue bridge — "
+    "decompose each revenue delta into volume effect, price effect, "
+    "and cross term (the FP&A explain-the-change report)",
+    oracle="""
+    WITH monthly AS (
+      SELECT o.o_orderpriority AS priority,
+             CAST(year(o.o_orderdate) AS INTEGER) AS yr,
+             CAST(month(o.o_orderdate) AS INTEGER) AS mth,
+             round(sum(l.l_quantity), 4) AS vol,
+             round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS rev
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      GROUP BY 1, 2, 3
+    ),
+    priced AS (
+      SELECT priority, yr, mth, vol, rev,
+             round(rev / vol, 6) AS price
+      FROM monthly
+    ),
+    lagged AS (
+      SELECT priority, yr, mth, vol, rev, price,
+             lag(vol) OVER w AS vol_p,
+             lag(rev) OVER w AS rev_p,
+             lag(price) OVER w AS price_p
+      FROM priced WINDOW w AS (PARTITION BY priority ORDER BY yr, mth)
+    )
+    SELECT priority, yr, mth, rev,
+           round(rev - rev_p, 4) AS delta_rev,
+           round((vol - vol_p) * price_p, 4) AS volume_effect,
+           round((price - price_p) * vol_p, 4) AS price_effect,
+           round((vol - vol_p) * (price - price_p), 4) AS cross_effect
+    FROM lagged WHERE rev_p IS NOT NULL
+    """,
+)
+def report_revenue_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Why did revenue move? Each month's delta versus the prior month
+    splits exactly into volume effect (Δvol at old price), price
+    effect (Δprice at old volume), and the interaction term — the
+    three sum to delta_rev by construction, which is the report's
+    self-check. Runs on the flagship's monthly aggregate shape.
+
+    Determinism: vol and rev are floor-form-rounded at the aggregate
+    (the catalog's accumulation-order rule), price derives from those
+    two already-identical doubles, and every downstream delta is plain
+    arithmetic on identical inputs — so 4dp outputs hash-match.
+
+    Scale shape: one fact join+aggregate to |priorities × months| rows,
+    then a lag window over that bounded series."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    monthly = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("o_orderpriority").alias("priority"),
+            F.year("o_orderdate").cast("int").alias("yr"),
+            F.month("o_orderdate").cast("int").alias("mth"),
+        )
+        .agg(
+            _r(F.sum("l_quantity"), 4).alias("vol"),
+            _r(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                4,
+            ).alias("rev"),
+        )
+    )
+    priced = monthly.withColumn("price", _r(F.col("rev") / F.col("vol"), 6))
+    w = Window.partitionBy("priority").orderBy("yr", "mth")
+    lagged = priced.select(
+        "priority",
+        "yr",
+        "mth",
+        "vol",
+        "rev",
+        "price",
+        F.lag("vol").over(w).alias("vol_p"),
+        F.lag("rev").over(w).alias("rev_p"),
+        F.lag("price").over(w).alias("price_p"),
+    ).filter(F.col("rev_p").isNotNull())
+    return lagged.select(
+        "priority",
+        "yr",
+        "mth",
+        "rev",
+        _r(F.col("rev") - F.col("rev_p"), 4).alias("delta_rev"),
+        _r((F.col("vol") - F.col("vol_p")) * F.col("price_p"), 4).alias(
+            "volume_effect"
+        ),
+        _r((F.col("price") - F.col("price_p")) * F.col("vol_p"), 4).alias(
+            "price_effect"
+        ),
+        _r(
+            (F.col("vol") - F.col("vol_p"))
+            * (F.col("price") - F.col("price_p")),
+            4,
+        ).alias("cross_effect"),
+    )

@@ -2657,3 +2657,87 @@ def text_chunk_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
         chunk.alias("chunk_text"),
         F.length(chunk).cast("long").alias("chunk_len"),
     )
+
+
+@register(
+    "emb_pair_distance_audit",
+    survey="north-star: embedding-space health audit — cosine over a "
+    "content-addressed sample of vector pairs (collapse/anisotropy "
+    "check before any ANN index is trusted)",
+    oracle="""
+    WITH n AS (SELECT CAST(count(*) AS BIGINT) AS nv FROM embeddings),
+    draws AS (
+      SELECT s.i,
+             ('0x' || substr(md5(CAST(s.i AS VARCHAR) || '#a'), 1, 12))
+               ::BIGINT % (SELECT nv FROM n) AS id_a,
+             ('0x' || substr(md5(CAST(s.i AS VARCHAR) || '#b'), 1, 12))
+               ::BIGINT % (SELECT nv FROM n) AS id_b
+      FROM (SELECT unnest(generate_series(0, 199)) AS i) s
+    ),
+    pairs AS (
+      SELECT i, least(id_a, id_b) AS id_lo, greatest(id_a, id_b) AS id_hi
+      FROM draws WHERE id_a <> id_b
+    )
+    SELECT p.i, p.id_lo, p.id_hi,
+           round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                        b.embedding::DOUBLE[]), 4) AS cosine
+    FROM pairs p
+    JOIN embeddings a ON a.vec_id = p.id_lo
+    JOIN embeddings b ON b.vec_id = p.id_hi
+    """,
+)
+def emb_pair_distance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine similarity over 200 md5-addressed random vector pairs:
+    the cheap standing audit that catches embedding collapse (cosines
+    bunching near 1), dead dimensions, or a drifting encoder — run it
+    per ingest batch and alert on distribution shift. Content-addressed
+    draws (same trick as sample_negatives_per_user) make the panel
+    reproducible across engines and reruns, so shifts mean the DATA
+    moved, not the sampler.
+
+    Scale shape: the pair spine is 200 rows joined twice against the
+    vector table on its key — two broadcast lookups, no pairwise
+    blowup; the corpus-size constant is a one-row subquery (inlined
+    literal on the Spark side)."""
+    e = _embs(spark, sf_dir)
+    nv = e.count()
+    draws = spark.range(0, 200).select(
+        F.col("id").cast("int").alias("i"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col("id").cast("string"), F.lit("#a"))),
+                    1,
+                    12,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % F.lit(nv)
+        ).alias("id_a"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col("id").cast("string"), F.lit("#b"))),
+                    1,
+                    12,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % F.lit(nv)
+        ).alias("id_b"),
+    )
+    pairs = draws.filter(F.col("id_a") != F.col("id_b")).select(
+        "i",
+        F.least("id_a", "id_b").alias("id_lo"),
+        F.greatest("id_a", "id_b").alias("id_hi"),
+    )
+    a = e.select(F.col("vec_id").alias("id_lo"), F.col("embedding").alias("emb_a"))
+    b = e.select(F.col("vec_id").alias("id_hi"), F.col("embedding").alias("emb_b"))
+    cos = _norm_dot(F.col("emb_a"), F.col("emb_b"))
+    return (
+        pairs.join(a, "id_lo")
+        .join(b, "id_hi")
+        .select("i", "id_lo", "id_hi", _r(cos, 4).alias("cosine"))
+    )

@@ -97,6 +97,9 @@ AUDITED = [
     "win_topn_per_key",
     "win_pct_change",
     "agg_time_to_convert",
+    "emb_pair_distance_audit",
+    "qa_freshness_audit",
+    "report_revenue_bridge",
 ]
 
 # query -> flags it is ALLOWED to carry, with the reason pinned here.
@@ -134,6 +137,9 @@ ALLOWED = {
     # exact-percentile buffer — same accounted shape as
     # agg_regression_metrics' final row)
     "agg_time_to_convert": {"single_partition"},
+    # one-row corpus-watermark aggregate broadcast onto the per-type
+    # maxima (same accounted shape as pipeline_user_features)
+    "qa_freshness_audit": {"single_partition", "bnlj"},
 }
 
 
