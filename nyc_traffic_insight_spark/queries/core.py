@@ -932,3 +932,108 @@ def layout_compact_files(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("event_id").alias("n_ids"),
         )
     )
+
+
+@register(
+    "layout_bucketed_join",
+    survey="layout-family extension: bucketed CTAS + exchange-free "
+    "join — both fact tables pre-hashed into 8 buckets on the join "
+    "key, so the join reads co-located buckets with NO shuffle "
+    "(tests/test_bucketing.py pins the Exchange-free plan)",
+    oracle="""
+    SELECT o.o_orderpriority AS priority,
+           CAST(count(*) AS BIGINT) AS n_items,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1
+    """,
+)
+def layout_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write orders and lineitem as bucketed catalog tables (8 buckets
+    on the order key), then join the bucketed copies: Spark's scan
+    reports the bucket layout and the join planner skips BOTH
+    exchanges — at 100 TB this converts the nightly fact-to-fact join
+    from the cluster's biggest shuffle into a metadata decision, which
+    is exactly why warehouses bucket their largest tables. The result
+    aggregate hash-matches the plain-table oracle, proving layout
+    changed nothing about content.
+
+    The staged tables are per-(sf, pid) named, overwritten in place on
+    rerun — same idempotence contract as the scratch-dir sinks."""
+    import os
+
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    suffix = f"{tag}_{os.getpid()}"
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    (
+        orders.write.bucketBy(8, "o_orderkey")
+        .sortBy("o_orderkey")
+        .mode("overwrite")
+        .format("parquet")
+        .saveAsTable(f"orders_bkt_{suffix}")
+    )
+    (
+        li.write.bucketBy(8, "l_orderkey")
+        .sortBy("l_orderkey")
+        .mode("overwrite")
+        .format("parquet")
+        .saveAsTable(f"lineitem_bkt_{suffix}")
+    )
+    ob = spark.table(f"orders_bkt_{suffix}")
+    lb = spark.table(f"lineitem_bkt_{suffix}")
+    return (
+        lb.join(ob, lb.l_orderkey == ob.o_orderkey)
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            _r(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                4,
+            ).alias("revenue"),
+        )
+    )
+
+
+@register(
+    "layout_partition_pruning",
+    survey="layout-family extension: hive-partitioned sink + pruned "
+    "scan — a day-filtered read of a day-partitioned dataset touches "
+    "ONE directory (the serving layout SURVEY §3.3 prescribes for the "
+    "reference's per-request GeoJSON re-parse)",
+    oracle="""
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 4) AS total
+    FROM events
+    WHERE strftime(date_trunc('day', ts), '%Y-%m-%d') = '2024-01-05'
+    GROUP BY 1
+    """,
+)
+def layout_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage events hive-partitioned by day, then answer a one-day
+    question from the partitioned copy: the day predicate becomes a
+    PartitionFilter — directory pruning, zero data files of any other
+    day opened (tests/test_partitioning.py pins PartitionFilters in
+    the plan). The aggregate hash-matches the oracle computed from the
+    UNPARTITIONED table, proving the layout round-trip is lossless.
+
+    At 100 TB, day-partitioning is the difference between scanning
+    36 TB and 100 GB for a daily report; the write side is the same
+    write_partitioned every ingest job should end with."""
+    from nyc_traffic_insight_spark.sources.catalog import write_partitioned
+
+    ev = load_table(spark, sf_dir, "events")
+    path = _tmp(sf_dir, "events_by_day")
+    staged = ev.withColumn(
+        "day", F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd")
+    )
+    write_partitioned(staged, path, "day")
+    return (
+        spark.read.parquet(path)
+        .filter(F.col("day") == "2024-01-05")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            _r(F.sum("value"), 4).alias("total"),
+        )
+    )

@@ -124,3 +124,17 @@ def test_compaction_reduces_file_count_and_preserves_rows(spark):
     import math
 
     assert len(compacted) == max(1, math.ceil(total / (1024 * 1024)))
+
+
+def test_layout_partition_pruning_plan_prunes(spark):
+    """The day filter must reach the FileSourceScan as a PartitionFilter
+    (directory pruning), not a post-scan Filter over all days."""
+    from nyc_traffic_insight_spark.queries import load_all
+
+    df = load_all()["layout_partition_pruning"].builder(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "2024-01-05" in m.group(1), plan[:1500]
