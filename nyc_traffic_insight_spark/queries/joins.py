@@ -1119,3 +1119,102 @@ def report_returned_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("lost_revenue"), "c_custkey")
         .limit(20)
     )
+
+
+@register(
+    "join_scd2_pointintime",
+    survey="J-family extension: point-in-time probe of the SCD2 "
+    "dimension — each lineitem joined to the customer-priority version "
+    "valid on its ship date (the lookup half of dim_scd2_build)",
+    oracle="""
+    WITH changes AS (
+      SELECT o_custkey AS custkey,
+             CAST(o_orderdate AS DATE) AS change_date,
+             max_by(o_orderpriority, o_orderkey) AS priority
+      FROM orders GROUP BY 1, 2
+    ),
+    dim AS (
+      SELECT custkey,
+             strftime(change_date, '%Y-%m-%d') AS valid_from,
+             coalesce(strftime(lead(change_date) OVER w, '%Y-%m-%d'),
+                      '9999-01-01') AS valid_to,
+             priority
+      FROM changes
+      WINDOW w AS (PARTITION BY custkey ORDER BY change_date)
+    ),
+    fact AS (
+      SELECT o.o_custkey AS custkey,
+             strftime(CAST(l.l_shipdate AS DATE), '%Y-%m-%d') AS ship_day,
+             l.l_extendedprice * (1 - l.l_discount) AS net
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    )
+    SELECT coalesce(d.priority, 'PRE-HISTORY') AS priority_at_ship,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           round(sum(f.net), 4) AS revenue
+    FROM fact f
+    LEFT JOIN dim d ON d.custkey = f.custkey
+             AND f.ship_day >= d.valid_from AND f.ship_day < d.valid_to
+    GROUP BY 1
+    """,
+)
+def join_scd2_pointintime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'What was this customer's priority WHEN the line shipped?' —
+    the temporal lookup that makes an SCD2 dimension useful: each fact
+    row matches AT MOST one version because the validity intervals
+    partition the timeline from the first change onward
+    (dim_scd2_build's lead() construction guarantees no gaps or
+    overlaps; ISO-string comparison is date order). Facts dated before
+    the key's first version — real in any warehouse, and ~half this
+    fixture's lines ship before their order's date — land in an
+    explicit PRE-HISTORY bucket via the left join instead of silently
+    vanishing from an inner join.
+
+    Scale shape: an equi-join on the dimension's natural key with the
+    validity range as a residual predicate — per-key version counts are
+    small, so the residual filters a handful of candidates; no binning
+    needed (contrast join_range_binned, where neither side is keyed).
+    At 100 TB both sides bucket by custkey and the probe is
+    exchange-free (layout_bucketed_join's pattern)."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    changes = orders.groupBy(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderdate").cast("date").alias("change_date"),
+    ).agg(F.max_by("o_orderpriority", "o_orderkey").alias("priority"))
+    w = Window.partitionBy("custkey").orderBy("change_date")
+    dim = changes.select(
+        "custkey",
+        F.date_format("change_date", "yyyy-MM-dd").alias("valid_from"),
+        F.coalesce(
+            F.date_format(F.lead("change_date").over(w), "yyyy-MM-dd"),
+            F.lit("9999-01-01"),
+        ).alias("valid_to"),
+        "priority",
+    )
+    fact = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        F.col("o_custkey").alias("custkey"),
+        F.date_format(F.col("l_shipdate").cast("date"), "yyyy-MM-dd").alias(
+            "ship_day"
+        ),
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("net"),
+    )
+    return (
+        fact.join(
+            dim,
+            (fact.custkey == dim.custkey)
+            & (fact.ship_day >= dim.valid_from)
+            & (fact.ship_day < dim.valid_to),
+            "left",
+        )
+        .groupBy(
+            F.coalesce("priority", F.lit("PRE-HISTORY")).alias(
+                "priority_at_ship"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            _r(F.sum("net"), 4).alias("revenue"),
+        )
+    )

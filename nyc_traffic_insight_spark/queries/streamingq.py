@@ -246,3 +246,83 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("secs_to_purchase"),
         _r(F.col("amount"), 4).alias("amount"),
     )
+
+
+@register(
+    "stream_disorder_audit",
+    survey="§2.12 extension: out-of-orderness audit — per-type lateness "
+    "distribution of the event stream (running-max(ts) in arrival "
+    "order minus own ts), the measurement that picks a watermark "
+    "instead of guessing one",
+    oracle="""
+    WITH arr AS (
+      SELECT event_type,
+             CAST(date_diff('second', ts,
+                  max(ts) OVER (PARTITION BY event_type ORDER BY event_id
+                                ROWS UNBOUNDED PRECEDING)) AS BIGINT)
+               AS late_s
+      FROM events
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN late_s > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_late,
+           CAST(max(late_s) AS BIGINT) AS max_late_s,
+           round(quantile_cont(CAST(late_s AS DOUBLE), 0.95), 4)
+             AS p95_late_s
+    FROM arr GROUP BY 1
+    """,
+)
+def stream_disorder_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How out-of-order is the stream? Arrival order is event_id (the
+    ingest sequence); each event's lateness is the running maximum
+    event-time seen so far minus its own event time. The p95/max of
+    that distribution IS the watermark decision: a watermark below
+    p95 drops real data, far above it holds state needlessly — the
+    catalog's streaming queries (tumbling/sliding/sessionization)
+    should set their delays from this table, not from folklore.
+
+    The fixture's generator assigns event_id in timestamp order, so
+    this audit reports a fully-on-time stream here (n_late = 0 per
+    type) — itself a meaningful result; disorder_audit() is exercised
+    on a deliberately shuffled stream in tests/test_streaming.py,
+    where the lateness numbers are nonzero and checked against a
+    NumPy golden.
+
+    Determinism: lateness is integer seconds off a running max —
+    exact on both engines; only the p95 interpolation is float,
+    rounded floor-form. Scale shape: one event_type-partitioned
+    ordered pass for the running max, then a grouped summary; the
+    exact percentile buffers one group per reducer (the
+    agg_percentile_exact trade, fine at |types| cardinality)."""
+    return disorder_audit(load_table(spark, sf_dir, "events"))
+
+
+def disorder_audit(ev: DataFrame) -> DataFrame:
+    """Core of stream_disorder_audit over any events-shaped frame
+    (event_type, event_id arrival order, ts event time)."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    late = ev.select(
+        "event_type",
+        (
+            F.unix_timestamp(F.max("ts").over(w)) - F.unix_timestamp("ts")
+        )
+        .cast("bigint")
+        .alias("late_s"),
+    )
+    return late.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("late_s") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_late"),
+        F.max("late_s").alias("max_late_s"),
+        _r(F.percentile(F.col("late_s").cast("double"), F.lit(0.95)), 4).alias(
+            "p95_late_s"
+        ),
+    )

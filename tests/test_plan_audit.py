@@ -100,6 +100,8 @@ AUDITED = [
     "emb_pair_distance_audit",
     "qa_freshness_audit",
     "report_revenue_bridge",
+    "join_scd2_pointintime",
+    "stream_disorder_audit",
 ]
 
 # query -> flags it is ALLOWED to carry, with the reason pinned here.

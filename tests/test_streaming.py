@@ -340,3 +340,40 @@ def test_throttled_ingest_resumes_from_checkpoint(spark, tmp_path):
     # re-run with NO new files: offsets say everything is committed
     run_throttled_ingest(spark, src, chk, out, files_per_trigger=1)
     assert spark.read.parquet(out).count() == total
+
+
+def test_disorder_audit_on_shuffled_stream(spark):
+    """disorder_audit must quantify real out-of-orderness: feed a
+    stream whose arrival order (event_id) deliberately disagrees with
+    event time and check the lateness stats against a NumPy golden."""
+    import numpy as np
+    import pandas as pd
+
+    from nyc_traffic_insight_spark.queries.streamingq import disorder_audit
+
+    rng = np.random.default_rng(7)
+    n = 500
+    base = pd.Timestamp("2024-01-01")
+    # event time ordered; arrival order = event time + bounded jitter
+    ts = base + pd.to_timedelta(np.arange(n) * 60, unit="s")
+    arrival_rank = np.argsort(np.arange(n) + rng.integers(0, 10, n))
+    pdf = pd.DataFrame(
+        {
+            "event_type": ["a"] * n,
+            "event_id": np.empty(n, dtype=np.int64),
+            "ts": ts,
+        }
+    )
+    pdf.loc[arrival_rank, "event_id"] = np.arange(n, dtype=np.int64)
+
+    # numpy golden: running max over arrival order
+    order = pdf.sort_values("event_id")
+    run_max = order["ts"].cummax()
+    late = (run_max - order["ts"]).dt.total_seconds().astype(int)
+    golden_n_late = int((late > 0).sum())
+    golden_max = int(late.max())
+
+    got = disorder_audit(spark.createDataFrame(pdf)).collect()[0]
+    assert got["n"] == n
+    assert got["n_late"] == golden_n_late > 0
+    assert got["max_late_s"] == golden_max > 0
