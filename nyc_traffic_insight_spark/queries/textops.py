@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
-from nyc_traffic_insight_spark.queries import register
+from nyc_traffic_insight_spark.queries import REGISTRY, register
 from nyc_traffic_insight_spark.sources import load_table
 from nyc_traffic_insight_spark.functions.rounding import r as _r
 
@@ -2740,4 +2740,85 @@ def emb_pair_distance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.join(a, "id_lo")
         .join(b, "id_hi")
         .select("i", "id_lo", "id_hi", _r(cos, 4).alias("cosine"))
+    )
+
+
+@register(
+    "dedup_canonical_select",
+    survey="north-star: canonical selection — the keep/drop list that "
+    "makes dedup actionable: every doc mapped to its near-dup cluster "
+    "(singletons included), the longest doc per cluster kept",
+    oracle=REGISTRY["dedup_connected_components"].oracle[
+        : REGISTRY["dedup_connected_components"].oracle.rindex(
+            "SELECT src AS doc_id"
+        )
+    ]
+    + """, comp AS (
+      SELECT src AS v, min(dst) AS comp FROM reach GROUP BY src
+    ),
+    allc AS (
+      SELECT d.doc_id,
+             coalesce(c.comp, d.doc_id) AS component,
+             d.n_chars
+      FROM documents d LEFT JOIN comp c ON c.v = d.doc_id
+    ),
+    ranked AS (
+      SELECT doc_id, component, n_chars,
+             row_number() OVER (PARTITION BY component
+                 ORDER BY n_chars DESC, doc_id) AS rn,
+             first_value(doc_id) OVER (PARTITION BY component
+                 ORDER BY n_chars DESC, doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND UNBOUNDED FOLLOWING) AS canonical_doc
+      FROM allc
+    )
+    SELECT doc_id, component, canonical_doc,
+           CAST(rn = 1 AS BOOLEAN) AS is_canonical
+    FROM ranked
+    """,
+)
+def dedup_canonical_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Turn cluster labels into the dedup DECISION: every document gets
+    its component (singletons are their own), the longest document per
+    component (doc_id tie-break) is canonical, and the rest are the
+    drop list. This is the table a corpus build actually consumes —
+    clusters alone don't delete anything.
+
+    Composes dedup_connected_components' labels (reusing its
+    checkpointed propagation loop verbatim) with the documents table;
+    the pick is a per-component window over |docs| rows. The oracle
+    extends the SAME recursive-CTE closure with the identical
+    selection SQL, so the full pipeline — shingle → minhash → LSH →
+    verify → cluster → select — is value-hash-checked end to end."""
+    cc = (
+        REGISTRY["dedup_connected_components"]
+        .builder(spark, sf_dir)
+        .select(F.col("doc_id").alias("v"), F.col("component").alias("comp"))
+    )
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir).select("doc_id", "n_chars")
+    allc = docs.join(cc, docs.doc_id == cc.v, "left").select(
+        "doc_id",
+        F.coalesce("comp", F.col("doc_id")).alias("component"),
+        "n_chars",
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    ranked = allc.select(
+        "doc_id",
+        "component",
+        F.row_number().over(w).alias("rn"),
+        F.first("doc_id")
+        .over(
+            w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        )
+        .alias("canonical_doc"),
+    )
+    return ranked.select(
+        "doc_id",
+        "component",
+        "canonical_doc",
+        (F.col("rn") == 1).alias("is_canonical"),
     )
