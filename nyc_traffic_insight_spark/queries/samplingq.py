@@ -769,3 +769,155 @@ def sketch_hll_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             _r(inter / F.col("est_union"), 4).alias("jaccard_est"),
         )
     )
+
+
+@register(
+    "agg_wau_exact",
+    survey="A-family extension: trailing-7-day distinct users per day "
+    "(the WAU curve) — exact form via the ×7 spine-day fan-out, "
+    "bounded by |day-user pairs|×7, tractable at report granularity",
+    oracle="""
+    WITH du AS (
+      SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS d, user_id
+      FROM events
+    ),
+    days AS (SELECT DISTINCT d FROM du),
+    fanout AS (
+      SELECT du.d + CAST(s.k || ' days' AS INTERVAL) AS spine_d, du.user_id
+      FROM du CROSS JOIN LATERAL (
+        SELECT unnest(generate_series(0, 6)) AS k
+      ) s
+    )
+    SELECT strftime(CAST(f.spine_d AS DATE), '%Y-%m-%d') AS day,
+           CAST(count(DISTINCT f.user_id) AS BIGINT) AS wau
+    FROM fanout f JOIN days ON CAST(f.spine_d AS DATE) = days.d
+    GROUP BY 1
+    """,
+)
+def agg_wau_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact weekly-active-users: for each calendar day, the distinct
+    users active in the trailing 7 days. Sliding DISTINCT doesn't
+    decompose into window partials (users repeat across days), so the
+    exact form EXPLODES each deduplicated (day, user) row into the 7
+    spine days it covers — a narrow ×7 fan-out, NOT a range join
+    (which would plan a nested loop) — then count-distincts per spine
+    day; the equi-join against the observed-day set trims spine days
+    past the calendar edge. Input |day-user pairs|×7, fine while that
+    table fits a shuffle. The sketch twin (sketch_hll_rolling below)
+    is the 100 TB path: registers merge across days, users never
+    re-enumerate."""
+    ev = load_table(spark, sf_dir, "events")
+    du = ev.select(
+        F.date_trunc("day", "ts").cast("date").alias("d"), "user_id"
+    ).distinct()
+    days = du.select("d").distinct().withColumnRenamed("d", "spine_d")
+    fanout = du.select(
+        "user_id",
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("k"),
+        "d",
+    ).select(F.expr("date_add(d, k)").alias("spine_d"), "user_id")
+    return (
+        fanout.join(days, "spine_d")
+        .groupBy(F.date_format("spine_d", "yyyy-MM-dd").alias("day"))
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )
+
+
+@register(
+    "sketch_hll_rolling",
+    survey="north-star: rolling-window HLL — trailing-7-day distinct-"
+    "user ESTIMATE per day by merging per-day registers (the mergeable "
+    "form of agg_wau_exact; facts scanned once, windows resolved on "
+    "64-row register tables)",
+    oracle=f"""
+    WITH h AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+             md5(CAST(user_id AS VARCHAR)) AS hx
+      FROM events
+    ),
+    parts AS (
+      SELECT d,
+             ('0x' || substr(hx, 1, 2))::BIGINT % {_HLL_M} AS bucket,
+             regexp_replace(substr(hx, 3, 13), '^0+', '') AS stripped
+      FROM h
+    ),
+    regs AS (
+      SELECT d, bucket,
+             max(4 * (13 - length(stripped))
+                 + CASE substr(stripped, 1, 1)
+                     WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2
+                     WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1
+                     WHEN '7' THEN 1 ELSE 0 END
+                 + 1) AS max_rho
+      FROM parts GROUP BY 1, 2
+    ),
+    days AS (SELECT DISTINCT d FROM regs),
+    fanout AS (
+      SELECT CAST(r.d + CAST(s.k || ' days' AS INTERVAL) AS DATE) AS spine_d,
+             r.bucket, r.max_rho
+      FROM regs r CROSS JOIN LATERAL (
+        SELECT unnest(generate_series(0, 6)) AS k
+      ) s
+    ),
+    merged AS (
+      SELECT f.spine_d, f.bucket, max(f.max_rho) AS max_rho
+      FROM fanout f JOIN days ON f.spine_d = days.d
+      GROUP BY 1, 2
+    )
+    SELECT strftime(spine_d, '%Y-%m-%d') AS day,
+           CAST(count(*) AS BIGINT) AS buckets_used,
+           {_HLL_EST_SQL} AS wau_estimate
+    FROM merged GROUP BY 1
+    """,
+)
+def sketch_hll_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WAU curve from sketches: one fact scan builds per-day HLL
+    registers (|days| × 64 rows); each day's trailing-7 estimate is an
+    elementwise-max merge of seven register sets. At 100 TB this is
+    the only sane form — the exact twin re-enumerates every user in
+    every window, while register merges cost |days| × 7 × 64 rows
+    regardless of user count. Same md5 register arithmetic as
+    sketch_hll (full value oracle); accuracy vs the exact twin is
+    pinned in tests/test_sketches.py."""
+    ev = load_table(spark, sf_dir, "events")
+    hx = F.md5(F.col("user_id").cast("string"))
+    stripped = F.regexp_replace(F.substring(hx, 3, 13), "^0+", "")
+    first = F.substring(stripped, 1, 1)
+    lz_in_digit = (
+        F.when(first == "1", 3)
+        .when(first.isin("2", "3"), 2)
+        .when(first.isin("4", "5", "6", "7"), 1)
+        .otherwise(0)
+    )
+    regs = (
+        ev.select(
+            F.date_trunc("day", "ts").cast("date").alias("d"),
+            (
+                F.conv(F.substring(hx, 1, 2), 16, 10).cast("bigint") % _HLL_M
+            ).alias("bucket"),
+            (4 * (13 - F.length(stripped)) + lz_in_digit + 1).alias("rho"),
+        )
+        .groupBy("d", "bucket")
+        .agg(F.max("rho").alias("max_rho"))
+    )
+    days = regs.select("d").distinct().withColumnRenamed("d", "spine_d")
+    fanout = regs.select(
+        "bucket",
+        "max_rho",
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("k"),
+        "d",
+    ).select(F.expr("date_add(d, k)").alias("spine_d"), "bucket", "max_rho")
+    merged = (
+        fanout.join(days, "spine_d")
+        .groupBy("spine_d", "bucket")
+        .agg(F.max("max_rho").alias("max_rho"))
+    )
+    return merged.groupBy(
+        F.date_format("spine_d", "yyyy-MM-dd").alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("buckets_used"),
+        _hll_est(
+            F.count(F.lit(1)),
+            F.sum(F.pow(F.lit(2.0), -F.col("max_rho"))),
+        ).alias("wau_estimate"),
+    )

@@ -102,6 +102,8 @@ AUDITED = [
     "report_revenue_bridge",
     "join_scd2_pointintime",
     "stream_disorder_audit",
+    "agg_wau_exact",
+    "sketch_hll_rolling",
 ]
 
 # query -> flags it is ALLOWED to carry, with the reason pinned here.
