@@ -959,11 +959,23 @@ def layout_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     changed nothing about content.
 
     The staged tables are per-(sf, pid) named, overwritten in place on
-    rerun — same idempotence contract as the scratch-dir sinks."""
+    rerun — same idempotence contract as the scratch-dir sinks; this
+    process's warehouse directories are removed at interpreter exit
+    (the catalog itself is in-memory), so runs don't accumulate
+    orphaned table data on disk."""
+    import atexit
     import os
+    import shutil
 
     tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
     suffix = f"{tag}_{os.getpid()}"
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    wh = wh.removeprefix("file:")
+    for t in (f"orders_bkt_{suffix}", f"lineitem_bkt_{suffix}"):
+        key = os.path.join(wh, t)
+        if key not in _CLEANUP_REGISTERED:
+            _CLEANUP_REGISTERED.add(key)
+            atexit.register(shutil.rmtree, key, ignore_errors=True)
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
     (
