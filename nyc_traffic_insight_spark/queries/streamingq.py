@@ -326,3 +326,111 @@ def disorder_audit(ev: DataFrame) -> DataFrame:
             "p95_late_s"
         ),
     )
+
+
+@register(
+    "win_sessionize_native",
+    survey="§2.12/W-family: Spark's NATIVE session_window in batch "
+    "mode, cross-checked against the gaps-and-islands SQL formulation "
+    "— proving the built-in operator and the manual window agree "
+    "row-for-row on session boundaries",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER w <= INTERVAL 30 MINUTE
+                  THEN 0 ELSE 1 END AS new_sess
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, ts,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS session_seq
+      FROM seq
+    )
+    SELECT user_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM sess GROUP BY user_id, session_seq
+    """,
+)
+def win_sessionize_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same 30-minute-gap sessions as win_sessionize_batch, but via
+    Spark's native ``session_window`` aggregate — the operator that
+    also powers the streaming sessionizer, here in batch mode. The
+    oracle is the independent gaps-and-islands SQL, so this entry
+    cross-checks Spark's built-in session semantics (gap measured from
+    the LAST event, windows merged transitively) against the manual
+    formulation: if they ever diverged, this row goes red.
+
+    Note session_window's end is exclusive (last event + gap); the
+    comparable boundary is max(ts), aggregated alongside.
+
+    Scale shape: one shuffle on user_id; Spark merges session windows
+    inside the aggregate — no self-join, no second window pass."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            "user_id", F.session_window("ts", "30 minutes").alias("sw")
+        )
+        .agg(
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start"
+            ),
+            F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias(
+                "session_end"
+            ),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select("user_id", "session_start", "session_end", "n_events")
+    )
+
+
+@register(
+    "qa_rapid_repeat_audit",
+    survey="QA-family extension: burst / double-fire detection — same "
+    "user repeating the same event type within 60 s (the retry and "
+    "double-click signature that survives event_id dedup because each "
+    "firing gets a fresh id)",
+    oracle="""
+    WITH seq AS (
+      SELECT event_id, user_id, event_type, ts,
+             lag(ts) OVER (PARTITION BY user_id, event_type
+                           ORDER BY ts, event_id) AS prev_ts
+      FROM events
+    )
+    SELECT event_id, user_id, event_type,
+           CAST(date_diff('second', prev_ts, ts) AS BIGINT) AS gap_s
+    FROM seq
+    WHERE prev_ts IS NOT NULL
+      AND date_diff('second', prev_ts, ts) <= 60
+    """,
+)
+def qa_rapid_repeat_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suspected duplicate firings: a user repeating the same event
+    type within 60 seconds of the previous occurrence. Emits the later
+    event of each rapid pair with the integer-second gap; downstream
+    quarantines or collapses them. (Keying on the full value triple
+    would be vacuous here — the fixture's value column is a continuous
+    double that never repeats — so the audit keys on the behavioral
+    signature instead.)
+
+    Scale shape: one lag window partitioned by the audit key itself —
+    the shuffle IS the candidate grouping, no self-join; integer-second
+    gaps keep the threshold comparison float-proof."""
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            "event_type",
+            gap.cast("bigint").alias("gap_s"),
+        )
+        .filter(F.col("gap_s").isNotNull() & (F.col("gap_s") <= 60))
+    )

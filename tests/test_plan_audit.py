@@ -104,6 +104,8 @@ AUDITED = [
     "stream_disorder_audit",
     "agg_wau_exact",
     "sketch_hll_rolling",
+    "win_sessionize_native",
+    "qa_rapid_repeat_audit",
 ]
 
 # query -> flags it is ALLOWED to carry, with the reason pinned here.
