@@ -1049,3 +1049,36 @@ def layout_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
             _r(F.sum("value"), 4).alias("total"),
         )
     )
+
+
+@register(
+    "scan_orc_roundtrip",
+    survey="S-family extension: ORC sink + scan round-trip — the other "
+    "columnar format Spark bundles; parity with the parquet/CSV/JSONL "
+    "round-trips so a reference user can land on whichever format "
+    "their warehouse dictates",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+           o_orderdate, o_orderpriority
+    FROM orders
+    """,
+)
+def scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write orders as ORC, scan it back: types (including the
+    microsecond timestamp) survive the round-trip bit-for-bit, proven
+    by hashing the re-scan against the source table. ORC gets the same
+    predicate-pushdown/column-pruning treatment as parquet from
+    Spark's reader, so catalog queries are format-portable.
+
+    Scale shape: a straight columnar rewrite — the same narrow
+    pass as sink_idempotent, no shuffle."""
+    path = _tmp(sf_dir, "orders_orc")
+    load_table(spark, sf_dir, "orders").write.mode("overwrite").orc(path)
+    return spark.read.orc(path).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderdate",
+        "o_orderpriority",
+    )
