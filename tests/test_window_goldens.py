@@ -1,0 +1,107 @@
+"""Pandas goldens for the round-5 window tier: the docstrings claim
+pandas-equivalent semantics (pct_change, groupby.nlargest, truncated
+adjusted EWMA); these tests hold them to it on the real fixture."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from nyc_traffic_insight_spark.queries import load_all
+from tests.conftest import SF_SMOKE
+
+SPECS = load_all()
+
+
+@pytest.fixture(scope="module")
+def events_pdf():
+    return pd.read_parquet(f"{SF_SMOKE}/events.parquet")
+
+
+def test_pct_change_matches_pandas(spark, events_pdf):
+    golden = (
+        events_pdf.assign(day=events_pdf["ts"].dt.strftime("%Y-%m-%d"))
+        .groupby(["event_type", "day"])
+        .size()
+        .rename("cnt")
+        .reset_index()
+        .sort_values(["event_type", "day"])
+    )
+    golden["pct_change"] = golden.groupby("event_type")["cnt"].pct_change()
+    got = (
+        SPECS["win_pct_change"]
+        .builder(spark, SF_SMOKE)
+        .toPandas()
+        .sort_values(["event_type", "day"])
+        .reset_index(drop=True)
+    )
+    g = golden.reset_index(drop=True)
+    assert (got["cnt"].to_numpy() == g["cnt"].to_numpy()).all()
+    both = np.isfinite(got["pct_change"].to_numpy(dtype=float)) & np.isfinite(
+        g["pct_change"].to_numpy(dtype=float)
+    )
+    assert both.sum() > 0
+    # catalog rounds 4dp floor-form; compare to pandas within 1e-4
+    diff = np.abs(
+        got["pct_change"].to_numpy(dtype=float)[both]
+        - g["pct_change"].to_numpy(dtype=float)[both]
+    )
+    assert diff.max() < 1e-4
+
+
+def test_topn_matches_pandas_nlargest(spark):
+    orders = pd.read_parquet(f"{SF_SMOKE}/orders.parquet")
+    golden = (
+        orders.sort_values(
+            ["o_custkey", "o_totalprice", "o_orderkey"],
+            ascending=[True, False, True],
+        )
+        .groupby("o_custkey")
+        .head(3)
+    )
+    got = SPECS["win_topn_per_key"].builder(spark, SF_SMOKE).toPandas()
+    assert len(got) == len(golden)
+    a = set(map(tuple, got[["o_custkey", "o_orderkey"]].to_numpy()))
+    b = set(map(tuple, golden[["o_custkey", "o_orderkey"]].to_numpy()))
+    assert a == b
+
+
+def test_ewma_matches_manual_truncated_form(spark, events_pdf):
+    """The 8-term truncated adjusted EWMA recomputed in pandas must
+    match the catalog's window formulation to the rounding grid."""
+    from nyc_traffic_insight_spark.queries.windows import _EWMA_K, _EWMA_W
+
+    hourly = (
+        events_pdf.assign(hr=events_pdf["ts"].dt.floor("h"))
+        .groupby(["event_type", "hr"])
+        .size()
+        .rename("cnt")
+        .reset_index()
+        .sort_values(["event_type", "hr"])
+    )
+
+    def trunc_ewma(s: pd.Series) -> pd.Series:
+        arr = s.to_numpy(dtype=float)
+        out = np.empty_like(arr)
+        for t in range(len(arr)):
+            num = den = 0.0
+            for k, w in enumerate(_EWMA_W[: min(_EWMA_K, t + 1)]):
+                num += arr[t - k] * w
+                den += w
+            out[t] = num / den
+        return pd.Series(out, index=s.index)
+
+    hourly["ewma"] = hourly.groupby("event_type")["cnt"].transform(trunc_ewma)
+    got = (
+        SPECS["win_ewma"]
+        .builder(spark, SF_SMOKE)
+        .toPandas()
+        .sort_values(["event_type", "hr"])
+        .reset_index(drop=True)
+    )
+    g = hourly.reset_index(drop=True)
+    assert len(got) == len(g)
+    assert (
+        np.abs(got["ewma"].to_numpy() - g["ewma"].to_numpy()).max() < 1e-4
+    )
