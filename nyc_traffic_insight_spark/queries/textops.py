@@ -2822,3 +2822,104 @@ def dedup_canonical_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         "canonical_doc",
         (F.col("rn") == 1).alias("is_canonical"),
     )
+
+
+@register(
+    "text_oov_rate",
+    survey="north-star: out-of-vocabulary rate per source against the "
+    "corpus top-20 vocabulary — the tokenizer-coverage metric that "
+    "decides whether a vocab is big enough for a new data source",
+    oracle=r"""
+    WITH words AS (
+      SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+'))
+               AS term
+      FROM documents
+    ),
+    vocab AS (
+      SELECT term FROM (
+        SELECT term,
+               row_number() OVER (ORDER BY count(*) DESC,
+                                  count(DISTINCT doc_id) DESC, term) AS rk
+        FROM words GROUP BY term
+      ) WHERE rk <= 20
+    ),
+    flagged AS (
+      SELECT w.doc_id,
+             CASE WHEN v.term IS NULL THEN 1 ELSE 0 END AS oov
+      FROM words w LEFT JOIN vocab v ON v.term = w.term
+    ),
+    per_doc AS (
+      SELECT d.source, f.doc_id,
+             CAST(sum(f.oov) AS DOUBLE) / count(*) AS oov_rate
+      FROM flagged f JOIN documents d ON d.doc_id = f.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(avg(oov_rate), 4) AS mean_oov_rate
+    FROM per_doc GROUP BY 1
+    """,
+)
+def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How much of each source's text a top-20-term corpus vocabulary
+    fails to cover: per-doc OOV token share averaged per source (the
+    fixture corpus draws from ~31 distinct words, so a realistic-scale
+    vocab would cover 100% and the metric would be vacuous; 20-of-31
+    leaves a real tail to measure). A
+    rising mean for a new source means the tokenizer/vocab was trained
+    on the wrong distribution — the go/no-go check before mixing a
+    source into a pretraining corpus.
+
+    Determinism: the vocabulary ranks with a full tie-break (term
+    frequency, doc frequency, lexicographic); per-doc rates are exact
+    integer ratios widened to double, and only the final per-source
+    mean is rounded. Scale shape: the vocab is a bounded-k broadcast
+    onto the exploded token stream; the doc and source aggregates
+    shuffle on ids, never on tokens."""
+    d = _docs(spark, sf_dir)
+    words = d.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias(
+            "term"
+        ),
+    )
+    from pyspark.sql import Window
+
+    ranked = (
+        words.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("tf"),
+            F.countDistinct("doc_id").alias("df"),
+        )
+        .select(
+            "term",
+            F.row_number()
+            .over(
+                Window.orderBy(
+                    F.desc("tf"), F.desc("df"), F.asc("term")
+                )
+            )
+            .alias("rk"),
+        )
+        .filter(F.col("rk") <= 20)
+        .select("term")
+    )
+    flagged = words.join(
+        F.broadcast(ranked.withColumn("in_vocab", F.lit(1))), "term", "left"
+    ).select(
+        "doc_id",
+        F.when(F.col("in_vocab").isNull(), 1).otherwise(0).alias("oov"),
+    )
+    per_doc = (
+        flagged.join(d.select("doc_id", "source"), "doc_id")
+        .groupBy("source", "doc_id")
+        .agg(
+            (F.sum("oov").cast("double") / F.count(F.lit(1))).alias(
+                "oov_rate"
+            )
+        )
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        _r(F.avg("oov_rate"), 4).alias("mean_oov_rate"),
+    )

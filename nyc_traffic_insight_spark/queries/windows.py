@@ -810,3 +810,70 @@ def win_pct_change(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pct_change"
         ),
     )
+
+
+@register(
+    "win_seasonal_decompose",
+    survey="W-family extension: additive seasonal decomposition of the "
+    "hourly series — trend (centered 25h rolling mean) + hour-of-day "
+    "seasonal + residual (the classical-decomposition first pass of "
+    "every time-series workup)",
+    oracle=f"""
+    WITH hourly AS ({_HOURLY_SQL}),
+    trended AS (
+      SELECT event_type, hr, cnt,
+             round(avg(cnt) OVER (PARTITION BY event_type ORDER BY hr
+                   ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING), 4) AS trend
+      FROM hourly
+    ),
+    detr AS (
+      SELECT event_type, hr, cnt, trend, cnt - trend AS detrended,
+             CAST(hour(hr) AS INTEGER) AS hod
+      FROM trended
+    ),
+    seas AS (
+      SELECT event_type, hod, round(avg(detrended), 4) AS seasonal
+      FROM detr GROUP BY 1, 2
+    )
+    SELECT d.event_type, d.hr, d.cnt, d.trend, s.seasonal,
+           round(d.detrended - s.seasonal, 4) AS residual
+    FROM detr d JOIN seas s
+      ON s.event_type = d.event_type AND s.hod = d.hod
+    """,
+)
+def win_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive decomposition: trend is the centered 25-hour
+    rolling mean (partial at the series edges, identically so on both
+    engines), the seasonal term is the hour-of-day mean of the
+    detrended series, and the residual is what neither explains —
+    the anomaly-hunting input one level above win_anomaly_zscore's
+    flat baseline.
+
+    Determinism: trend and seasonal are floor-form-rounded the moment
+    they're computed, so every downstream subtraction runs on
+    bit-identical doubles. Scale shape: one event_type-partitioned
+    window over the hourly aggregate, one ≤|types|·24-row seasonal
+    table broadcast back."""
+    h = _hourly(spark, sf_dir)
+    trend = _r(
+        F.avg("cnt").over(_w().rowsBetween(-12, 12)), 4
+    ).alias("trend")
+    detr = h.select("event_type", "hr", "cnt", trend).select(
+        "event_type",
+        "hr",
+        "cnt",
+        "trend",
+        (F.col("cnt") - F.col("trend")).alias("detrended"),
+        F.hour("hr").cast("int").alias("hod"),
+    )
+    seas = detr.groupBy("event_type", "hod").agg(
+        _r(F.avg("detrended"), 4).alias("seasonal")
+    )
+    return detr.join(F.broadcast(seas), ["event_type", "hod"]).select(
+        "event_type",
+        "hr",
+        "cnt",
+        "trend",
+        "seasonal",
+        _r(F.col("detrended") - F.col("seasonal"), 4).alias("residual"),
+    )

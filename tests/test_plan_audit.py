@@ -106,6 +106,8 @@ AUDITED = [
     "sketch_hll_rolling",
     "win_sessionize_native",
     "qa_rapid_repeat_audit",
+    "win_seasonal_decompose",
+    "text_oov_rate",
 ]
 
 # query -> flags it is ALLOWED to carry, with the reason pinned here.
