@@ -1193,3 +1193,104 @@ def report_revenue_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("cross_effect"),
     )
+
+
+@register(
+    "pipeline_training_dataset",
+    survey="composition: leakage-safe training-set assembly — features "
+    "computed ONLY from events at or before the cutoff, the label ONLY "
+    "from the week after it, plus the content-addressed split (the "
+    "temporal-split discipline SegmentedModeling.py applies to its "
+    "train/test frames, generalized to label construction)",
+    oracle=f"""
+    WITH bounds AS (
+      SELECT max(ts) - INTERVAL 7 DAY AS cutoff FROM events
+    ),
+    feat AS (
+      SELECT user_id,
+             CAST(count(*) AS BIGINT) AS n_events,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_purchases,
+             round(avg(value), 4) AS mean_value,
+             CAST(date_diff('second', max(ts), (SELECT cutoff FROM bounds))
+                  AS BIGINT) AS recency_s
+      FROM events WHERE ts <= (SELECT cutoff FROM bounds)
+      GROUP BY 1
+    ),
+    label AS (
+      SELECT DISTINCT user_id, 1 AS will_purchase
+      FROM events
+      WHERE ts > (SELECT cutoff FROM bounds) AND event_type = 'purchase'
+    )
+    SELECT f.user_id, f.n_events, f.n_purchases, f.mean_value, f.recency_s,
+           CAST(coalesce(l.will_purchase, 0) AS INTEGER) AS label,
+           CASE WHEN ('0x' || substr(md5(CAST(f.user_id AS VARCHAR)), 25, 8))
+                       ::BIGINT % 100 < 85
+                THEN 'train' ELSE 'test' END AS split
+    FROM feat f LEFT JOIN label l ON l.user_id = f.user_id
+    """,
+)
+def pipeline_training_dataset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assemble a churn/propensity-style training table with the
+    temporal firewall every leaking pipeline violates: the cutoff is
+    7 days before the corpus watermark; features see ONLY ts <= cutoff
+    (volume, purchases, mean value, recency measured AT the cutoff —
+    never against the future), the binary label is 'purchased in the
+    7 days AFTER the cutoff', and the train/test split is the
+    catalog's content-addressed md5 draw so the same user lands on the
+    same side in every engine, run, and retry. Users with no
+    pre-cutoff history are absent by construction (no features to
+    train on) — scoring them is the cold-start path, not this table.
+
+    Scale shape: one user_id-keyed aggregate over the pre-cutoff
+    slice, an equi-join against the (distinct) post-cutoff purchasers,
+    and a per-row hash — single shuffle key throughout; the cutoff is
+    a one-row broadcast."""
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        (F.max("ts") - F.expr("INTERVAL 7 DAYS")).alias("cutoff")
+    )
+    evb = ev.join(F.broadcast(bounds))
+    feat = (
+        evb.filter(F.col("ts") <= F.col("cutoff"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_purchases"),
+            _r(F.avg("value"), 4).alias("mean_value"),
+            (
+                F.unix_timestamp(F.first("cutoff"))
+                - F.unix_timestamp(F.max("ts"))
+            )
+            .cast("bigint")
+            .alias("recency_s"),
+        )
+    )
+    label = (
+        evb.filter(
+            (F.col("ts") > F.col("cutoff"))
+            & (F.col("event_type") == "purchase")
+        )
+        .select("user_id")
+        .distinct()
+        .withColumn("will_purchase", F.lit(1))
+    )
+    draw = (
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 25, 8), 16, 10
+        ).cast("bigint")
+        % 100
+    )
+    return feat.join(label, "user_id", "left").select(
+        "user_id",
+        "n_events",
+        "n_purchases",
+        "mean_value",
+        "recency_s",
+        F.coalesce("will_purchase", F.lit(0)).cast("int").alias("label"),
+        F.when(draw < 85, "train").otherwise("test").alias("split"),
+    )

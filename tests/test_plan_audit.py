@@ -108,6 +108,7 @@ AUDITED = [
     "qa_rapid_repeat_audit",
     "win_seasonal_decompose",
     "text_oov_rate",
+    "pipeline_training_dataset",
 ]
 
 # query -> flags it is ALLOWED to carry, with the reason pinned here.
@@ -148,6 +149,9 @@ ALLOWED = {
     # one-row corpus-watermark aggregate broadcast onto the per-type
     # maxima (same accounted shape as pipeline_user_features)
     "qa_freshness_audit": {"single_partition", "bnlj"},
+    # one-row cutoff aggregate broadcast onto the fact slices (same
+    # accounted shape as qa_freshness_audit's watermark row)
+    "pipeline_training_dataset": {"single_partition", "bnlj"},
 }
 
 
