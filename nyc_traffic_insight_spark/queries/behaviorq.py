@@ -1294,3 +1294,103 @@ def pipeline_training_dataset(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("will_purchase", F.lit(0)).cast("int").alias("label"),
         F.when(draw < 85, "train").otherwise("test").alias("split"),
     )
+
+
+@register(
+    "agg_auc_exact",
+    survey="A/ML-family extension: exact ROC AUC via the Mann-Whitney "
+    "rank statistic with tie correction — the evaluation metric "
+    "computed distributed and cross-engine-exactly, no sklearn",
+    oracle="""
+    WITH bounds AS (
+      SELECT max(ts) - INTERVAL 7 DAY AS cutoff FROM events
+    ),
+    scored AS (
+      SELECT e.user_id,
+             CAST(count(*) AS BIGINT) AS score
+      FROM events e WHERE e.ts <= (SELECT cutoff FROM bounds)
+      GROUP BY 1
+    ),
+    labeled AS (
+      SELECT s.user_id, s.score,
+             CASE WHEN l.user_id IS NULL THEN 0 ELSE 1 END AS label
+      FROM scored s
+      LEFT JOIN (
+        SELECT DISTINCT user_id FROM events
+        WHERE ts > (SELECT cutoff FROM bounds)
+          AND event_type = 'purchase'
+      ) l ON l.user_id = s.user_id
+    ),
+    ranked AS (
+      SELECT label,
+             rank() OVER (ORDER BY score)
+               + (count(*) OVER (PARTITION BY score) - 1) / 2.0 AS avg_rank
+      FROM labeled
+    )
+    SELECT CAST(sum(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_pos,
+           CAST(sum(CASE WHEN label = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_neg,
+           round((sum(CASE WHEN label = 1 THEN avg_rank ELSE 0 END)
+                  - sum(CASE WHEN label = 1 THEN 1 ELSE 0 END)
+                    * (sum(CASE WHEN label = 1 THEN 1 ELSE 0 END) + 1) / 2.0)
+                 / (sum(CASE WHEN label = 1 THEN 1 ELSE 0 END)
+                    * CAST(sum(CASE WHEN label = 0 THEN 1 ELSE 0 END)
+                           AS DOUBLE)), 4) AS auc
+    FROM ranked
+    """,
+)
+def agg_auc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC AUC of 'pre-cutoff activity predicts post-cutoff
+    purchase': AUC = (Σ avg-ranks of positives − P(P+1)/2) / (P·N),
+    the Mann-Whitney U identity, with ties resolved by AVERAGE rank
+    (rank() + (ties−1)/2) exactly as sklearn's roc_auc_score does.
+    Every accumulated quantity is an integer or an exact half-integer,
+    so both engines agree bit-for-bit before the single final
+    division — an EVALUATION metric with a full value oracle, where
+    model-based scores would force rows-only.
+
+    Scale shape: the rank window is global but runs over the
+    per-entity score table (|users|), the same accounted bounded shape
+    as report_rfm_scores; everything upstream keys on user_id."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        (F.max("ts") - F.expr("INTERVAL 7 DAYS")).alias("cutoff")
+    )
+    evb = ev.join(F.broadcast(bounds))
+    scored = (
+        evb.filter(F.col("ts") <= F.col("cutoff"))
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("score"))
+    )
+    pos = (
+        evb.filter(
+            (F.col("ts") > F.col("cutoff"))
+            & (F.col("event_type") == "purchase")
+        )
+        .select("user_id")
+        .distinct()
+        .withColumn("p", F.lit(1))
+    )
+    labeled = scored.join(pos, "user_id", "left").select(
+        "score", F.coalesce("p", F.lit(0)).alias("label")
+    )
+    avg_rank = (
+        F.rank().over(Window.orderBy("score"))
+        + (F.count(F.lit(1)).over(Window.partitionBy("score")) - 1) / 2.0
+    )
+    ranked = labeled.select("label", avg_rank.alias("avg_rank"))
+    n_pos = F.sum(F.when(F.col("label") == 1, 1).otherwise(0))
+    n_neg = F.sum(F.when(F.col("label") == 0, 1).otherwise(0))
+    r_pos = F.sum(F.when(F.col("label") == 1, F.col("avg_rank")).otherwise(0.0))
+    return ranked.agg(
+        n_pos.cast("bigint").alias("n_pos"),
+        n_neg.cast("bigint").alias("n_neg"),
+        _r(
+            (r_pos - n_pos * (n_pos + 1) / 2.0)
+            / (n_pos * n_neg.cast("double")),
+            4,
+        ).alias("auc"),
+    )

@@ -175,3 +175,51 @@ def ml_grouped_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
         _r("intercept", 6).alias("intercept"),
         "n",
     )
+
+
+@register(
+    "ml_propensity_model",
+    survey="M-family extension: the catalog's first CLASSIFIER — "
+    "MLlib LogisticRegression on the leakage-safe propensity table "
+    "(pipeline_training_dataset), evaluated with areaUnderROC "
+    "(rows-only: MLlib-internal optimizer numerics; the exact-AUC "
+    "skeleton of the evaluation is the oracle-checked agg_auc_exact)",
+    oracle=None,
+)
+def ml_propensity_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fit will-purchase propensity on the training split of
+    pipeline_training_dataset (features: n_events, n_purchases,
+    mean_value, recency_s), score the test split, report train/test
+    AUC and the coefficient vector. Seeded and single-threaded-stable;
+    invariants (AUC ≥ 0.5 on train, coefficients finite, test scoring
+    covers every test row) are pinned in tests/test_ml.py."""
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.evaluation import BinaryClassificationEvaluator
+    from pyspark.ml.feature import VectorAssembler
+
+    from nyc_traffic_insight_spark.queries import REGISTRY
+
+    ds = REGISTRY["pipeline_training_dataset"].builder(spark, sf_dir)
+    feats = ["n_events", "n_purchases", "mean_value", "recency_s"]
+    va = VectorAssembler(inputCols=feats, outputCol="features")
+    train = va.transform(ds.filter(F.col("split") == "train"))
+    test = va.transform(ds.filter(F.col("split") == "test"))
+    lr = LogisticRegression(
+        featuresCol="features", labelCol="label", maxIter=50, regParam=0.01
+    )
+    model = lr.fit(train)
+    ev = BinaryClassificationEvaluator(
+        labelCol="label", metricName="areaUnderROC"
+    )
+    train_auc = ev.evaluate(model.transform(train))
+    rows = [
+        (
+            float(train_auc),
+            float(test.count()),
+            [float(c) for c in model.coefficients],
+            float(model.intercept),
+        )
+    ]
+    return spark.createDataFrame(
+        rows, "train_auc double, n_test double, coefficients array<double>, intercept double"
+    )

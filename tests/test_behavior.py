@@ -192,3 +192,39 @@ def test_transitions_match_pandas_golden(spark):
         .reset_index(drop=True)
     )
     assert got.equals(golden.astype({"n_transitions": got["n_transitions"].dtype}))
+
+
+def test_auc_exact_matches_numpy_mannwhitney(spark):
+    """The SQL rank-statistic AUC must equal the NumPy Mann-Whitney
+    computation (average ranks for ties) on the same score/label
+    pairs."""
+    import numpy as np
+    import pandas as pd
+
+    from nyc_traffic_insight_spark.sources import load_table
+
+    ev = load_table(spark, SF_SMOKE, "events").toPandas()
+    cutoff = ev["ts"].max() - pd.Timedelta(days=7)
+    pre = ev[ev["ts"] <= cutoff]
+    score = pre.groupby("user_id").size()
+    post_purch = set(
+        ev[(ev["ts"] > cutoff) & (ev["event_type"] == "purchase")]["user_id"]
+    )
+    label = np.array([1 if u in post_purch else 0 for u in score.index])
+    s = score.to_numpy(dtype=float)
+    order = np.argsort(s, kind="mergesort")
+    ranks = np.empty(len(s))
+    sorted_s = s[order]
+    i = 0
+    while i < len(s):
+        j = i
+        while j < len(s) and sorted_s[j] == sorted_s[i]:
+            j += 1
+        ranks[order[i:j]] = (i + 1 + j) / 2.0  # average of ranks i+1..j
+        i = j
+    p, n = label.sum(), (1 - label).sum()
+    golden = (ranks[label == 1].sum() - p * (p + 1) / 2) / (p * n)
+
+    got = load_all()["agg_auc_exact"].builder(spark, SF_SMOKE).first()
+    assert got["n_pos"] == p and got["n_neg"] == n
+    assert abs(got["auc"] - round(golden, 4)) < 1e-9

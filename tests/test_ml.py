@@ -185,3 +185,16 @@ def test_mllib_lr_matches_closed_form_ols(spark):
 
     assert math.isclose(got_slope, want_slope, rel_tol=1e-6)
     assert math.isclose(got_intercept, want_intercept, rel_tol=1e-6)
+
+
+def test_propensity_model_learns_and_scores(spark):
+    from nyc_traffic_insight_spark.queries import load_all
+    from tests.conftest import SF_SMOKE
+
+    row = load_all()["ml_propensity_model"].builder(spark, SF_SMOKE).first()
+    import math
+
+    assert row["train_auc"] >= 0.5
+    assert all(math.isfinite(c) for c in row["coefficients"])
+    assert math.isfinite(row["intercept"])
+    assert row["n_test"] >= 0

@@ -109,6 +109,7 @@ AUDITED = [
     "win_seasonal_decompose",
     "text_oov_rate",
     "pipeline_training_dataset",
+    "agg_auc_exact",
 ]
 
 # query -> flags it is ALLOWED to carry, with the reason pinned here.
@@ -152,6 +153,10 @@ ALLOWED = {
     # one-row cutoff aggregate broadcast onto the fact slices (same
     # accounted shape as qa_freshness_audit's watermark row)
     "pipeline_training_dataset": {"single_partition", "bnlj"},
+    # cutoff row broadcast + the global rank window over the
+    # per-entity score table (|users|; the report_rfm_scores shape)
+    # + the final one-row metric merge
+    "agg_auc_exact": {"single_partition", "bnlj"},
 }
 
 
