@@ -1394,3 +1394,199 @@ def agg_auc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("auc"),
     )
+
+
+# shared score/label construction for the evaluation-metric suite:
+# score = pre-cutoff activity, label = post-cutoff purchase (see
+# agg_auc_exact)
+_SCORE_LABEL_SQL = """
+    bounds AS (
+      SELECT max(ts) - INTERVAL 7 DAY AS cutoff FROM events
+    ),
+    scored AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS score
+      FROM events WHERE ts <= (SELECT cutoff FROM bounds)
+      GROUP BY 1
+    ),
+    labeled AS (
+      SELECT s.score,
+             CASE WHEN l.user_id IS NULL THEN 0 ELSE 1 END AS label
+      FROM scored s
+      LEFT JOIN (
+        SELECT DISTINCT user_id FROM events
+        WHERE ts > (SELECT cutoff FROM bounds)
+          AND event_type = 'purchase'
+      ) l ON l.user_id = s.user_id
+    )
+"""
+
+
+def _score_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        (F.max("ts") - F.expr("INTERVAL 7 DAYS")).alias("cutoff")
+    )
+    evb = ev.join(F.broadcast(bounds))
+    scored = (
+        evb.filter(F.col("ts") <= F.col("cutoff"))
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("score"))
+    )
+    pos = (
+        evb.filter(
+            (F.col("ts") > F.col("cutoff"))
+            & (F.col("event_type") == "purchase")
+        )
+        .select("user_id")
+        .distinct()
+        .withColumn("p", F.lit(1))
+    )
+    return scored.join(pos, "user_id", "left").select(
+        "score", F.coalesce("p", F.lit(0)).alias("label")
+    )
+
+
+@register(
+    "agg_precision_recall_curve",
+    survey="A/ML-family extension: the exact precision-recall curve — "
+    "one point per distinct score threshold (predict positive when "
+    "score >= t), every count an exact integer",
+    oracle=f"""
+    WITH {_SCORE_LABEL_SQL},
+    per_score AS (
+      SELECT score,
+             CAST(sum(label) AS BIGINT) AS pos,
+             CAST(count(*) AS BIGINT) AS n
+      FROM labeled GROUP BY 1
+    ),
+    cum AS (
+      SELECT score,
+             sum(pos) OVER (ORDER BY score DESC
+                            ROWS UNBOUNDED PRECEDING) AS tp,
+             sum(n) OVER (ORDER BY score DESC
+                          ROWS UNBOUNDED PRECEDING) AS pred_pos,
+             (SELECT sum(pos) FROM per_score) AS total_pos
+      FROM per_score
+    )
+    SELECT score AS threshold,
+           CAST(tp AS BIGINT) AS tp,
+           CAST(pred_pos AS BIGINT) AS pred_pos,
+           round(tp / CAST(pred_pos AS DOUBLE), 4) AS precision,
+           round(tp / CAST(total_pos AS DOUBLE), 4) AS recall
+    FROM cum
+    """,
+)
+def agg_precision_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every operating point of 'score >= threshold': cumulative true
+    positives and predicted positives over descending distinct scores
+    give exact precision/recall per threshold. Bounded by |distinct
+    scores| rows; the cumulative window runs over that bounded table
+    (the report_rfm_scores accounted shape). The two ratios are exact
+    integer divisions rounded at output."""
+    from pyspark.sql import Window
+
+    sl = _score_label(spark, sf_dir)
+    per_score = sl.groupBy("score").agg(
+        F.sum("label").alias("pos"), F.count(F.lit(1)).alias("n")
+    )
+    w = Window.orderBy(F.desc("score")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    total_pos = per_score.agg(F.sum("pos").alias("tp_all"))
+    cum = per_score.select(
+        "score",
+        F.sum("pos").over(w).alias("tp"),
+        F.sum("n").over(w).alias("pred_pos"),
+    ).join(F.broadcast(total_pos))
+    return cum.select(
+        F.col("score").alias("threshold"),
+        F.col("tp").cast("bigint").alias("tp"),
+        F.col("pred_pos").cast("bigint").alias("pred_pos"),
+        _r(F.col("tp") / F.col("pred_pos").cast("double"), 4).alias(
+            "precision"
+        ),
+        _r(F.col("tp") / F.col("tp_all").cast("double"), 4).alias("recall"),
+    )
+
+
+@register(
+    "agg_ks_statistic",
+    survey="A/ML-family extension: exact Kolmogorov-Smirnov separation "
+    "of the score distributions — argmax found on an INTEGER "
+    "cross-multiplied numerator, so the max can never flip on float "
+    "noise",
+    oracle=f"""
+    WITH {_SCORE_LABEL_SQL},
+    per_score AS (
+      SELECT score,
+             CAST(sum(label) AS BIGINT) AS pos,
+             CAST(count(*) - sum(label) AS BIGINT) AS neg
+      FROM labeled GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(sum(pos) AS BIGINT) AS p, CAST(sum(neg) AS BIGINT) AS n
+      FROM per_score
+    ),
+    cum AS (
+      SELECT score,
+             sum(pos) OVER (ORDER BY score ROWS UNBOUNDED PRECEDING)
+               AS cpos,
+             sum(neg) OVER (ORDER BY score ROWS UNBOUNDED PRECEDING)
+               AS cneg
+      FROM per_score
+    ),
+    gaps AS (
+      SELECT c.score, abs(c.cpos * t.n - c.cneg * t.p) AS num,
+             t.p, t.n
+      FROM cum c CROSS JOIN tot t
+    )
+    SELECT score AS ks_score, p AS n_pos, n AS n_neg,
+           round(num / (p * CAST(n AS DOUBLE)), 4) AS ks
+    FROM gaps
+    ORDER BY num DESC, score ASC LIMIT 1
+    """,
+)
+def agg_ks_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KS = max over thresholds of |CDF_pos − CDF_neg|. The maximized
+    quantity is the cross-multiplied integer |cpos·N − cneg·P| —
+    EXACT, so both engines pick the same argmax row even when two
+    thresholds are nearly tied; only the reported statistic divides
+    (and rounds). The scorecard world's separation metric, and the
+    same computation powers drift detection between any two
+    distributions sharing a score axis."""
+    from pyspark.sql import Window
+
+    sl = _score_label(spark, sf_dir)
+    per_score = sl.groupBy("score").agg(
+        F.sum("label").alias("pos"),
+        (F.count(F.lit(1)) - F.sum("label")).alias("neg"),
+    )
+    tot = per_score.agg(
+        F.sum("pos").cast("bigint").alias("p"),
+        F.sum("neg").cast("bigint").alias("n"),
+    )
+    w = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per_score.select(
+        "score",
+        F.sum("pos").over(w).alias("cpos"),
+        F.sum("neg").over(w).alias("cneg"),
+    ).join(F.broadcast(tot))
+    gaps = cum.select(
+        "score",
+        F.abs(F.col("cpos") * F.col("n") - F.col("cneg") * F.col("p")).alias(
+            "num"
+        ),
+        "p",
+        "n",
+    )
+    return (
+        gaps.orderBy(F.desc("num"), F.asc("score"))
+        .limit(1)
+        .select(
+            F.col("score").alias("ks_score"),
+            F.col("p").alias("n_pos"),
+            F.col("n").alias("n_neg"),
+            _r(F.col("num") / (F.col("p") * F.col("n").cast("double")), 4)
+            .alias("ks"),
+        )
+    )

@@ -110,6 +110,8 @@ AUDITED = [
     "text_oov_rate",
     "pipeline_training_dataset",
     "agg_auc_exact",
+    "agg_precision_recall_curve",
+    "agg_ks_statistic",
 ]
 
 # query -> flags it is ALLOWED to carry, with the reason pinned here.
@@ -157,6 +159,10 @@ ALLOWED = {
     # per-entity score table (|users|; the report_rfm_scores shape)
     # + the final one-row metric merge
     "agg_auc_exact": {"single_partition", "bnlj"},
+    # same cutoff-row broadcast + cumulative window over the
+    # |distinct scores|-bounded threshold table
+    "agg_precision_recall_curve": {"single_partition", "bnlj"},
+    "agg_ks_statistic": {"single_partition", "bnlj"},
 }
 
 
