@@ -1590,3 +1590,106 @@ def agg_ks_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("ks"),
         )
     )
+
+
+@register(
+    "agg_lift_by_decile",
+    survey="A/ML-family extension: decile lift table — the scorecard "
+    "report (positives rate and cumulative lift per score decile, "
+    "engine-independent ntile tie-breaks)",
+    oracle=f"""
+    WITH {_SCORE_LABEL_SQL.replace("SELECT s.score,", "SELECT s.user_id, s.score,")},
+    deciled AS (
+      SELECT label,
+             ntile(10) OVER (ORDER BY score DESC, user_id) AS decile
+      FROM labeled
+    ),
+    per_dec AS (
+      SELECT CAST(decile AS INTEGER) AS decile,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(label) AS BIGINT) AS pos
+      FROM deciled GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(sum(pos) AS BIGINT) AS p_all,
+             CAST(sum(n) AS BIGINT) AS n_all
+      FROM per_dec
+    )
+    SELECT d.decile, d.n, d.pos,
+           round(d.pos / CAST(d.n AS DOUBLE), 4) AS pos_rate,
+           round(sum(d.pos) OVER (ORDER BY d.decile
+                                  ROWS UNBOUNDED PRECEDING)
+                 / (CAST(t.p_all AS DOUBLE) / t.n_all
+                    * sum(d.n) OVER (ORDER BY d.decile
+                                     ROWS UNBOUNDED PRECEDING)), 4)
+             AS cum_lift
+    FROM per_dec d CROSS JOIN tot t
+    """,
+)
+def agg_lift_by_decile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank users into score deciles (ties broken by user_id, the
+    win_ntile_buckets lesson) and report each decile's positive rate
+    plus cumulative lift over the base rate — the table a targeting
+    team reads before spending a campaign budget. Counts are exact
+    integers; the two ratios round at output.
+
+    Scale shape: ntile over the bounded per-entity score table, then
+    windows over the 10-row decile summary."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        (F.max("ts") - F.expr("INTERVAL 7 DAYS")).alias("cutoff")
+    )
+    evb = ev.join(F.broadcast(bounds))
+    scored = (
+        evb.filter(F.col("ts") <= F.col("cutoff"))
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("score"))
+    )
+    pos = (
+        evb.filter(
+            (F.col("ts") > F.col("cutoff"))
+            & (F.col("event_type") == "purchase")
+        )
+        .select("user_id")
+        .distinct()
+        .withColumn("p", F.lit(1))
+    )
+    labeled = scored.join(pos, "user_id", "left").select(
+        "user_id", "score", F.coalesce("p", F.lit(0)).alias("label")
+    )
+    deciled = labeled.select(
+        "label",
+        F.ntile(10)
+        .over(Window.orderBy(F.desc("score"), F.asc("user_id")))
+        .alias("decile"),
+    )
+    per_dec = deciled.groupBy(
+        F.col("decile").cast("int").alias("decile")
+    ).agg(
+        F.count(F.lit(1)).alias("n"), F.sum("label").cast("bigint").alias("pos")
+    )
+    tot = per_dec.agg(
+        F.sum("pos").cast("bigint").alias("p_all"),
+        F.sum("n").cast("bigint").alias("n_all"),
+    )
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        per_dec.join(F.broadcast(tot))
+        .select(
+            "decile",
+            "n",
+            "pos",
+            _r(F.col("pos") / F.col("n").cast("double"), 4).alias("pos_rate"),
+            _r(
+                F.sum("pos").over(w)
+                / (
+                    F.col("p_all").cast("double")
+                    / F.col("n_all")
+                    * F.sum("n").over(w)
+                ),
+                4,
+            ).alias("cum_lift"),
+        )
+    )

@@ -112,6 +112,7 @@ AUDITED = [
     "agg_auc_exact",
     "agg_precision_recall_curve",
     "agg_ks_statistic",
+    "agg_lift_by_decile",
 ]
 
 # query -> flags it is ALLOWED to carry, with the reason pinned here.
@@ -163,6 +164,7 @@ ALLOWED = {
     # |distinct scores|-bounded threshold table
     "agg_precision_recall_curve": {"single_partition", "bnlj"},
     "agg_ks_statistic": {"single_partition", "bnlj"},
+    "agg_lift_by_decile": {"single_partition", "bnlj"},
 }
 
 
