@@ -1693,3 +1693,66 @@ def agg_lift_by_decile(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cum_lift"),
         )
     )
+
+
+@register(
+    "qa_expectations_report",
+    survey="QA-family extension: declarative data contract — a "
+    "Great-Expectations-style suite compiled to ONE aggregate pass "
+    "(operators/expectations.py); the Spark compilation and the SQL "
+    "compilation of the same contract must produce the identical "
+    "violations report",
+    oracle=None,  # set below after the contract is declared
+)
+def qa_expectations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run the standing events-table contract: key integrity, type
+    whitelist, value range, volume floor — every check an exact
+    violation COUNT from a single shuffle-free scan. Adding a check
+    adds one partial aggregate, never a second scan; this is the only
+    contract shape that survives a nightly 100 TB run.
+
+    The oracle is compile_sql() over the SAME contract object, so the
+    two compilers (Spark Column vs ANSI text) are pinned to each other
+    — a drift in either compiler turns this row red."""
+    from nyc_traffic_insight_spark.operators.expectations import (
+        compile_spark,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return compile_spark(ev, _EVENTS_CONTRACT)
+
+
+def _events_contract():
+    from nyc_traffic_insight_spark.operators.expectations import Expectation
+
+    return [
+        Expectation("event_id", "not_null"),
+        Expectation("event_id", "unique"),
+        Expectation("user_id", "not_null"),
+        Expectation("value", "in_range", (0.0, 1000.0)),
+        Expectation(
+            "event_type",
+            "accepted_values",
+            ("view", "click", "purchase", "signup", "error"),
+        ),
+        Expectation("", "min_rows", (100,)),
+    ]
+
+
+_EVENTS_CONTRACT = _events_contract()
+
+# wire the oracle from the same contract (registered spec is frozen, so
+# rebuild the entry with the SQL compilation attached)
+from nyc_traffic_insight_spark.operators.expectations import (  # noqa: E402
+    compile_sql as _compile_sql,
+)
+from nyc_traffic_insight_spark.queries import QuerySpec as _QS  # noqa: E402
+from nyc_traffic_insight_spark.queries import REGISTRY as _REG  # noqa: E402
+
+_spec = _REG["qa_expectations_report"]
+_REG["qa_expectations_report"] = _QS(
+    name=_spec.name,
+    builder=_spec.builder,
+    oracle=_compile_sql("events", _EVENTS_CONTRACT),
+    survey=_spec.survey,
+)

@@ -113,6 +113,7 @@ AUDITED = [
     "agg_precision_recall_curve",
     "agg_ks_statistic",
     "agg_lift_by_decile",
+    "qa_expectations_report",
 ]
 
 # query -> flags it is ALLOWED to carry, with the reason pinned here.
@@ -165,6 +166,9 @@ ALLOWED = {
     "agg_precision_recall_curve": {"single_partition", "bnlj"},
     "agg_ks_statistic": {"single_partition", "bnlj"},
     "agg_lift_by_decile": {"single_partition", "bnlj"},
+    # one-row wide-aggregate merge, then a 6-row unpivot (the
+    # qa_profile_table accounted shape)
+    "qa_expectations_report": {"single_partition"},
 }
 
 
