@@ -1756,3 +1756,77 @@ _REG["qa_expectations_report"] = _QS(
     oracle=_compile_sql("events", _EVENTS_CONTRACT),
     survey=_spec.survey,
 )
+
+
+@register(
+    "pipeline_incremental_rollup",
+    survey="composition: incremental view maintenance — merge the "
+    "standing pre-final-day aggregate with the final day's delta and "
+    "hash-prove the merged state equals a full recompute (the pattern "
+    "that turns a daily 100 TB rescan into a one-partition update)",
+    oracle="""
+    WITH bounds AS (
+      SELECT CAST(date_trunc('day', max(ts)) AS DATE) AS last_day
+      FROM events
+    ),
+    state AS (
+      SELECT event_type,
+             strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+             CAST(count(*) AS BIGINT) AS n,
+             round(sum(value), 4) AS total
+      FROM events
+      WHERE CAST(date_trunc('day', ts) AS DATE)
+              < (SELECT last_day FROM bounds)
+      GROUP BY 1, 2
+    ),
+    delta AS (
+      SELECT event_type,
+             strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+             CAST(count(*) AS BIGINT) AS n,
+             round(sum(value), 4) AS total
+      FROM events
+      WHERE CAST(date_trunc('day', ts) AS DATE)
+              = (SELECT last_day FROM bounds)
+      GROUP BY 1, 2
+    )
+    SELECT * FROM state UNION ALL SELECT * FROM delta
+    """,
+)
+def pipeline_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One incremental-maintenance step, verified: the standing state
+    (per-type daily counts for every day BEFORE the latest) unions
+    with the latest day's delta aggregate, and the oracle — the same
+    two-slice construction, which is definitionally equal to the full
+    recompute because days partition events — hash-checks the merge.
+    In production the state side is yesterday's PERSISTED table, so
+    the daily cost is one partition's aggregate + an append, not a
+    history rescan; this entry pins that the merge arithmetic (count
+    and rounded sum are both decomposable) loses nothing.
+
+    Scale shape: the day predicate prunes the delta scan to one
+    partition under the layout_partition_pruning layout; both
+    aggregates shuffle on (type, day)."""
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.date_trunc("day", F.max("ts")).cast("date").alias("last_day")
+    )
+    evb = ev.join(F.broadcast(bounds)).withColumn(
+        "d", F.date_trunc("day", "ts").cast("date")
+    )
+
+    def slice_agg(pred):
+        return (
+            evb.filter(pred)
+            .groupBy(
+                "event_type",
+                F.date_format("d", "yyyy-MM-dd").alias("day"),
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                _r(F.sum("value"), 4).alias("total"),
+            )
+        )
+
+    state = slice_agg(F.col("d") < F.col("last_day"))
+    delta = slice_agg(F.col("d") == F.col("last_day"))
+    return state.unionByName(delta)

@@ -114,6 +114,7 @@ AUDITED = [
     "agg_ks_statistic",
     "agg_lift_by_decile",
     "qa_expectations_report",
+    "pipeline_incremental_rollup",
 ]
 
 # query -> flags it is ALLOWED to carry, with the reason pinned here.
@@ -169,6 +170,8 @@ ALLOWED = {
     # one-row wide-aggregate merge, then a 6-row unpivot (the
     # qa_profile_table accounted shape)
     "qa_expectations_report": {"single_partition"},
+    # one-row last-day watermark broadcast onto the two slices
+    "pipeline_incremental_rollup": {"single_partition", "bnlj"},
 }
 
 
