@@ -805,11 +805,20 @@ def agg_wau_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     past the calendar edge. Input |day-user pairs|×7, fine while that
     table fits a shuffle. The sketch twin (sketch_hll_rolling below)
     is the 100 TB path: registers merge across days, users never
-    re-enumerate."""
+    re-enumerate.
+
+    The deduplicated (day, user) table is materialized once
+    (localCheckpoint) so the day spine derives from IT — without that,
+    Spark inlines the lineage and pays a second full fact scan just to
+    list the distinct days (the sketch_qdigest lesson)."""
     ev = load_table(spark, sf_dir, "events")
-    du = ev.select(
-        F.date_trunc("day", "ts").cast("date").alias("d"), "user_id"
-    ).distinct()
+    du = (
+        ev.select(
+            F.date_trunc("day", "ts").cast("date").alias("d"), "user_id"
+        )
+        .distinct()
+        .localCheckpoint()
+    )
     days = du.select("d").distinct().withColumnRenamed("d", "spine_d")
     fanout = du.select(
         "user_id",
@@ -878,7 +887,10 @@ def sketch_hll_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     every window, while register merges cost |days| × 7 × 64 rows
     regardless of user count. Same md5 register arithmetic as
     sketch_hll (full value oracle); accuracy vs the exact twin is
-    pinned in tests/test_sketches.py."""
+    pinned in tests/test_sketches.py. The register table is
+    materialized once (|days|×64 rows) so the day spine derives from
+    it instead of a second full fact scan — the same
+    lineage-inlining trap documented at sketch_qdigest."""
     ev = load_table(spark, sf_dir, "events")
     hx = F.md5(F.col("user_id").cast("string"))
     stripped = F.regexp_replace(F.substring(hx, 3, 13), "^0+", "")
@@ -899,7 +911,7 @@ def sketch_hll_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("d", "bucket")
         .agg(F.max("rho").alias("max_rho"))
-    )
+    ).localCheckpoint()
     days = regs.select("d").distinct().withColumnRenamed("d", "spine_d")
     fanout = regs.select(
         "bucket",
