@@ -1355,28 +1355,7 @@ def agg_auc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     as report_rfm_scores; everything upstream keys on user_id."""
     from pyspark.sql import Window
 
-    ev = load_table(spark, sf_dir, "events")
-    bounds = ev.agg(
-        (F.max("ts") - F.expr("INTERVAL 7 DAYS")).alias("cutoff")
-    )
-    evb = ev.join(F.broadcast(bounds))
-    scored = (
-        evb.filter(F.col("ts") <= F.col("cutoff"))
-        .groupBy("user_id")
-        .agg(F.count(F.lit(1)).alias("score"))
-    )
-    pos = (
-        evb.filter(
-            (F.col("ts") > F.col("cutoff"))
-            & (F.col("event_type") == "purchase")
-        )
-        .select("user_id")
-        .distinct()
-        .withColumn("p", F.lit(1))
-    )
-    labeled = scored.join(pos, "user_id", "left").select(
-        "score", F.coalesce("p", F.lit(0)).alias("label")
-    )
+    labeled = _score_label(spark, sf_dir).select("score", "label")
     avg_rank = (
         F.rank().over(Window.orderBy("score"))
         + (F.count(F.lit(1)).over(Window.partitionBy("score")) - 1) / 2.0
@@ -1441,8 +1420,15 @@ def _score_label(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .withColumn("p", F.lit(1))
     )
-    return scored.join(pos, "user_id", "left").select(
-        "score", F.coalesce("p", F.lit(0)).alias("label")
+    # materialized once: the per-score aggregate, the total-positives
+    # row, and the cumulative branches all reuse this bounded table —
+    # without it each reference re-derives the fact scans
+    return (
+        scored.join(pos, "user_id", "left")
+        .select(
+            "user_id", "score", F.coalesce("p", F.lit(0)).alias("label")
+        )
+        .localCheckpoint()
     )
 
 
@@ -1485,7 +1471,7 @@ def agg_precision_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer divisions rounded at output."""
     from pyspark.sql import Window
 
-    sl = _score_label(spark, sf_dir)
+    sl = _score_label(spark, sf_dir).select("score", "label")
     per_score = sl.groupBy("score").agg(
         F.sum("label").alias("pos"), F.count(F.lit(1)).alias("n")
     )
@@ -1556,7 +1542,7 @@ def agg_ks_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
     distributions sharing a score axis."""
     from pyspark.sql import Window
 
-    sl = _score_label(spark, sf_dir)
+    sl = _score_label(spark, sf_dir).select("score", "label")
     per_score = sl.groupBy("score").agg(
         F.sum("label").alias("pos"),
         (F.count(F.lit(1)) - F.sum("label")).alias("neg"),
@@ -1637,28 +1623,7 @@ def agg_lift_by_decile(spark: SparkSession, sf_dir: str) -> DataFrame:
     windows over the 10-row decile summary."""
     from pyspark.sql import Window
 
-    ev = load_table(spark, sf_dir, "events")
-    bounds = ev.agg(
-        (F.max("ts") - F.expr("INTERVAL 7 DAYS")).alias("cutoff")
-    )
-    evb = ev.join(F.broadcast(bounds))
-    scored = (
-        evb.filter(F.col("ts") <= F.col("cutoff"))
-        .groupBy("user_id")
-        .agg(F.count(F.lit(1)).alias("score"))
-    )
-    pos = (
-        evb.filter(
-            (F.col("ts") > F.col("cutoff"))
-            & (F.col("event_type") == "purchase")
-        )
-        .select("user_id")
-        .distinct()
-        .withColumn("p", F.lit(1))
-    )
-    labeled = scored.join(pos, "user_id", "left").select(
-        "user_id", "score", F.coalesce("p", F.lit(0)).alias("label")
-    )
+    labeled = _score_label(spark, sf_dir)
     deciled = labeled.select(
         "label",
         F.ntile(10)

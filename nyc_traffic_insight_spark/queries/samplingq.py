@@ -647,6 +647,10 @@ def _hll_regs_df(spark: SparkSession, sf_dir: str):
         )
         .groupBy("event_type", "bucket")
         .agg(F.max("rho").alias("max_rho"))
+        # materialized once: est_t, the pair spine, and both tagged
+        # join legs all reuse the |types|x64 register table — without
+        # this, lineage inlining re-scans the fact table per reference
+        .localCheckpoint()
     )
 
 

@@ -2879,6 +2879,7 @@ def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
     words = d.select(
         "doc_id",
+        "source",
         F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias(
             "term"
         ),
@@ -2903,21 +2904,19 @@ def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rk") <= 20)
         .select("term")
+        # bounded-k table materialized once so the scoring join doesn't
+        # re-derive the vocabulary's corpus scan
+        .localCheckpoint()
     )
     flagged = words.join(
         F.broadcast(ranked.withColumn("in_vocab", F.lit(1))), "term", "left"
     ).select(
         "doc_id",
+        "source",
         F.when(F.col("in_vocab").isNull(), 1).otherwise(0).alias("oov"),
     )
-    per_doc = (
-        flagged.join(d.select("doc_id", "source"), "doc_id")
-        .groupBy("source", "doc_id")
-        .agg(
-            (F.sum("oov").cast("double") / F.count(F.lit(1))).alias(
-                "oov_rate"
-            )
-        )
+    per_doc = flagged.groupBy("source", "doc_id").agg(
+        (F.sum("oov").cast("double") / F.count(F.lit(1))).alias("oov_rate")
     )
     return per_doc.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
