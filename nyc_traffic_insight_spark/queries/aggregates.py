@@ -772,24 +772,31 @@ def qa_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     trusted (the reference discovers bad keys as silent NaN fan-in
     after its merges; this surfaces them as counts up front).
 
-    Scale shape: each edge is a LEFT ANTI join counted — the parent
-    side (orders/customer/nation keys) broadcasts when small, and the
-    anti-join short-circuits per probe; the child table is scanned once
-    per edge with only the FK column read (column pruning). Counts are
-    exact integers → hash-stable."""
+    Scale shape: each edge is ONE left join against the broadcast
+    parent-key set with both counts read off the same pass —
+    count(*) and count-of-unmatched — so every child table is scanned
+    exactly once with only the FK column read (the earlier anti-join
+    formulation scanned each child twice: once for the total, once for
+    the orphans). Counts are exact integers → hash-stable."""
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
 
     def edge(name: str, child: DataFrame, fk: str, parent: DataFrame, pk: str):
-        orphans = child.join(
-            parent.select(pk), child[fk] == parent[pk], "left_anti"
+        hit = parent.select(F.col(pk).alias("__pk")).withColumn(
+            "__hit", F.lit(1)
         )
-        return child.agg(
+        joined = child.select(F.col(fk).alias("__fk")).join(
+            F.broadcast(hit), F.col("__fk") == F.col("__pk"), "left"
+        )
+        return joined.agg(
             F.lit(name).alias("fk_edge"),
             F.count(F.lit(1)).alias("n_child"),
-        ).crossJoin(orphans.agg(F.count(F.lit(1)).alias("n_orphans")))
+            F.sum(F.when(F.col("__hit").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_orphans"),
+        )
 
     e1 = edge("lineitem.l_orderkey->orders", li, "l_orderkey", orders, "o_orderkey")
     e2 = edge("orders.o_custkey->customer", orders, "o_custkey", cust, "c_custkey")
@@ -930,10 +937,16 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").filter(
         F.col("ts") < F.lit("2024-01-03 00:00:00").cast("timestamp")
     )
+    # each stage's per-user table is materialized once (bounded by
+    # |users|): the next stage and its own stage-count aggregate reuse
+    # it, so the whole funnel costs three fact scans — without this,
+    # lineage inlining re-derived every earlier stage per reference
+    # (the executed plan showed six)
     v = (
         ev.filter(F.col("event_type") == "view")
         .groupBy("user_id")
         .agg(F.min("ts").alias("t0"))
+        .localCheckpoint()
     )
     c = (
         ev.filter(F.col("event_type") == "click")
@@ -941,6 +954,7 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("ts") > F.col("t0"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("t1"))
+        .localCheckpoint()
     )
     p = (
         ev.filter(F.col("event_type") == "purchase")
@@ -948,6 +962,7 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("ts") > F.col("t1"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("t2"))
+        .localCheckpoint()
     )
 
     def stage(ord_: int, name: str, df: DataFrame) -> DataFrame:
