@@ -1795,3 +1795,112 @@ def pipeline_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     state = slice_agg(F.col("d") < F.col("last_day"))
     delta = slice_agg(F.col("d") == F.col("last_day"))
     return state.unionByName(delta)
+
+
+# Poisson-bootstrap machinery: per (resample, row) weight ~ Poisson(1),
+# drawn deterministically from md5(resample#row) — the distributed
+# bootstrap (each row's weight is independent, no global sampling
+# state), with the inverse CDF spelled as integer thresholds on a
+# 0..9999 hash draw so both engines assign identical weights.
+# Cumulative Poisson(1)*10000 for k=0..5 (tail mass 6e-4 truncated to
+# weight 5 — bias far below the CI resolution).
+_BOOT_B = 50
+_BOOT_THRESH = [3679, 7358, 9197, 9810, 9963, 9994]
+
+
+def _boot_weight_sql(draw: str) -> str:
+    cases = " ".join(
+        f"WHEN {draw} < {t} THEN {k}"
+        for k, t in enumerate(_BOOT_THRESH)
+    )
+    return f"CASE {cases} ELSE 5 END"
+
+
+@register(
+    "agg_bootstrap_ci",
+    survey="A-family extension: Poisson-bootstrap confidence interval "
+    "for the mean — the DISTRIBUTED bootstrap (per-row independent "
+    "Poisson(1) weights, no global resampling state), deterministic "
+    "via md5 so the uncertainty estimate itself is oracle-checked",
+    oracle=f"""
+    WITH expanded AS (
+      SELECT b.i,
+             e.value,
+             {_boot_weight_sql("('0x' || substr(md5(CAST(b.i AS VARCHAR) || '#' || CAST(e.event_id AS VARCHAR)), 1, 8))::BIGINT % 10000")}
+               AS w
+      FROM events e
+      CROSS JOIN LATERAL (
+        SELECT unnest(generate_series(0, {_BOOT_B - 1})) AS i
+      ) b
+    ),
+    means AS (
+      SELECT i, round(sum(w * value) / sum(w), 4) AS m
+      FROM expanded GROUP BY i HAVING sum(w) > 0
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_resamples,
+           round(avg(m), 4) AS boot_mean,
+           round(quantile_cont(m, 0.025), 4) AS ci_lo,
+           round(quantile_cont(m, 0.975), 4) AS ci_hi
+    FROM means
+    """,
+)
+def agg_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """95% bootstrap CI for mean(value) without ever materializing a
+    resample: each row contributes to all B=50 resamples with an
+    independent Poisson(1) weight (the Poisson bootstrap — the only
+    bootstrap that distributes, since true multinomial resampling
+    needs the global row count as sampling state). Weights come from
+    integer thresholds on an md5 draw, so the resample means — and
+    therefore the interval — are bit-reproducible across engines,
+    runs, and retries; per-resample means are floor-form-rounded
+    before the percentile so accumulation order cannot flip the CI
+    edges.
+
+    Scale shape: explode ×B is a narrow fan-out; the per-resample
+    aggregate partial-combines map-side into B rows; the CI is a
+    percentile over 50 numbers. At 100 TB this is exactly how you put
+    an error bar on a corpus statistic in one pass."""
+    ev = load_table(spark, sf_dir, "events")
+    expanded = ev.select(
+        "event_id",
+        "value",
+        F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("i"),
+    )
+    draw = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("i").cast("string"),
+                        F.lit("#"),
+                        F.col("event_id").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 10000
+    )
+    w = F.lit(5)
+    for k in range(len(_BOOT_THRESH) - 1, -1, -1):
+        w = F.when(draw < _BOOT_THRESH[k], F.lit(k)).otherwise(w)
+    means = (
+        expanded.select("i", "value", w.alias("w"))
+        .groupBy("i")
+        .agg(
+            F.sum(F.col("w") * F.col("value")).alias("swx"),
+            F.sum("w").alias("sw"),
+        )
+        .filter(F.col("sw") > 0)
+        .select(_r(F.col("swx") / F.col("sw"), 4).alias("m"))
+    )
+    md = F.col("m").cast("double")
+    return means.agg(
+        F.count(F.lit(1)).alias("n_resamples"),
+        _r(F.avg(md), 4).alias("boot_mean"),
+        _r(F.percentile(md, F.lit(0.025)), 4).alias("ci_lo"),
+        _r(F.percentile(md, F.lit(0.975)), 4).alias("ci_hi"),
+    )

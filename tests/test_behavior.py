@@ -228,3 +228,20 @@ def test_auc_exact_matches_numpy_mannwhitney(spark):
     got = load_all()["agg_auc_exact"].builder(spark, SF_SMOKE).first()
     assert got["n_pos"] == p and got["n_neg"] == n
     assert abs(got["auc"] - round(golden, 4)) < 1e-9
+
+
+def test_bootstrap_ci_covers_true_mean_and_shrinks(spark):
+    """The interval must contain the exact corpus mean, and 10x the
+    data must shrink it (≈√10); weights average ≈1 so the bootstrap
+    mean sits near the true mean."""
+    got = {}
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        row = SPECS["agg_bootstrap_ci"].builder(spark, sf).first()
+        true_mean = (
+            load_table(spark, sf, "events").agg(F.avg("value")).first()[0]
+        )
+        assert row["ci_lo"] <= true_mean <= row["ci_hi"], (sf, row, true_mean)
+        assert abs(row["boot_mean"] - true_mean) < 2.0
+        got[sf] = row["ci_hi"] - row["ci_lo"]
+    ratio = got["/root/testdata/sf0.001"] / got["/root/testdata/sf0.01"]
+    assert 1.5 < ratio < 7.0, got  # ~sqrt(10)≈3.2 with bootstrap noise

@@ -115,6 +115,7 @@ AUDITED = [
     "agg_lift_by_decile",
     "qa_expectations_report",
     "pipeline_incremental_rollup",
+    "agg_bootstrap_ci",
 ]
 
 # query -> flags it is ALLOWED to carry, with the reason pinned here.
@@ -172,6 +173,8 @@ ALLOWED = {
     "qa_expectations_report": {"single_partition"},
     # one-row last-day watermark broadcast onto the two slices
     "pipeline_incremental_rollup": {"single_partition", "bnlj"},
+    # final one-row CI merge over the B=50 resample means
+    "agg_bootstrap_ci": {"single_partition"},
 }
 
 
