@@ -1904,3 +1904,164 @@ def agg_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         _r(F.percentile(md, F.lit(0.025)), 4).alias("ci_lo"),
         _r(F.percentile(md, F.lit(0.975)), 4).alias("ci_hi"),
     )
+
+
+@register(
+    "report_ab_test",
+    survey="A-family extension: A/B readout on a continuous metric — "
+    "users hash deterministically into arms, per-user mean value "
+    "compared with the Welch z statistic from rounded moments "
+    "(rounded before the significance comparison)",
+    oracle="""
+    WITH per_user AS (
+      SELECT CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 25, 8))
+                       ::BIGINT % 2 = 0
+                  THEN 'A' ELSE 'B' END AS arm,
+             round(avg(value), 4) AS user_mean
+      FROM events GROUP BY user_id
+    ),
+    per_arm AS (
+      SELECT arm, CAST(count(*) AS BIGINT) AS n,
+             round(avg(user_mean), 4) AS mean_val,
+             round(var_samp(user_mean), 4) AS var_val
+      FROM per_user GROUP BY 1
+    ),
+    wide AS (
+      SELECT max(CASE WHEN arm = 'A' THEN n END) AS n_a,
+             max(CASE WHEN arm = 'A' THEN mean_val END) AS mean_a,
+             max(CASE WHEN arm = 'A' THEN var_val END) AS var_a,
+             max(CASE WHEN arm = 'B' THEN n END) AS n_b,
+             max(CASE WHEN arm = 'B' THEN mean_val END) AS mean_b,
+             max(CASE WHEN arm = 'B' THEN var_val END) AS var_b
+      FROM wide_src
+    ),
+    wide_src AS (SELECT * FROM per_arm)
+    SELECT n_a, mean_a, n_b, mean_b,
+           round((mean_a - mean_b)
+                 / sqrt(var_a / n_a + var_b / n_b), 4) AS z,
+           abs(round((mean_a - mean_b)
+                 / sqrt(var_a / n_a + var_b / n_b), 4)) > 1.96
+             AS significant_95
+    FROM wide
+    """,
+)
+def report_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The experiment readout on a continuous metric: users hash into
+    arm A or B (content-addressed — sticky, engine-independent, no
+    assignment table), the unit of analysis is the per-user mean value
+    (clustered randomization done right: users, not events, are the
+    experimental units), and Welch's z decides significance. Per-user
+    means, arm means, and arm variances are floor-form-rounded as
+    computed, so the z built from them is bit-identical cross-engine
+    and is itself rounded before the |z| > 1.96 comparison.
+
+    Scale shape: one user-keyed aggregate, a 2-row arm rollup, one
+    final row. On this un-treated fixture the arms are exchangeable,
+    so |z| should hover near 0 — the null behaving as a null is the
+    sanity check, pinned in tests."""
+    ev = load_table(spark, sf_dir, "events")
+    arm = F.when(
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 25, 8), 16, 10
+        ).cast("bigint")
+        % 2
+        == 0,
+        "A",
+    ).otherwise("B")
+    per_user = ev.groupBy("user_id").agg(
+        _r(F.avg("value"), 4).alias("user_mean")
+    ).select(arm.alias("arm"), "user_mean")
+    per_arm = per_user.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n"),
+        _r(F.avg("user_mean"), 4).alias("mean_val"),
+        _r(F.var_samp("user_mean"), 4).alias("var_val"),
+    )
+    wide = per_arm.agg(
+        F.max(F.when(F.col("arm") == "A", F.col("n"))).alias("n_a"),
+        F.max(F.when(F.col("arm") == "A", F.col("mean_val"))).alias("mean_a"),
+        F.max(F.when(F.col("arm") == "A", F.col("var_val"))).alias("var_a"),
+        F.max(F.when(F.col("arm") == "B", F.col("n"))).alias("n_b"),
+        F.max(F.when(F.col("arm") == "B", F.col("mean_val"))).alias("mean_b"),
+        F.max(F.when(F.col("arm") == "B", F.col("var_val"))).alias("var_b"),
+    )
+    z = _r(
+        (F.col("mean_a") - F.col("mean_b"))
+        / F.sqrt(
+            F.col("var_a") / F.col("n_a") + F.col("var_b") / F.col("n_b")
+        ),
+        4,
+    )
+    return wide.select(
+        "n_a",
+        "mean_a",
+        "n_b",
+        "mean_b",
+        z.alias("z"),
+        (F.abs(z) > 1.96).alias("significant_95"),
+    )
+
+
+@register(
+    "agg_chi_square_independence",
+    survey="A-family extension: chi-square independence of event type "
+    "vs weekday — observed counts exact, expected counts rational, "
+    "the statistic rounded at output",
+    oracle="""
+    WITH obs AS (
+      SELECT event_type, CAST(isodow(ts) - 1 AS INTEGER) AS wd,
+             CAST(count(*) AS BIGINT) AS o
+      FROM events GROUP BY 1, 2
+    ),
+    margins AS (
+      SELECT o.event_type, o.wd, o.o,
+             sum(o.o) OVER (PARTITION BY o.event_type) AS row_tot,
+             sum(o.o) OVER (PARTITION BY o.wd) AS col_tot,
+             sum(o.o) OVER () AS n
+      FROM obs o
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_cells,
+           CAST((count(DISTINCT event_type) - 1)
+                * (count(DISTINCT wd) - 1) AS BIGINT) AS dof,
+           round(sum(power(o - row_tot * col_tot / CAST(n AS DOUBLE), 2)
+                     / (row_tot * col_tot / CAST(n AS DOUBLE))), 4)
+             AS chi2
+    FROM margins
+    """,
+)
+def agg_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Does activity mix depend on the weekday? Pearson's chi² over the
+    |types|×7 contingency table: observed cells are exact integer
+    counts, expected cells are the rational margin products, and the
+    statistic sums over a bounded grid (rounded at output — the only
+    accumulation-order float). Compare chi² to the critical value for
+    the reported dof externally; the engine's job is the exact table.
+
+    Scale shape: one grouped count to the contingency grid; margins
+    are windows over that bounded grid, never the facts."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    obs = ev.groupBy(
+        "event_type", F.weekday("ts").cast("int").alias("wd")
+    ).agg(F.count(F.lit(1)).alias("o"))
+    margins = obs.select(
+        "event_type",
+        "wd",
+        "o",
+        F.sum("o").over(Window.partitionBy("event_type")).alias("row_tot"),
+        F.sum("o").over(Window.partitionBy("wd")).alias("col_tot"),
+        F.sum("o").over(
+            Window.partitionBy()
+        ).alias("n"),
+    )
+    e = F.col("row_tot") * F.col("col_tot") / F.col("n").cast("double")
+    return margins.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        (
+            (F.countDistinct("event_type") - 1)
+            * (F.countDistinct("wd") - 1)
+        )
+        .cast("bigint")
+        .alias("dof"),
+        _r(F.sum(F.pow(F.col("o") - e, 2) / e), 4).alias("chi2"),
+    )

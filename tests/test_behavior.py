@@ -245,3 +245,15 @@ def test_bootstrap_ci_covers_true_mean_and_shrinks(spark):
         got[sf] = row["ci_hi"] - row["ci_lo"]
     ratio = got["/root/testdata/sf0.001"] / got["/root/testdata/sf0.01"]
     assert 1.5 < ratio < 7.0, got  # ~sqrt(10)≈3.2 with bootstrap noise
+
+
+def test_ab_test_null_behaves_and_chi2_positive(spark):
+    """The un-treated fixture's arms are exchangeable: |z| must stay
+    well under the significance bar; chi² is nonnegative with the
+    right dof for a |types|x7 grid."""
+    ab = SPECS["report_ab_test"].builder(spark, "/root/testdata/sf0.01").first()
+    assert abs(ab["z"]) < 1.96 and not ab["significant_95"]
+    chi = SPECS["agg_chi_square_independence"].builder(
+        spark, "/root/testdata/sf0.01"
+    ).first()
+    assert chi["chi2"] >= 0 and chi["dof"] == 24 and chi["n_cells"] == 35

@@ -116,6 +116,8 @@ AUDITED = [
     "qa_expectations_report",
     "pipeline_incremental_rollup",
     "agg_bootstrap_ci",
+    "report_ab_test",
+    "agg_chi_square_independence",
 ]
 
 # query -> flags it is ALLOWED to carry, with the reason pinned here.
@@ -175,6 +177,10 @@ ALLOWED = {
     "pipeline_incremental_rollup": {"single_partition", "bnlj"},
     # final one-row CI merge over the B=50 resample means
     "agg_bootstrap_ci": {"single_partition"},
+    # 2-row arm rollup to a one-row readout / one-row chi2 merge over
+    # the bounded contingency grid
+    "report_ab_test": {"single_partition"},
+    "agg_chi_square_independence": {"single_partition"},
 }
 
 
