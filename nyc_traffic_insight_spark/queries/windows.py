@@ -877,3 +877,153 @@ def win_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         "seasonal",
         _r(F.col("detrended") - F.col("seasonal"), 4).alias("residual"),
     )
+
+
+@register(
+    "report_forecast_backtest",
+    survey="W-family extension: seasonal-naive forecast backtest — "
+    "predict each day's volume with the same weekday one week earlier "
+    "and score MAE / MAPE per type (the baseline every real "
+    "forecasting model must beat, and the harness that proves it)",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             CAST(date_trunc('day', ts) AS DATE) AS d,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT event_type, cnt,
+             lag(cnt, 7) OVER (PARTITION BY event_type ORDER BY d)
+               AS forecast
+      FROM daily
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_days_scored,
+           round(avg(CAST(abs(cnt - forecast) AS DOUBLE)), 4) AS mae,
+           round(avg(abs(cnt - forecast) / CAST(cnt AS DOUBLE)), 4)
+             AS mape
+    FROM scored WHERE forecast IS NOT NULL
+    GROUP BY 1
+    """,
+)
+def report_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Walk-forward backtest of the seasonal-naive baseline: the
+    forecast for day d is the observed count on d-7 (same weekday),
+    scored on every day with history. The per-type MAE/MAPE is the
+    number any fancier model must beat out of sample — shipping a
+    forecaster without this table is how regressions go unnoticed.
+    Errors are integer differences; only the two summary means are
+    floats, rounded floor-form.
+
+    Scale shape: the backtest runs entirely on the (type × day) daily
+    aggregate — one lag window, one summary aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").cast("date").alias("d")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("event_type").orderBy("d")
+    scored = daily.select(
+        "event_type",
+        "cnt",
+        F.lag("cnt", 7).over(w).alias("forecast"),
+    ).filter(F.col("forecast").isNotNull())
+    err = F.abs(F.col("cnt") - F.col("forecast"))
+    return scored.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days_scored"),
+        _r(F.avg(err.cast("double")), 4).alias("mae"),
+        _r(F.avg(err / F.col("cnt").cast("double")), 4).alias("mape"),
+    )
+
+
+@register(
+    "win_changepoint_cusum",
+    survey="W-family extension: CUSUM changepoint detection — the "
+    "day where each type's cumulative deviation from its mean rate "
+    "peaks, located on an exact cross-multiplied integer so the "
+    "argmax can never flip on float noise (the agg_ks_statistic "
+    "trick applied to time)",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT event_type, day, cnt,
+             sum(cnt) OVER (PARTITION BY event_type ORDER BY day
+                            ROWS UNBOUNDED PRECEDING) AS prefix,
+             row_number() OVER (PARTITION BY event_type ORDER BY day)
+               AS k,
+             sum(cnt) OVER (PARTITION BY event_type) AS total,
+             count(*) OVER (PARTITION BY event_type) AS n_days
+      FROM daily
+    ),
+    scored AS (
+      SELECT event_type, day, k, n_days, total,
+             abs(n_days * prefix - k * total) AS dev_num
+      FROM cum
+    )
+    SELECT event_type, day AS change_day,
+           CAST(k AS INTEGER) AS day_index,
+           round(dev_num / CAST(n_days AS DOUBLE), 4) AS max_cusum
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY event_type
+                 ORDER BY dev_num DESC, day) AS rn
+      FROM scored
+    ) WHERE rn = 1
+    """,
+)
+def win_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Where did the rate shift? For each type, CUSUM_k = prefix_k −
+    k·(total/n) peaks at the most likely changepoint. Multiplying
+    through by n gives the INTEGER |n·prefix_k − k·total|, so the
+    argmax day is selected exactly on both engines (ties break on the
+    day string); only the reported magnitude divides back and rounds.
+
+    Scale shape: two windows over the (type × day) aggregate, then a
+    per-type argmax via rank-1 filter — all bounded by the calendar."""
+    from pyspark.sql import Window as W2
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    w_ord = W2.partitionBy("event_type").orderBy("day")
+    w_all = W2.partitionBy("event_type")
+    cum = daily.select(
+        "event_type",
+        "day",
+        F.sum("cnt")
+        .over(w_ord.rowsBetween(W2.unboundedPreceding, 0))
+        .alias("prefix"),
+        F.row_number().over(w_ord).alias("k"),
+        F.sum("cnt").over(w_all).alias("total"),
+        F.count(F.lit(1)).over(w_all).alias("n_days"),
+    )
+    scored = cum.select(
+        "event_type",
+        "day",
+        "k",
+        "n_days",
+        F.abs(
+            F.col("n_days") * F.col("prefix") - F.col("k") * F.col("total")
+        ).alias("dev_num"),
+    )
+    w_rank = W2.partitionBy("event_type").orderBy(
+        F.desc("dev_num"), F.asc("day")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w_rank))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("day").alias("change_day"),
+            F.col("k").cast("int").alias("day_index"),
+            _r(F.col("dev_num") / F.col("n_days").cast("double"), 4).alias(
+                "max_cusum"
+            ),
+        )
+    )

@@ -118,6 +118,8 @@ AUDITED = [
     "agg_bootstrap_ci",
     "report_ab_test",
     "agg_chi_square_independence",
+    "report_forecast_backtest",
+    "win_changepoint_cusum",
 ]
 
 # query -> flags it is ALLOWED to carry, with the reason pinned here.
