@@ -1027,3 +1027,107 @@ def win_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "win_autocorrelation",
+    survey="W-family extension: the autocorrelation function of each "
+    "type's daily series at lags 1..7, computed from exact integer "
+    "moments — the seasonality detector behind lag-feature choices "
+    "(W2's 1/24/168 lag set is exactly what an ACF justifies)",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             CAST(date_trunc('day', ts) AS DATE) AS d,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2
+    ),
+    lagged AS (
+      SELECT event_type, l.lag_k, cnt AS x,
+             lag(cnt, l.lag_k) OVER (PARTITION BY event_type, l.lag_k
+                                     ORDER BY d) AS y
+      FROM daily
+      CROSS JOIN (SELECT unnest(generate_series(1, 7)) AS lag_k) l
+    ),
+    moments AS (
+      SELECT event_type, CAST(lag_k AS INTEGER) AS lag_k,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(y * y) AS BIGINT) AS syy
+      FROM lagged WHERE y IS NOT NULL
+      GROUP BY 1, 2
+    )
+    SELECT event_type, lag_k, n,
+           round((n * sxy - sx * sy)
+                 / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                        * (n * syy - sy * sy)), 4) AS acf
+    FROM moments
+    WHERE (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+    """,
+)
+def win_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson autocorrelation of daily counts at lags 1–7 per type:
+    every accumulated moment (Σx, Σy, Σxy, Σx², Σy², n) is an exact
+    integer, so the correlation is identical cross-engine down to the
+    one final division — the float-proof spelling of ACF. A weekly
+    cycle shows as a lag-7 peak; that reading is what justifies which
+    lags become model features (the reference hardcodes 1/24/168;
+    this measures instead of assuming). Degenerate zero-variance
+    series are excluded rather than emitting NaN.
+
+    Scale shape: the lag spine is a 7-row literal crossed onto the
+    (type × day) aggregate — bounded fan-out ×7 — then one grouped
+    integer-moment aggregate."""
+    from pyspark.sql import Window as W2
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").cast("date").alias("d")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    # lag distances must be literals, so build one lag column per k
+    # over the same (type)-partitioned sorted pass and union the seven
+    # slices — each is the bounded daily aggregate
+    parts = []
+    for k in range(1, 8):
+        wk = W2.partitionBy("event_type").orderBy("d")
+        parts.append(
+            daily.select(
+                "event_type",
+                F.lit(k).alias("lag_k"),
+                F.col("cnt").alias("x"),
+                F.lag("cnt", k).over(wk).alias("y"),
+            )
+        )
+    lagged = parts[0]
+    for p_ in parts[1:]:
+        lagged = lagged.unionByName(p_)
+    m = (
+        lagged.filter(F.col("y").isNotNull())
+        .groupBy("event_type", F.col("lag_k").cast("int").alias("lag_k"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+            F.sum(F.col("y") * F.col("y")).alias("syy"),
+        )
+    )
+    varx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return (
+        m.filter((varx > 0) & (vary > 0))
+        .select(
+            "event_type",
+            "lag_k",
+            "n",
+            _r(
+                (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+                / F.sqrt(varx.cast("double") * vary),
+                4,
+            ).alias("acf"),
+        )
+    )

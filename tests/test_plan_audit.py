@@ -120,6 +120,7 @@ AUDITED = [
     "agg_chi_square_independence",
     "report_forecast_backtest",
     "win_changepoint_cusum",
+    "win_autocorrelation",
 ]
 
 # query -> flags it is ALLOWED to carry, with the reason pinned here.
