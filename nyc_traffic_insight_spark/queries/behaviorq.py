@@ -2065,3 +2065,160 @@ def agg_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("dof"),
         _r(F.sum(F.pow(F.col("o") - e, 2) / e), 4).alias("chi2"),
     )
+
+
+@register(
+    "agg_benford_audit",
+    survey="QA-family extension: Benford first-digit audit of order "
+    "totals — observed digit shares vs the Benford expectation, the "
+    "classic fabricated-numbers screen",
+    oracle="""
+    WITH digits AS (
+      SELECT CAST(substr(CAST(CAST(floor(abs(o_totalprice)) AS BIGINT)
+                              AS VARCHAR),
+                         1, 1) AS INTEGER) AS d1
+      FROM orders WHERE o_totalprice >= 1
+    ),
+    obs AS (
+      SELECT d1, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(count(*)) OVER () AS BIGINT) AS total
+      FROM digits GROUP BY 1
+    )
+    SELECT d1, n, observed, benford,
+           round(abs(observed - benford), 4) AS abs_dev
+    FROM (
+      SELECT d1, n,
+             round(n / CAST(total AS DOUBLE), 4) AS observed,
+             round(log10(1.0 + 1.0 / d1), 4) AS benford
+      FROM obs
+    )
+    """,
+)
+def agg_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First significant digit of every order total against Benford's
+    law (P(d) = log10(1 + 1/d)) — large deviations flag fabricated or
+    truncated figures. The digit is extracted from the INTEGER part's
+    string (exact on both engines; no float log in the extraction),
+    counts are exact, and the three reported ratios round at output.
+    The fixture's uniform-ish totals won't be Benford-distributed —
+    the audit reporting a real deviation on non-log-uniform data is
+    the correct reading, pinned in tests.
+
+    Scale shape: one narrow digit projection and a 9-row aggregate."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    # floor BEFORE the integer cast: DuckDB's double->BIGINT cast
+    # rounds while Spark's truncates — floor() pins both to truncation
+    d1 = F.substring(
+        F.floor(F.abs(F.col("o_totalprice"))).cast("bigint").cast("string"),
+        1,
+        1,
+    ).cast("int")
+    obs = (
+        o.filter(F.col("o_totalprice") >= 1)
+        .select(d1.alias("d1"))
+        .groupBy("d1")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("total", F.sum("n").over(Window.partitionBy()))
+    )
+    ratio = F.col("n") / F.col("total").cast("double")
+    benford = F.log10(1.0 + 1.0 / F.col("d1"))
+    # deviation derives from the ROUNDED shares (round-before-compare:
+    # an unrounded ratio/log differs at the last ulp between engines
+    # and can land abs() across a rounding boundary)
+    rounded = obs.select(
+        "d1",
+        "n",
+        _r(ratio, 4).alias("observed"),
+        _r(benford, 4).alias("benford"),
+    )
+    return rounded.select(
+        "d1",
+        "n",
+        "observed",
+        "benford",
+        _r(F.abs(F.col("observed") - F.col("benford")), 4).alias("abs_dev"),
+    )
+
+
+@register(
+    "win_max_drawdown",
+    survey="W-family extension: maximum drawdown of cumulative daily "
+    "revenue per priority — the risk metric form of 'how bad did the "
+    "dip get', located deterministically via ordered prefix sums",
+    oracle="""
+    WITH daily AS (
+      SELECT o_orderpriority AS priority,
+             strftime(date_trunc('day', o_orderdate), '%Y-%m-%d') AS day,
+             round(sum(o_totalprice), 4) AS rev
+      FROM orders GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT priority, day,
+             sum(rev) OVER (PARTITION BY priority ORDER BY day
+                            ROWS UNBOUNDED PRECEDING) AS equity
+      FROM daily
+    ),
+    dd AS (
+      SELECT priority, day, equity,
+             max(equity) OVER (PARTITION BY priority ORDER BY day
+                               ROWS UNBOUNDED PRECEDING) AS peak
+      FROM cum
+    )
+    SELECT priority, day AS trough_day,
+           round(peak - equity, 4) AS max_drawdown
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY priority
+                 ORDER BY peak - equity DESC, day) AS rn
+      FROM dd
+    ) WHERE rn = 1
+    """,
+)
+def win_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak-to-trough drop of the cumulative daily revenue curve per
+    priority: running prefix (the 'equity curve'), running max (the
+    peak), and the day maximizing peak − equity. The prefix and
+    running max accumulate in the SAME day order on both engines, so
+    the doubles are bit-identical without rounding tricks; the argmax
+    ties break on the day string.
+
+    Scale shape: two ordered windows and an argmax filter over the
+    (priority × day) aggregate."""
+    from pyspark.sql import Window as W2
+
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.date_format(F.date_trunc("day", "o_orderdate"), "yyyy-MM-dd").alias(
+            "day"
+        ),
+    ).agg(_r(F.sum("o_totalprice"), 4).alias("rev"))
+    w_ord = W2.partitionBy("priority").orderBy("day")
+    cum = daily.select(
+        "priority",
+        "day",
+        F.sum("rev").over(w_ord.rowsBetween(W2.unboundedPreceding, 0)).alias(
+            "equity"
+        ),
+    )
+    dd = cum.select(
+        "priority",
+        "day",
+        "equity",
+        F.max("equity")
+        .over(w_ord.rowsBetween(W2.unboundedPreceding, 0))
+        .alias("peak"),
+    )
+    w_rank = W2.partitionBy("priority").orderBy(
+        F.desc(F.col("peak") - F.col("equity")), F.asc("day")
+    )
+    return (
+        dd.withColumn("rn", F.row_number().over(w_rank))
+        .filter(F.col("rn") == 1)
+        .select(
+            "priority",
+            F.col("day").alias("trough_day"),
+            _r(F.col("peak") - F.col("equity"), 4).alias("max_drawdown"),
+        )
+    )

@@ -121,6 +121,8 @@ AUDITED = [
     "report_forecast_backtest",
     "win_changepoint_cusum",
     "win_autocorrelation",
+    "agg_benford_audit",
+    "win_max_drawdown",
 ]
 
 # query -> flags it is ALLOWED to carry, with the reason pinned here.
@@ -184,6 +186,8 @@ ALLOWED = {
     # the bounded contingency grid
     "report_ab_test": {"single_partition"},
     "agg_chi_square_independence": {"single_partition"},
+    # 9-row digit aggregate with its one-row total window
+    "agg_benford_audit": {"single_partition"},
 }
 
 
