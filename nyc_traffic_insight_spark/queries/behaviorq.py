@@ -2222,3 +2222,92 @@ def win_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
             _r(F.col("peak") - F.col("equity"), 4).alias("max_drawdown"),
         )
     )
+
+
+@register(
+    "report_cohort_ltv",
+    survey="A/W-family extension: cohort lifetime-value curves — "
+    "cumulative revenue per customer by acquisition month and months "
+    "since acquisition (the growth-accounting companion of "
+    "cohort_retention's activity triangle)",
+    oracle="""
+    WITH firstorder AS (
+      SELECT o_custkey,
+             CAST(date_trunc('month', min(o_orderdate)) AS DATE)
+               AS cohort_m
+      FROM orders GROUP BY 1
+    ),
+    rev AS (
+      SELECT f.cohort_m,
+             CAST((year(o.o_orderdate) - year(f.cohort_m)) * 12
+                  + (month(o.o_orderdate) - month(f.cohort_m))
+                  AS INTEGER) AS month_offset,
+             round(sum(o.o_totalprice), 4) AS revenue
+      FROM orders o JOIN firstorder f ON o.o_custkey = f.o_custkey
+      GROUP BY 1, 2
+    ),
+    sizes AS (
+      SELECT cohort_m, CAST(count(*) AS BIGINT) AS cohort_n
+      FROM firstorder GROUP BY 1
+    )
+    SELECT strftime(r.cohort_m, '%Y-%m') AS cohort_month,
+           r.month_offset, s.cohort_n,
+           round(sum(r.revenue) OVER (PARTITION BY r.cohort_m
+                 ORDER BY r.month_offset ROWS UNBOUNDED PRECEDING)
+                 / s.cohort_n, 4) AS cum_ltv_per_customer
+    FROM rev r JOIN sizes s ON s.cohort_m = r.cohort_m
+    """,
+)
+def report_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LTV curves: customers grouped by first-order month, each
+    cohort's revenue accumulated over month offsets and normalized by
+    cohort size — the table under every 'payback period' chart.
+    Month offsets are exact integer calendar arithmetic; per-(cohort,
+    offset) revenue is rounded at the aggregate, and the cumulative
+    window then runs over identical doubles in identical order on
+    both engines.
+
+    Scale shape: one customer-keyed first-order aggregate broadcast
+    onto orders, a (cohort × offset)-bounded aggregate, and a
+    cumulative window over that grid."""
+    from pyspark.sql import Window as W2
+
+    o = load_table(spark, sf_dir, "orders")
+    firstorder = o.groupBy("o_custkey").agg(
+        F.date_trunc("month", F.min("o_orderdate")).cast("date").alias(
+            "cohort_m"
+        )
+    )
+    rev = (
+        o.join(F.broadcast(firstorder), "o_custkey")
+        .groupBy(
+            "cohort_m",
+            (
+                (F.year("o_orderdate") - F.year("cohort_m")) * 12
+                + (F.month("o_orderdate") - F.month("cohort_m"))
+            )
+            .cast("int")
+            .alias("month_offset"),
+        )
+        .agg(_r(F.sum("o_totalprice"), 4).alias("revenue"))
+    )
+    sizes = firstorder.groupBy("cohort_m").agg(
+        F.count(F.lit(1)).alias("cohort_n")
+    )
+    w = (
+        W2.partitionBy("cohort_m")
+        .orderBy("month_offset")
+        .rowsBetween(W2.unboundedPreceding, 0)
+    )
+    return (
+        rev.join(F.broadcast(sizes), "cohort_m")
+        .select(
+            F.date_format("cohort_m", "yyyy-MM").alias("cohort_month"),
+            "month_offset",
+            "cohort_n",
+            _r(
+                F.sum("revenue").over(w) / F.col("cohort_n").cast("double"),
+                4,
+            ).alias("cum_ltv_per_customer"),
+        )
+    )

@@ -2922,3 +2922,70 @@ def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         _r(F.avg("oov_rate"), 4).alias("mean_oov_rate"),
     )
+
+
+@register(
+    "text_readability",
+    survey="north-star: Flesch-style readability scoring — words, "
+    "sentences, and a vowel-group syllable proxy, all exact integer "
+    "counts, composed into the classic grade formula",
+    oracle=r"""
+    WITH counts AS (
+      SELECT doc_id, source,
+             len(regexp_split_to_array(trim(text), '\s+')) AS n_words,
+             greatest(len(regexp_split_to_array(text, '[.!?]+')) - 1, 1)
+               AS n_sents,
+             greatest(len(regexp_extract_all(lower(text), '[aeiouy]+')), 1)
+               AS n_syll
+      FROM documents
+    )
+    SELECT doc_id, source,
+           CAST(n_words AS BIGINT) AS n_words,
+           CAST(n_sents AS BIGINT) AS n_sents,
+           CAST(n_syll AS BIGINT) AS n_syll,
+           round(206.835 - 1.015 * (n_words / CAST(n_sents AS DOUBLE))
+                 - 84.6 * (n_syll / CAST(n_words AS DOUBLE)), 4)
+             AS flesch
+    FROM counts WHERE n_words > 0
+    """,
+)
+def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading ease per document from three exact counts:
+    whitespace words, sentence terminators, and vowel-group runs as
+    the syllable proxy (the standard cheap stand-in — exact syllable
+    counting needs a dictionary). The formula is plain arithmetic on
+    integers, rounded once at output; regex counting is identical on
+    both engines. Readability joins length/punctuation in the
+    quality-gate toolbox: a corpus drifting toward extreme scores is
+    either boilerplate or noise.
+
+    Scale shape: a narrow per-row projection — no shuffle at all."""
+    d = _docs(spark, sf_dir)
+    n_words = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    n_sents = F.greatest(
+        F.size(F.split(F.col("text"), r"[.!?]+")) - 1, F.lit(1)
+    )
+    n_syll = F.greatest(
+        F.size(F.regexp_extract_all(F.lower("text"), F.lit(r"[aeiouy]+"), F.lit(0))),
+        F.lit(1),
+    )
+    counts = d.select(
+        "doc_id",
+        "source",
+        n_words.cast("bigint").alias("n_words"),
+        n_sents.cast("bigint").alias("n_sents"),
+        n_syll.cast("bigint").alias("n_syll"),
+    ).filter(F.col("n_words") > 0)
+    return counts.select(
+        "doc_id",
+        "source",
+        "n_words",
+        "n_sents",
+        "n_syll",
+        _r(
+            F.lit(206.835)
+            - 1.015 * (F.col("n_words") / F.col("n_sents").cast("double"))
+            - 84.6 * (F.col("n_syll") / F.col("n_words").cast("double")),
+            4,
+        ).alias("flesch"),
+    )

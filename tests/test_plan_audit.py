@@ -123,6 +123,8 @@ AUDITED = [
     "win_autocorrelation",
     "agg_benford_audit",
     "win_max_drawdown",
+    "report_cohort_ltv",
+    "text_readability",
 ]
 
 # query -> flags it is ALLOWED to carry, with the reason pinned here.
