@@ -105,3 +105,48 @@ def test_ewma_matches_manual_truncated_form(spark, events_pdf):
     assert (
         np.abs(got["ewma"].to_numpy() - g["ewma"].to_numpy()).max() < 1e-4
     )
+
+
+def test_cusum_changepoint_matches_numpy(spark, events_pdf):
+    """The integer-numerator argmax must select the same day NumPy's
+    float CUSUM peaks on (no ties in this fixture)."""
+    daily = (
+        events_pdf.assign(day=events_pdf["ts"].dt.strftime("%Y-%m-%d"))
+        .groupby(["event_type", "day"])
+        .size()
+        .rename("cnt")
+        .reset_index()
+        .sort_values(["event_type", "day"])
+    )
+    got = {
+        r["event_type"]: (r["change_day"], r["max_cusum"])
+        for r in SPECS["win_changepoint_cusum"].builder(spark, SF_SMOKE).collect()
+    }
+    for etype, g in daily.groupby("event_type"):
+        x = g["cnt"].to_numpy(dtype=float)
+        k = np.arange(1, len(x) + 1)
+        cusum = np.abs(np.cumsum(x) - k * x.sum() / len(x))
+        idx = int(np.argmax(cusum))
+        assert got[etype][0] == g["day"].iloc[idx], (etype, got[etype])
+        assert abs(got[etype][1] - round(cusum[idx], 4)) < 1e-6
+
+
+def test_drawdown_matches_numpy(spark):
+    orders = pd.read_parquet(f"{SF_SMOKE}/orders.parquet")
+    daily = (
+        orders.assign(day=orders["o_orderdate"].dt.strftime("%Y-%m-%d"))
+        .groupby(["o_orderpriority", "day"])["o_totalprice"]
+        .sum()
+        .round(4)
+        .rename("rev")
+        .reset_index()
+        .sort_values(["o_orderpriority", "day"])
+    )
+    got = {
+        r["priority"]: r["max_drawdown"]
+        for r in SPECS["win_max_drawdown"].builder(spark, SF_SMOKE).collect()
+    }
+    for prio, g in daily.groupby("o_orderpriority"):
+        equity = g["rev"].cumsum().to_numpy()
+        dd = np.maximum.accumulate(equity) - equity
+        assert abs(got[prio] - round(dd.max(), 4)) < 1e-3, (prio, got[prio], dd.max())
