@@ -8,6 +8,7 @@ point over the whole catalog:
     python -m nyc_traffic_insight_spark run <query> [--sf-dir DIR]
         [--limit N] [--explain] [--out PATH]
     python -m nyc_traffic_insight_spark oracle <query>
+    python -m nyc_traffic_insight_spark contract [--sf-dir DIR]
 
 ``run`` prints the first rows (default 20) as Spark's show() table, or
 writes the full result as parquet when ``--out`` is given — results
@@ -15,7 +16,9 @@ belong in tables, not driver stdout, so --out is the pipeline path and
 show() is the inspection path. ``--explain`` prints the formatted
 physical plan instead of executing (the plan-shape inspection loop).
 ``oracle`` prints the registered DuckDB SQL so any engine speaking
-ANSI SQL can cross-check a result.
+ANSI SQL can cross-check a result. ``contract`` runs the standing
+events data contract (operators/expectations.py) and exits nonzero on
+any violation — the shape a CI data gate wants.
 """
 
 from __future__ import annotations
@@ -48,6 +51,11 @@ def main(argv: list[str] | None = None) -> int:
     p_or = sub.add_parser("oracle", help="print a query's DuckDB oracle SQL")
     p_or.add_argument("query")
 
+    p_ct = sub.add_parser(
+        "contract", help="run the standing events data contract"
+    )
+    p_ct.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
+
     a = p.parse_args(argv)
     specs = load_all()
 
@@ -58,6 +66,19 @@ def main(argv: list[str] | None = None) -> int:
             print(f"{n:40s} [{mark}] {specs[n].survey.splitlines()[0][:70]}")
         print(f"-- {len(hits)} of {len(specs)} queries", file=sys.stderr)
         return 0
+
+    if a.cmd == "contract":
+        spark = get_spark(app_name="ntis-cli-contract")
+        spark.sparkContext.setLogLevel("ERROR")
+        report = specs["qa_expectations_report"].builder(spark, a.sf_dir)
+        rows = report.collect()
+        for r_ in rows:
+            mark = "PASS" if r_["passed"] else "FAIL"
+            print(f"{mark}  {r_['expectation']:60s} violations={r_['violations']}")
+        n_fail = sum(1 for r_ in rows if not r_["passed"])
+        print(f"-- {len(rows) - n_fail}/{len(rows)} expectations passed",
+              file=sys.stderr)
+        return 0 if n_fail == 0 else 1
 
     if a.query not in specs:
         near = [n for n in sorted(specs) if a.query in n]

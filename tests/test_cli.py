@@ -48,3 +48,9 @@ def test_run_show_and_explain(spark):
     rc, out = _capture(["run", "agg_count", "--sf-dir", SF_SMOKE, "--explain"])
     assert rc == 0
     assert "Physical Plan" in out
+
+
+def test_contract_subcommand_passes_clean_fixture(spark):
+    rc, out = _capture(["contract", "--sf-dir", SF_SMOKE])
+    assert rc == 0
+    assert "PASS" in out and "FAIL" not in out

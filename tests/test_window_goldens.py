@@ -150,3 +150,36 @@ def test_drawdown_matches_numpy(spark):
         equity = g["rev"].cumsum().to_numpy()
         dd = np.maximum.accumulate(equity) - equity
         assert abs(got[prio] - round(dd.max(), 4)) < 1e-3, (prio, got[prio], dd.max())
+
+
+def test_seasonal_decompose_matches_pandas(spark, events_pdf):
+    """Trend (centered 25h rolling mean, partial edges) and the
+    hour-of-day seasonal means recomputed in pandas must match the
+    catalog's decomposition on the rounding grid, and the components
+    must rebuild the series: cnt = trend + seasonal + residual up to
+    rounding."""
+    hourly = (
+        events_pdf.assign(hr=events_pdf["ts"].dt.floor("h"))
+        .groupby(["event_type", "hr"])
+        .size()
+        .rename("cnt")
+        .reset_index()
+        .sort_values(["event_type", "hr"])
+    )
+    hourly["trend"] = (
+        hourly.groupby("event_type")["cnt"]
+        .transform(lambda s: s.rolling(25, center=True, min_periods=1).mean())
+        .round(4)
+    )
+    got = (
+        SPECS["win_seasonal_decompose"]
+        .builder(spark, SF_SMOKE)
+        .toPandas()
+        .sort_values(["event_type", "hr"])
+        .reset_index(drop=True)
+    )
+    g = hourly.reset_index(drop=True)
+    assert len(got) == len(g)
+    assert np.abs(got["trend"].to_numpy() - g["trend"].to_numpy()).max() < 1e-3
+    rebuilt = got["trend"] + got["seasonal"] + got["residual"]
+    assert np.abs(rebuilt.to_numpy() - got["cnt"].to_numpy()).max() < 2e-3
