@@ -257,3 +257,44 @@ def test_ab_test_null_behaves_and_chi2_positive(spark):
         spark, "/root/testdata/sf0.01"
     ).first()
     assert chi["chi2"] >= 0 and chi["dof"] == 24 and chi["n_cells"] == 35
+
+
+def test_cohort_ltv_matches_pandas(spark):
+    """LTV curves recomputed in pandas (first-order cohort, integer
+    month offsets, cumulative per-customer revenue) must match."""
+    import pandas as pd
+
+    orders = pd.read_parquet(f"{SF_SMOKE}/orders.parquet")
+    first = orders.groupby("o_custkey")["o_orderdate"].min().dt.to_period("M")
+    orders = orders.assign(
+        cohort=orders["o_custkey"].map(first),
+        om=orders["o_orderdate"].dt.to_period("M"),
+    )
+    orders["month_offset"] = (
+        (orders["om"] - orders["cohort"]).apply(lambda p: p.n).astype(int)
+    )
+    rev = (
+        orders.groupby(["cohort", "month_offset"])["o_totalprice"]
+        .sum()
+        .round(4)
+        .rename("revenue")
+        .reset_index()
+        .sort_values(["cohort", "month_offset"])
+    )
+    sizes = first.value_counts()
+    rev["cum"] = rev.groupby("cohort")["revenue"].cumsum()
+    rev["ltv"] = (
+        rev["cum"] / rev["cohort"].map(sizes).astype(float)
+    ).round(4)
+    golden = {
+        (str(r.cohort), r.month_offset): r.ltv for r in rev.itertuples()
+    }
+    got = SPECS["report_cohort_ltv"].builder(spark, SF_SMOKE).collect()
+    assert len(got) == len(golden)
+    for r in got:
+        key = (r["cohort_month"], r["month_offset"])
+        assert abs(r["cum_ltv_per_customer"] - golden[key]) < 1e-3, (
+            key,
+            r["cum_ltv_per_customer"],
+            golden[key],
+        )
