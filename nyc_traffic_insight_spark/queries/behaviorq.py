@@ -925,7 +925,9 @@ def pipeline_user_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference computes per-request.
 
     Scale shape: every stage keys on user_id — the base aggregate, the
-    session-break window, and the final join share one shuffle; the
+    session-break window, and the final join all hash-partition on the
+    same key (three same-key exchanges in the executed plan; they
+    stay co-partitioned so the join itself adds no fourth), and the
     global max timestamp is a one-row broadcast. Output is |users|
     rows however large the fact table."""
     ev = load_table(spark, sf_dir, "events")
