@@ -54,85 +54,110 @@ def register(name: str, oracle: str | None = None, survey: str = ""):
     return deco
 
 
-# Registration-order rotation (VERDICT.md round 2 #1, r3 #7, r4 #2).
+# Registration-order rotation (VERDICT.md round 2 #1, r3 #7, r4 #2, r5 #1).
 # The driver's sf0.01 correctness gate walks REGISTRY front-to-back with a
-# 50-query budget (CORRECTNESS_r04 carried exactly 50 rows).  Round-5
-# ordering, freshness-driven — never-checked beats stale beats fresh:
-#   1. sketch_hll — r4's sole red row; the root cause (oracle reg_sum left
-#      un-cast, DuckDB widened to HUGEINT) is fixed this round and must be
-#      re-verified first;
-#   2. the 16 queries whose last evidence is ROUND 1 (the filter/union/
-#      sort/sample tail that r4's 50-query budget cut off) — VERDICT r4 #2;
-#   3. EVERY operator added this round (zero driver evidence yet — each was
-#      hash-verified locally at sf0.001 and sf0.01 before registration, but
-#      only a CORRECTNESS row counts);
-#   4. queries whose code changed this round (ntile null-ordering pin,
-#      JSONL/stream staging-dir reuse) — results/plans moved, re-verify.
-# 1+16+29+4 = 50: exactly the budget.  The 34 r2-era queries roll to
-# round 6 wholesale (deliberate: zero-evidence > stale-evidence); r6's
-# front-load is section "5." below plus whatever r5 adds late.
+# ~50-query budget (CORRECTNESS_r04/r05 each carried exactly 50 rows).
+# Round-6 ordering, freshness-driven — never-checked beats stale beats
+# fresh (VERDICT r5 "Next round" #1):
+#   1. the 50 queries with ZERO driver evidence across r1–r5 — every
+#      operator registered after the r5 rotation froze (the time-series
+#      window tier, the behavioral/report tier, the eval-metric
+#      aggregates, layout/QA ops, ORC roundtrip).  Each was hash-verified
+#      locally at sf0.001 and sf0.01 before registration and re-verified
+#      by tools/verify_rotation.py this round, but only a driver
+#      CORRECTNESS row is the hard signal;
+#   2. the 34 r2-era queries whose evidence is 4 rounds stale (joins,
+#      scalar/date/flag functions, the dedup front half, the first two
+#      sim_search tiers, text basics) — they overflow a 50-slot budget and
+#      roll in order if the gate walks further.
+# Everything r3+-green keeps its standing evidence and registers last.
 _CHECK_FIRST = [
-    # 1. the fixed red row
-    "sketch_hll",
-    # 2. last checked r1 (aging 4 rounds — evidence hygiene, VERDICT r4 #2)
-    "filter_dropna",
-    "fillna",
-    "filter_eq_composite",
-    "filter_bool_mask",
-    "filter_gt",
-    "filter_threshold_flag",
-    "filter_malformed_skip",
-    "union_all_shards",
-    "union_oversample",
-    "except_rows",
-    "intersect_rows",
-    "unpivot_measures",
-    "sort_time",
-    "limit_head",
-    "sample_shuffle",
-    "split_random",
-    # 3. added this round — zero driver evidence until CORRECTNESS_r05
-    "sketch_qdigest",
-    "funnel_conversion",
-    "cohort_retention",
-    "agg_outlier_mad",
-    "dedup_substring_exact",
-    "emb_centroid_by_label",
-    "join_fuzzy_key",
-    "win_first_last",
-    "win_streaks",
-    "dim_scd2_build",
-    "report_shipping_priority",
-    "report_region_supplier_volume",
-    "report_returned_customers",
-    "dedup_containment",
-    "text_tfidf_top_terms",
-    "stream_stream_join",
-    "join_bloom_prefilter",
-    "split_deterministic",
-    "layout_zorder_key",
-    "qa_profile_table",
-    "agg_skew_kurtosis",
-    "agg_entropy_by_group",
-    "sink_merge_upsert",
-    "qa_snapshot_diff",
-    "win_sessionize_batch",
-    "event_transition_matrix",
-    "report_market_share",
-    "agg_audience_overlap",
-    "report_rfm_scores",
-    # 4. code changed this round (ntile ordering pin, staging-dir reuse)
-    "win_ntile_buckets",
-    "scan_jsonl_roundtrip",
-    "scan_jsonl_malformed_skip",
-    "stream_file_ingest",
-    # 5. (rolls to r6) the 34 r2-era queries: join_star_broadcast,
-    #    join_anti/semi/outer, join_nearest_spatial, join_salted_skew,
-    #    join_asof, join_range_binned, str_*/dt_*/flag_*/cyclical/log1p/
-    #    interaction/case_volume/round/cond_route/json_*, dedup front half
-    #    (exact, ngram_jaccard, minhash_sig/lsh, simhash, embedding_cosine),
-    #    sim_search_bruteforce/lsh_buckets, text_token_count/quality_score/
-    #    lang_id — all passed r2; re-verify in r6's front-load.
+    # 1. never driver-checked (registered after the r5 rotation froze)
+    "win_ewma",
+    "time_spine_locf",
+    "win_anomaly_zscore",
+    "win_topn_per_key",
+    "win_pct_change",
+    "win_seasonal_decompose",
+    "report_forecast_backtest",
+    "win_changepoint_cusum",
+    "win_autocorrelation",
+    "join_scd2_pointintime",
+    "text_chunk_fixed",
+    "emb_pair_distance_audit",
+    "dedup_canonical_select",
+    "text_oov_rate",
+    "text_readability",
+    "stream_disorder_audit",
+    "win_sessionize_native",
+    "qa_rapid_repeat_audit",
+    "sketch_hll_overlap",
+    "agg_wau_exact",
+    "sketch_hll_rolling",
+    "ml_propensity_model",
+    "event_attribution_last_touch",
+    "sample_negatives_per_user",
+    "report_copurchase_pairs",
+    "agg_gini_by_group",
+    "report_session_conversion",
+    "win_rank_change",
+    "agg_seasonality_profile",
+    "pipeline_user_features",
+    "agg_time_to_convert",
+    "qa_freshness_audit",
+    "report_revenue_bridge",
+    "pipeline_training_dataset",
+    "agg_auc_exact",
+    "agg_precision_recall_curve",
+    "agg_ks_statistic",
+    "agg_lift_by_decile",
+    "qa_expectations_report",
+    "pipeline_incremental_rollup",
+    "agg_bootstrap_ci",
+    "report_ab_test",
+    "agg_chi_square_independence",
+    "agg_benford_audit",
+    "win_max_drawdown",
+    "report_cohort_ltv",
+    "layout_compact_files",
+    "layout_bucketed_join",
+    "layout_partition_pruning",
+    "scan_orc_roundtrip",
+    # 2. r2-stale (overflow; checked in order if the budget allows)
+    "join_star_broadcast",
+    "join_asof",
+    "join_range_binned",
+    "join_salted_skew",
+    "join_nearest_spatial",
+    "join_anti",
+    "join_semi",
+    "join_outer",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_sig",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
+    "sim_search_bruteforce_topk",
+    "sim_search_lsh_buckets",
+    "text_token_count",
+    "text_quality_score",
+    "text_lang_id",
+    "str_wkt_parse",
+    "str_functions",
+    "str_timestamp_build",
+    "dt_extract",
+    "flag_weekend",
+    "flag_season",
+    "flag_rush_hour",
+    "cyclical_encode",
+    "log1p_expm1",
+    "interaction_products",
+    "case_volume_bins",
+    "round_decimal",
+    "cond_route",
+    "json_struct_build",
+    "json_extract",
 ]
 
 
