@@ -123,6 +123,8 @@ _CHECK_FIRST = [
     "layout_bucketed_join",
     "layout_partition_pruning",
     "scan_orc_roundtrip",
+    # 1b. added in r6 (never checked either; after the r5 backlog)
+    "ml_segmented_router",
     # 2. r2-stale (overflow; checked in order if the budget allows)
     "join_star_broadcast",
     "join_asof",

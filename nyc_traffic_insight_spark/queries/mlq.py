@@ -178,6 +178,114 @@ def ml_grouped_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ml_segmented_router",
+    survey="M4 router semantics with a FULL value oracle (VERDICT r5 #2): "
+    "the deterministic half of SegmentedModeling.py:61-71 — temporal "
+    "80/20 split, event/normal mask routing, rare-segment ×5 oversample "
+    "sizing — everything except the submodel fit itself, which stays in "
+    "ml_segmented_model (rows-only) with its invariants in tests/test_ml.py",
+    oracle="""
+    WITH feat AS (
+      SELECT l.l_shipdate,
+             CAST(l.l_discount > 0.07 AS INTEGER) AS is_event,
+             (l.l_quantity * p.p_retailprice) * (1.0 - l.l_discount)
+               + 50.0 * CAST(month(l.l_shipdate) AS DOUBLE)
+               + ((l.l_orderkey * 2654435761) % 1000) / 10.0 AS label
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE l.l_quantity IS NOT NULL AND l.l_discount IS NOT NULL
+        AND l.l_tax IS NOT NULL AND p.p_retailprice IS NOT NULL
+        AND l.l_shipdate IS NOT NULL
+    ),
+    flagged AS (
+      SELECT is_event, label,
+             CASE WHEN percent_rank() OVER (ORDER BY l_shipdate) <= 0.8
+                  THEN 'train' ELSE 'test' END AS split
+      FROM feat
+    ),
+    seg AS (
+      SELECT split, is_event,
+             CAST(count(*) AS BIGINT) AS n,
+             round(avg(label), 4) AS avg_label
+      FROM flagged GROUP BY split, is_event
+    )
+    SELECT split, is_event, n, avg_label,
+           CAST(CASE WHEN split = 'train' AND is_event = 1
+                      AND CAST(n AS DOUBLE) / sum(
+                            CASE WHEN split = 'train' THEN n ELSE 0 END
+                          ) OVER () < 0.10
+                     THEN n * 5 ELSE n END AS BIGINT) AS effective_train_n
+    FROM seg
+    """,
+)
+def ml_segmented_router(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic router/oversample accounting of the segmented model
+    as an oracle-checked aggregate: per (split, segment) row counts,
+    mean label, and the effective training size after the rare-event ×5
+    oversample rule (SegmentedModeling.py:67-71).
+
+    Scale shape: the temporal split is computed on the DATE DIMENSION
+    (groupBy l_shipdate shrinks the fact table to |dates| rows, the
+    percent_rank window runs over that tiny dim — percent_rank assigns
+    tie groups their first rank, so the per-date value equals the
+    per-row value) and broadcast-joined back; no global window over
+    fact rows, no single-partition exchange on fact-sized data."""
+    from pyspark.sql import Window
+
+    from nyc_traffic_insight_spark.functions.rounding import r as _r
+    from nyc_traffic_insight_spark.ml.pipelines import feature_table
+
+    feat = feature_table(spark, sf_dir).select(
+        "l_shipdate",
+        (F.col("l_discount") > 0.07).cast("int").alias("is_event"),
+        F.col("label_vol").alias("label"),
+    )
+    dates = feat.groupBy("l_shipdate").agg(F.count("*").alias("cnt"))
+    whole = Window.partitionBy()
+    preceding = (
+        Window.orderBy("l_shipdate")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    dated = dates.select(
+        "l_shipdate",
+        (
+            F.coalesce(F.sum("cnt").over(preceding), F.lit(0))
+            / (F.sum("cnt").over(whole) - F.lit(1))
+        ).alias("pr"),
+    ).select(
+        "l_shipdate",
+        F.when(F.col("pr") <= 0.8, F.lit("train"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+    seg = (
+        feat.join(F.broadcast(dated), "l_shipdate")
+        .groupBy("split", "is_event")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            _r(F.avg("label"), 4).alias("avg_label"),
+        )
+    )
+    train_total = F.sum(
+        F.when(F.col("split") == "train", F.col("n")).otherwise(F.lit(0))
+    ).over(Window.partitionBy())
+    return seg.select(
+        "split",
+        "is_event",
+        "n",
+        "avg_label",
+        F.when(
+            (F.col("split") == "train")
+            & (F.col("is_event") == 1)
+            & (F.col("n").cast("double") / train_total < 0.10),
+            F.col("n") * 5,
+        )
+        .otherwise(F.col("n"))
+        .cast("bigint")
+        .alias("effective_train_n"),
+    )
+
+
+@register(
     "ml_propensity_model",
     survey="M-family extension: the catalog's first CLASSIFIER — "
     "MLlib LogisticRegression on the leakage-safe propensity table "

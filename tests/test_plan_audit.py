@@ -125,6 +125,8 @@ AUDITED = [
     "win_max_drawdown",
     "report_cohort_ltv",
     "text_readability",
+    # round 6 additions
+    "ml_segmented_router",
 ]
 
 # query -> flags it is ALLOWED to carry, with the reason pinned here.
@@ -190,6 +192,9 @@ ALLOWED = {
     "agg_chi_square_independence": {"single_partition"},
     # 9-row digit aggregate with its one-row total window
     "agg_benford_audit": {"single_partition"},
+    # percent_rank window over the |dates| dim (fact shrinks first,
+    # broadcast-hash-joined back) + the final 4-row oversample window
+    "ml_segmented_router": {"single_partition"},
 }
 
 
