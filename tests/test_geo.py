@@ -103,3 +103,66 @@ def test_zorder_buckets_are_compact_tiles(spark):
             x |= ((r["zorder"] >> (2 * i)) & 1) << i
             y |= ((r["zorder"] >> (2 * i + 1)) & 1) << i
         assert (x, y) == (r["cx"], r["cy"])
+
+
+# ---------------------------------------- gated Sedona spatial backend
+
+
+def _toy_spatial(spark):
+    pts = spark.createDataFrame(
+        [(1, 0.010, 0.010), (2, 0.031, 0.002), (3, 0.9, 0.9)],
+        "point_id LONG, px DOUBLE, py DOUBLE",
+    )
+    segs = spark.createDataFrame(
+        [(10, 0.0, 0.0, 0.02, 0.0), (20, 0.03, 0.0, 0.03, 0.02)],
+        "seg_id LONG, x1 DOUBLE, y1 DOUBLE, x2 DOUBLE, y2 DOUBLE",
+    )
+    return pts, segs
+
+
+def test_nearest_edge_auto_backend_falls_back_without_sedona(spark):
+    # the import gate itself: on this container auto must resolve to
+    # the builtin path and produce the projection-distance answer
+    from nyc_traffic_insight_spark.operators.spatial import (
+        nearest_edge_join,
+        sedona_enabled,
+    )
+
+    pts, segs = _toy_spatial(spark)
+    rows = {
+        r["point_id"]: (r["seg_id"], r["dist2"])
+        for r in nearest_edge_join(pts, segs, 0.05, backend="auto").collect()
+    }
+    # point 1 projects onto the body of seg 10 (t=0.5): dist2 = 0.01^2
+    assert rows[1][0] == 10 and abs(rows[1][1] - 1e-4) < 1e-15
+    # point 2 is nearer seg 20's body than seg 10's endpoint
+    assert rows[2][0] == 20
+    # point 3 is outside tolerance of everything
+    assert 3 not in rows
+    if not sedona_enabled(spark):
+        import pytest as _pytest
+
+        with _pytest.raises(RuntimeError, match="sedona"):
+            nearest_edge_join(pts, segs, 0.05, backend="sedona").collect()
+
+
+def test_nearest_edge_sedona_agrees_with_builtin(spark):
+    # runs only where Apache Sedona (package + jars) is installed
+    import pytest as _pytest
+
+    from nyc_traffic_insight_spark.operators.spatial import (
+        nearest_edge_join,
+        sedona_enabled,
+    )
+
+    if not sedona_enabled(spark):
+        _pytest.skip("Apache Sedona not available in this environment")
+    pts, segs = _toy_spatial(spark)
+    a = nearest_edge_join(pts, segs, 0.05, backend="builtin").collect()
+    b = nearest_edge_join(pts, segs, 0.05, backend="sedona").collect()
+    av = {r["point_id"]: (r["seg_id"], r["dist2"]) for r in a}
+    bv = {r["point_id"]: (r["seg_id"], r["dist2"]) for r in b}
+    assert av.keys() == bv.keys()
+    for k in av:
+        assert av[k][0] == bv[k][0]
+        assert abs(av[k][1] - bv[k][1]) < 1e-12
