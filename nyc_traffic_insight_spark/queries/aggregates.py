@@ -930,10 +930,13 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     also the production shape (campaign windows).
 
     Scale shape: three groupBy(user_id) aggregations and two joins, all
-    keyed on user_id — one shuffle establishes the partitioning and AQE
-    reuses it; each stage's table shrinks monotonically (funnel!), so
-    later joins broadcast. No windows over raw events, no cross-stage
-    state beyond one timestamp per user."""
+    keyed on user_id — each stage shuffles its per-user table on that
+    one key inside its own materialized job (localCheckpoint below),
+    and each stage's table shrinks monotonically (funnel!), so later
+    joins broadcast. The final readout is three one-row stage-count
+    merges (the SinglePartition exchanges accounted in
+    tests/test_plan_audit.py). No windows over raw events, no
+    cross-stage state beyond one timestamp per user."""
     ev = load_table(spark, sf_dir, "events").filter(
         F.col("ts") < F.lit("2024-01-03 00:00:00").cast("timestamp")
     )
