@@ -71,6 +71,14 @@ HEADLINE = [
     "text_fingerprint",
     "geo_reproject_forward",
     "mm_extract_features",
+    # round 6 (VERDICT r5 #6): the behavioral/report tier that grew most
+    # in round 5 joins the perf gate. Earlier anchors cover the first 25
+    # queries; BASELINE.md's round-6 section records both the widened
+    # total and the 25-query-subset subtotal for like-for-like reads.
+    "report_rfm_scores",
+    "win_sessionize_batch",
+    "report_copurchase_pairs",
+    "pipeline_user_features",
 ]
 
 

@@ -125,6 +125,8 @@ _CHECK_FIRST = [
     "scan_orc_roundtrip",
     # 1b. added in r6 (never checked either; after the r5 backlog)
     "ml_segmented_router",
+    "text_bpe_pair_counts",
+    "graph_pagerank_topk",
     # 2. r2-stale (overflow; checked in order if the budget allows)
     "join_star_broadcast",
     "join_asof",

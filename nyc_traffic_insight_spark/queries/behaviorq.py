@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 from nyc_traffic_insight_spark.functions.rounding import r as _r
 from nyc_traffic_insight_spark.queries import register
 from nyc_traffic_insight_spark.sources import load_table
+from nyc_traffic_insight_spark.sources.catalog import load_table_wide
 
 # 30-minute inactivity gap: the de-facto industry default (GA, Amplitude).
 _GAP_MIN = 30
@@ -578,25 +579,40 @@ def report_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-25 part pairs by the number of orders containing both: the
     support counts behind association rules / 'bought together'.
 
-    Scale shape: the self-join is keyed on l_orderkey over the DISTINCT
-    (order, part) projection — per-order fan-out is bounded by basket
-    size squared (~4 lines → 6 pairs), NOT by catalog size; the pair
-    aggregate shuffles on (part_a, part_b) with map-side partials, and
-    the global top-25 is orderBy+limit, which Spark executes as
-    distributed TakeOrdered (per-partition heaps, no single-partition
-    sort — the vocab_top_ngrams lesson). Ties broken by the pair keys
-    so both engines rank identically."""
-    li = load_table(spark, sf_dir, "lineitem")
-    op = li.select("l_orderkey", "l_partkey").distinct()
-    a = op.select(
-        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("part_a")
+    Scale shape: baskets are built with ONE shuffle on l_orderkey
+    (the gated wide load repartitions BY that key, so the groupBy
+    reuses the partitioning; on a cluster the gate never fires and the
+    groupBy shuffles normally — either way one exchange), and the
+    in-basket pair expansion is a narrow JVM array transform — fan-out
+    bounded by basket size squared (~4 lines → 6 pairs), NOT by catalog
+    size, and the basket subplan runs ONCE (the original orderkey
+    self-join re-ran the distinct projection per side — self-joins
+    defeat exchange reuse, the round-1 DeduplicateRelations lesson).
+    Measured at 0.1 SF: self-join ~1.5 s, basket shape ~1.5 s, basket
+    shape + wide load ~1.05 s (the single-task partial aggregate was
+    the bottleneck); at scale the rewrite also halves shuffles (two vs
+    four) and fact scans (one vs two). The pair aggregate
+    then shuffles on (part_a, part_b) with map-side partials, and the
+    global top-25 is orderBy+limit, which Spark executes as distributed
+    TakeOrdered (per-partition heaps, no single-partition sort — the
+    vocab_top_ngrams lesson). Ties broken by the pair keys so both
+    engines rank identically."""
+    li = load_table_wide(spark, sf_dir, "lineitem", "l_orderkey").select(
+        "l_orderkey", "l_partkey"
     )
-    b = op.select(
-        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("part_b")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("parts")
+    )
+    # sorted+deduped basket → all i<j pairs; slice is 1-based, so the
+    # elements after 0-based index i start at position i+2
+    pair_structs = F.expr(
+        "flatten(transform(parts, (x, i) -> "
+        "transform(slice(parts, i + 2, size(parts)), "
+        "y -> struct(x AS part_a, y AS part_b))))"
     )
     pairs = (
-        a.join(b, "k")
-        .filter(F.col("part_a") < F.col("part_b"))
+        baskets.select(F.explode(pair_structs).alias("p"))
+        .select("p.part_a", "p.part_b")
         .groupBy("part_a", "part_b")
         .agg(F.count(F.lit(1)).alias("n_orders"))
     )
@@ -2312,4 +2328,110 @@ def report_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
                 4,
             ).alias("cum_ltv_per_customer"),
         )
+    )
+
+
+# Damped PageRank, K=3 power iterations unrolled. The node set is the
+# customer key space (contiguous 0..N-1 in the fixtures) and the edge
+# set is the deterministic 3-regular modular graph u -> (u*m + 1) % N
+# for m in {2,3,5}: closed over the key space, reproducible bit-for-bit
+# in both engines, non-trivial structure (collisions give real in-degree
+# variance). Out-degree is exactly 3 by construction (multi-edges kept),
+# so no dangling-mass term is needed.
+_PR_DAMP = 0.85
+_PR_ITERS = 3
+_PR_TOPK = 20
+
+
+@register(
+    "graph_pagerank_topk",
+    survey="north-star: graph analytics tier beside "
+    "dedup_connected_components — fixed-iteration damped PageRank "
+    "(the influence/centrality rollup a behavior pipeline feeds from "
+    "its interaction graph), top-k by rank",
+    oracle="""
+    WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM customer),
+    edges AS (
+      SELECT c_custkey AS src, (c_custkey * m + 1) % (SELECT n FROM nn) AS dst
+      FROM customer, UNNEST([2, 3, 5]) AS t(m)
+    ),
+    r0 AS (SELECT c_custkey AS v, 1.0 / (SELECT n FROM nn) AS rank
+           FROM customer),
+    c1 AS (SELECT dst, sum(rank / 3.0) AS in_rank FROM edges
+           JOIN r0 ON src = v GROUP BY dst),
+    r1 AS (SELECT c.c_custkey AS v,
+                  0.15 / (SELECT n FROM nn) + 0.85 * coalesce(c1.in_rank, 0)
+                    AS rank
+           FROM customer c LEFT JOIN c1 ON c1.dst = c.c_custkey),
+    c2 AS (SELECT dst, sum(rank / 3.0) AS in_rank FROM edges
+           JOIN r1 ON src = v GROUP BY dst),
+    r2 AS (SELECT c.c_custkey AS v,
+                  0.15 / (SELECT n FROM nn) + 0.85 * coalesce(c2.in_rank, 0)
+                    AS rank
+           FROM customer c LEFT JOIN c2 ON c2.dst = c.c_custkey),
+    c3 AS (SELECT dst, sum(rank / 3.0) AS in_rank FROM edges
+           JOIN r2 ON src = v GROUP BY dst),
+    r3 AS (SELECT c.c_custkey AS v,
+                  0.15 / (SELECT n FROM nn) + 0.85 * coalesce(c3.in_rank, 0)
+                    AS rank
+           FROM customer c LEFT JOIN c3 ON c3.dst = c.c_custkey),
+    ranked AS (
+      SELECT v, round(rank, 6) AS pr,
+             row_number() OVER (ORDER BY round(rank, 6) DESC, v) AS rk
+      FROM r3
+    )
+    SELECT v, pr, CAST(rk AS INTEGER) AS rk FROM ranked WHERE rk <= 20
+    """,
+)
+def graph_pagerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Damped PageRank (d=0.85), K=3 unrolled power iterations over the
+    deterministic modular customer graph, top-20 nodes by the ROUNDED
+    rank (6 dp — ordering on the raw double would let cross-engine ulp
+    noise reorder mathematical ties), ties by node id.
+
+    Scale shape: each iteration is one equi-join of the edge table with
+    the rank vector on src plus one groupBy(dst) with map-side partial
+    sums — the standard distributed PageRank step. K is FIXED and the
+    loop unrolls into one declarative plan (no driver-side convergence
+    actions — the dedup_connected_components contrast, which needs a
+    per-round action because its iteration count is data-dependent). At
+    web scale the edge table would be bucketed by src so the per-
+    iteration join never re-shuffles the edges; the rank vector
+    (node-sized) is the only per-iteration exchange. N arrives via one
+    bounded count() action inlined as a literal (the one-row-aggregate
+    pattern accounted in test_plan_audit.py)."""
+    cust = load_table(spark, sf_dir, "customer")
+    n = cust.count()
+    damp = _PR_DAMP
+    edges = cust.select(
+        F.col("c_custkey").alias("src"),
+        F.explode(F.array(F.lit(2), F.lit(3), F.lit(5))).alias("m"),
+    ).select("src", ((F.col("src") * F.col("m") + 1) % F.lit(n)).alias("dst"))
+    ranks = cust.select(
+        F.col("c_custkey").alias("v"), F.lit(1.0 / n).alias("rank")
+    )
+    for _ in range(_PR_ITERS):
+        contrib = (
+            edges.join(ranks, edges.src == ranks.v)
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") / F.lit(3.0)).alias("in_rank"))
+        )
+        ranks = (
+            cust.select(F.col("c_custkey").alias("v"))
+            .join(contrib, F.col("v") == F.col("dst"), "left")
+            .select(
+                "v",
+                (
+                    F.lit((1 - damp) / n)
+                    + F.lit(damp) * F.coalesce(F.col("in_rank"), F.lit(0.0))
+                ).alias("rank"),
+            )
+        )
+    order = [F.desc("pr"), F.asc("v")]
+    topk = ranks.select("v", _r("rank", 6).alias("pr")).orderBy(*order).limit(
+        _PR_TOPK
+    )
+    w = Window.orderBy(*order)
+    return topk.select(
+        "v", "pr", F.row_number().over(w).cast("int").alias("rk")
     )

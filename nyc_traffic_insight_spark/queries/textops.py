@@ -78,31 +78,11 @@ def _materialize(df: DataFrame) -> DataFrame:
 _WIDE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
 
-def _parquet_row_groups(sf_dir: str, name: str) -> int | None:
-    """Total row groups across the table's parquet files, from footer
-    metadata (a cheap local read — the footer is the last few KB).  A row
-    group is the atomic split unit for parquet, so this is the true upper
-    bound on scan parallelism regardless of maxPartitionBytes.  Returns
-    None when the path isn't locally inspectable (non-local filesystem)
-    — callers then assume the cluster case (scan already wide)."""
-    import os
-
-    import pyarrow.parquet as pq
-
-    path = os.path.join(sf_dir, f"{name}.parquet")
-    try:
-        if os.path.isdir(path):
-            files = [
-                os.path.join(root, fn)
-                for root, _, fns in os.walk(path)
-                for fn in fns
-                if fn.endswith(".parquet")
-            ]
-        else:
-            files = [path]
-        return sum(pq.ParquetFile(f).metadata.num_row_groups for f in files)
-    except Exception:  # noqa: BLE001 - non-local path / unreadable footer
-        return None
+# shared with sources.catalog since round 6 (load_table_wide uses the
+# same footer gate without this module's persist cache)
+from nyc_traffic_insight_spark.sources.catalog import (  # noqa: E402
+    parquet_row_groups as _parquet_row_groups,
+)
 
 
 def _wide_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -1919,6 +1899,88 @@ def vocab_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         "term",
         F.col("doc_freq").cast("bigint").alias("doc_freq"),
         F.col("term_freq").cast("bigint").alias("term_freq"),
+        F.row_number().over(wr).cast("int").alias("rk"),
+    )
+
+
+_BPE_TOPK = 50
+
+
+@register(
+    "text_bpe_pair_counts",
+    survey="north-star: tokenizer training prep — BPE first-iteration "
+    "merge candidates (adjacent symbol-pair counts over the word-"
+    "frequency table; Sennrich et al. 2016 step 1)",
+    oracle=rf"""
+    WITH words AS (
+      SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS w
+      FROM documents
+    ),
+    wf AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS cnt
+      FROM words WHERE w <> '' GROUP BY 1
+    ),
+    pairs AS (
+      SELECT substr(w, i, 1) AS a, substr(w, i + 1, 1) AS b, cnt
+      FROM wf, UNNEST(generate_series(1, length(w) - 1)) AS t(i)
+      WHERE length(w) >= 2
+    ),
+    agg AS (
+      SELECT a, b, CAST(sum(cnt) AS BIGINT) AS pair_count
+      FROM pairs GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT a, b, pair_count,
+             row_number() OVER (ORDER BY pair_count DESC, a, b) AS rk
+      FROM agg
+    )
+    SELECT a, b, pair_count, CAST(rk AS INTEGER) AS rk
+    FROM ranked WHERE rk <= {_BPE_TOPK}
+    """,
+)
+def text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-pair-encoding merge candidates: count adjacent character
+    pairs weighted by word frequency, top-k by count (ties by pair,
+    lexicographic — deterministic). Picking the argmax pair and
+    re-segmenting is one BPE training step; the COUNT table is the
+    expensive distributed part, so it is the catalog operator (the
+    merge loop itself is tokenizer-sized driver work).
+
+    Scale shape: the corpus collapses to the word-frequency table first
+    (one aggregate with map-side partials — the standard BPE trick: pair
+    expansion runs over the VOCABULARY, not the corpus, so a trillion-
+    token corpus costs one word-count aggregate + a vocab-sized array
+    transform). The pair aggregate is alphabet²-bounded, and the top-k
+    is orderBy().limit() — distributed TakeOrdered, no global sort
+    (the vocab_top_ngrams lesson); rank is a window over the k
+    survivors only."""
+    from pyspark.sql import Window
+
+    words = _docs(spark, sf_dir).select(
+        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("w")
+    )
+    wf = (
+        words.filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    pair_structs = F.expr(
+        "transform(sequence(1, length(w) - 1), i -> "
+        "struct(substring(w, i, 1) AS a, substring(w, i + 1, 1) AS b))"
+    )
+    agg = (
+        wf.filter(F.length("w") >= 2)
+        .select(F.explode(pair_structs).alias("p"), "cnt")
+        .groupBy("p.a", "p.b")
+        .agg(F.sum("cnt").cast("bigint").alias("pair_count"))
+    )
+    order = [F.desc("pair_count"), F.col("a"), F.col("b")]
+    topk = agg.orderBy(*order).limit(_BPE_TOPK)
+    wr = Window.orderBy(*order)
+    return topk.select(
+        "a",
+        "b",
+        "pair_count",
         F.row_number().over(wr).cast("int").alias("rk"),
     )
 

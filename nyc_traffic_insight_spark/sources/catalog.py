@@ -59,6 +59,62 @@ def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, Data
     return {n: load_table(spark, sf_dir, n) for n in names}
 
 
+def parquet_row_groups(sf_dir: str, name: str) -> int | None:
+    """Total row groups across the table's parquet files, from footer
+    metadata (a cheap local read — the footer is the last few KB). A row
+    group is the atomic split unit for parquet, so this is the true
+    upper bound on scan parallelism regardless of maxPartitionBytes.
+    Returns None when the path isn't locally inspectable (non-local
+    filesystem) — callers then assume the cluster case (scan already
+    wide)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        if os.path.isdir(path):
+            files = [
+                os.path.join(root, fn)
+                for root, _, fns in os.walk(path)
+                for fn in fns
+                if fn.endswith(".parquet")
+            ]
+        else:
+            files = [path]
+        return sum(pq.ParquetFile(f).metadata.num_row_groups for f in files)
+    except Exception:  # noqa: BLE001 - non-local path / unreadable footer
+        return None
+
+
+def load_table_wide(
+    spark: SparkSession, sf_dir: str, name: str, *keys: str
+) -> DataFrame:
+    """``load_table`` + a GATED widening repartition, no persist.
+
+    When the parquet footer shows fewer row groups than the session's
+    parallelism (the single-row-group local fixture), the scan cannot
+    parallelize and every downstream partial aggregate runs on one
+    core; this repartitions once — BY the given keys so a following
+    groupBy/window on those keys needs no second exchange, round-robin
+    otherwise. On a real cluster the row-group count dwarfs the core
+    count and this is a plain scan: the gate never fires, so no query
+    pays an extra full-fact shuffle at 100 TB (the r3 lesson that
+    produced textops' _wide_table; this variant skips that helper's
+    persist for fact tables whose bench timings must keep paying the
+    scan)."""
+    df = load_table(spark, sf_dir, name)
+    para = spark.sparkContext.defaultParallelism
+    rg = parquet_row_groups(sf_dir, name)
+    if rg is not None and rg < para:
+        df = (
+            df.repartition(para, *[F.col(k) for k in keys])
+            if keys
+            else df.repartition(para)
+        )
+    return df
+
+
 def write_partitioned(
     df: DataFrame, path: str, *partition_cols: str, mode: str = "overwrite"
 ) -> None:

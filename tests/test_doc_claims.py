@@ -59,6 +59,9 @@ CLAIMS: dict[str, int | str] = {
     "win_ntile_buckets": 1,
     "win_sessionize_batch": 1,
     "unpivot_measures": 0,
+    # "ONE shuffle" scopes the basket build; the pair aggregate is the
+    # second (and the docstring says so) — whole-plan bound is 2
+    "report_copurchase_pairs": 2,
     # --- stage-scoped / layout-scoped claims (not whole-plan bounds) ---
     "qa_expectations_report": "claims the SCAN is shuffle-free; the two "
     "one-row result merges are SinglePartition exchanges accounted in "
@@ -79,6 +82,17 @@ CLAIMS: dict[str, int | str] = {
     "text_perplexity_proxy": "claims no shuffle KEYED ON HOT TERMS (the "
     "skew hazard); the corpus-constant merge still exchanges one row",
 }
+
+@pytest.fixture(autouse=True, scope="module")
+def _fresh_cache(spark):
+    """Earlier test modules cache catalog DataFrames (e.g.
+    test_behavior's sessionize fixture); a plan that matches a cached
+    relation renders the cached child plan inside InMemoryRelation and
+    the exchange count reads doubled. Audit claims against the
+    cache-free plan — what a fresh session (and the 100 TB run) gets."""
+    spark.catalog.clearCache()
+    yield
+
 
 _SHUFFLE_RE = re.compile(
     r"(?<!Reused)(?<!Broadcast)Exchange "

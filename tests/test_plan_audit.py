@@ -127,6 +127,8 @@ AUDITED = [
     "text_readability",
     # round 6 additions
     "ml_segmented_router",
+    "text_bpe_pair_counts",
+    "graph_pagerank_topk",
 ]
 
 # query -> flags it is ALLOWED to carry, with the reason pinned here.
