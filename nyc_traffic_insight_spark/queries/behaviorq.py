@@ -588,17 +588,25 @@ def report_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     size, and the basket subplan runs ONCE (the original orderkey
     self-join re-ran the distinct projection per side — self-joins
     defeat exchange reuse, the round-1 DeduplicateRelations lesson).
-    Measured at 0.1 SF: self-join ~1.5 s, basket shape ~1.5 s, basket
-    shape + wide load ~1.05 s (the single-task partial aggregate was
-    the bottleneck); at scale the rewrite also halves shuffles (two vs
-    four) and fact scans (one vs two). The pair aggregate
+    Measured at 0.1 SF (same session, interleaved reps): the basket
+    shape alone ties the self-join ~1.5 s — the single-task partial
+    aggregate over the one-row-group local scan is the bottleneck —
+    and the column-pruned wide load recovers it (the projection must
+    precede the widening exchange: Catalyst does not push projects
+    below Repartition, and the unpruned exchange shipped 18.7 MB vs
+    ~2 MB). At scale the rewrite halves shuffles (two vs four) and
+    fact scans (one vs two). The pair aggregate
     then shuffles on (part_a, part_b) with map-side partials, and the
     global top-25 is orderBy+limit, which Spark executes as distributed
     TakeOrdered (per-partition heaps, no single-partition sort — the
     vocab_top_ngrams lesson). Ties broken by the pair keys so both
     engines rank identically."""
-    li = load_table_wide(spark, sf_dir, "lineitem", "l_orderkey").select(
-        "l_orderkey", "l_partkey"
+    li = load_table_wide(
+        spark,
+        sf_dir,
+        "lineitem",
+        "l_orderkey",
+        columns=("l_orderkey", "l_partkey"),
     )
     baskets = li.groupBy("l_orderkey").agg(
         F.sort_array(F.collect_set("l_partkey")).alias("parts")

@@ -44,7 +44,14 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # local mode = one JVM doing all 32 threads' executor work; 8g
+        # (the r1 default) left >100 GiB of the box idle and produced
+        # GC storms late in long sessions — object-heavy aggregates
+        # (collect_set baskets) ran 5-8x slower after ~28 cached-cache
+        # queries than in a fresh session with identical plans and
+        # shuffle bytes (round-6 bench forensics). 24g matches what a
+        # per-executor heap would be on a real cluster node.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # the driver's testdata stores events.ts as TIMESTAMP(NANOS)

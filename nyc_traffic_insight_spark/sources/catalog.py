@@ -88,7 +88,11 @@ def parquet_row_groups(sf_dir: str, name: str) -> int | None:
 
 
 def load_table_wide(
-    spark: SparkSession, sf_dir: str, name: str, *keys: str
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    *keys: str,
+    columns: tuple[str, ...] | None = None,
 ) -> DataFrame:
     """``load_table`` + a GATED widening repartition, no persist.
 
@@ -102,8 +106,15 @@ def load_table_wide(
     pays an extra full-fact shuffle at 100 TB (the r3 lesson that
     produced textops' _wide_table; this variant skips that helper's
     persist for fact tables whose bench timings must keep paying the
-    scan)."""
+    scan).
+
+    Pass ``columns`` to project BEFORE the widening exchange: Catalyst
+    does not push projections below a user Repartition, so without it
+    the exchange ships every column of the table (measured 18.7 MB vs
+    ~2 MB for copurchase's two-column projection at 0.1 SF)."""
     df = load_table(spark, sf_dir, name)
+    if columns is not None:
+        df = df.select(*columns)
     para = spark.sparkContext.defaultParallelism
     rg = parquet_row_groups(sf_dir, name)
     if rg is not None and rg < para:
