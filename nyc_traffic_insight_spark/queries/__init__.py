@@ -127,6 +127,8 @@ _CHECK_FIRST = [
     "ml_segmented_router",
     "text_bpe_pair_counts",
     "graph_pagerank_topk",
+    "agg_cumulative_users",
+    "report_pareto_deciles",
     # 2. r2-stale (overflow; checked in order if the budget allows)
     "join_star_broadcast",
     "join_asof",

@@ -2443,3 +2443,97 @@ def graph_pagerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk.select(
         "v", "pr", F.row_number().over(w).cast("int").alias("rk")
     )
+
+
+@register(
+    "agg_cumulative_users",
+    survey="A-family extension: cumulative distinct users by day via the "
+    "first-seen reduction (growth-curve reporting beside agg_wau_exact's "
+    "trailing window)",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id, min(CAST(date_trunc('day', ts) AS DATE)) AS d
+      FROM events GROUP BY 1
+    ),
+    per_day AS (
+      SELECT d, CAST(count(*) AS BIGINT) AS new_users
+      FROM first_seen GROUP BY 1
+    )
+    SELECT strftime(d, '%Y-%m-%d') AS day, new_users,
+           CAST(sum(new_users) OVER (ORDER BY d) AS BIGINT) AS cum_users
+    FROM per_day
+    """,
+)
+def agg_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users per day. A naive per-day cumulative
+    DISTINCT re-enumerates every user for every day; the first-seen
+    reduction makes it one groupBy(user_id) min-day aggregate (map-side
+    combinable), a per-day count over the |users| table, and a running
+    sum over the |days| table — the only window sits on day-report
+    granularity, never on facts."""
+    ev = load_table(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).cast("date").alias("d")
+    )
+    per_day = first_seen.groupBy("d").agg(
+        F.count(F.lit(1)).cast("bigint").alias("new_users")
+    )
+    w = Window.orderBy("d")
+    return per_day.select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        "new_users",
+        F.sum("new_users").over(w).cast("bigint").alias("cum_users"),
+    )
+
+
+@register(
+    "report_pareto_deciles",
+    survey="report-tier extension: revenue concentration by customer "
+    "decile (the 80/20 audit — how much of total revenue the top decile "
+    "carries)",
+    oracle="""
+    WITH rev AS (
+      SELECT o_custkey, round(sum(o_totalprice), 2) AS revenue
+      FROM orders GROUP BY 1
+    ),
+    tot AS (SELECT sum(revenue) AS t FROM rev),
+    deciled AS (
+      SELECT revenue,
+             ntile(10) OVER (ORDER BY revenue DESC, o_custkey) AS decile
+      FROM rev
+    )
+    SELECT decile, CAST(count(*) AS BIGINT) AS n_customers,
+           round(sum(revenue), 2) AS revenue,
+           round(sum(revenue) / (SELECT t FROM tot), 6) AS revenue_share
+    FROM deciled GROUP BY 1
+    """,
+)
+def report_pareto_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration: customers ntile'd into deciles by
+    revenue (ties broken by custkey — deterministic), each decile's
+    customer count, revenue, and share of total.
+
+    Scale shape: facts collapse to the per-customer revenue table
+    first (one map-side-combined aggregate); the ntile window and the
+    one-row total run over |customers|-bounded data — the
+    report_rfm_scores accounted shape. Per-customer revenue is rounded
+    to cents BEFORE deciling on both sides so the rank order feeds
+    from identical values (the round-before-compare rule)."""
+    rev = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(_r(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+    total = F.sum("revenue").over(Window.partitionBy())
+    deciled = rev.select(
+        "revenue",
+        F.ntile(10)
+        .over(Window.orderBy(F.desc("revenue"), F.asc("o_custkey")))
+        .alias("decile"),
+        total.alias("t"),
+    )
+    return deciled.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        _r(F.sum("revenue"), 2).alias("revenue"),
+        _r(F.sum("revenue") / F.first("t"), 6).alias("revenue_share"),
+    )

@@ -129,6 +129,8 @@ AUDITED = [
     "ml_segmented_router",
     "text_bpe_pair_counts",
     "graph_pagerank_topk",
+    "agg_cumulative_users",
+    "report_pareto_deciles",
 ]
 
 # query -> flags it is ALLOWED to carry, with the reason pinned here.
@@ -197,6 +199,12 @@ ALLOWED = {
     # percent_rank window over the |dates| dim (fact shrinks first,
     # broadcast-hash-joined back) + the final 4-row oversample window
     "ml_segmented_router": {"single_partition"},
+    # running sum over the |days| report table (facts collapse to the
+    # per-user min-day aggregate first)
+    "agg_cumulative_users": {"single_partition"},
+    # ntile + one-row total over the |customers| revenue table (the
+    # report_rfm_scores accounted shape)
+    "report_pareto_deciles": {"single_partition"},
 }
 
 
