@@ -129,6 +129,7 @@ _CHECK_FIRST = [
     "graph_pagerank_topk",
     "agg_cumulative_users",
     "report_pareto_deciles",
+    "emb_covariance_matrix",
     # 2. r2-stale (overflow; checked in order if the budget allows)
     "join_star_broadcast",
     "join_asof",

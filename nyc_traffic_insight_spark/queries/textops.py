@@ -2513,6 +2513,82 @@ def emb_centroid_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "emb_covariance_matrix",
+    survey="north-star similarity tier: embedding covariance matrix "
+    "(upper triangle, long format) — the distributed primitive under "
+    "PCA / whitening / Mahalanobis drift checks; the eigensolve on the "
+    "dim x dim result is driver-sized by construction",
+    oracle="""
+    WITH pairs AS (
+      SELECT t.i, u.j,
+             CAST(embedding[t.i + 1] AS DOUBLE)
+               * CAST(embedding[u.j + 1] AS DOUBLE) AS xy
+      FROM embeddings,
+           LATERAL (SELECT unnest(generate_series(0, len(embedding) - 1))
+                      AS i) t,
+           LATERAL (SELECT unnest(generate_series(t.i, len(embedding) - 1))
+                      AS j) u
+    ),
+    m2 AS (SELECT i, j, avg(xy) AS exy FROM pairs GROUP BY 1, 2),
+    means AS (
+      SELECT t.pos, avg(CAST(embedding[t.pos + 1] AS DOUBLE)) AS mu
+      FROM embeddings,
+           LATERAL (SELECT unnest(generate_series(0, len(embedding) - 1))
+                      AS pos) t
+      GROUP BY 1
+    )
+    SELECT CAST(m2.i AS INTEGER) AS i, CAST(m2.j AS INTEGER) AS j,
+           round(m2.exy - mi.mu * mj.mu, 6) AS cov
+    FROM m2 JOIN means mi ON mi.pos = m2.i JOIN means mj ON mj.pos = m2.j
+    """,
+)
+def emb_covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cov(i,j) = E[x_i x_j] − E[x_i]E[x_j] over the corpus, upper
+    triangle in long format (0-based dims; dim(dim+1)/2 = 2080 rows at
+    64 dims).
+
+    Scale shape: each vector expands IN-ROW to its upper-triangle
+    product terms (a narrow array transform — no self-join, no
+    per-dimension shuffle of raw vectors), then ONE shuffle carries
+    map-side partial (sum, count) pairs for dim² bounded groups; means
+    ride a second posexplode aggregate (dim-bounded) broadcast onto
+    the result. Everything after the scan is bounded by dim², never by
+    corpus size — exactly why PCA-at-scale computes the Gram/cov
+    matrix distributed and eigensolves on the driver. Elements CAST to
+    DOUBLE before multiplying on both engines (float32 storage);
+    mean-of-products rounds at 6 dp per the catalog convention."""
+    e = _embs(spark, sf_dir)
+    pair_terms = F.expr(
+        "flatten(transform(sequence(0, size(embedding) - 1), i -> "
+        "transform(sequence(i, size(embedding) - 1), j -> "
+        "struct(i AS i, j AS j, CAST(embedding[i] AS DOUBLE) "
+        "* CAST(embedding[j] AS DOUBLE) AS xy))))"
+    )
+    m2 = (
+        e.select(F.explode(pair_terms).alias("p"))
+        .select("p.i", "p.j", "p.xy")
+        .groupBy("i", "j")
+        .agg(F.avg("xy").alias("exy"))
+    )
+    means = (
+        e.select(F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("pos")
+        .agg(F.avg(F.col("v").cast("double")).alias("mu"))
+    )
+    mi = means.select(F.col("pos").alias("i"), F.col("mu").alias("mu_i"))
+    mj = means.select(F.col("pos").alias("j"), F.col("mu").alias("mu_j"))
+    return (
+        m2.join(F.broadcast(mi), "i")
+        .join(F.broadcast(mj), "j")
+        .select(
+            F.col("i").cast("int").alias("i"),
+            F.col("j").cast("int").alias("j"),
+            _r(F.col("exy") - F.col("mu_i") * F.col("mu_j"), 6).alias("cov"),
+        )
+    )
+
+
+@register(
     "dedup_containment",
     survey="north-star dedup tier: asymmetric shingle containment "
     "|A∩B| / |A| — the sub-document signal Jaccard misses (a short doc "

@@ -131,6 +131,7 @@ AUDITED = [
     "graph_pagerank_topk",
     "agg_cumulative_users",
     "report_pareto_deciles",
+    "emb_covariance_matrix",
 ]
 
 # query -> flags it is ALLOWED to carry, with the reason pinned here.
