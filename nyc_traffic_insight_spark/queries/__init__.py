@@ -130,6 +130,7 @@ _CHECK_FIRST = [
     "agg_cumulative_users",
     "report_pareto_deciles",
     "emb_covariance_matrix",
+    "emb_pca_project",
     # 2. r2-stale (overflow; checked in order if the budget allows)
     "join_star_broadcast",
     "join_asof",

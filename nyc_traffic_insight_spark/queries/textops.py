@@ -2588,6 +2588,80 @@ def emb_covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PCA_K = 8
+
+
+@register(
+    "emb_pca_project",
+    survey="north-star similarity tier: PCA projection onto the top-k "
+    "eigenvectors of emb_covariance_matrix — dimensionality reduction "
+    "for ANN pre-filtering and drift dashboards (rows-only: eigenvector "
+    "sign/order has no SQL oracle; orthonormality + variance-ordering "
+    "invariants pinned in tests/test_vectorized_ann.py)",
+    oracle=None,
+)
+def emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Project every embedding onto the top-k principal components.
+
+    Scale shape: the covariance matrix arrives from the distributed
+    emb_covariance_matrix plan and is COLLECTED at dim² size (2080
+    doubles — an index artifact like the IVF quantizer cache, not fact
+    data); numpy's eigh runs driver-side on the 64x64 matrix; the k
+    eigenvectors ship back as column literals and the projection is a
+    narrow per-row JVM expression (aggregate over the zipped arrays) —
+    no shuffle after the covariance aggregate. Signs are fixed
+    deterministically (largest-magnitude entry positive) so repeated
+    runs and resumed sessions emit identical scores."""
+    import numpy as np
+
+    from nyc_traffic_insight_spark.queries import REGISTRY
+
+    dim = 64
+    cov_rows = (
+        REGISTRY["emb_covariance_matrix"].builder(spark, sf_dir).collect()
+    )
+    cov = np.zeros((dim, dim))
+    for row in cov_rows:
+        cov[row["i"], row["j"]] = cov[row["j"], row["i"]] = row["cov"]
+    vals, vecs = np.linalg.eigh(cov)
+    order = np.argsort(vals)[::-1][:_PCA_K]
+    comps = []
+    for c in order:
+        v = vecs[:, c]
+        if v[np.argmax(np.abs(v))] < 0:
+            v = -v
+        comps.append(v)
+
+    means = (
+        _embs(spark, sf_dir)
+        .select(F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("pos")
+        .agg(F.avg(F.col("v").cast("double")).alias("mu"))
+        .collect()
+    )
+    mu = np.zeros(dim)
+    for row in means:
+        mu[row["pos"]] = row["mu"]
+
+    e = _embs(spark, sf_dir)
+    cols = [F.col("vec_id")]
+    for idx, v in enumerate(comps):
+        vlit = F.array(*[F.lit(float(x)) for x in v])
+        mulit = F.array(*[F.lit(float(x)) for x in mu])
+        centered = F.zip_with(
+            F.col("embedding").cast("array<double>"),
+            mulit,
+            lambda x, m: x - m,
+        )
+        score = F.aggregate(
+            F.zip_with(centered, vlit, lambda x, w: x * w),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        )
+        cols.append(_r(score, 6).alias(f"pc{idx}"))
+    return e.select(*cols)
+
+
 @register(
     "dedup_containment",
     survey="north-star dedup tier: asymmetric shingle containment "

@@ -70,3 +70,35 @@ def test_kmeans_clusters(spark):
     assert len(rows) == 10  # every centroid owns a cluster
     assert sum(r["n_vectors"] for r in rows) == 500  # sf0.001 embeddings
     assert all(r["n_vectors"] > 0 for r in rows)
+
+
+def test_pca_projection_invariants(spark):
+    """emb_pca_project has no SQL oracle (eigenvector sign/order); pin
+    the linear-algebra invariants instead: centered scores, variance
+    sorted descending component-by-component, and total projected
+    variance bounded by the covariance trace."""
+    import numpy as np
+
+    from nyc_traffic_insight_spark.queries import load_all
+    from tests.conftest import SF_SMOKE
+
+    specs = load_all()
+    pdf = specs["emb_pca_project"].builder(spark, SF_SMOKE).toPandas()
+    pcs = [c for c in pdf.columns if c.startswith("pc")]
+    assert len(pcs) == 8 and len(pdf) > 0
+    scores = pdf[pcs].to_numpy()
+    # projections of centered data: means ~ 0 (rounding at 6dp)
+    assert np.abs(scores.mean(axis=0)).max() < 1e-3
+    # variance ordering follows the eigenvalue ordering
+    var = scores.var(axis=0)
+    assert all(var[i] >= var[i + 1] - 1e-9 for i in range(len(var) - 1))
+    # total projected variance can't exceed the covariance trace
+    cov_pdf = specs["emb_covariance_matrix"].builder(spark, SF_SMOKE).toPandas()
+    trace = cov_pdf[cov_pdf.i == cov_pdf.j]["cov"].sum()
+    assert var.sum() <= trace + 1e-6
+    # determinism: rebuilding yields identical scores (sign fix works)
+    pdf2 = specs["emb_pca_project"].builder(spark, SF_SMOKE).toPandas()
+    assert np.array_equal(
+        pdf.sort_values("vec_id")[pcs].to_numpy(),
+        pdf2.sort_values("vec_id")[pcs].to_numpy(),
+    )
