@@ -131,6 +131,7 @@ _CHECK_FIRST = [
     "report_pareto_deciles",
     "emb_covariance_matrix",
     "emb_pca_project",
+    "join_asof_nearest",
     # 2. r2-stale (overflow; checked in order if the budget allows)
     "join_star_broadcast",
     "join_asof",

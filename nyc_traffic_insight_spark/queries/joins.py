@@ -626,6 +626,120 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "join_asof_nearest",
+    survey="custom operator: NEAREST as-of join (closest snapshot in "
+    "either direction, ties to the earlier one) — the other half of the "
+    "as-of family beside join_asof's backward-only carry",
+    oracle="""
+    WITH snap AS (
+      SELECT event_type, date_trunc('hour', ts) AS snap_ts,
+             round(avg(value), 4) AS snap_value
+      FROM events GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT e.event_id, e.event_type, e.ts, s.snap_ts, s.snap_value,
+             abs(epoch_us(e.ts) - epoch_us(s.snap_ts)) AS diff_us,
+             row_number() OVER (
+               PARTITION BY e.event_id
+               ORDER BY abs(epoch_us(e.ts) - epoch_us(s.snap_ts)), s.snap_ts
+             ) AS rn
+      FROM events e JOIN snap s ON e.event_type = s.event_type
+    )
+    SELECT event_id, event_type, ts, snap_ts, snap_value,
+           CAST(diff_us AS BIGINT) AS diff_us
+    FROM scored WHERE rn = 1
+    """,
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-snapshot as-of join: each event takes whichever hourly
+    snapshot is closest in time, before OR after; exact ties go to the
+    earlier snapshot (matching the oracle's (diff, snap_ts) order).
+
+    Scale composition: the join_asof carry-forward union gains a
+    second, mirrored window — last-before via the forward frame,
+    first-after via the backward frame — and a final per-row pick of
+    the nearer side. Both windows share the event_type hash
+    partitioning, so the plan stays ONE shuffle of each side (the two
+    sort orders re-sort within partitions without re-exchanging); no
+    range join, no per-row probe. The oracle brute-forces events ×
+    per-type snapshots, which is oracle-tractable only because
+    snapshots are report-granular — the window composition is the
+    form that scales.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    snap = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("snap_ts")
+    ).agg(_r(F.avg("value"), 4).alias("snap_value"))
+    left = ev.select(
+        "event_type",
+        F.col("ts").alias("o_ts"),
+        F.lit(0).alias("is_snap"),
+        "event_id",
+        F.lit(None).cast("timestamp").alias("s_ts"),
+        F.lit(None).cast("double").alias("s_val"),
+    )
+    right = snap.select(
+        "event_type",
+        F.col("snap_ts").alias("o_ts"),
+        F.lit(1).alias("is_snap"),
+        F.lit(None).cast("bigint").alias("event_id"),
+        F.col("snap_ts").alias("s_ts"),
+        F.col("snap_value").alias("s_val"),
+    )
+    # snapshots sort before events at equal ts: the backward window
+    # sees an equal-ts snapshot (diff 0, wins `nearest` outright); the
+    # forward window starts strictly after it.
+    order = [F.col("o_ts"), F.desc("is_snap")]
+    wb = (
+        Window.partitionBy("event_type")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wf = (
+        Window.partitionBy("event_type")
+        .orderBy(*order)
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    merged = left.unionByName(right).select(
+        "event_type",
+        "o_ts",
+        "is_snap",
+        "event_id",
+        F.last("s_ts", ignorenulls=True).over(wb).alias("prev_ts"),
+        F.last("s_val", ignorenulls=True).over(wb).alias("prev_val"),
+        F.first("s_ts", ignorenulls=True).over(wf).alias("next_ts"),
+        F.first("s_val", ignorenulls=True).over(wf).alias("next_val"),
+    )
+    prev_diff = F.abs(F.unix_micros("o_ts") - F.unix_micros("prev_ts"))
+    next_diff = F.abs(F.unix_micros("o_ts") - F.unix_micros("next_ts"))
+    # nearest, ties (and missing-next) to the earlier snapshot
+    take_prev = F.col("prev_ts").isNotNull() & (
+        F.col("next_ts").isNull() | (prev_diff <= next_diff)
+    )
+    return (
+        merged.filter(F.col("is_snap") == 0)
+        .select(
+            "event_id",
+            "event_type",
+            F.col("o_ts").alias("ts"),
+            F.when(take_prev, F.col("prev_ts"))
+            .otherwise(F.col("next_ts"))
+            .alias("snap_ts"),
+            F.when(take_prev, F.col("prev_val"))
+            .otherwise(F.col("next_val"))
+            .alias("snap_value"),
+            F.when(take_prev, prev_diff)
+            .otherwise(next_diff)
+            .cast("bigint")
+            .alias("diff_us"),
+        )
+        .filter(F.col("snap_ts").isNotNull())
+    )
+
+
 _RANGE_BIN_MIN = 60  # bin width = max interval length → ≤2 candidate bins
 
 

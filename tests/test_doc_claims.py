@@ -48,6 +48,7 @@ CLAIMS: dict[str, int | str] = {
     "event_attribution_last_touch": 1,
     "scan_orc_roundtrip": 0,
     "join_asof": 2,  # "ONE shuffle of each side" — two exchanges total
+    "join_asof_nearest": 2,  # same composition, mirrored second window
     "win_roll_mean_24": 2,
     "win_first_last": 1,
     "emb_centroid_by_label": 1,

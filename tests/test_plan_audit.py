@@ -132,6 +132,7 @@ AUDITED = [
     "agg_cumulative_users",
     "report_pareto_deciles",
     "emb_covariance_matrix",
+    "join_asof_nearest",
 ]
 
 # query -> flags it is ALLOWED to carry, with the reason pinned here.
