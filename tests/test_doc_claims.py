@@ -63,6 +63,9 @@ CLAIMS: dict[str, int | str] = {
     # "ONE shuffle" scopes the basket build; the pair aggregate is the
     # second (and the docstring says so) — whole-plan bound is 2
     "report_copurchase_pairs": 2,
+    # "ONE shuffle" scopes the m2 aggregate; the dim-bounded means
+    # aggregate adds a second tiny exchange — whole-plan bound 2
+    "emb_covariance_matrix": 2,
     # --- stage-scoped / layout-scoped claims (not whole-plan bounds) ---
     "qa_expectations_report": "claims the SCAN is shuffle-free; the two "
     "one-row result merges are SinglePartition exchanges accounted in "
@@ -82,6 +85,10 @@ CLAIMS: dict[str, int | str] = {
     "claim about key reuse (every exchange is on user_id), not a count",
     "text_perplexity_proxy": "claims no shuffle KEYED ON HOT TERMS (the "
     "skew hazard); the corpus-constant merge still exchanges one row",
+    "emb_pca_project": "claims no shuffle AFTER the covariance "
+    "aggregate (the projection itself); the builder executes the "
+    "covariance/means jobs at build time, so the final plan is scan + "
+    "literal projection",
 }
 
 @pytest.fixture(autouse=True, scope="module")
