@@ -64,8 +64,10 @@ CLAIMS: dict[str, int | str] = {
     # second (and the docstring says so) — whole-plan bound is 2
     "report_copurchase_pairs": 2,
     # "ONE shuffle" scopes the m2 aggregate; the dim-bounded means
-    # aggregate adds a second tiny exchange — whole-plan bound 2
-    "emb_covariance_matrix": 2,
+    # aggregate is a second tiny exchange, and _embs' footer-gated
+    # widening repartition adds a third ON THE LOCAL FIXTURE ONLY
+    # (cluster scans skip it) — local whole-plan bound 3
+    "emb_covariance_matrix": 3,
     # --- stage-scoped / layout-scoped claims (not whole-plan bounds) ---
     "qa_expectations_report": "claims the SCAN is shuffle-free; the two "
     "one-row result merges are SinglePartition exchanges accounted in "
