@@ -229,3 +229,13 @@ def test_plan_has_no_unexpected_scale_flags(spark, name):
     plan = spec.builder(spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
     unexpected = _flags(plan) - ALLOWED.get(name, set())
     assert not unexpected, f"{name}: new scale flags {unexpected}\n{plan[:2000]}"
+
+
+def test_every_headline_query_is_plan_audited():
+    """The bench headline set IS the performance-graded surface; a
+    query added to bench.py without plan-audit coverage would be timed
+    but never shape-checked. Keep HEADLINE a subset of AUDITED."""
+    import bench
+
+    missing = [n for n in bench.HEADLINE if n not in AUDITED]
+    assert not missing, f"headline queries missing from plan audit: {missing}"
