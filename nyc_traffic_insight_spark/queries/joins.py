@@ -689,19 +689,23 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("snap_ts").alias("s_ts"),
         F.col("snap_value").alias("s_val"),
     )
-    # snapshots sort before events at equal ts: the backward window
-    # sees an equal-ts snapshot (diff 0, wins `nearest` outright); the
-    # forward window starts strictly after it.
-    order = [F.col("o_ts"), F.desc("is_snap")]
+    # Both windows are RUNNING frames (unboundedPreceding → current):
+    # Spark computes those in one O(n) pass per partition, while a
+    # currentRow → unboundedFollowing frame re-aggregates the remainder
+    # per row — O(n²), measured 66 s vs <2 s at sf0.1. "Next snapshot"
+    # is therefore the running carry over the REVERSED sort. Equal-ts
+    # snapshots are visited before their events in both traversals, so
+    # an event at a snapshot time sees diff 0 on both sides and the
+    # prev-tie rule picks it deterministically.
     wb = (
         Window.partitionBy("event_type")
-        .orderBy(*order)
+        .orderBy(F.col("o_ts"), F.desc("is_snap"))
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     wf = (
         Window.partitionBy("event_type")
-        .orderBy(*order)
-        .rowsBetween(0, Window.unboundedFollowing)
+        .orderBy(F.desc("o_ts"), F.desc("is_snap"))
+        .rowsBetween(Window.unboundedPreceding, 0)
     )
     merged = left.unionByName(right).select(
         "event_type",
@@ -710,8 +714,8 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.last("s_ts", ignorenulls=True).over(wb).alias("prev_ts"),
         F.last("s_val", ignorenulls=True).over(wb).alias("prev_val"),
-        F.first("s_ts", ignorenulls=True).over(wf).alias("next_ts"),
-        F.first("s_val", ignorenulls=True).over(wf).alias("next_val"),
+        F.last("s_ts", ignorenulls=True).over(wf).alias("next_ts"),
+        F.last("s_val", ignorenulls=True).over(wf).alias("next_val"),
     )
     prev_diff = F.abs(F.unix_micros("o_ts") - F.unix_micros("prev_ts"))
     next_diff = F.abs(F.unix_micros("o_ts") - F.unix_micros("next_ts"))
