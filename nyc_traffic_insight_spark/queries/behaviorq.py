@@ -1824,10 +1824,14 @@ def pipeline_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Poisson-bootstrap machinery: per (resample, row) weight ~ Poisson(1),
-# drawn deterministically from md5(resample#row) — the distributed
-# bootstrap (each row's weight is independent, no global sampling
-# state), with the inverse CDF spelled as integer thresholds on a
-# 0..9999 hash draw so both engines assign identical weights.
+# drawn deterministically — the distributed bootstrap (each row's
+# weight is independent, no global sampling state), with the inverse
+# CDF spelled as integer thresholds on a 0..9999 hash draw so both
+# engines assign identical weights. The B per-row draws derive from
+# ONE md5 via Kirsch-Mitzenmacher double hashing (h1 + i*h2, the same
+# trick as the MinHash signatures — NOTES round 1): the r6 sf0.1 sweep
+# measured the original md5-per-(row, resample) spelling at 8 s, of
+# which ~7 s was 5M md5+conv calls; one hash per row brings it to ~1 s.
 # Cumulative Poisson(1)*10000 for k=0..5 (tail mass 6e-4 truncated to
 # weight 5 — bias far below the CI resolution).
 _BOOT_B = 50
@@ -1849,12 +1853,19 @@ def _boot_weight_sql(draw: str) -> str:
     "Poisson(1) weights, no global resampling state), deterministic "
     "via md5 so the uncertainty estimate itself is oracle-checked",
     oracle=f"""
-    WITH expanded AS (
+    WITH hashed AS (
+      SELECT value,
+             ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))::BIGINT
+               AS h1,
+             ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 9, 8))::BIGINT
+               AS h2
+      FROM events
+    ),
+    expanded AS (
       SELECT b.i,
              e.value,
-             {_boot_weight_sql("('0x' || substr(md5(CAST(b.i AS VARCHAR) || '#' || CAST(e.event_id AS VARCHAR)), 1, 8))::BIGINT % 10000")}
-               AS w
-      FROM events e
+             {_boot_weight_sql("(e.h1 + b.i * e.h2) % 10000")} AS w
+      FROM hashed e
       CROSS JOIN LATERAL (
         SELECT unnest(generate_series(0, {_BOOT_B - 1})) AS i
       ) b
@@ -1887,29 +1898,22 @@ def agg_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     percentile over 50 numbers. At 100 TB this is exactly how you put
     an error bar on a corpus statistic in one pass."""
     ev = load_table(spark, sf_dir, "events")
-    expanded = ev.select(
-        "event_id",
+    # one md5 per ROW; the Generate (explode) below is an optimizer
+    # barrier, so h1/h2 are computed once and reused across all B
+    # resample branches instead of being re-inlined per when() arm
+    h = F.md5(F.col("event_id").cast("string"))
+    hashed = ev.select(
         "value",
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint").alias("h1"),
+        F.conv(F.substring(h, 9, 8), 16, 10).cast("bigint").alias("h2"),
+    )
+    expanded = hashed.select(
+        "value",
+        "h1",
+        "h2",
         F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("i"),
     )
-    draw = (
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat(
-                        F.col("i").cast("string"),
-                        F.lit("#"),
-                        F.col("event_id").cast("string"),
-                    )
-                ),
-                1,
-                8,
-            ),
-            16,
-            10,
-        ).cast("bigint")
-        % 10000
-    )
+    draw = (F.col("h1") + F.col("i") * F.col("h2")) % 10000
     w = F.lit(5)
     for k in range(len(_BOOT_THRESH) - 1, -1, -1):
         w = F.when(draw < _BOOT_THRESH[k], F.lit(k)).otherwise(w)
