@@ -158,3 +158,30 @@ def test_plan_does_not_exceed_claimed_shuffles(spark, name):
         f"{name}: docstring claims <={claimed} shuffle(s) but the plan "
         f"has {actual} — fix the plan or the claim\n{plan[:2000]}"
     )
+
+
+def test_no_shrinking_window_frames():
+    """A currentRow -> unboundedFollowing frame makes Spark re-aggregate
+    the partition remainder per row — O(n²), measured 66 s vs 1.1 s on
+    join_asof_nearest at sf0.1 (round 6). Every unboundedFollowing in
+    the engine must be part of a whole-partition frame; shrinking
+    frames are expressed as running frames over the reversed sort."""
+    import pathlib
+
+    root = pathlib.Path(__file__).resolve().parents[1] / (
+        "nyc_traffic_insight_spark"
+    )
+    offenders = []
+    for path in root.rglob("*.py"):
+        text = path.read_text()
+        for i, line in enumerate(text.splitlines(), 1):
+            if "unboundedFollowing" in line.lower() and "#" != line.lstrip()[:1]:
+                window = text.splitlines()[max(0, i - 3) : i]
+                ctx = " ".join(w.strip() for w in window)
+                if "unboundedPreceding" not in ctx:
+                    offenders.append(f"{path.name}:{i}: {line.strip()}")
+    assert not offenders, (
+        "shrinking window frames (currentRow -> unboundedFollowing) "
+        f"found — rewrite as running frames over the reversed sort:\n"
+        + "\n".join(offenders)
+    )
