@@ -130,8 +130,11 @@ _CHECK_FIRST = [
     "agg_cumulative_users",
     "report_pareto_deciles",
     "emb_covariance_matrix",
-    "emb_pca_project",
     "join_asof_nearest",
+    # rows-only and ~10 s to build (runs the covariance + means jobs):
+    # last of the r6 block so a time-budgeted gate checks the cheap
+    # oracled entries first
+    "emb_pca_project",
     # 2. r2-stale (overflow; checked in order if the budget allows)
     "join_star_broadcast",
     "join_asof",
