@@ -44,3 +44,16 @@ def test_catches_null_flip():
     bad.loc[2, "v"] = None
     with pytest.raises(AssertionError):
         compare(bad, BASE, "null_flip")
+
+
+def test_rotation_front_names_all_exist():
+    """load_all() silently skips _CHECK_FIRST names missing from the
+    registry (`if n in REGISTRY`), so a typo would quietly drop a query
+    from the driver's check rotation — the exact evidence-debt failure
+    mode VERDICT r5 #1 was about. Pin every name and no duplicates."""
+    from nyc_traffic_insight_spark.queries import _CHECK_FIRST, load_all
+
+    reg = load_all()
+    missing = [n for n in _CHECK_FIRST if n not in reg]
+    assert not missing, f"_CHECK_FIRST names not in registry: {missing}"
+    assert len(set(_CHECK_FIRST)) == len(_CHECK_FIRST), "duplicate rotation names"
