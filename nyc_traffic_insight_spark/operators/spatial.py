@@ -32,24 +32,29 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-_SEDONA_STATE: bool | None = None
+# probe result per applicationId — a process can run several sessions
+# with different jar sets, so a global flag would leak one session's
+# capability onto the next (same keying convention as textops'
+# _WIDE_CACHE)
+_SEDONA_STATE: dict[str, bool] = {}
 
 
 def sedona_enabled(spark: SparkSession) -> bool:
-    """True iff Apache Sedona is importable AND registers on this
+    """True iff Apache Sedona is importable AND registers on THIS
     session (needs both the Python package and the JVM jars)."""
-    global _SEDONA_STATE
-    if _SEDONA_STATE is not None:
-        return _SEDONA_STATE
+    app = spark.sparkContext.applicationId
+    cached = _SEDONA_STATE.get(app)
+    if cached is not None:
+        return cached
     try:
         from sedona.spark import SedonaContext  # noqa: PLC0415
 
         SedonaContext.create(spark)
         spark.sql("SELECT ST_Point(0.0, 0.0)").collect()
-        _SEDONA_STATE = True
+        _SEDONA_STATE[app] = True
     except Exception:  # ImportError or missing jars — fall back
-        _SEDONA_STATE = False
-    return _SEDONA_STATE
+        _SEDONA_STATE[app] = False
+    return _SEDONA_STATE[app]
 
 
 def _builtin_dist2() -> F.Column:

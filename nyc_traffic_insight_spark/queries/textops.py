@@ -2644,22 +2644,32 @@ def emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         mu[row["pos"]] = row["mu"]
 
     e = _embs(spark, sf_dir)
-    cols = [F.col("vec_id")]
-    for idx, v in enumerate(comps):
-        vlit = F.array(*[F.lit(float(x)) for x in v])
-        mulit = F.array(*[F.lit(float(x)) for x in mu])
-        centered = F.zip_with(
+    # center ONCE in its own projection: zip_with runs interpreted, and
+    # inlining the centering into each pc column would re-evaluate the
+    # 64-element subtraction once per component per row. No barrier
+    # needed — CollapseProject declines to merge a non-cheap expression
+    # referenced 8x (verified: the optimized plan keeps 2 Projects with
+    # one centering zip_with), so this stays a streaming narrow map
+    # with no materialization at any scale.
+    mulit = F.array(*[F.lit(float(x)) for x in mu])
+    centered_df = e.select(
+        "vec_id",
+        F.zip_with(
             F.col("embedding").cast("array<double>"),
             mulit,
             lambda x, m: x - m,
-        )
+        ).alias("centered"),
+    )
+    cols = [F.col("vec_id")]
+    for idx, v in enumerate(comps):
+        vlit = F.array(*[F.lit(float(x)) for x in v])
         score = F.aggregate(
-            F.zip_with(centered, vlit, lambda x, w: x * w),
+            F.zip_with(F.col("centered"), vlit, lambda x, w: x * w),
             F.lit(0.0),
             lambda acc, t: acc + t,
         )
         cols.append(_r(score, 6).alias(f"pc{idx}"))
-    return e.select(*cols)
+    return centered_df.select(*cols)
 
 
 @register(

@@ -99,7 +99,15 @@ def _fresh_cache(spark):
     test_behavior's sessionize fixture); a plan that matches a cached
     relation renders the cached child plan inside InMemoryRelation and
     the exchange count reads doubled. Audit claims against the
-    cache-free plan — what a fresh session (and the 100 TB run) gets."""
+    cache-free plan — what a fresh session (and the 100 TB run) gets.
+
+    clear_caches() (not bare clearCache) also drops textops' cache
+    DICTS: clearCache alone would strand _WIDE_CACHE holding
+    no-longer-persisted DataFrames that never re-persist (the dict hit
+    short-circuits), silently slowing every later suite module."""
+    from nyc_traffic_insight_spark.queries.textops import clear_caches
+
+    clear_caches(spark)
     spark.catalog.clearCache()
     yield
 
@@ -175,7 +183,7 @@ def test_no_shrinking_window_frames():
     for path in root.rglob("*.py"):
         text = path.read_text()
         for i, line in enumerate(text.splitlines(), 1):
-            if "unboundedFollowing" in line.lower() and "#" != line.lstrip()[:1]:
+            if "unboundedfollowing" in line.lower() and "#" != line.lstrip()[:1]:
                 window = text.splitlines()[max(0, i - 3) : i]
                 ctx = " ".join(w.strip() for w in window)
                 if "unboundedPreceding" not in ctx:
