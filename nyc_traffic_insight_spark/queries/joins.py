@@ -547,17 +547,31 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------- as-of & range joins (custom ops)
 
+# hourly per-type snapshot table — the ONE spelling shared by both
+# as-of variants' oracles (below) and Spark builders (_hourly_snapshots)
+_ASOF_SNAP_SQL = """
+      SELECT event_type, date_trunc('hour', ts) AS snap_ts,
+             round(avg(value), 4) AS snap_value
+      FROM events GROUP BY 1, 2
+    """
+
+
+def _hourly_snapshots(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    ev = load_table(spark, sf_dir, "events")
+    snap = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("snap_ts")
+    ).agg(_r(F.avg("value"), 4).alias("snap_value"))
+    return ev, snap
+
 
 @register(
     "join_asof",
     survey="custom operator: as-of join (most recent snapshot <= ts per key); "
     "Spark lacks it, composed from union + carry-forward window",
-    oracle="""
-    WITH snap AS (
-      SELECT event_type, date_trunc('hour', ts) AS snap_ts,
-             round(avg(value), 4) AS snap_value
-      FROM events GROUP BY 1, 2
-    )
+    oracle=f"""
+    WITH snap AS ({_ASOF_SNAP_SQL})
     SELECT e.event_id, e.event_type, e.ts, s.snap_ts, s.snap_value
     FROM events e
     ASOF JOIN snap s
@@ -581,12 +595,7 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    ev = load_table(spark, sf_dir, "events")
-    snap = (
-        ev.groupBy(
-            "event_type", F.date_trunc("hour", "ts").alias("snap_ts")
-        ).agg(_r(F.avg("value"), 4).alias("snap_value"))
-    )
+    ev, snap = _hourly_snapshots(spark, sf_dir)
     left = ev.select(
         "event_type",
         F.col("ts").alias("o_ts"),
@@ -631,12 +640,8 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey="custom operator: NEAREST as-of join (closest snapshot in "
     "either direction, ties to the earlier one) — the other half of the "
     "as-of family beside join_asof's backward-only carry",
-    oracle="""
-    WITH snap AS (
-      SELECT event_type, date_trunc('hour', ts) AS snap_ts,
-             round(avg(value), 4) AS snap_value
-      FROM events GROUP BY 1, 2
-    ),
+    oracle=f"""
+    WITH snap AS ({_ASOF_SNAP_SQL}),
     scored AS (
       SELECT e.event_id, e.event_type, e.ts, s.snap_ts, s.snap_value,
              abs(epoch_us(e.ts) - epoch_us(s.snap_ts)) AS diff_us,
@@ -669,10 +674,7 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    ev = load_table(spark, sf_dir, "events")
-    snap = ev.groupBy(
-        "event_type", F.date_trunc("hour", "ts").alias("snap_ts")
-    ).agg(_r(F.avg("value"), 4).alias("snap_value"))
+    ev, snap = _hourly_snapshots(spark, sf_dir)
     left = ev.select(
         "event_type",
         F.col("ts").alias("o_ts"),

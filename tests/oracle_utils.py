@@ -11,8 +11,28 @@ representation noise, not semantics).
 from __future__ import annotations
 
 import math
+import os
 
 import pandas as pd
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def duck_connect(sf_dir: str):
+    """DuckDB connection with every test table registered as a view —
+    the one shared spelling of the oracle-side setup (conftest's duck
+    fixture, tools/time_gate.py, tools/verify_rotation.py)."""
+    import duckdb
+
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    return con
 
 
 def _normalize(df: pd.DataFrame) -> pd.DataFrame:

@@ -21,15 +21,10 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-import duckdb  # noqa: E402
 
 from nyc_traffic_insight_spark.queries import load_all  # noqa: E402
 from nyc_traffic_insight_spark.session import get_spark  # noqa: E402
-
-TABLES = (
-    "region nation customer supplier part orders lineitem events "
-    "documents embeddings"
-).split()
+from tests.oracle_utils import duck_connect  # noqa: E402
 
 
 def main() -> None:
@@ -41,13 +36,7 @@ def main() -> None:
 
     spark = get_spark(app_name="ntis-time-gate")
     spark.sparkContext.setLogLevel("ERROR")
-    con = duckdb.connect()
-    for t in TABLES:
-        p = os.path.join(sf_dir, f"{t}.parquet")
-        if os.path.exists(p):
-            con.execute(
-                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')"
-            )
+    con = duck_connect(sf_dir)
 
     specs = load_all()
     rows = []

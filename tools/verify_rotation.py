@@ -20,16 +20,9 @@ import traceback
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-import duckdb  # noqa: E402
-
 from nyc_traffic_insight_spark.queries import load_all  # noqa: E402
 from nyc_traffic_insight_spark.session import get_spark  # noqa: E402
-from tests.oracle_utils import compare  # noqa: E402
-
-TABLES = (
-    "region nation customer supplier part orders lineitem events "
-    "documents embeddings"
-).split()
+from tests.oracle_utils import compare, duck_connect  # noqa: E402
 
 
 def main() -> int:
@@ -44,11 +37,7 @@ def main() -> int:
 
     spark = get_spark(app_name="ntis-verify-rotation")
     spark.sparkContext.setLogLevel("ERROR")
-    con = duckdb.connect()
-    for t in TABLES:
-        p = os.path.join(sf_dir, f"{t}.parquet")
-        if os.path.exists(p):
-            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    con = duck_connect(sf_dir)
 
     specs = load_all()
     names = only if only else (list(specs)[:limit] if limit else list(specs))
