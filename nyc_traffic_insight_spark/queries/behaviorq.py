@@ -2267,12 +2267,18 @@ def win_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS cohort_m
       FROM orders GROUP BY 1
     ),
+    -- revenue carried as exact integer cents (o_totalprice is
+    -- 2dp-exact): BIGINT sums are commutative, so neither the group
+    -- aggregate nor the cumulative window depends on accumulation
+    -- order; the single divide+round at the end is the only float op
+    -- (a double sum flipped the 4dp boundary on 2/1845 rows in r6)
     rev AS (
       SELECT f.cohort_m,
              CAST((year(o.o_orderdate) - year(f.cohort_m)) * 12
                   + (month(o.o_orderdate) - month(f.cohort_m))
                   AS INTEGER) AS month_offset,
-             round(sum(o.o_totalprice), 4) AS revenue
+             sum(CAST(round(o.o_totalprice * 100) AS BIGINT))
+               AS rev_cents
       FROM orders o JOIN firstorder f ON o.o_custkey = f.o_custkey
       GROUP BY 1, 2
     ),
@@ -2282,9 +2288,10 @@ def win_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT strftime(r.cohort_m, '%Y-%m') AS cohort_month,
            r.month_offset, s.cohort_n,
-           round(sum(r.revenue) OVER (PARTITION BY r.cohort_m
+           round(CAST(sum(r.rev_cents) OVER (PARTITION BY r.cohort_m
                  ORDER BY r.month_offset ROWS UNBOUNDED PRECEDING)
-                 / s.cohort_n, 4) AS cum_ltv_per_customer
+                 AS DOUBLE) / (s.cohort_n * 100), 4)
+             AS cum_ltv_per_customer
     FROM rev r JOIN sizes s ON s.cohort_m = r.cohort_m
     """,
 )
@@ -2292,10 +2299,11 @@ def report_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LTV curves: customers grouped by first-order month, each
     cohort's revenue accumulated over month offsets and normalized by
     cohort size — the table under every 'payback period' chart.
-    Month offsets are exact integer calendar arithmetic; per-(cohort,
-    offset) revenue is rounded at the aggregate, and the cumulative
-    window then runs over identical doubles in identical order on
-    both engines.
+    Month offsets are exact integer calendar arithmetic; revenue is
+    carried as exact integer cents (o_totalprice is 2dp-exact) through
+    BOTH the group aggregate and the cumulative window, so no float is
+    summed in any engine-dependent order — the single divide+round at
+    the end is the only float op.
 
     Scale shape: one customer-keyed first-order aggregate broadcast
     onto orders, a (cohort × offset)-bounded aggregate, and a
@@ -2319,7 +2327,11 @@ def report_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("int")
             .alias("month_offset"),
         )
-        .agg(_r(F.sum("o_totalprice"), 4).alias("revenue"))
+        .agg(
+            F.sum(
+                F.round(F.col("o_totalprice") * 100).cast("long")
+            ).alias("rev_cents")
+        )
     )
     sizes = firstorder.groupBy("cohort_m").agg(
         F.count(F.lit(1)).alias("cohort_n")
@@ -2336,7 +2348,8 @@ def report_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
             "month_offset",
             "cohort_n",
             _r(
-                F.sum("revenue").over(w) / F.col("cohort_n").cast("double"),
+                F.sum("rev_cents").over(w).cast("double")
+                / (F.col("cohort_n") * 100).cast("double"),
                 4,
             ).alias("cum_ltv_per_customer"),
         )

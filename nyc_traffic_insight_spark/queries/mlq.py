@@ -320,14 +320,22 @@ def ml_propensity_model(spark: SparkSession, sf_dir: str) -> DataFrame:
         labelCol="label", metricName="areaUnderROC"
     )
     train_auc = ev.evaluate(model.transform(train))
+    # One row per feature (posexplode shape): every output column is a
+    # driver-hashable scalar — the driver's rows-only canonicalization
+    # sorts EVERY column, and an array<double> column crashes that sort
+    # (CORRECTNESS_r06 TypeError: unhashable type 'list').
     rows = [
         (
+            feat,
+            float(coef),
             float(train_auc),
             float(test.count()),
-            [float(c) for c in model.coefficients],
             float(model.intercept),
         )
+        for feat, coef in zip(feats, model.coefficients)
     ]
     return spark.createDataFrame(
-        rows, "train_auc double, n_test double, coefficients array<double>, intercept double"
+        rows,
+        "feature string, coefficient double, train_auc double, "
+        "n_test double, intercept double",
     )

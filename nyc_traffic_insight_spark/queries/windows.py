@@ -831,8 +831,16 @@ def win_pct_change(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(hour(hr) AS INTEGER) AS hod
       FROM trended
     ),
+    -- seasonal mean as an exact integer sum: detrended is a 4dp value,
+    -- so detrended*10000 is integer up to half an ulp; summing BIGINTs
+    -- is commutative-exact, and the single final division + round is
+    -- the only float op (order-dependent double summation flipped the
+    -- literal-5 rounding boundary on 28/3385 rows in r6's driver run)
     seas AS (
-      SELECT event_type, hod, round(avg(detrended), 4) AS seasonal
+      SELECT event_type, hod,
+             round(CAST(sum(CAST(round(detrended * 10000) AS BIGINT))
+                        AS DOUBLE)
+                   / (count(*) * 10000), 4) AS seasonal
       FROM detr GROUP BY 1, 2
     )
     SELECT d.event_type, d.hr, d.cnt, d.trend, s.seasonal,
@@ -849,9 +857,13 @@ def win_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     the anomaly-hunting input one level above win_anomaly_zscore's
     flat baseline.
 
-    Determinism: trend and seasonal are floor-form-rounded the moment
-    they're computed, so every downstream subtraction runs on
-    bit-identical doubles. Scale shape: one event_type-partitioned
+    Determinism: trend is floor-form-rounded the moment it's computed,
+    and the seasonal mean is ORDER-FREE — detrended (a 4dp value) is
+    scaled to integer ten-thousandths and summed as BIGINT (exact,
+    commutative), with a single divide+round at the end. A plain
+    avg(double) accumulates in engine/partition-dependent order, and a
+    half-ulp difference flips the literal-5 rounding boundary (28/3385
+    rows in the r6 driver run). Scale shape: one event_type-partitioned
     window over the hourly aggregate, one ≤|types|·24-row seasonal
     table broadcast back."""
     h = _hourly(spark, sf_dir)
@@ -867,7 +879,13 @@ def win_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hour("hr").cast("int").alias("hod"),
     )
     seas = detr.groupBy("event_type", "hod").agg(
-        _r(F.avg("detrended"), 4).alias("seasonal")
+        _r(
+            F.sum(
+                F.round(F.col("detrended") * 10000).cast("long")
+            ).cast("double")
+            / (F.count(F.lit(1)) * 10000).cast("double"),
+            4,
+        ).alias("seasonal")
     )
     return detr.join(F.broadcast(seas), ["event_type", "hod"]).select(
         "event_type",

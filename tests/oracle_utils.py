@@ -1,11 +1,14 @@
 """Driver-style comparison: Spark result vs DuckDB oracle.
 
 Mirrors the documented driver check: row count + schema (column names)
-+ order-insensitive value comparison. Values are compared exactly for
-ints/strings/timestamps and to 1e-9 relative for floats (the catalog
-rounds accumulation-order-dependent floats on both sides, so exact
-equality is expected in practice; the tolerance only papers over
-representation noise, not semantics).
++ order-insensitive value comparison. The driver HASHES values, so the
+primary mode here is EXACT — bit-equal floats, not almost-equal. The
+old 1e-9-tolerant mode is kept as a secondary diagnostic: when an
+exact comparison fails, the error message says whether the tolerant
+check would have passed, which separates "accumulation-order /
+rounding-boundary flap" (the r6 win_seasonal_decompose /
+report_cohort_ltv class — invisible at 1e-9, fatal to the driver's
+hash) from a genuine semantic difference.
 """
 
 from __future__ import annotations
@@ -52,7 +55,38 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(sort_cols, kind="mergesort").reset_index(drop=True)
 
 
-def compare(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame, name: str) -> None:
+def canon_driver_style(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Replicate the driver's rows-only canonicalization: sort the frame
+    by EVERY column. This raises TypeError on unhashable cells (list /
+    dict / ndarray columns) exactly the way the driver's check did on
+    ml_propensity_model's array<double> column in CORRECTNESS_r06 —
+    run it locally on every rows-only output so that class of failure
+    surfaces before shipping."""
+    if len(pdf.columns) == 0:
+        return pdf
+    return pdf.sort_values(list(pdf.columns), kind="mergesort").reset_index(
+        drop=True
+    )
+
+
+def _float_eq_exact(x: float, y: float) -> bool:
+    if x == y:
+        # distinguish -0.0 from 0.0 — a value hash may see them apart
+        return x != 0.0 or math.copysign(1.0, x) == math.copysign(1.0, y)
+    return False
+
+
+def compare(
+    spark_pdf: pd.DataFrame,
+    oracle_pdf: pd.DataFrame,
+    name: str,
+    exact: bool = True,
+) -> None:
+    """Assert the two frames match the way the driver's hash would.
+
+    exact=True (default, driver-faithful): floats must be bit-equal.
+    exact=False (diagnostic): 1e-9 relative tolerance on floats.
+    """
     assert sorted(spark_pdf.columns) == sorted(oracle_pdf.columns), (
         f"{name}: column mismatch {sorted(spark_pdf.columns)} vs "
         f"{sorted(oracle_pdf.columns)}"
@@ -71,9 +105,23 @@ def compare(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame, name: str) -> Non
                 assert not (pd.isna(x) or pd.isna(y)), (
                     f"{name}.{c}[{i}]: null mismatch {x!r} vs {y!r}"
                 )
-                assert math.isclose(x, y, rel_tol=1e-9, abs_tol=1e-9), (
-                    f"{name}.{c}[{i}]: {x!r} vs {y!r}"
-                )
+                if exact:
+                    if not _float_eq_exact(x, y):
+                        near = math.isclose(x, y, rel_tol=1e-9, abs_tol=1e-9)
+                        kind = (
+                            "ORDER/ROUNDING flap (within 1e-9 — the class "
+                            "the driver's hash catches and a tolerant "
+                            "compare hides)"
+                            if near
+                            else "semantic difference"
+                        )
+                        raise AssertionError(
+                            f"{name}.{c}[{i}]: {x!r} vs {y!r} — {kind}"
+                        )
+                else:
+                    assert math.isclose(x, y, rel_tol=1e-9, abs_tol=1e-9), (
+                        f"{name}.{c}[{i}]: {x!r} vs {y!r}"
+                    )
         else:
             mism = ca.ne(cb) & ~(ca.isna() & cb.isna())
             assert not mism.any(), (

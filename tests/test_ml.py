@@ -191,10 +191,15 @@ def test_propensity_model_learns_and_scores(spark):
     from nyc_traffic_insight_spark.queries import load_all
     from tests.conftest import SF_SMOKE
 
-    row = load_all()["ml_propensity_model"].builder(spark, SF_SMOKE).first()
+    rows = load_all()["ml_propensity_model"].builder(spark, SF_SMOKE).collect()
     import math
 
-    assert row["train_auc"] >= 0.5
-    assert all(math.isfinite(c) for c in row["coefficients"])
-    assert math.isfinite(row["intercept"])
-    assert row["n_test"] >= 0
+    assert len(rows) == 4  # one row per feature
+    assert {r["feature"] for r in rows} == {
+        "n_events", "n_purchases", "mean_value", "recency_s"
+    }
+    for row in rows:
+        assert row["train_auc"] >= 0.5
+        assert math.isfinite(row["coefficient"])
+        assert math.isfinite(row["intercept"])
+        assert row["n_test"] >= 0

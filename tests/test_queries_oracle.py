@@ -28,7 +28,14 @@ def test_query_matches_oracle(spark, duck, name):
 
 @pytest.mark.parametrize("name", [n for n in ROWS_ONLY if n not in SLOW])
 def test_rows_only_queries_run(spark, name):
+    from tests.oracle_utils import canon_driver_style
+
     spec = SPECS[name]
     df = spec.builder(spark, SF_ORACLE)
-    assert df.count() >= 0
     assert len(df.columns) > 0
+    pdf = df.toPandas()
+    assert len(pdf) >= 0
+    # the driver's rows-only check sorts the frame by EVERY column;
+    # an unhashable cell type (array/struct output column) crashes it
+    # (CORRECTNESS_r06 ml_propensity_model) — fail here first
+    canon_driver_style(pdf)
