@@ -54,88 +54,45 @@ def register(name: str, oracle: str | None = None, survey: str = ""):
     return deco
 
 
-# Registration-order rotation (VERDICT.md round 2 #1, r3 #7, r4 #2, r5 #1).
-# The driver's sf0.01 correctness gate walks REGISTRY front-to-back with a
-# ~50-query budget (CORRECTNESS_r04/r05 each carried exactly 50 rows).
-# Round-6 ordering, freshness-driven — never-checked beats stale beats
-# fresh (VERDICT r5 "Next round" #1):
-#   1. the 50 queries with ZERO driver evidence across r1–r5 — every
-#      operator registered after the r5 rotation froze (the time-series
-#      window tier, the behavioral/report tier, the eval-metric
-#      aggregates, layout/QA ops, ORC roundtrip).  Each was hash-verified
-#      locally at sf0.001 and sf0.01 before registration and re-verified
-#      by tools/verify_rotation.py this round, but only a driver
-#      CORRECTNESS row is the hard signal;
-#   2. the 34 r2-era queries whose evidence is 4 rounds stale (joins,
+# Registration-order rotation (VERDICT.md round 2 #1, r3 #7, r4 #2,
+# r5 #1, r6 #3). The driver's sf0.01 correctness gate walks REGISTRY
+# front-to-back with a ~50-query budget (CORRECTNESS_r04–r06 each
+# carried exactly 50 rows). Round-7 ordering, freshness-driven —
+# red beats changed beats never-checked beats stale beats fresh:
+#   1. the three r6 RED rows, re-verified after their fixes (the
+#      order-free summation rewrites + the scalar-schema propensity
+#      output) — a green driver row here is the round's headline;
+#   2. the eight r6 additions with zero driver evidence (VERDICT r6 #3's
+#      explicit list, its order kept: cheap oracled entries before the
+#      slow rows-only PCA);
+#   3. entries whose CODE changed this round: the two rows-only→oracled
+#      conversions (exact-integer cosine top-k, t-digest rank-error
+#      audit) and the new registered S12 pipeline;
+#   4. the 34 r2-era queries whose evidence is 5 rounds stale (joins,
 #      scalar/date/flag functions, the dedup front half, the first two
-#      sim_search tiers, text basics) — they overflow a 50-slot budget and
-#      roll in order if the gate walks further.
-# Everything r3+-green keeps its standing evidence and registers last.
+#      sim_search tiers, text basics);
+#   5. overflow: the 46 r3-era entries in registration order — checked
+#      only if the gate walks past slot ~50, and first in line for r8.
+# Everything r4+-green keeps its standing evidence and registers last.
 _CHECK_FIRST = [
-    # 1. never driver-checked (registered after the r5 rotation froze)
-    "win_ewma",
-    "time_spine_locf",
-    "win_anomaly_zscore",
-    "win_topn_per_key",
-    "win_pct_change",
-    "win_seasonal_decompose",
-    "report_forecast_backtest",
-    "win_changepoint_cusum",
-    "win_autocorrelation",
-    "join_scd2_pointintime",
-    "text_chunk_fixed",
-    "emb_pair_distance_audit",
-    "dedup_canonical_select",
-    "text_oov_rate",
-    "text_readability",
-    "stream_disorder_audit",
-    "win_sessionize_native",
-    "qa_rapid_repeat_audit",
-    "sketch_hll_overlap",
-    "agg_wau_exact",
-    "sketch_hll_rolling",
+    # 1. r6 red rows, now fixed
     "ml_propensity_model",
-    "event_attribution_last_touch",
-    "sample_negatives_per_user",
-    "report_copurchase_pairs",
-    "agg_gini_by_group",
-    "report_session_conversion",
-    "win_rank_change",
-    "agg_seasonality_profile",
-    "pipeline_user_features",
-    "agg_time_to_convert",
-    "qa_freshness_audit",
-    "report_revenue_bridge",
-    "pipeline_training_dataset",
-    "agg_auc_exact",
-    "agg_precision_recall_curve",
-    "agg_ks_statistic",
-    "agg_lift_by_decile",
-    "qa_expectations_report",
-    "pipeline_incremental_rollup",
-    "agg_bootstrap_ci",
-    "report_ab_test",
-    "agg_chi_square_independence",
-    "agg_benford_audit",
-    "win_max_drawdown",
+    "win_seasonal_decompose",
     "report_cohort_ltv",
-    "layout_compact_files",
-    "layout_bucketed_join",
-    "layout_partition_pruning",
-    "scan_orc_roundtrip",
-    # 1b. added in r6 (never checked either; after the r5 backlog)
+    # 2. r6 additions, never driver-checked
     "ml_segmented_router",
+    "emb_covariance_matrix",
     "text_bpe_pair_counts",
     "graph_pagerank_topk",
     "agg_cumulative_users",
     "report_pareto_deciles",
-    "emb_covariance_matrix",
     "join_asof_nearest",
-    # rows-only and ~10 s to build (runs the covariance + means jobs):
-    # last of the r6 block so a time-budgeted gate checks the cheap
-    # oracled entries first
     "emb_pca_project",
-    # 2. r2-stale (overflow; checked in order if the budget allows)
+    # 3. changed / added in r7
+    "sim_search_topk_vectorized",
+    "sketch_tdigest",
+    "pipeline_http_to_parquet",
+    # 4. r2-stale
     "join_star_broadcast",
     "join_asof",
     "join_range_binned",
@@ -170,6 +127,54 @@ _CHECK_FIRST = [
     "cond_route",
     "json_struct_build",
     "json_extract",
+    # 5. r3-stale overflow (positions 49+; r8's natural front)
+    "win_lag1",
+    "win_lag_multi",
+    "win_roll_mean_3",
+    "win_roll_mean_24",
+    "win_time_split",
+    "win_sliding_lookback",
+    "win_lag_series",
+    "win_ranking",
+    "win_cumulative",
+    "win_range_time",
+    "time_spine_gapfill",
+    "join_traffic_weather_boro",
+    "join_traffic_weather_time",
+    "join_holiday_dim",
+    "join_coord_map",
+    "join_nearest_edge",
+    "text_fingerprint",
+    "doc_stats_by_source",
+    "sketch_count_min",
+    "sketch_heavy_hitters",
+    "emb_normalize",
+    "emb_quantize_int8",
+    "pipeline_text_prep",
+    "ml_kmeans",
+    "sim_search_ivf_kmeans",
+    "dedup_connected_components",
+    "dedup_edit_distance",
+    "stream_tumbling_counts",
+    "stream_sliding_counts",
+    "stream_dedup_ids",
+    "stream_sessionization",
+    "mm_extract_features",
+    "mm_video_frames",
+    "mm_asset_stats",
+    "sample_stratified",
+    "sample_reservoir_topk",
+    "sketch_bloom_filter",
+    "text_pii_scrub",
+    "agg_percentile_exact",
+    "ml_linear_regression",
+    "ml_random_forest",
+    "ml_gbt",
+    "ml_segmented_model",
+    "ml_permutation_importance",
+    "ml_inference_single_row",
+    "ml_grouped_ols",
+    "scan_object_store",
 ]
 
 

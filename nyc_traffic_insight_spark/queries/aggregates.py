@@ -426,14 +426,45 @@ def sketch_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TD_PROBES = [0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
 
 
+def _tdigest_oracle() -> str:
+    """The digest's internals stay rows-only-by-nature (centroid means
+    depend on which rows share a partition), but the QUERY is oracled
+    by changing what it emits: per probe, (a) the exact discrete
+    quantile of the input — value at rank ceil(q·n), deterministic and
+    SQL-expressible — and (b) a boolean rank-error audit of the digest
+    estimate against the pinned tolerance (0.005 near the tails, 0.03
+    in the body — the same bound tests/test_sketches.py has carried
+    since r3). The oracle pins the booleans to TRUE: the hash then
+    proves the sketch's estimates honor the accuracy contract without
+    requiring bit-equal centroid arithmetic (VERDICT r6 #4)."""
+    probes = ", ".join(f"(CAST({q} AS DOUBLE))" for q in _TD_PROBES)
+    return f"""
+    WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM lineitem),
+    probes(q) AS (VALUES {probes}),
+    targets AS (
+      SELECT p.q, CAST(ceil(p.q * nn.n) AS BIGINT) AS rk, nn.n
+      FROM probes p CROSS JOIN nn
+    ),
+    ranked AS (
+      SELECT l_extendedprice AS v,
+             row_number() OVER (ORDER BY l_extendedprice) AS rn
+      FROM lineitem
+    )
+    SELECT t.q, r.v AS exact_q, TRUE AS rank_err_ok,
+           t.n AS total_weight
+    FROM targets t JOIN ranked r ON r.rn = t.rk
+    """
+
+
 @register(
     "sketch_tdigest",
     survey="north-star: t-digest-style mergeable quantile sketch "
-    "(beside sketch_histogram; NOTES.md backlog item). Rows-only: "
-    "centroid means are accumulation-order-dependent, so no value "
-    "oracle is possible — merge/accuracy invariants pinned in "
-    "tests/test_sketches.py instead",
-    oracle=None,
+    "(beside sketch_histogram; NOTES.md backlog item). Oracled as a "
+    "rank-error audit: exact discrete quantiles + a boolean accuracy "
+    "check of the digest estimates (centroid internals stay engine-"
+    "side); merge/accuracy invariants additionally pinned in "
+    "tests/test_sketches.py",
+    oracle=_tdigest_oracle(),
 )
 def sketch_tdigest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantiles of l_extendedprice via a two-level t-digest.
@@ -448,22 +479,25 @@ def sketch_tdigest(spark: SparkSession, sf_dir: str) -> DataFrame:
     construction (k1 scale function). functions/tdigest.py documents
     the determinism contract that makes the merge partition-order-safe.
 
-    Why no value oracle (VERDICT r4 #5, attempted twice): the digest is
-    deterministic for a FIXED partitioning (compress is a pure function
-    of the centroid multiset), but the level-1 partials depend on which
-    rows share a partition, and a cross-engine oracle would have to
-    reproduce the greedy k1 clustering itself — a sequential
-    data-dependent scan that SQL can only express as an O(N)-iteration
-    recursive CTE (one step per input row; DuckDB executes it but at
-    ~60k iterations it is slower than the query by orders of magnitude
-    and numerically fragile, since each step's weight-averaged mean must
-    match numpy's accumulation bit-for-bit). Rounding the estimates to a
-    coarse grid does not help either: the t-digest error bound is in
-    RANK (≤ q(1−q)·4/δ), not in value, so no value grid is provably
-    coarser than the estimate error. The deterministic, SQL-expressible
-    member of this family is sketch_qdigest below — that one carries
-    the full value-hash oracle; this entry keeps the rank-error and
-    merge-algebra invariants in tests/test_sketches.py.
+    Why the ESTIMATES aren't hash-compared (VERDICT r4 #5, attempted
+    twice): the digest is deterministic for a FIXED partitioning
+    (compress is a pure function of the centroid multiset), but the
+    level-1 partials depend on which rows share a partition, and a
+    cross-engine oracle would have to reproduce the greedy k1
+    clustering itself — a sequential data-dependent scan that SQL can
+    only express as an O(N)-iteration recursive CTE, and the t-digest
+    error bound is in RANK (≤ q(1−q)·4/δ), not value, so no value grid
+    is provably coarser than the estimate error. The r7 resolution
+    (VERDICT r6 #4): emit what IS deterministic — the exact discrete
+    quantile (value at rank ceil(q·n)) and a boolean rank-error audit
+    of the estimate at the pinned tolerance — so the driver hash
+    verifies the accuracy CONTRACT, while the bit-level merge algebra
+    stays pinned in tests/test_sketches.py.
+
+    The audit adds two bounded extra passes over the column (a
+    count-bounded rank join for the exact quantiles and a 7-row
+    broadcast rank count for the estimates) — the sketch itself is
+    still the one-scan two-level tree.
     """
     import pandas as pd
 
@@ -492,14 +526,59 @@ def sketch_tdigest(spark: SparkSession, sf_dir: str) -> DataFrame:
             {
                 "q": _TD_PROBES,
                 "est": [td.quantile(m, w, q) for q in _TD_PROBES],
-                "n_centroids": len(m),
-                "total_weight": float(w.sum()),
             }
         )
 
-    return cent.groupBy(F.lit(1).alias("g")).applyInPandas(
-        final,
-        "q double, est double, n_centroids int, total_weight double",
+    ests = cent.groupBy(F.lit(1).alias("g")).applyInPandas(
+        final, "q double, est double"
+    )
+
+    # --- rank-error audit (driver-hashable, estimate stays internal) ---
+    from pyspark.sql import Window as W2
+
+    nn = li.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    probes = spark.createDataFrame(
+        [(float(q),) for q in _TD_PROBES], "q double"
+    )
+    targets = probes.crossJoin(F.broadcast(nn)).select(
+        "q", F.ceil(F.col("q") * F.col("n")).cast("bigint").alias("rk"), "n"
+    )
+    # exact discrete quantile = value at rank ceil(q·n). The global
+    # row_number window is AUDIT scaffolding, not the sketch's path —
+    # the digest itself never sorts; at production scale the audit
+    # would run on a sample or via the count-threshold form.
+    ranked = li.select(
+        F.col("l_extendedprice").alias("v"),
+        F.row_number().over(W2.orderBy("l_extendedprice")).alias("rn"),
+    )
+    exact = ranked.join(
+        F.broadcast(targets), F.col("rn") == F.col("rk")
+    ).select("q", F.col("v").alias("exact_q"), "n")
+
+    # digest estimate's observed rank: one broadcast pass over the column
+    tol = F.when(
+        F.least(F.col("q"), 1 - F.col("q")) < 0.05, F.lit(0.005)
+    ).otherwise(F.lit(0.03))
+    obs = (
+        li.crossJoin(F.broadcast(ests))
+        .groupBy("q", "est")
+        .agg(
+            F.sum(
+                F.when(F.col("l_extendedprice") <= F.col("est"), 1).otherwise(0)
+            ).cast("bigint").alias("cnt_le")
+        )
+    )
+    return (
+        exact.join(obs, "q")
+        .select(
+            "q",
+            "exact_q",
+            (
+                F.abs(F.col("cnt_le").cast("double") / F.col("n") - F.col("q"))
+                <= tol
+            ).alias("rank_err_ok"),
+            F.col("n").alias("total_weight"),
+        )
     )
 
 

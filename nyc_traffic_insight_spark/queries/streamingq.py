@@ -434,3 +434,89 @@ def qa_rapid_repeat_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("gap_s").isNotNull() & (F.col("gap_s") <= 60))
     )
+
+
+@register(
+    "pipeline_http_to_parquet",
+    survey="S12 end-to-end: the reference's poll->merge pipeline "
+    "(enrich_weather.py:69-178) as a REGISTERED query — rate-limited "
+    "checkpointed HTTP ingest -> JSONL spool -> checkpointed file "
+    "stream -> parquet sink -> per-page aggregate. The fetch seam is a "
+    "deterministic local generator (no network in the driver gate), so "
+    "the aggregate is fully value-oracled via generate_series",
+    oracle="""
+    SELECT CAST(i AS INTEGER) AS page,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum((i * 100 + j) * 7 % 13) AS BIGINT) AS sum_value
+    FROM generate_series(0, 2) t(i)
+    CROSS JOIN generate_series(0, 99) s(j)
+    GROUP BY 1
+    """,
+)
+def pipeline_http_to_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full S12 pipeline under the driver's hash gate.
+
+    HttpIngest (sources/http_ingest.py: fixed-window budgets, retry,
+    URL-keyed cache, per-item checkpoint) pulls three 'pages' through
+    its fetch seam — a deterministic generator standing in for the
+    network, emitting row (id = page*100 + j, value = id*7 % 13) —
+    and lands each page as an atomic JSONL spool file. A checkpointed
+    availableNow file stream (maxFilesPerTrigger=1, the S12 drain
+    shape) moves the spool into a parquet sink exactly once; the
+    returned aggregate is computed FROM THE SINK, so the hash match
+    proves the whole path landed every row exactly once. At scale the
+    poller stays a driver-side sequential loop (it is rate-limit-bound
+    by construction) while the spool->sink->aggregate side is the
+    cluster's usual parallel ingest.
+    """
+    import json
+    import os
+    import shutil
+
+    from nyc_traffic_insight_spark.queries.core import _tmp
+    from nyc_traffic_insight_spark.sources.http_ingest import HttpIngest
+
+    base = _tmp(sf_dir, "http_pipeline")
+    shutil.rmtree(base, ignore_errors=True)
+    spool = os.path.join(base, "spool")
+    chk = os.path.join(base, "chk")
+    out = os.path.join(base, "out")
+
+    def fake_fetch(url: str) -> bytes:
+        page = int(url.rsplit("/", 1)[1])
+        rows = [
+            {"page": page, "id": page * 100 + j, "value": (page * 100 + j) * 7 % 13}
+            for j in range(100)
+        ]
+        return json.dumps(rows).encode()
+
+    ing = HttpIngest(
+        spool_dir=spool,
+        cache_dir=os.path.join(base, "cache"),
+        checkpoint_path=os.path.join(base, "ckpt", "progress.jsonl"),
+        fetch=fake_fetch,
+        sleep=lambda s: None,
+    )
+    ing.run([(f"page_{i}", f"local://pages/{i}") for i in range(3)])
+
+    stream = (
+        spark.readStream.schema("page int, id long, value long")
+        .option("maxFilesPerTrigger", 1)
+        .json(spool)
+    )
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", chk)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return (
+        spark.read.parquet(out)
+        .groupBy("page")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("value").cast("bigint").alias("sum_value"),
+        )
+    )

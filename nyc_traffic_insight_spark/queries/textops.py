@@ -1370,22 +1370,74 @@ def pipeline_text_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------- vectorized ANN scorer (pandas batch path)
 
 
+_TICK = 1_000_000  # quantization scale for the exact-integer cosine
+
+
+def _vectorized_topk_oracle() -> str:
+    """Exact-integer cosine: each float32 component quantizes to BIGINT
+    ticks (floor-form, ×10⁶); dot product and squared norms are then
+    exact commutative integer sums — immune to numpy-pairwise vs
+    SQL-sequential summation order — and the only float ops are two
+    sqrts and one division on exact integers, bit-deterministic IEEE
+    on both engines."""
+    return f"""
+    WITH t AS (
+      SELECT vec_id,
+             list_transform(embedding::DOUBLE[],
+               x -> CAST(CASE WHEN x >= 0
+                              THEN floor(x * {_TICK} + 0.5)
+                              ELSE -floor(-x * {_TICK} + 0.5) END
+                         AS BIGINT)) AS ticks
+      FROM embeddings
+    ),
+    n AS (
+      SELECT vec_id, ticks,
+             sqrt(CAST(CAST(list_sum(list_transform(ticks, x -> x * x))
+                            AS BIGINT) AS DOUBLE)) AS nrm
+      FROM t
+    ),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             CAST(CAST(list_sum(list_transform(
+                    list_zip(q.ticks, c.ticks), p -> p[1] * p[2]))
+                  AS BIGINT) AS DOUBLE) / (q.nrm * c.nrm) AS cos_raw
+      FROM n q JOIN n c ON q.vec_id < 5 AND q.vec_id <> c.vec_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, cos_raw,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos_raw DESC, neighbor_id)
+                  AS INTEGER) AS rnk
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, round(cos_raw, 4) AS cosine, rnk
+    FROM ranked WHERE rnk <= 10
+    """
+
+
 @register(
     "sim_search_topk_vectorized",
     survey="north-star: brute-force top-k via numpy-matmul mapInPandas "
     "(local top-k per batch → global merge; the throughput path)",
-    oracle=None,  # numpy pairwise summation ≠ sequential fold at the
-    # last ulp → rank boundaries can flip; recall vs the exact form is
-    # pinned in tests/test_vectorized_ann.py instead
+    oracle=_vectorized_topk_oracle(),
 )
 def sim_search_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same query as sim_search_bruteforce_topk, executed the way a
     100 TB scorer actually runs: the query matrix broadcasts inside an
     Arrow-batched mapInPandas closure, every corpus batch scores ALL
-    queries with one numpy matmul (BLAS, not per-element JVM eval),
-    emits only its local top-k, and a tiny global window merges
+    queries with one numpy matmul (BLAS-shaped, not per-element JVM
+    eval), emits only its local top-k, and a tiny global window merges
     candidates. Shuffle volume is |queries|·k per partition regardless
-    of corpus size."""
+    of corpus size.
+
+    Oracled via exact-integer arithmetic: components quantize to
+    BIGINT ticks (floor-form, ×10⁶), so the int64 matmul is exact and
+    commutative — numpy's pairwise summation and the oracle's
+    sequential fold produce THE SAME integer, and the two sqrts + one
+    division that follow are deterministic IEEE ops. Ranking ties
+    break on neighbor_id. (The raw-float form was rows-only for four
+    rounds because the last-ulp summation-order difference could flip
+    rank boundaries.)"""
     import numpy as np
     import pandas as pd
 
@@ -1411,21 +1463,40 @@ def sim_search_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
             "collect-and-broadcast-into-closure is out of contract — "
             "use the IVF cell-join path instead"
         )
+    def _ticks(mat: "np.ndarray") -> "np.ndarray":
+        # floor-form quantization (matches the oracle's CASE and the
+        # catalog's rounding.r — np.round would banker's-round .5)
+        scaled = mat.astype(np.float64) * _TICK
+        return np.where(
+            scaled >= 0,
+            np.floor(scaled + 0.5),
+            -np.floor(-scaled + 0.5),
+        ).astype(np.int64)
+
     q_ids = np.array([r["vec_id"] for r in q_rows])
-    q_mat = np.array([r["embedding"] for r in q_rows], dtype=np.float64)
-    q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)
+    q_t = _ticks(np.array([r["embedding"] for r in q_rows], dtype=np.float64))
+    q_nrm = np.sqrt((q_t * q_t).sum(axis=1).astype(np.float64))
 
     def score(batches):
         for pdf in batches:
             ids = pdf["vec_id"].to_numpy()
-            c = np.array(list(pdf["embedding"]), dtype=np.float64)
-            c /= np.linalg.norm(c, axis=1, keepdims=True)
-            cos = q_mat @ c.T  # |q| × |batch|
+            c_t = _ticks(np.array(list(pdf["embedding"]), dtype=np.float64))
+            c_nrm = np.sqrt((c_t * c_t).sum(axis=1).astype(np.float64))
+            # int64 matmul: EXACT, so summation order cannot matter
+            cos = (q_t @ c_t.T).astype(np.float64) / (
+                q_nrm[:, None] * c_nrm[None, :]
+            )
             top = min(k + 1, cos.shape[1])  # +1: self may be in batch
-            idx = np.argpartition(-cos, top - 1, axis=1)[:, :top]
+            # keep EVERYTHING >= the top-th score: exact ties at the
+            # local cutoff must all survive to the global merge, or the
+            # window's neighbor_id tie-break could pick a candidate a
+            # batch silently dropped
+            thresh = np.partition(cos, cos.shape[1] - top, axis=1)[
+                :, cos.shape[1] - top
+            ]
             out = []
-            for qi, row in enumerate(idx):
-                for ci in row:
+            for qi in range(cos.shape[0]):
+                for ci in np.nonzero(cos[qi] >= thresh[qi])[0]:
                     if ids[ci] != q_ids[qi]:
                         out.append((int(q_ids[qi]), int(ids[ci]), float(cos[qi, ci])))
             yield pd.DataFrame(out, columns=["query_id", "neighbor_id", "cos_raw"])

@@ -43,8 +43,12 @@ from dataclasses import dataclass, field
 
 @dataclass
 class RateBudget:
-    """Proactive request budget over a rolling window (the reference's
-    4500/hour and 9500/day counters, enrich_weather.py:76-96)."""
+    """Proactive request budget over a FIXED window (the reference's
+    4500/hour and 9500/day counters, enrich_weather.py:76-96): the
+    window starts at the first recorded request and resets wholesale
+    once ``window_s`` elapses — it is not a rolling per-request
+    window. Callers must re-check ``wait_time`` after sleeping (the
+    reset happens inside ``wait_time``), which ``HttpIngest`` does."""
 
     limit: int
     window_s: float
@@ -60,7 +64,16 @@ class RateBudget:
             self.window_start = now
             return 0.0
         if self.count >= self.limit:
-            return self.window_s - elapsed
+            # returning a sleep: open the NEXT window now (count reset,
+            # start at the moment the sleep ends) so the caller's very
+            # next record() lands in the fresh window — resetting lazily
+            # on the following wait_time call instead would count that
+            # request into the stale window and admit limit+1 at the
+            # boundary
+            remaining = self.window_s - elapsed
+            self.count = 0
+            self.window_start = now + remaining
+            return remaining
         return 0.0
 
     def record(self) -> None:
@@ -75,7 +88,9 @@ class HttpIngest:
     sleeps (the reference's retry_requests wrapper, retries=5,
     backoff_factor=0.2); HTTP 429 sleeps ``rate_limit_sleep_s`` and
     does NOT consume a retry (the reference's categorized rate-limit
-    sleeps); other HTTP/URL errors consume retries and re-raise when
+    sleeps) but is capped at ``max_rate_limit_sleeps`` per request so a
+    persistently-429ing server fails the run instead of looping
+    forever; other HTTP/URL errors consume retries and re-raise when
     exhausted.
     """
 
@@ -86,6 +101,7 @@ class HttpIngest:
     retries: int = 5
     backoff_s: float = 0.2
     rate_limit_sleep_s: float = 10.0
+    max_rate_limit_sleeps: int = 100
     per_request_pause_s: float = 0.0
     clock: Callable[[], float] = _time.monotonic
     sleep: Callable[[float], None] = _time.sleep
@@ -112,14 +128,31 @@ class HttpIngest:
             f.write(json.dumps({"key": key}) + "\n")
 
     # ------------------------------------------------------------ fetch
-    def _cached_fetch(self, url: str) -> bytes:
+    def _cached_fetch(
+        self, url: str, validate: Callable[[bytes], None] | None = None
+    ) -> bytes:
+        """Content-addressed cache around the retrying fetch. A fresh
+        body is validated BEFORE it is persisted — an invalid response
+        must not poison the cache, or every rerun/resume re-raises from
+        cache with no recovery path. A cached body that fails
+        validation (written by an older version) is evicted and
+        refetched once."""
         cache_file = os.path.join(
             self.cache_dir, hashlib.md5(url.encode()).hexdigest() + ".body"
         )
         if os.path.exists(cache_file):
             with open(cache_file, "rb") as f:
-                return f.read()
+                body = f.read()
+            if validate is None:
+                return body
+            try:
+                validate(body)
+                return body
+            except Exception:
+                os.remove(cache_file)  # stale bad entry: refetch below
         body = self._fetch_with_retry(url)
+        if validate is not None:
+            validate(body)  # raises before the cache write
         tmp = cache_file + ".tmp"
         with open(tmp, "wb") as f:
             f.write(body)
@@ -134,6 +167,7 @@ class HttpIngest:
 
     def _fetch_with_retry(self, url: str) -> bytes:
         attempt = 0
+        rl_sleeps = 0
         while True:
             for b in self.budgets:
                 wait = b.wait_time(self.clock())
@@ -149,7 +183,16 @@ class HttpIngest:
             except urllib.error.HTTPError as e:
                 if e.code == 429:
                     # server-side rate limit: sleep its category, don't
-                    # burn a retry (enrich_weather.py:103-118)
+                    # burn a retry (enrich_weather.py:103-118) — but cap
+                    # the categorized sleeps so a persistently-429ing
+                    # server fails the item instead of spinning forever
+                    rl_sleeps += 1
+                    if rl_sleeps > self.max_rate_limit_sleeps:
+                        raise RuntimeError(
+                            f"{url}: still rate-limited after "
+                            f"{self.max_rate_limit_sleeps} categorized "
+                            "sleeps — giving up"
+                        ) from e
                     self.sleep(self.rate_limit_sleep_s)
                     continue
                 attempt += 1
@@ -168,15 +211,21 @@ class HttpIngest:
         response as ``<spool>/<key>.jsonl`` (one JSON object per line —
         the body must be a JSON array of row objects). Returns
         {fetched, skipped} counts."""
+        def _validate(body: bytes) -> None:
+            if not isinstance(json.loads(body.decode()), list):
+                raise ValueError("expected a JSON array of rows")
+
         done = self.completed()
         fetched = skipped = 0
         for key, url in items:
             if key in done:
                 skipped += 1
                 continue
-            rows = json.loads(self._cached_fetch(url).decode())
-            if not isinstance(rows, list):
-                raise ValueError(f"{key}: expected a JSON array of rows")
+            try:
+                body = self._cached_fetch(url, validate=_validate)
+            except ValueError as e:
+                raise ValueError(f"{key}: {e}") from e
+            rows = json.loads(body.decode())
             out = os.path.join(self.spool_dir, f"{key}.jsonl")
             tmp = out + ".tmp"
             with open(tmp, "w") as f:

@@ -172,3 +172,54 @@ def test_poll_spool_stream_end_to_end(server, tmp_path, spark):
     final = spark.read.parquet(out)
     assert final.count() == 12  # exactly-once: no re-landed duplicates
     assert final.select("k").distinct().count() == 4
+
+
+def test_persistent_429_gives_up_after_cap(server, tmp_path):
+    # ADVICE r6: a server that 429s forever must fail the item, not spin
+    _Handler.fail_first["/a"] = [429] * 50
+    ing, sleeps = _ingest(tmp_path, max_rate_limit_sleeps=5)
+    with pytest.raises(RuntimeError, match="rate-limited after 5"):
+        ing.run([("a", f"{server}/a")])
+    assert sleeps.count(10.0) == 5  # capped, then gave up
+
+
+def test_invalid_body_does_not_poison_cache(server, tmp_path):
+    # ADVICE r6: a non-array body must NOT be persisted to the cache —
+    # otherwise every rerun re-raises from cache with no recovery path
+    import os
+
+    class _BadHandler:
+        calls = {"n": 0}
+
+    def fake_fetch(url):
+        _BadHandler.calls["n"] += 1
+        if _BadHandler.calls["n"] == 1:
+            return json.dumps({"not": "an array"}).encode()
+        return json.dumps([{"k": "a", "i": 0, "v": 0.0}]).encode()
+
+    ing, _ = _ingest(tmp_path)
+    ing.fetch = fake_fetch
+    with pytest.raises(ValueError, match="expected a JSON array"):
+        ing.run([("a", "local://a")])
+    assert os.listdir(str(tmp_path / "cache")) == []  # nothing cached
+    # rerun recovers: server now healthy, fresh fetch succeeds
+    out = ing.run([("a", "local://a")])
+    assert out == {"fetched": 1, "skipped": 0}
+
+
+def test_stale_bad_cache_entry_is_evicted(tmp_path):
+    # a bad body already in the cache (older writer) is evicted and
+    # refetched instead of re-raising forever
+    import hashlib
+    import os
+
+    url = "local://a"
+    ing, _ = _ingest(tmp_path)
+    cache_file = os.path.join(
+        str(tmp_path / "cache"), hashlib.md5(url.encode()).hexdigest() + ".body"
+    )
+    with open(cache_file, "wb") as f:
+        f.write(json.dumps({"bad": True}).encode())
+    ing.fetch = lambda u: json.dumps([{"k": "a", "i": 0, "v": 0.0}]).encode()
+    out = ing.run([("a", url)])
+    assert out == {"fetched": 1, "skipped": 0}

