@@ -2687,9 +2687,16 @@ def emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from nyc_traffic_insight_spark.queries import REGISTRY
 
-    dim = 64
     cov_rows = (
         REGISTRY["emb_covariance_matrix"].builder(spark, sf_dir).collect()
+    )
+    # derive dim from the triangle itself (ADVICE r6): a hard-coded 64
+    # would IndexError opaquely (or silently truncate) if the fixture
+    # dimension ever changed
+    dim = max(max(row["i"], row["j"]) for row in cov_rows) + 1
+    assert len(cov_rows) == dim * (dim + 1) // 2, (
+        f"covariance triangle has {len(cov_rows)} rows; "
+        f"expected {dim * (dim + 1) // 2} for dim={dim}"
     )
     cov = np.zeros((dim, dim))
     for row in cov_rows:

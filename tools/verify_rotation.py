@@ -26,14 +26,26 @@ from tests.oracle_utils import compare, duck_connect  # noqa: E402
 
 
 def main() -> int:
-    argv = sys.argv[1:]
-    sf_dir = argv[0] if argv and not argv[0].startswith("--") else "/root/testdata/sf0.01"
-    limit = None
-    only = None
-    if "--limit" in argv:
-        limit = int(argv[argv.index("--limit") + 1])
-    if "--only" in argv:
-        only = argv[argv.index("--only") + 1].split(",")
+    import argparse
+
+    ap = argparse.ArgumentParser(
+        description="Driver-style local verification of the "
+        "correctness-rotation front."
+    )
+    ap.add_argument(
+        "sf_dir", nargs="?", default="/root/testdata/sf0.01",
+        help="parquet table directory (default sf0.01)",
+    )
+    ap.add_argument(
+        "--limit", type=int, default=None,
+        help="check only the first N registry entries",
+    )
+    ap.add_argument(
+        "--only", type=lambda s: s.split(","), default=None,
+        metavar="a,b,c", help="check only the named queries",
+    )
+    args = ap.parse_args()
+    sf_dir, limit, only = args.sf_dir, args.limit, args.only
 
     spark = get_spark(app_name="ntis-verify-rotation")
     spark.sparkContext.setLogLevel("ERROR")
