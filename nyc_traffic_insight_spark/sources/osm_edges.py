@@ -1,0 +1,176 @@
+"""OSM road-network extract → edge/segment DataFrame (last reference
+delta, VERDICT r6 #6).
+
+Reference behavior (scripts/point_to_linestring.py:24-29): osmnx
+downloads the NYC drive network and builds a graph whose EDGES carry
+the road geometry; :54-65 then snaps each traffic point to its nearest
+edge. The engine-side counterpart is a source that turns a public OSM
+extract into the ``seg_id, x1, y1, x2, y2`` segment table that
+``operators/spatial.py::nearest_edge_join`` consumes (plus the way
+metadata a user would filter on), replacing the osmnx download with
+reproducible file input.
+
+Three formats, by how they actually ship:
+
+- ``.osm`` XML (load_osm_xml): stdlib-parsed — no dependency. OSM XML
+  is ONE document, not splittable, so the parse is a driver-side
+  one-time prep exactly like the reference script; the output goes to
+  parquet once and every downstream read is columnar+splittable. Fine
+  for city extracts (NYC drive network ≈ 10⁵ ways); NOT the planet
+  path.
+- ``.osm.pbf`` (load_osm_pbf): the planet path — import-gated on
+  ``osmium`` / ``pyrosm`` (absent in this container, same gate pattern
+  as Sedona), raising with install guidance rather than a stub result.
+- LineString GeoJSON / ndjson (load_geojson_lines): what an
+  osmnx/overpass export actually looks like on disk. Read with
+  spark.read.json (splittable in ndjson form), exploded into segments
+  JVM-side — the fully distributed path.
+
+A way with n geometry nodes yields n-1 directed segments
+(``edge_id = way_id * 1000 + k`` for the k-th segment, mirroring how
+osmnx keys multi-segment edges); ``highway`` classifies, ``name``
+labels. Coordinates stay EPSG:4326 — snap tolerance is in degrees like
+the catalog's J5 grid, and functions/geo.py reprojects when meters are
+needed.
+"""
+
+from __future__ import annotations
+
+import xml.etree.ElementTree as ET
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+EDGE_SCHEMA = (
+    "edge_id long, way_id long, u long, v long, name string, "
+    "highway string, x1 double, y1 double, x2 double, y2 double"
+)
+
+# way types the reference's network_type='drive' keeps (osmnx's drive
+# filter, minus the service/track tail): everything a car routes on
+DRIVE_HIGHWAYS = frozenset(
+    {
+        "motorway", "trunk", "primary", "secondary", "tertiary",
+        "unclassified", "residential", "living_street",
+        "motorway_link", "trunk_link", "primary_link",
+        "secondary_link", "tertiary_link",
+    }
+)
+
+
+def load_osm_xml(
+    spark: SparkSession,
+    path: str,
+    highways: frozenset[str] | None = DRIVE_HIGHWAYS,
+) -> DataFrame:
+    """Parse an OSM XML extract into the edge-segment table.
+
+    Driver-side by design: .osm is a single XML document (not
+    splittable), and the reference's graph build is the same one-time
+    prep step — land the result in parquet and scan THAT at scale.
+    ``highways=None`` keeps every way that has a highway tag."""
+    nodes: dict[int, tuple[float, float]] = {}
+    rows: list[tuple] = []
+    # iterparse: the 'end' event stream keeps memory at O(way), not
+    # O(file) — city extracts parse in one pass without building a DOM
+    for _event, el in ET.iterparse(path, events=("end",)):
+        if el.tag == "node":
+            nodes[int(el.get("id"))] = (
+                float(el.get("lon")), float(el.get("lat"))
+            )
+        elif el.tag == "way":
+            tags = {
+                t.get("k"): t.get("v") for t in el.findall("tag")
+            }
+            hw = tags.get("highway")
+            if hw is not None and (highways is None or hw in highways):
+                way_id = int(el.get("id"))
+                refs = [int(nd.get("ref")) for nd in el.findall("nd")]
+                name = tags.get("name")
+                for k in range(len(refs) - 1):
+                    u, v = refs[k], refs[k + 1]
+                    if u not in nodes or v not in nodes:
+                        continue  # clipped extract: endpoint outside bbox
+                    (x1, y1), (x2, y2) = nodes[u], nodes[v]
+                    rows.append(
+                        (
+                            way_id * 1000 + k, way_id, u, v, name, hw,
+                            x1, y1, x2, y2,
+                        )
+                    )
+            el.clear()  # free the subtree as we go
+    return spark.createDataFrame(rows, EDGE_SCHEMA)
+
+
+def load_osm_pbf(
+    spark: SparkSession,
+    path: str,
+    highways: frozenset[str] | None = DRIVE_HIGHWAYS,
+) -> DataFrame:
+    """Planet-scale extracts: requires a pbf parser, absent here.
+
+    Import-gated like the Sedona backend (operators/spatial.py): the
+    engine's plumbing (schema, segment expansion, nearest_edge_join
+    handoff) is identical to load_osm_xml — only the decode step needs
+    the native reader."""
+    try:
+        import osmium  # noqa: F401
+    except ImportError:
+        try:
+            import pyrosm  # noqa: F401
+        except ImportError as e:
+            raise ImportError(
+                "reading .osm.pbf needs 'osmium' or 'pyrosm' "
+                "(neither is installed); convert the extract to .osm "
+                "XML (osmium cat x.osm.pbf -o x.osm) or a LineString "
+                "GeoJSON export and use load_osm_xml / "
+                "load_geojson_lines"
+            ) from e
+    raise NotImplementedError(
+        "pbf fast-path not wired in this environment; see load_osm_xml"
+    )
+
+
+def load_geojson_lines(spark: SparkSession, path: str) -> DataFrame:
+    """LineString FeatureCollection/ndjson (an osmnx or overpass
+    export) → the same edge-segment table, fully Spark-side.
+
+    Each feature's coordinate array explodes into consecutive pairs
+    with posexplode + a self-zip offset — no Python row loop; ndjson
+    input keeps the read splittable (sources/geojson.py documents the
+    multiLine tradeoff for whole-collection files)."""
+    feat = spark.read.json(path)
+    # properties may omit any of these keys; null-safe extraction
+    props = F.col("properties")
+    way_id = props.getField("way_id").cast("long")
+    coords = F.col("geometry.coordinates")
+    seg = (
+        feat.filter(F.col("geometry.type") == "LineString")
+        .select(
+            way_id.alias("way_id"),
+            props.getField("name").cast("string").alias("name"),
+            props.getField("highway").cast("string").alias("highway"),
+            F.posexplode(
+                F.zip_with(
+                    F.slice(coords, 1, F.greatest(F.size(coords) - 1, F.lit(0))),
+                    F.slice(coords, 2, F.greatest(F.size(coords) - 1, F.lit(0))),
+                    lambda a, b: F.struct(
+                        a[0].alias("x1"), a[1].alias("y1"),
+                        b[0].alias("x2"), b[1].alias("y2"),
+                    ),
+                )
+            ).alias("k", "s"),
+        )
+    )
+    return seg.select(
+        (F.col("way_id") * 1000 + F.col("k")).alias("edge_id"),
+        "way_id",
+        F.lit(None).cast("long").alias("u"),
+        F.lit(None).cast("long").alias("v"),
+        "name",
+        "highway",
+        F.col("s.x1").cast("double").alias("x1"),
+        F.col("s.y1").cast("double").alias("y1"),
+        F.col("s.x2").cast("double").alias("x2"),
+        F.col("s.y2").cast("double").alias("y2"),
+    )
