@@ -88,10 +88,22 @@ _CHECK_FIRST = [
     "report_pareto_deciles",
     "join_asof_nearest",
     "emb_pca_project",
-    # 3. changed / added in r7
+    # 3. changed / added in r7 (incl. the rows-only→audit-oracle
+    # conversions of the ML tier — their code changed, so their old
+    # rows-only evidence is void)
     "sim_search_topk_vectorized",
     "sketch_tdigest",
     "pipeline_http_to_parquet",
+    "ml_linear_regression",
+    "ml_random_forest",
+    "ml_gbt",
+    "ml_segmented_model",
+    "ml_permutation_importance",
+    "ml_inference_single_row",
+    "ml_kmeans",
+    "sim_search_ivf_kmeans",
+    "split_random",
+    "agg_approx_count_distinct",
     # 4. r2-stale
     "join_star_broadcast",
     "join_asof",
@@ -151,8 +163,6 @@ _CHECK_FIRST = [
     "emb_normalize",
     "emb_quantize_int8",
     "pipeline_text_prep",
-    "ml_kmeans",
-    "sim_search_ivf_kmeans",
     "dedup_connected_components",
     "dedup_edit_distance",
     "stream_tumbling_counts",
@@ -167,12 +177,6 @@ _CHECK_FIRST = [
     "sketch_bloom_filter",
     "text_pii_scrub",
     "agg_percentile_exact",
-    "ml_linear_regression",
-    "ml_random_forest",
-    "ml_gbt",
-    "ml_segmented_model",
-    "ml_permutation_importance",
-    "ml_inference_single_row",
     "ml_grouped_ols",
     "scan_object_store",
 ]

@@ -301,14 +301,43 @@ def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "agg_approx_count_distinct",
-    survey="§2.6 note: HLL sketch distinct — the 100 TB path",
-    oracle=None,  # sketch estimates are engine-specific → rows-only
+    survey="§2.6 note: HLL sketch distinct — the 100 TB path. Oracled "
+    "as an audit (r7): exact per-group distincts + a boolean that the "
+    "HLL estimate honors its error bound (the estimate itself is "
+    "engine-specific)",
+    oracle="""
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users_exact,
+           TRUE AS approx_within_bound
+    FROM events GROUP BY 1
+    """,
 )
 def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ distinct-count audit: Spark's sketch estimate is
+    register-layout-specific (no cross-engine value oracle), so the
+    hash pins the exact per-group distinct count — recomputed
+    independently by DuckDB — and that the rsd=0.01 estimate lands
+    within a 5× safety margin of it (HLL++ error is a distribution;
+    5σ never flaps, a broken sketch or wrong column always does). At
+    100 TB the exact side disappears and ONLY the sketch runs — this
+    entry is the harness that licenses that swap."""
     return (
         load_table(spark, sf_dir, "events")
         .groupBy("event_type")
-        .agg(F.approx_count_distinct("user_id", 0.01).alias("n_users_approx"))
+        .agg(
+            F.countDistinct("user_id").cast("bigint").alias("n_users_exact"),
+            F.approx_count_distinct("user_id", 0.01).alias("__approx"),
+        )
+        .select(
+            "event_type",
+            "n_users_exact",
+            (
+                F.abs(F.col("__approx") - F.col("n_users_exact"))
+                <= F.greatest(
+                    F.col("n_users_exact").cast("double") * 0.05, F.lit(5.0)
+                )
+            ).alias("approx_within_bound"),
+        )
     )
 
 

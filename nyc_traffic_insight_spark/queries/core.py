@@ -622,19 +622,46 @@ def sample_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "split_random",
-    survey="O5+M5 seeded random split, test fraction (LinearRegression.py:45-51)",
-    oracle=None,  # engine-seeded randomness: rows-only check
+    survey="O5+M5 seeded random split (LinearRegression.py:45-51). "
+    "Oracled as an audit (r7): exact input cardinality + exhaustive/"
+    "disjoint/fraction booleans; row membership stays engine-seeded",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_total,
+           TRUE AS split_exhaustive, TRUE AS splits_disjoint,
+           TRUE AS test_frac_ok
+    FROM events
+    """,
 )
 def split_random(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """randomSplit([0.85, 0.15], seed=62) — returns the 15% test split.
-    Spark's split is a per-row Bernoulli draw (deterministic per seed +
-    partition) so no oracle can reproduce it; driver checks rows>0."""
-    _train, test = (
+    """randomSplit([0.85, 0.15], seed=62) audit. WHICH rows land in
+    the test split is a per-row Bernoulli draw (deterministic per
+    seed + partition layout) that no oracle can reproduce — but the
+    split CONTRACT is hash-checkable: train and test partition the
+    exact input (the oracle recomputes the total), share no event_id,
+    and the test share lands near 0.15 (±0.03 — a seeded Bernoulli at
+    n≥10⁴ is well inside this; a wrong weights list is not)."""
+    train, test = (
         load_table(spark, sf_dir, "events")
         .select("event_id", "user_id", "value")
         .randomSplit([0.85, 0.15], seed=62)
     )
-    return test
+    n_train, n_test = train.count(), test.count()
+    n_total = load_table(spark, sf_dir, "events").count()
+    n_overlap = train.select("event_id").join(
+        test.select("event_id"), "event_id"
+    ).count()
+    return spark.createDataFrame(
+        [
+            (
+                n_total,
+                n_train + n_test == n_total,
+                n_overlap == 0,
+                abs(n_test / n_total - 0.15) <= 0.03,
+            )
+        ],
+        "n_total bigint, split_exhaustive boolean, splits_disjoint boolean, "
+        "test_frac_ok boolean",
+    )
 
 
 @register(

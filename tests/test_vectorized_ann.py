@@ -44,9 +44,11 @@ def test_kmeans_ivf_recall(spark):
     # learned centroids vs ~0.28 for the label cells — the learned
     # quantizer IS better), so the honest contracts are: far above the
     # ~2% random-candidate baseline, and at least the label variant.
+    from nyc_traffic_insight_spark.queries.textops import _ivf_kmeans_topk
+
     specs = load_all()
     exact = specs["sim_search_bruteforce_topk"].builder(spark, SF_SMOKE).collect()
-    ivf = specs["sim_search_ivf_kmeans"].builder(spark, SF_SMOKE).collect()
+    ivf = _ivf_kmeans_topk(spark, SF_SMOKE).collect()
     lab = specs["sim_search_ivf_topk"].builder(spark, SF_SMOKE).collect()
 
     def g(rows):
@@ -62,14 +64,20 @@ def test_kmeans_ivf_recall(spark):
     hits_lab = sum(len(a[q] & c.get(q, set())) for q in a)
     assert hits / total >= 0.3, f"recall {hits/total:.3f}"
     assert hits >= hits_lab, "learned centroids should beat label cells"
+    # the registered audit entry distills the same contract per query
+    audit = specs["sim_search_ivf_kmeans"].builder(spark, SF_SMOKE).collect()
+    assert {r["query_id"] for r in audit} == set(a)
+    assert all(r["retrieved_some"] and r["recall_floor_ok"] for r in audit)
 
 
 def test_kmeans_clusters(spark):
     specs = load_all()
     rows = specs["ml_kmeans"].builder(spark, SF_SMOKE).collect()
-    assert len(rows) == 10  # every centroid owns a cluster
-    assert sum(r["n_vectors"] for r in rows) == 500  # sf0.001 embeddings
-    assert all(r["n_vectors"] > 0 for r in rows)
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["k_requested"] == 10
+    assert r["n_vectors_total"] == 500  # sf0.001 embeddings
+    assert r["sizes_sum_to_total"] is True
 
 
 def test_pca_projection_invariants(spark):
