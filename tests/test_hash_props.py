@@ -74,3 +74,51 @@ def test_negative_sampling_draw_matches_hashlib(spark, cust, i, n_parts):
     )
     want = int(hashlib.md5(f"{cust}#{i}".encode()).hexdigest()[:12], 16) % n_parts
     assert got == want
+
+
+# ---- exact-integer tick quantization (sim_search_topk_vectorized) ----
+#
+# The vectorized top-k's oracle equivalence rests on one primitive:
+# floor-form quantization of a float32 component to BIGINT ticks must
+# agree between numpy (the mapInPandas path) and DuckDB's CASE/floor
+# spelling for EVERY representable input — a single disagreeing
+# component would shift an exact integer dot product by whole units.
+
+
+@given(
+    st.lists(
+        st.floats(
+            min_value=-10.0,
+            max_value=10.0,
+            allow_nan=False,
+            width=32,  # embeddings are float32
+        ),
+        min_size=1,
+        max_size=64,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_tick_quantization_matches_duckdb(values):
+    import duckdb
+    import numpy as np
+
+    from nyc_traffic_insight_spark.queries.textops import _TICK
+
+    # the numpy spelling from sim_search_topk_vectorized._ticks
+    scaled = np.array(values, dtype=np.float32).astype(np.float64) * _TICK
+    got = np.where(
+        scaled >= 0, np.floor(scaled + 0.5), -np.floor(-scaled + 0.5)
+    ).astype(np.int64)
+
+    con = duckdb.connect()
+    want = [
+        con.execute(
+            f"""SELECT CAST(CASE WHEN x >= 0
+                         THEN floor(x * {_TICK} + 0.5)
+                         ELSE -floor(-x * {_TICK} + 0.5) END AS BIGINT)
+                FROM (SELECT CAST(CAST(? AS FLOAT) AS DOUBLE) AS x)""",
+            [float(v)],
+        ).fetchone()[0]
+        for v in values
+    ]
+    assert got.tolist() == want
