@@ -26,3 +26,39 @@ def r(col: Column | str, scale: int) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     mag = F.floor(F.abs(c) * m + F.lit(0.5)) / m
     return F.when(c < 0, -mag).otherwise(mag)
+
+
+def exact_sum(col: Column | str, dp: int = 2) -> Column:
+    """Accumulation-ORDER-FREE sum of a dp-exact decimal column.
+
+    ``sum(double)`` accumulates in partition-dependent order, and a
+    half-ulp difference can flip the output's rounding boundary
+    against the DuckDB oracle (r6: win_seasonal_decompose /
+    report_cohort_ltv at sf0.01; r7 sweep: join_scd2_pointintime /
+    layout_bucketed_join at sf0.1). For inputs that are exact at dp
+    decimals (the fixture's money/value columns are 2dp-exact;
+    price×(1−discount) is 4dp-exact), scaling to integers and summing
+    BIGINT is commutative-exact; the single divide back is one
+    deterministic IEEE op. Oracle-side spelling:
+    ``CAST(sum(CAST(round(x * 10^dp) AS BIGINT)) AS DOUBLE) / 10^dp``.
+
+    int64 headroom: |col| ≤ 10⁶ at dp=4 gives 10¹⁰/row — ~10⁸ rows per
+    group before overflow; beyond that (true 100 TB single-group sums)
+    use DECIMAL(38, dp), same order-free property.
+    """
+    m = 10**dp
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(F.round(c * m).cast("long")).cast("double") / m
+
+
+def exact_avg(col: Column | str, dp: int = 2) -> Column:
+    """Order-free mean of a dp-exact decimal column (null-skipping,
+    like ``avg``). Oracle spelling:
+    ``CAST(sum(CAST(round(x*10^dp) AS BIGINT)) AS DOUBLE)
+      / (count(x) * 10^dp)``."""
+    m = 10**dp
+    c = F.col(col) if isinstance(col, str) else col
+    return (
+        F.sum(F.round(c * m).cast("long")).cast("double")
+        / (F.count(c) * m).cast("double")
+    )

@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from nyc_traffic_insight_spark.sources import load_table
-from nyc_traffic_insight_spark.functions.rounding import r as _r
+from nyc_traffic_insight_spark.functions.rounding import exact_sum, r as _r
 
 
 def flagship_volume_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -47,7 +47,7 @@ def flagship_volume_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             _r(F.sum("l_quantity"), 4).alias("vol"),
-            _r(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+            _r(exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4), 4).alias(
                 "revenue"
             ),
             F.count(F.lit(1)).alias("n_items"),

@@ -104,6 +104,13 @@ _CHECK_FIRST = [
     "sim_search_ivf_kmeans",
     "split_random",
     "agg_approx_count_distinct",
+    # money-sum hardening (exact_sum/exact_avg): whole-catalog change
+    # locally exact-verified at sf0.001+sf0.01+sf0.1; the flagship and
+    # the two queries that actually flapped the sf0.1 sweep re-earn
+    # driver evidence first
+    "flagship_volume_features",
+    "join_scd2_pointintime",
+    "layout_bucketed_join",
     # 4. r2-stale
     "join_star_broadcast",
     "join_asof",

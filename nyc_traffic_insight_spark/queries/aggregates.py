@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 
 from nyc_traffic_insight_spark.queries import register
 from nyc_traffic_insight_spark.sources import load_table
-from nyc_traffic_insight_spark.functions.rounding import r as _r
+from nyc_traffic_insight_spark.functions.rounding import exact_avg, exact_sum, r as _r
 
 
 @register(
@@ -45,8 +45,8 @@ def agg_null_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_count",
     survey="A2 row counts (random_forest.py:166-168) + A6 group means",
     oracle="""
-    SELECT event_type, count(*) AS n, round(avg(value), 4) AS avg_value,
-           round(sum(value), 4) AS sum_value,
+    SELECT event_type, count(*) AS n, round(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / (count(value) * 100), 4) AS avg_value,
+           round(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100, 4) AS sum_value,
            round(min(value), 4) AS min_value, round(max(value), 4) AS max_value
     FROM events GROUP BY event_type
     """,
@@ -57,8 +57,8 @@ def agg_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            _r(F.avg("value"), 4).alias("avg_value"),
-            _r(F.sum("value"), 4).alias("sum_value"),
+            _r(exact_avg("value"), 4).alias("avg_value"),
+            _r(exact_sum("value"), 4).alias("sum_value"),
             _r(F.min("value"), 4).alias("min_value"),
             _r(F.max("value"), 4).alias("max_value"),
         )
@@ -150,7 +150,7 @@ def agg_regression_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey="A6 per-group mean over time buckets (SegmentedModeling.py:239-247 groupby)",
     oracle="""
     SELECT event_type, CAST(day(ts) AS INTEGER) AS dd,
-           round(avg(value), 4) AS mean_value, count(*) AS n
+           round(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / (count(value) * 100), 4) AS mean_value, count(*) AS n
     FROM events GROUP BY 1, 2
     """,
 )
@@ -159,7 +159,7 @@ def agg_group_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "events")
         .groupBy("event_type", F.dayofmonth("ts").alias("dd"))
         .agg(
-            _r(F.avg("value"), 4).alias("mean_value"),
+            _r(exact_avg("value"), 4).alias("mean_value"),
             F.count(F.lit(1)).alias("n"),
         )
     )
@@ -223,7 +223,9 @@ def onehot_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_feature_importance_sort",
     survey="A8 sort importances desc, top-k (RandomForest.py:129-133)",
     oracle="""
-    SELECT p.p_brand AS feature, round(sum(l.l_extendedprice), 4) AS importance
+    SELECT p.p_brand AS feature,
+           round(CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+                 AS DOUBLE) / 100, 4) AS importance
     FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
     GROUP BY 1 ORDER BY importance DESC, feature LIMIT 10
     """,
@@ -236,7 +238,7 @@ def agg_feature_importance_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(part, li.l_partkey == part.p_partkey)
         .groupBy(F.col("p_brand").alias("feature"))
-        .agg(_r(F.sum("l_extendedprice"), 4).alias("importance"))
+        .agg(_r(exact_sum("l_extendedprice"), 4).alias("importance"))
         .orderBy(F.desc("importance"), "feature")
         .limit(10)
     )
@@ -247,7 +249,7 @@ def agg_feature_importance_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey="§2.6 note: rollup beyond reference (Spark builtin)",
     oracle="""
     SELECT o_orderstatus, o_orderpriority,
-           count(*) AS n, round(sum(o_totalprice), 4) AS revenue
+           count(*) AS n, round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100, 4) AS revenue
     FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
     """,
 )
@@ -257,7 +259,7 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rollup("o_orderstatus", "o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            _r(F.sum("o_totalprice"), 4).alias("revenue"),
+            _r(exact_sum("o_totalprice"), 4).alias("revenue"),
         )
     )
 
@@ -824,7 +826,7 @@ def sketch_qdigest(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type,
            CAST(year(ts) AS INTEGER) AS yr,
            CAST(count(*) AS BIGINT) AS n,
-           round(sum(value), 4) AS total
+           round(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100, 4) AS total
     FROM events
     GROUP BY GROUPING SETS ((event_type), (yr), (event_type, yr))
     """,
@@ -839,7 +841,7 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT event_type, CAST(year(ts) AS INT) AS yr,
                CAST(count(*) AS BIGINT) AS n,
-               CAST(floor(sum(value) * 10000.0 + 0.5) AS DOUBLE) / 10000.0
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100
                  AS total
         FROM __events_gs
         GROUP BY GROUPING SETS ((event_type), (yr), (event_type, yr))
@@ -1292,7 +1294,7 @@ def qa_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH mu AS (
       SELECT event_type,
-             round(avg(value), 4) AS m
+             round(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / (count(value) * 100), 4) AS m
       FROM events WHERE value IS NOT NULL GROUP BY 1
     ),
     mom AS (
@@ -1329,7 +1331,7 @@ def agg_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: two passes shuffled on the same small group key, the
     tiny mean table broadcast back onto the fact scan."""
     ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
-    mu = ev.groupBy("event_type").agg(_r(F.avg("value"), 4).alias("m"))
+    mu = ev.groupBy("event_type").agg(_r(exact_avg("value"), 4).alias("m"))
     d = F.col("value") - F.col("m")
     mom = (
         ev.join(F.broadcast(mu), "event_type")

@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from nyc_traffic_insight_spark.functions.rounding import r as _r
+from nyc_traffic_insight_spark.functions.rounding import exact_avg, exact_sum, r as _r
 from nyc_traffic_insight_spark.queries import register
 from nyc_traffic_insight_spark.sources import load_table
 from nyc_traffic_insight_spark.sources.catalog import load_table_wide
@@ -282,7 +282,7 @@ def agg_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
                   (SELECT CAST(max(o_orderdate) AS DATE) FROM orders))
                   AS BIGINT) AS recency_days,
              CAST(count(*) AS BIGINT) AS frequency,
-             round(sum(o_totalprice), 2) AS monetary
+             round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100, 2) AS monetary
       FROM orders GROUP BY 1
     )
     SELECT o_custkey, recency_days, frequency, monetary,
@@ -319,7 +319,7 @@ def report_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.max(F.col("o_orderdate").cast("date")).alias("last_order"),
             F.count(F.lit(1)).alias("frequency"),
-            _r(F.sum("o_totalprice"), 2).alias("monetary"),
+            _r(exact_sum("o_totalprice"), 2).alias("monetary"),
         )
         .join(F.broadcast(global_max))
         .select(
@@ -858,7 +858,7 @@ def win_rank_change(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(isodow(ts) - 1 AS INTEGER) AS wd,
              CAST(hour(ts) AS INTEGER) AS hh,
              CAST(count(*) AS BIGINT) AS cnt,
-             round(avg(value), 4) AS mean_val
+             round(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / (count(value) * 100), 4) AS mean_val
       FROM events GROUP BY 1, 2, 3
     )
     SELECT event_type, wd, hh, cnt, mean_val,
@@ -884,7 +884,7 @@ def agg_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hour("ts").cast("int").alias("hh"),
     ).agg(
         F.count(F.lit(1)).alias("cnt"),
-        _r(F.avg("value"), 4).alias("mean_val"),
+        _r(exact_avg("value"), 4).alias("mean_val"),
     )
     w = Window.partitionBy("event_type")
     return cells.select(
@@ -915,7 +915,7 @@ def agg_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
                   AS BIGINT) AS n_active_days,
              CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
                   AS BIGINT) AS n_purchases,
-             round(avg(value), 4) AS mean_value,
+             round(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / (count(value) * 100), 4) AS mean_value,
              CAST(date_diff('second', max(ts), (SELECT mx FROM gmax))
                   AS BIGINT) AS recency_s
       FROM events GROUP BY 1
@@ -969,7 +969,7 @@ def pipeline_user_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .cast("bigint")
             .alias("n_purchases"),
-            _r(F.avg("value"), 4).alias("mean_value"),
+            _r(exact_avg("value"), 4).alias("mean_value"),
             F.max("ts").alias("last_ts"),
         )
         .join(F.broadcast(gmax))
@@ -1133,7 +1133,7 @@ def qa_freshness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(year(o.o_orderdate) AS INTEGER) AS yr,
              CAST(month(o.o_orderdate) AS INTEGER) AS mth,
              round(sum(l.l_quantity), 4) AS vol,
-             round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS rev
+             round(CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT)) AS DOUBLE) / 10000, 4) AS rev
       FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
       GROUP BY 1, 2, 3
     ),
@@ -1183,7 +1183,9 @@ def report_revenue_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             _r(F.sum("l_quantity"), 4).alias("vol"),
             _r(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                exact_sum(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
+                ),
                 4,
             ).alias("rev"),
         )
@@ -1237,7 +1239,7 @@ def report_revenue_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(count(*) AS BIGINT) AS n_events,
              CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
                   AS BIGINT) AS n_purchases,
-             round(avg(value), 4) AS mean_value,
+             round(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / (count(value) * 100), 4) AS mean_value,
              CAST(date_diff('second', max(ts), (SELECT cutoff FROM bounds))
                   AS BIGINT) AS recency_s
       FROM events WHERE ts <= (SELECT cutoff FROM bounds)
@@ -1287,7 +1289,7 @@ def pipeline_training_dataset(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .cast("bigint")
             .alias("n_purchases"),
-            _r(F.avg("value"), 4).alias("mean_value"),
+            _r(exact_avg("value"), 4).alias("mean_value"),
             (
                 F.unix_timestamp(F.first("cutoff"))
                 - F.unix_timestamp(F.max("ts"))
@@ -1764,7 +1766,7 @@ _REG["qa_expectations_report"] = _QS(
       SELECT event_type,
              strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
              CAST(count(*) AS BIGINT) AS n,
-             round(sum(value), 4) AS total
+             round(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100, 4) AS total
       FROM events
       WHERE CAST(date_trunc('day', ts) AS DATE)
               < (SELECT last_day FROM bounds)
@@ -1774,7 +1776,7 @@ _REG["qa_expectations_report"] = _QS(
       SELECT event_type,
              strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
              CAST(count(*) AS BIGINT) AS n,
-             round(sum(value), 4) AS total
+             round(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100, 4) AS total
       FROM events
       WHERE CAST(date_trunc('day', ts) AS DATE)
               = (SELECT last_day FROM bounds)
@@ -1814,7 +1816,7 @@ def pipeline_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .agg(
                 F.count(F.lit(1)).alias("n"),
-                _r(F.sum("value"), 4).alias("total"),
+                _r(exact_sum("value"), 4).alias("total"),
             )
         )
 
@@ -1947,7 +1949,7 @@ def agg_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 25, 8))
                        ::BIGINT % 2 = 0
                   THEN 'A' ELSE 'B' END AS arm,
-             round(avg(value), 4) AS user_mean
+             round(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / (count(value) * 100), 4) AS user_mean
       FROM events GROUP BY user_id
     ),
     per_arm AS (
@@ -1999,7 +2001,7 @@ def report_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         "A",
     ).otherwise("B")
     per_user = ev.groupBy("user_id").agg(
-        _r(F.avg("value"), 4).alias("user_mean")
+        _r(exact_avg("value"), 4).alias("user_mean")
     ).select(arm.alias("arm"), "user_mean")
     per_arm = per_user.groupBy("arm").agg(
         F.count(F.lit(1)).alias("n"),
@@ -2181,7 +2183,7 @@ def agg_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH daily AS (
       SELECT o_orderpriority AS priority,
              strftime(date_trunc('day', o_orderdate), '%Y-%m-%d') AS day,
-             round(sum(o_totalprice), 4) AS rev
+             round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100, 4) AS rev
       FROM orders GROUP BY 1, 2
     ),
     cum AS (
@@ -2223,7 +2225,7 @@ def win_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format(F.date_trunc("day", "o_orderdate"), "yyyy-MM-dd").alias(
             "day"
         ),
-    ).agg(_r(F.sum("o_totalprice"), 4).alias("rev"))
+    ).agg(_r(exact_sum("o_totalprice"), 4).alias("rev"))
     w_ord = W2.partitionBy("priority").orderBy("day")
     cum = daily.select(
         "priority",
@@ -2510,18 +2512,24 @@ def agg_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     "carries)",
     oracle="""
     WITH rev AS (
-      SELECT o_custkey, round(sum(o_totalprice), 2) AS revenue
+      SELECT o_custkey, round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100, 2) AS revenue
       FROM orders GROUP BY 1
     ),
-    tot AS (SELECT sum(revenue) AS t FROM rev),
+    -- per-customer revenue is cents-exact; carry cents (BIGINT,
+    -- commutative) through the decile sums and the global total so
+    -- neither depends on accumulation order
+    tot AS (SELECT sum(CAST(round(revenue * 100) AS BIGINT)) AS tc FROM rev),
     deciled AS (
       SELECT revenue,
              ntile(10) OVER (ORDER BY revenue DESC, o_custkey) AS decile
       FROM rev
     )
     SELECT decile, CAST(count(*) AS BIGINT) AS n_customers,
-           round(sum(revenue), 2) AS revenue,
-           round(sum(revenue) / (SELECT t FROM tot), 6) AS revenue_share
+           round(CAST(sum(CAST(round(revenue * 100) AS BIGINT)) AS DOUBLE)
+                 / 100, 2) AS revenue,
+           round(CAST(sum(CAST(round(revenue * 100) AS BIGINT)) AS DOUBLE)
+                 / (SELECT CAST(tc AS DOUBLE) FROM tot), 6)
+             AS revenue_share
     FROM deciled GROUP BY 1
     """,
 )
@@ -2539,18 +2547,21 @@ def report_pareto_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = (
         load_table(spark, sf_dir, "orders")
         .groupBy("o_custkey")
-        .agg(_r(F.sum("o_totalprice"), 2).alias("revenue"))
+        .agg(_r(exact_sum("o_totalprice"), 2).alias("revenue"))
     )
-    total = F.sum("revenue").over(Window.partitionBy())
+    rev_c = F.round(F.col("revenue") * 100).cast("long")
+    total_c = F.sum(rev_c).over(Window.partitionBy())
     deciled = rev.select(
         "revenue",
         F.ntile(10)
         .over(Window.orderBy(F.desc("revenue"), F.asc("o_custkey")))
         .alias("decile"),
-        total.alias("t"),
+        total_c.alias("tc"),
     )
     return deciled.groupBy("decile").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_customers"),
-        _r(F.sum("revenue"), 2).alias("revenue"),
-        _r(F.sum("revenue") / F.first("t"), 6).alias("revenue_share"),
+        _r(F.sum(rev_c).cast("double") / 100, 2).alias("revenue"),
+        _r(
+            F.sum(rev_c).cast("double") / F.first("tc").cast("double"), 6
+        ).alias("revenue_share"),
     )

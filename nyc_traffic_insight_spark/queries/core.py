@@ -18,7 +18,7 @@ from nyc_traffic_insight_spark.plans.flagship import flagship_volume_features
 from nyc_traffic_insight_spark.queries import register
 from nyc_traffic_insight_spark.sources import load_table
 from nyc_traffic_insight_spark.sources.objectstore import load_object_store
-from nyc_traffic_insight_spark.functions.rounding import r as _r
+from nyc_traffic_insight_spark.functions.rounding import exact_avg, exact_sum, r as _r
 
 _TS_FMT = "yyyy-MM-dd HH:mm:ss"
 
@@ -64,7 +64,7 @@ register(
              CAST(year(o.o_orderdate) AS INTEGER) AS yr,
              CAST(month(o.o_orderdate) AS INTEGER) AS mth,
              round(sum(l.l_quantity), 4) AS vol,
-             round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+             round(CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT)) AS DOUBLE) / 10000, 4) AS revenue,
              count(*) AS n_items
       FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
       GROUP BY 1, 2, 3
@@ -848,8 +848,9 @@ def sink_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
                 WHEN v1.price <> v2.price THEN 'changed'
                 ELSE 'unchanged' END AS status,
            CAST(count(*) AS BIGINT) AS n_rows,
-           round(sum(coalesce(v2.price, 0) - coalesce(v1.price, 0)), 4)
-             AS price_delta
+           round(CAST(sum(CAST(round(
+                   (coalesce(v2.price, 0) - coalesce(v1.price, 0)) * 10000)
+                 AS BIGINT)) AS DOUBLE) / 10000, 4) AS price_delta
     FROM v1 FULL OUTER JOIN v2 ON v1.k = v2.k
     GROUP BY 1
     """,
@@ -890,10 +891,14 @@ def qa_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return diff.groupBy(status.alias("status")).agg(
         F.count(F.lit(1)).alias("n_rows"),
+        # per-row delta is 4dp-exact (2dp price, ×1.05 adds 2dp):
+        # sum as exact ten-thousandths so the class totals can't flip
+        # the rounding boundary with accumulation order
         _r(
-            F.sum(
+            exact_sum(
                 F.coalesce(F.col("b.price"), F.lit(0.0))
-                - F.coalesce(F.col("a.price"), F.lit(0.0))
+                - F.coalesce(F.col("a.price"), F.lit(0.0)),
+                4,
             ),
             4,
         ).alias("price_delta"),
@@ -968,9 +973,14 @@ def layout_compact_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     "key, so the join reads co-located buckets with NO shuffle "
     "(tests/test_bucketing.py pins the Exchange-free plan)",
     oracle="""
+    -- net is 4dp-exact decimal: sum as integer ten-thousandths so the
+    -- ~6e9 per-priority totals are accumulation-order-free (latent at
+    -- sf0.01, reproduced at sf0.1 in the r7 sweep)
     SELECT o.o_orderpriority AS priority,
            CAST(count(*) AS BIGINT) AS n_items,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+           round(CAST(sum(CAST(round(
+                   l.l_extendedprice * (1 - l.l_discount) * 10000)
+                 AS BIGINT)) AS DOUBLE) / 10000, 4) AS revenue
     FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
     GROUP BY 1
     """,
@@ -1027,7 +1037,14 @@ def layout_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_items"),
             _r(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                F.sum(
+                    F.round(
+                        F.col("l_extendedprice")
+                        * (1 - F.col("l_discount"))
+                        * 10000
+                    ).cast("long")
+                ).cast("double")
+                / 10000,
                 4,
             ).alias("revenue"),
         )
@@ -1042,7 +1059,7 @@ def layout_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "reference's per-request GeoJSON re-parse)",
     oracle="""
     SELECT event_type, CAST(count(*) AS BIGINT) AS n,
-           round(sum(value), 4) AS total
+           round(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100, 4) AS total
     FROM events
     WHERE strftime(date_trunc('day', ts), '%Y-%m-%d') = '2024-01-05'
     GROUP BY 1
@@ -1073,7 +1090,7 @@ def layout_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            _r(F.sum("value"), 4).alias("total"),
+            _r(exact_sum("value"), 4).alias("total"),
         )
     )
 

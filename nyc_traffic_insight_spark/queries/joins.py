@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 
 from nyc_traffic_insight_spark.queries import register
 from nyc_traffic_insight_spark.sources import load_table
-from nyc_traffic_insight_spark.functions.rounding import r as _r
+from nyc_traffic_insight_spark.functions.rounding import exact_avg, exact_sum, r as _r
 
 def _time_parts() -> list:
     # built lazily: Column objects need an active SparkSession
@@ -41,7 +41,7 @@ _TIME_PARTS_SQL = """
     ),
     dim AS (
       SELECT yr, mth, dd, hh, event_type,
-             round(avg(value), 4) AS hourly_avg, count(*) AS hourly_n
+             round(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / (count(value) * 100), 4) AS hourly_avg, count(*) AS hourly_n
       FROM ev GROUP BY 1, 2, 3, 4, 5
     )
     SELECT ev.event_id, ev.event_type, ev.value, ev.yr, ev.mth, ev.dd, ev.hh,
@@ -59,7 +59,7 @@ def join_traffic_weather_boro(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     keys = ["yr", "mth", "dd", "hh", "event_type"]
     dim = ev.groupBy(*keys).agg(
-        _r(F.avg("value"), 4).alias("hourly_avg"),
+        _r(exact_avg("value"), 4).alias("hourly_avg"),
         F.count(F.lit(1)).alias("hourly_n"),
     )
     return ev.join(dim, on=keys, how="inner").select(
@@ -76,7 +76,7 @@ def join_traffic_weather_boro(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     dim AS (
       SELECT yr, mth, dd, hh, event_type AS station,
-             round(avg(value), 4) AS station_avg
+             round(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / (count(value) * 100), 4) AS station_avg
       FROM (SELECT event_type, value, {_TIME_PARTS_SQL} FROM events)
       GROUP BY 1, 2, 3, 4, 5
     )
@@ -95,7 +95,7 @@ def join_traffic_weather_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "events")
         .select(F.col("event_type").alias("station"), "value", *_time_parts())
         .groupBy("yr", "mth", "dd", "hh", "station")
-        .agg(_r(F.avg("value"), 4).alias("station_avg"))
+        .agg(_r(exact_avg("value"), 4).alias("station_avg"))
     )
     return ev.join(dim, on=["yr", "mth", "dd", "hh"], how="inner").select(
         "event_id", "value", "yr", "mth", "dd", "hh", "station", "station_avg"
@@ -181,7 +181,7 @@ def join_coord_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey="J1 generalization: star-schema join, dims broadcast (§2.4 note)",
     oracle="""
     SELECT r.r_name AS region, n.n_name AS nation,
-           round(sum(o.o_totalprice), 4) AS total_revenue,
+           round(CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100, 4) AS total_revenue,
            count(*) AS n_orders
     FROM orders o
     JOIN customer c ON o.o_custkey = c.c_custkey
@@ -204,7 +204,7 @@ def join_star_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(r, n.n_regionkey == r.r_regionkey)
         .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
         .agg(
-            _r(F.sum("o_totalprice"), 4).alias("total_revenue"),
+            _r(exact_sum("o_totalprice"), 4).alias("total_revenue"),
             F.count(F.lit(1)).alias("n_orders"),
         )
     )
@@ -503,7 +503,7 @@ _SALT = 8
       FROM nation GROUP BY 1
     )
     SELECT f.hot_key, d.dim_name, count(*) AS n,
-           round(sum(f.value), 4) AS total_value
+           round(CAST(sum(CAST(round(f.value * 100) AS BIGINT)) AS DOUBLE) / 100, 4) AS total_value
     FROM fact f JOIN dim d USING (hot_key)
     GROUP BY 1, 2
     """,
@@ -541,7 +541,7 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = fact.join(dim, ["hot_key", "salt"]).drop("salt")
     return joined.groupBy("hot_key", "dim_name").agg(
         F.count(F.lit(1)).alias("n"),
-        _r(F.sum("value"), 4).alias("total_value"),
+        _r(exact_sum("value"), 4).alias("total_value"),
     )
 
 
@@ -551,7 +551,7 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
 # as-of variants' oracles (below) and Spark builders (_hourly_snapshots)
 _ASOF_SNAP_SQL = """
       SELECT event_type, date_trunc('hour', ts) AS snap_ts,
-             round(avg(value), 4) AS snap_value
+             round(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / (count(value) * 100), 4) AS snap_value
       FROM events GROUP BY 1, 2
     """
 
@@ -562,7 +562,7 @@ def _hourly_snapshots(
     ev = load_table(spark, sf_dir, "events")
     snap = ev.groupBy(
         "event_type", F.date_trunc("hour", "ts").alias("snap_ts")
-    ).agg(_r(F.avg("value"), 4).alias("snap_value"))
+    ).agg(_r(exact_avg("value"), 4).alias("snap_value"))
     return ev, snap
 
 
@@ -1051,7 +1051,7 @@ def dim_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l.l_orderkey,
            strftime(CAST(o.o_orderdate AS DATE), '%Y-%m-%d') AS orderdate,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+           round(CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT)) AS DOUBLE) / 10000, 4) AS revenue
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -1095,7 +1095,7 @@ def report_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
         )
         .agg(
-            _r(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4)
+            _r(exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4), 4)
             .alias("revenue")
         )
         .orderBy(F.desc("revenue"), "l_orderkey")
@@ -1110,7 +1110,7 @@ def report_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "orders ⋈ customer with the local-supplier co-nation condition)",
     oracle="""
     SELECT n.n_name,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+           round(CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT)) AS DOUBLE) / 10000, 4) AS revenue,
            CAST(count(*) AS BIGINT) AS n_items
     FROM region r
     JOIN nation n ON r.r_regionkey = n.n_regionkey
@@ -1158,7 +1158,7 @@ def report_region_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .groupBy("n_name")
         .agg(
-            _r(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4)
+            _r(exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4), 4)
             .alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
@@ -1172,7 +1172,7 @@ def report_region_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame
     "their nation",
     oracle="""
     SELECT c.c_custkey, c.c_name, n.n_name,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 4)
+           round(CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT)) AS DOUBLE) / 10000, 4)
              AS lost_revenue
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
@@ -1210,7 +1210,7 @@ def report_returned_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(
-            _r(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4)
+            _r(exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4), 4)
             .alias("lost_revenue")
         )
         .orderBy(F.desc("lost_revenue"), "c_custkey")
@@ -1245,9 +1245,14 @@ def report_returned_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
              l.l_extendedprice * (1 - l.l_discount) AS net
       FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
     )
+    -- net = price(2dp) * (1-disc)(2dp) is a 4dp-exact decimal value:
+    -- sum it as integer ten-thousandths (BIGINT, commutative) so the
+    -- ~6e9 totals can't flip the 4dp boundary with accumulation order
+    -- (latent at sf0.01, reproduced at sf0.1 in the r7 sweep)
     SELECT coalesce(d.priority, 'PRE-HISTORY') AS priority_at_ship,
            CAST(count(*) AS BIGINT) AS n_lines,
-           round(sum(f.net), 4) AS revenue
+           round(CAST(sum(CAST(round(f.net * 10000) AS BIGINT)) AS DOUBLE)
+                 / 10000, 4) AS revenue
     FROM fact f
     LEFT JOIN dim d ON d.custkey = f.custkey
              AND f.ship_day >= d.valid_from AND f.ship_day < d.valid_to
@@ -1312,6 +1317,12 @@ def join_scd2_pointintime(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n_lines"),
-            _r(F.sum("net"), 4).alias("revenue"),
+            _r(
+                F.sum(
+                    F.round(F.col("net") * 10000).cast("long")
+                ).cast("double")
+                / 10000,
+                4,
+            ).alias("revenue"),
         )
     )

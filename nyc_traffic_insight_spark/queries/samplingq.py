@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from nyc_traffic_insight_spark.functions.rounding import r as _r
+from nyc_traffic_insight_spark.functions.rounding import exact_sum, r as _r
 from nyc_traffic_insight_spark.queries import register
 from nyc_traffic_insight_spark.sources import load_table
 
@@ -500,7 +500,7 @@ def sketch_hll_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(year(d.o_orderdate) AS INTEGER) AS yr,
            CAST(month(d.o_orderdate) AS INTEGER) AS mth,
            CAST(count(*) AS BIGINT) AS n_items,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+           round(CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT)) AS DOUBLE) / 10000, 4) AS revenue
     FROM lineitem l JOIN dim d ON l.l_orderkey = d.o_orderkey
     GROUP BY 1, 2
     """,
@@ -553,7 +553,7 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_items"),
             _r(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+                exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4), 4
             ).alias("revenue"),
         )
     )

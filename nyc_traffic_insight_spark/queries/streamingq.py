@@ -26,7 +26,7 @@ from nyc_traffic_insight_spark.functions.rounding import r as _r
     SELECT date_trunc('hour', ts) AS window_start,
            date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
            event_type, count(*) AS n,
-           round(sum(value), 4) AS total_value
+           round(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100, 4) AS total_value
     FROM events GROUP BY 1, 2, 3
     """,
 )

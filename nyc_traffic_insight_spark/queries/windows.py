@@ -22,12 +22,12 @@ from pyspark.sql import functions as F
 
 from nyc_traffic_insight_spark.queries import register
 from nyc_traffic_insight_spark.sources import load_table
-from nyc_traffic_insight_spark.functions.rounding import r as _r
+from nyc_traffic_insight_spark.functions.rounding import exact_avg, exact_sum, r as _r
 
 # Shared hourly series: per-type hourly event counts + mean value.
 _HOURLY_SQL = """
     SELECT event_type, date_trunc('hour', ts) AS hr,
-           count(*) AS cnt, round(avg(value), 4) AS mean_val
+           count(*) AS cnt, round(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / (count(value) * 100), 4) AS mean_val
     FROM events GROUP BY 1, 2
 """
 
@@ -38,7 +38,7 @@ def _hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", F.date_trunc("hour", "ts").alias("hr"))
         .agg(
             F.count(F.lit(1)).alias("cnt"),
-            _r(F.avg("value"), 4).alias("mean_val"),
+            _r(exact_avg("value"), 4).alias("mean_val"),
         )
     )
 
@@ -211,7 +211,7 @@ def win_sliding_lookback(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey="W7 shift(1) on a single series + dropna (NYC_Traffic_Congestion.py:34-35)",
     oracle="""
     WITH daily AS (
-      SELECT CAST(o_orderdate AS DATE) AS d, round(sum(o_totalprice), 4) AS rev
+      SELECT CAST(o_orderdate AS DATE) AS d, round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100, 4) AS rev
       FROM orders GROUP BY 1
     ),
     lagged AS (
@@ -228,7 +228,7 @@ def win_lag_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = (
         load_table(spark, sf_dir, "orders")
         .groupBy(F.to_date("o_orderdate").alias("d"))
-        .agg(_r(F.sum("o_totalprice"), 4).alias("rev"))
+        .agg(_r(exact_sum("o_totalprice"), 4).alias("rev"))
     )
     w = Window.orderBy("d")
     return (
@@ -355,7 +355,7 @@ def win_range_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     hourly AS (
       SELECT event_type, date_trunc('hour', ts) AS hour_ts,
-             count(*) AS n, round(sum(value), 4) AS total
+             count(*) AS n, round(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100, 4) AS total
       FROM events GROUP BY 1, 2
     )
     SELECT s.event_type, s.hour_ts,
@@ -376,7 +376,7 @@ def time_spine_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     hourly = ev.groupBy(
         "event_type", F.date_trunc("hour", "ts").alias("hour_ts")
-    ).agg(F.count(F.lit(1)).alias("n"), _r(F.sum("value"), 4).alias("total"))
+    ).agg(F.count(F.lit(1)).alias("n"), _r(exact_sum("value"), 4).alias("total"))
     bounds = ev.groupBy("event_type").agg(
         F.date_trunc("hour", F.min("ts")).alias("lo"),
         F.date_trunc("hour", F.max("ts")).alias("hi"),
@@ -582,7 +582,7 @@ def win_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     hourly AS (
       SELECT event_type, date_trunc('hour', ts) AS hour_ts,
-             round(avg(value), 4) AS mean_val
+             round(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / (count(value) * 100), 4) AS mean_val
       FROM events GROUP BY 1, 2
     ),
     joined AS (
@@ -614,7 +614,7 @@ def time_spine_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     hourly = ev.groupBy(
         "event_type", F.date_trunc("hour", "ts").alias("hour_ts")
-    ).agg(_r(F.avg("value"), 4).alias("mean_val"))
+    ).agg(_r(exact_avg("value"), 4).alias("mean_val"))
     bounds = ev.groupBy("event_type").agg(
         F.date_trunc("hour", F.min("ts")).alias("lo"),
         F.date_trunc("hour", F.max("ts")).alias("hi"),

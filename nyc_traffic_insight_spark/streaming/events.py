@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from nyc_traffic_insight_spark.schemas import EVENTS
-from nyc_traffic_insight_spark.functions.rounding import r as _r
+from nyc_traffic_insight_spark.functions.rounding import exact_sum, r as _r
 
 
 def tumbling_counts(events: DataFrame, watermark: str | None = None) -> DataFrame:
@@ -39,7 +39,7 @@ def tumbling_counts(events: DataFrame, watermark: str | None = None) -> DataFram
         events.groupBy(F.window("ts", "1 hour"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            _r(F.sum("value"), 4).alias("total_value"),
+            _r(exact_sum("value"), 4).alias("total_value"),
         )
         .select(
             F.col("window.start").alias("window_start"),
