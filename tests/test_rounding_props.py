@@ -66,3 +66,38 @@ def test_spark_r_matches_duckdb_bulk(spark, scale):
     ]
     mism = [(x, g, w) for x, g, w in zip(xs, got, want) if g != w]
     assert not mism, f"scale {scale}: {len(mism)} mismatches, first {mism[:3]}"
+
+
+def test_exact_sum_avg_match_duckdb_spelling_and_decimal_truth(spark):
+    """exact_sum/exact_avg (r7 catalog-wide hardening) must (a) equal
+    the documented oracle-side scaled-BIGINT spelling bit-for-bit and
+    (b) equal the true decimal sum/mean exactly — for dp-exact inputs
+    the helpers are lossless, not approximations."""
+    import duckdb
+    from decimal import Decimal
+
+    import numpy as np
+
+    from nyc_traffic_insight_spark.functions.rounding import exact_avg, exact_sum
+
+    rng = np.random.default_rng(7)
+    # 2dp-exact money values, mixed signs and magnitudes
+    cents = rng.integers(-10**7, 10**7, 3000)
+    xs = [c / 100.0 for c in cents]
+
+    sdf = spark.createDataFrame([(float(v),) for v in xs], "x DOUBLE")
+    got = sdf.agg(
+        exact_sum("x", 2).alias("s"), exact_avg("x", 2).alias("m")
+    ).first()
+
+    want = duckdb.sql(
+        """SELECT CAST(sum(CAST(round(x * 100) AS BIGINT)) AS DOUBLE) / 100,
+                  CAST(sum(CAST(round(x * 100) AS BIGINT)) AS DOUBLE)
+                    / (count(x) * 100)
+           FROM (SELECT unnest($xs) AS x)""",
+        params={"xs": xs},
+    ).fetchone()
+    assert (got["s"], got["m"]) == want
+
+    true_sum = sum(Decimal(int(c)) for c in cents) / 100
+    assert Decimal(repr(got["s"])) == true_sum
