@@ -65,15 +65,20 @@ def register(name: str, oracle: str | None = None, survey: str = ""):
 #   2. the eight r6 additions with zero driver evidence (VERDICT r6 #3's
 #      explicit list, its order kept: cheap oracled entries before the
 #      slow rows-only PCA);
-#   3. entries whose CODE changed this round: the two rows-only→oracled
-#      conversions (exact-integer cosine top-k, t-digest rank-error
-#      audit) and the new registered S12 pipeline;
+#   3. entries whose CODE changed this round, in change order: the
+#      rows-only→oracled conversions (exact-integer cosine top-k,
+#      t-digest rank-error audit, the ML contract-audit tier, the new
+#      S12 pipeline) and the determinism-hardened queries (exact-
+#      integer money sums; window sums carried as integer cents/ticks;
+#      exact-moment A/B arms) — old driver evidence is void for all
+#      of these;
 #   4. the 34 r2-era queries whose evidence is 5 rounds stale (joins,
 #      scalar/date/flag functions, the dedup front half, the first two
-#      sim_search tiers, text basics);
-#   5. overflow: the 46 r3-era entries in registration order — checked
-#      only if the gate walks past slot ~50, and first in line for r8.
-# Everything r4+-green keeps its standing evidence and registers last.
+#      sim_search tiers, text basics) — the ~18 past slot 50 roll to
+#      r8 with the overflow;
+#   5. overflow: the r3-era entries in registration order.
+# Everything r4+-green-and-unchanged keeps its standing evidence and
+# registers last.
 _CHECK_FIRST = [
     # 1. r6 red rows, now fixed
     "ml_propensity_model",
@@ -111,6 +116,13 @@ _CHECK_FIRST = [
     "flagship_volume_features",
     "join_scd2_pointintime",
     "layout_bucketed_join",
+    # post-review hardening: window sums carried as exact integers,
+    # arm moments from exact integer sums
+    "report_ab_test",
+    "agg_bootstrap_ci",
+    "win_max_drawdown",
+    "win_roll_mean_24",
+    "win_range_time",
     # 4. r2-stale
     "join_star_broadcast",
     "join_asof",
@@ -150,13 +162,11 @@ _CHECK_FIRST = [
     "win_lag1",
     "win_lag_multi",
     "win_roll_mean_3",
-    "win_roll_mean_24",
     "win_time_split",
     "win_sliding_lookback",
     "win_lag_series",
     "win_ranking",
     "win_cumulative",
-    "win_range_time",
     "time_spine_gapfill",
     "join_traffic_weather_boro",
     "join_traffic_weather_time",

@@ -1872,12 +1872,18 @@ def _boot_weight_sql(draw: str) -> str:
         SELECT unnest(generate_series(0, {_BOOT_B - 1})) AS i
       ) b
     ),
+    -- w·value is 2dp-exact (integer weight × 2dp value): sum as
+    -- exact cents so no resample mean depends on accumulation order;
+    -- the tiny 50-row boot_mean gets the same treatment at 4dp
     means AS (
-      SELECT i, round(sum(w * value) / sum(w), 4) AS m
+      SELECT i,
+             round(CAST(sum(CAST(round(w * value * 100) AS BIGINT))
+                        AS DOUBLE) / 100 / sum(w), 4) AS m
       FROM expanded GROUP BY i HAVING sum(w) > 0
     )
     SELECT CAST(count(*) AS BIGINT) AS n_resamples,
-           round(avg(m), 4) AS boot_mean,
+           round(CAST(sum(CAST(round(m * 10000) AS BIGINT)) AS DOUBLE)
+                 / (count(m) * 10000), 4) AS boot_mean,
            round(quantile_cont(m, 0.025), 4) AS ci_lo,
            round(quantile_cont(m, 0.975), 4) AS ci_hi
     FROM means
@@ -1923,7 +1929,7 @@ def agg_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         expanded.select("i", "value", w.alias("w"))
         .groupBy("i")
         .agg(
-            F.sum(F.col("w") * F.col("value")).alias("swx"),
+            exact_sum(F.col("w") * F.col("value"), 2).alias("swx"),
             F.sum("w").alias("sw"),
         )
         .filter(F.col("sw") > 0)
@@ -1932,7 +1938,7 @@ def agg_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     md = F.col("m").cast("double")
     return means.agg(
         F.count(F.lit(1)).alias("n_resamples"),
-        _r(F.avg(md), 4).alias("boot_mean"),
+        _r(exact_avg(md, 4), 4).alias("boot_mean"),
         _r(F.percentile(md, F.lit(0.025)), 4).alias("ci_lo"),
         _r(F.percentile(md, F.lit(0.975)), 4).alias("ci_hi"),
     )
@@ -1952,11 +1958,25 @@ def agg_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
              round(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / (count(value) * 100), 4) AS user_mean
       FROM events GROUP BY user_id
     ),
+    -- arm moments from EXACT integer sums of the 4dp-exact user means:
+    -- S1=Σt, S2=Σt² (t = user_mean·10⁴, BIGINT — commutative), then
+    -- mean = S1/(n·10⁴) and var_samp = (S2 − S1²/n)/((n−1)·10⁸) as a
+    -- fixed sequence of deterministic IEEE ops — avg/var_samp over
+    -- doubles accumulate in engine-dependent order (the r6 red-row
+    -- class) and var_samp's merge algorithm differs per engine
+    scaled AS (
+      SELECT arm, CAST(round(user_mean * 10000) AS BIGINT) AS t
+      FROM per_user
+    ),
     per_arm AS (
       SELECT arm, CAST(count(*) AS BIGINT) AS n,
-             round(avg(user_mean), 4) AS mean_val,
-             round(var_samp(user_mean), 4) AS var_val
-      FROM per_user GROUP BY 1
+             round(CAST(sum(t) AS DOUBLE) / (count(*) * 10000), 4)
+               AS mean_val,
+             round((CAST(sum(t * t) AS DOUBLE)
+                    - CAST(sum(t) AS DOUBLE) * CAST(sum(t) AS DOUBLE)
+                      / count(*))
+                   / ((count(*) - 1) * 100000000.0), 4) AS var_val
+      FROM scaled GROUP BY 1
     ),
     wide AS (
       SELECT max(CASE WHEN arm = 'A' THEN n END) AS n_a,
@@ -1983,9 +2003,11 @@ def report_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     assignment table), the unit of analysis is the per-user mean value
     (clustered randomization done right: users, not events, are the
     experimental units), and Welch's z decides significance. Per-user
-    means, arm means, and arm variances are floor-form-rounded as
-    computed, so the z built from them is bit-identical cross-engine
-    and is itself rounded before the |z| > 1.96 comparison.
+    means are order-free (exact_avg); arm means and variances come
+    from EXACT integer moment sums (Σt, Σt² of the 4dp-scaled user
+    means) through a fixed sequence of deterministic IEEE ops, so the
+    z built from them is bit-identical cross-engine and is itself
+    rounded before the |z| > 1.96 comparison.
 
     Scale shape: one user-keyed aggregate, a 2-row arm rollup, one
     final row. On this un-treated fixture the arms are exchangeable,
@@ -2003,10 +2025,33 @@ def report_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_user = ev.groupBy("user_id").agg(
         _r(exact_avg("value"), 4).alias("user_mean")
     ).select(arm.alias("arm"), "user_mean")
-    per_arm = per_user.groupBy("arm").agg(
-        F.count(F.lit(1)).alias("n"),
-        _r(F.avg("user_mean"), 4).alias("mean_val"),
-        _r(F.var_samp("user_mean"), 4).alias("var_val"),
+    t = F.round(F.col("user_mean") * 10000).cast("long")
+    per_arm = (
+        per_user.groupBy("arm")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(t).alias("s1"),
+            F.sum(t * t).alias("s2"),
+        )
+        .select(
+            "arm",
+            "n",
+            _r(
+                F.col("s1").cast("double")
+                / (F.col("n") * 10000).cast("double"),
+                4,
+            ).alias("mean_val"),
+            _r(
+                (
+                    F.col("s2").cast("double")
+                    - F.col("s1").cast("double")
+                    * F.col("s1").cast("double")
+                    / F.col("n")
+                )
+                / ((F.col("n") - 1) * F.lit(100000000.0)),
+                4,
+            ).alias("var_val"),
+        )
     )
     wide = per_arm.agg(
         F.max(F.when(F.col("arm") == "A", F.col("n"))).alias("n_a"),
@@ -2186,23 +2231,29 @@ def agg_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
              round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100, 4) AS rev
       FROM orders GROUP BY 1, 2
     ),
+    -- equity/peak carried as exact integer cents: the prefix sums
+    -- and the drawdown argmax are then integer arithmetic, with no
+    -- float accumulation anywhere and a DESC ranking that cannot
+    -- flip on a last-ulp difference
     cum AS (
       SELECT priority, day,
-             sum(rev) OVER (PARTITION BY priority ORDER BY day
-                            ROWS UNBOUNDED PRECEDING) AS equity
+             sum(CAST(round(rev * 100) AS BIGINT))
+               OVER (PARTITION BY priority ORDER BY day
+                     ROWS UNBOUNDED PRECEDING) AS equity_c
       FROM daily
     ),
     dd AS (
-      SELECT priority, day, equity,
-             max(equity) OVER (PARTITION BY priority ORDER BY day
-                               ROWS UNBOUNDED PRECEDING) AS peak
+      SELECT priority, day, equity_c,
+             max(equity_c) OVER (PARTITION BY priority ORDER BY day
+                                 ROWS UNBOUNDED PRECEDING) AS peak_c
       FROM cum
     )
     SELECT priority, day AS trough_day,
-           round(peak - equity, 4) AS max_drawdown
+           round(CAST(peak_c - equity_c AS DOUBLE) / 100, 4)
+             AS max_drawdown
     FROM (
       SELECT *, row_number() OVER (PARTITION BY priority
-                 ORDER BY peak - equity DESC, day) AS rn
+                 ORDER BY peak_c - equity_c DESC, day) AS rn
       FROM dd
     ) WHERE rn = 1
     """,
@@ -2210,10 +2261,12 @@ def agg_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 def win_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Peak-to-trough drop of the cumulative daily revenue curve per
     priority: running prefix (the 'equity curve'), running max (the
-    peak), and the day maximizing peak − equity. The prefix and
-    running max accumulate in the SAME day order on both engines, so
-    the doubles are bit-identical without rounding tricks; the argmax
-    ties break on the day string.
+    peak), and the day maximizing peak − equity. Equity and peak are
+    carried as EXACT integer cents, so the prefix sums and the argmax
+    ranking are pure integer arithmetic — no float accumulates in any
+    engine-dependent order (a windowed double sum can differ at the
+    last ulp when one engine evaluates it via a segment tree), and the
+    DESC tie-break can't flip; remaining ties break on the day string.
 
     Scale shape: two ordered windows and an argmax filter over the
     (priority × day) aggregate."""
@@ -2227,23 +2280,24 @@ def win_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ).agg(_r(exact_sum("o_totalprice"), 4).alias("rev"))
     w_ord = W2.partitionBy("priority").orderBy("day")
+    rev_c = F.round(F.col("rev") * 100).cast("long")
     cum = daily.select(
         "priority",
         "day",
-        F.sum("rev").over(w_ord.rowsBetween(W2.unboundedPreceding, 0)).alias(
-            "equity"
-        ),
+        F.sum(rev_c)
+        .over(w_ord.rowsBetween(W2.unboundedPreceding, 0))
+        .alias("equity_c"),
     )
     dd = cum.select(
         "priority",
         "day",
-        "equity",
-        F.max("equity")
+        "equity_c",
+        F.max("equity_c")
         .over(w_ord.rowsBetween(W2.unboundedPreceding, 0))
-        .alias("peak"),
+        .alias("peak_c"),
     )
     w_rank = W2.partitionBy("priority").orderBy(
-        F.desc(F.col("peak") - F.col("equity")), F.asc("day")
+        F.desc(F.col("peak_c") - F.col("equity_c")), F.asc("day")
     )
     return (
         dd.withColumn("rn", F.row_number().over(w_rank))
@@ -2251,7 +2305,10 @@ def win_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "priority",
             F.col("day").alias("trough_day"),
-            _r(F.col("peak") - F.col("equity"), 4).alias("max_drawdown"),
+            _r(
+                (F.col("peak_c") - F.col("equity_c")).cast("double") / 100,
+                4,
+            ).alias("max_drawdown"),
         )
     )
 

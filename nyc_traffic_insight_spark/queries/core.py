@@ -1037,14 +1037,9 @@ def layout_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_items"),
             _r(
-                F.sum(
-                    F.round(
-                        F.col("l_extendedprice")
-                        * (1 - F.col("l_discount"))
-                        * 10000
-                    ).cast("long")
-                ).cast("double")
-                / 10000,
+                exact_sum(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
+                ),
                 4,
             ).alias("revenue"),
         )

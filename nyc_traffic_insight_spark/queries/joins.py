@@ -1317,12 +1317,6 @@ def join_scd2_pointintime(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n_lines"),
-            _r(
-                F.sum(
-                    F.round(F.col("net") * 10000).cast("long")
-                ).cast("double")
-                / 10000,
-                4,
-            ).alias("revenue"),
+            _r(exact_sum("net", 4), 4).alias("revenue"),
         )
     )

@@ -75,7 +75,6 @@ def ml_linear_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_total = df.count()
     train, test = temporal_split_scalable(df)
     model = fit_linear_regression(train)
-    lr = model.stages[-1]
 
     # independent closed-form solve: one aggregate pass builds the
     # bias-augmented normal equations
@@ -107,9 +106,11 @@ def ml_linear_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("m")
     ).first()["m"]
     n_train, n_test = train.count(), test.count()
+    # reuse the already-transformed frame — a second transform(test)
+    # would re-run the whole scoring job for the same numbers
     r2 = RegressionEvaluator(
         labelCol=LABEL, predictionCol="prediction", metricName="r2"
-    ).evaluate(model.transform(test))
+    ).evaluate(pred)
     return spark.createDataFrame(
         [
             (

@@ -511,7 +511,12 @@ def pipeline_http_to_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    if not q.awaitTermination(120):
+        q.stop()
+        raise TimeoutError(
+            "http->parquet drain did not finish in 120s; the sink is "
+            "partial — failing loudly instead of aggregating it"
+        )
     return (
         spark.read.parquet(out)
         .groupBy("page")

@@ -1629,11 +1629,22 @@ def _ivf_kmeans_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("query_id")
         .agg(F.count(F.lit(1)).alias("n_hits"))
     )
+    # anchor on the EXACT query set, not on whatever topk returned —
+    # a query that retrieved nothing must serialize as
+    # retrieved_some=false (deriving per_q from topk.groupBy would just
+    # drop its row and red the driver on row COUNT instead of on the
+    # boolean the contract advertises)
+    queries = _embs(spark, sf_dir).filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id")
+    )
     per_q = (
-        topk.groupBy("query_id")
-        .agg(F.count(F.lit(1)).alias("n_ret"))
+        queries.join(
+            topk.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_ret")),
+            "query_id",
+            "left",
+        )
         .join(hits, "query_id", "left")
-        .na.fill(0, ["n_hits"])
+        .na.fill(0, ["n_ret", "n_hits"])
     )
     n_exact = exact.count()
     n_hits_total = per_q.agg(F.sum("n_hits")).first()[0] or 0

@@ -121,8 +121,10 @@ def win_roll_mean_3(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(avg(cnt) OVER (PARTITION BY event_type ORDER BY hr
                                 ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING), 4)
              AS roll_24h,
-           round(sum(mean_val) OVER (PARTITION BY event_type ORDER BY hr
-                                     ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING), 4)
+           round(CAST(sum(CAST(round(mean_val * 10000) AS BIGINT))
+                      OVER (PARTITION BY event_type ORDER BY hr
+                            ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+                      AS DOUBLE) / 10000, 4)
              AS sum_24h
     FROM hourly
     """,
@@ -145,7 +147,13 @@ def win_roll_mean_24(spark: SparkSession, sf_dir: str) -> DataFrame:
         "hr",
         "cnt",
         _r(F.avg("cnt").over(frame), 4).alias("roll_24h"),
-        _r(F.sum("mean_val").over(frame), 4).alias("sum_24h"),
+        _r(
+            F.sum(F.round(F.col("mean_val") * 10000).cast("long"))
+            .over(frame)
+            .cast("double")
+            / 10000,
+            4,
+        ).alias("sum_24h"),
     )
 
 
@@ -306,7 +314,8 @@ def win_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_id, event_type, ts,
            CAST(count(*) OVER w AS BIGINT) AS n_1h,
-           round(sum(value) OVER w, 4) AS sum_1h
+           round(CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w
+                      AS DOUBLE) / 100, 4) AS sum_1h
     FROM events
     WINDOW w AS (
       PARTITION BY event_type ORDER BY ts
@@ -334,7 +343,13 @@ def win_range_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "ts",
         F.count(F.lit(1)).over(w).cast("bigint").alias("n_1h"),
-        _r(F.sum("value").over(w), 4).alias("sum_1h"),
+        _r(
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .over(w)
+            .cast("double")
+            / 100,
+            4,
+        ).alias("sum_1h"),
     )
 
 
@@ -840,7 +855,7 @@ def win_pct_change(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT event_type, hod,
              round(CAST(sum(CAST(round(detrended * 10000) AS BIGINT))
                         AS DOUBLE)
-                   / (count(*) * 10000), 4) AS seasonal
+                   / (count(detrended) * 10000), 4) AS seasonal
       FROM detr GROUP BY 1, 2
     )
     SELECT d.event_type, d.hr, d.cnt, d.trend, s.seasonal,
@@ -879,13 +894,7 @@ def win_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hour("hr").cast("int").alias("hod"),
     )
     seas = detr.groupBy("event_type", "hod").agg(
-        _r(
-            F.sum(
-                F.round(F.col("detrended") * 10000).cast("long")
-            ).cast("double")
-            / (F.count(F.lit(1)) * 10000).cast("double"),
-            4,
-        ).alias("seasonal")
+        _r(exact_avg("detrended", 4), 4).alias("seasonal")
     )
     return detr.join(F.broadcast(seas), ["event_type", "hod"]).select(
         "event_type",

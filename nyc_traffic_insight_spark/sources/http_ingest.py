@@ -48,7 +48,8 @@ class RateBudget:
     window starts at the first recorded request and resets wholesale
     once ``window_s`` elapses — it is not a rolling per-request
     window. Callers must re-check ``wait_time`` after sleeping (the
-    reset happens inside ``wait_time``), which ``HttpIngest`` does."""
+    lazy roll happens on the NEXT call once the clock shows a
+    completed window), which ``HttpIngest`` does."""
 
     limit: int
     window_s: float
@@ -56,6 +57,14 @@ class RateBudget:
     window_start: float | None = None
 
     def wait_time(self, now: float) -> float:
+        """Pure read + lazy window roll: state only resets once the
+        clock actually shows a completed window. Mutating state when
+        RETURNING a sleep (the previous design) silently bypassed the
+        limit whenever the sleep was interrupted or skipped — the
+        budget had already forgiven the window. Callers re-check after
+        sleeping (bounded, see HttpIngest._fetch_with_retry) so the
+        boundary request lands in the freshly-rolled window, never the
+        stale one."""
         if self.window_start is None:
             self.window_start = now
         elapsed = now - self.window_start
@@ -64,16 +73,7 @@ class RateBudget:
             self.window_start = now
             return 0.0
         if self.count >= self.limit:
-            # returning a sleep: open the NEXT window now (count reset,
-            # start at the moment the sleep ends) so the caller's very
-            # next record() lands in the fresh window — resetting lazily
-            # on the following wait_time call instead would count that
-            # request into the stale window and admit limit+1 at the
-            # boundary
-            remaining = self.window_s - elapsed
-            self.count = 0
-            self.window_start = now + remaining
-            return remaining
+            return self.window_s - elapsed
         return 0.0
 
     def record(self) -> None:
@@ -170,8 +170,17 @@ class HttpIngest:
         rl_sleeps = 0
         while True:
             for b in self.budgets:
-                wait = b.wait_time(self.clock())
-                if wait > 0:
+                # bounded re-check: the first sleep covers the window
+                # remainder, the second wait_time call rolls the window
+                # (count reset) so record() lands in the FRESH window —
+                # without it the boundary request counts into the stale
+                # window and the server sees limit+1. Bounded (not
+                # while-looped) so an injected no-op sleep/clock in
+                # tests cannot spin forever.
+                for _ in range(2):
+                    wait = b.wait_time(self.clock())
+                    if wait <= 0:
+                        break
                     self.sleep(wait)
             try:
                 body = self._raw_fetch(url)

@@ -27,9 +27,11 @@ Three formats, by how they actually ship:
   JVM-side — the fully distributed path.
 
 A way with n geometry nodes yields n-1 directed segments
-(``edge_id = way_id * 1000 + k`` for the k-th segment, mirroring how
-osmnx keys multi-segment edges); ``highway`` classifies, ``name``
-labels. Coordinates stay EPSG:4326 — snap tolerance is in degrees like
+(``edge_id = way_id * _SEG_STRIDE + k`` for the k-th segment,
+mirroring how osmnx keys multi-segment edges; the stride of 10⁵
+clears the OSM API's 2000-node way cap with room, so segment keys of
+consecutive way ids can never collide); ``highway`` classifies,
+``name`` labels. Coordinates stay EPSG:4326 — snap tolerance is in degrees like
 the catalog's J5 grid, and functions/geo.py reprojects when meters are
 needed.
 """
@@ -45,6 +47,12 @@ EDGE_SCHEMA = (
     "edge_id long, way_id long, u long, v long, name string, "
     "highway string, x1 double, y1 double, x2 double, y2 double"
 )
+
+# edge_id = way_id * stride + segment index. OSM caps ways at 2000
+# nodes (1999 segments), so a stride of 10^5 guarantees no aliasing
+# into the next way's keyspace; way ids are ~2^31 today, leaving
+# 10^5 * 2^31 ≈ 2^48 well inside int64.
+_SEG_STRIDE = 100_000
 
 # way types the reference's network_type='drive' keeps (osmnx's drive
 # filter, minus the service/track tail): everything a car routes on
@@ -71,13 +79,22 @@ def load_osm_xml(
     ``highways=None`` keeps every way that has a highway tag."""
     nodes: dict[int, tuple[float, float]] = {}
     rows: list[tuple] = []
-    # iterparse: the 'end' event stream keeps memory at O(way), not
-    # O(file) — city extracts parse in one pass without building a DOM
-    for _event, el in ET.iterparse(path, events=("end",)):
+    # iterparse with eager clearing: nodes dominate an extract (~90% of
+    # elements), so BOTH consumed element kinds are cleared, and the
+    # root's processed children are detached periodically — without the
+    # root detach every cleared-but-attached Element still costs its
+    # object header and the parse is O(file), not O(way)
+    it = ET.iterparse(path, events=("start", "end"))
+    _, root = next(it)  # the <osm> root, for periodic child detach
+    n_seen = 0
+    for event, el in it:
+        if event != "end":
+            continue
         if el.tag == "node":
             nodes[int(el.get("id"))] = (
                 float(el.get("lon")), float(el.get("lat"))
             )
+            el.clear()
         elif el.tag == "way":
             tags = {
                 t.get("k"): t.get("v") for t in el.findall("tag")
@@ -94,11 +111,18 @@ def load_osm_xml(
                     (x1, y1), (x2, y2) = nodes[u], nodes[v]
                     rows.append(
                         (
-                            way_id * 1000 + k, way_id, u, v, name, hw,
-                            x1, y1, x2, y2,
+                            way_id * _SEG_STRIDE + k, way_id, u, v,
+                            name, hw, x1, y1, x2, y2,
                         )
                     )
-            el.clear()  # free the subtree as we go
+            el.clear()
+        n_seen += 1
+        if n_seen % 100_000 == 0:
+            # detach already-processed children from the root so the
+            # cleared husks become garbage-collectable
+            for child in list(root):
+                if child is not el:
+                    root.remove(child)
     return spark.createDataFrame(rows, EDGE_SCHEMA)
 
 
@@ -138,18 +162,39 @@ def load_geojson_lines(spark: SparkSession, path: str) -> DataFrame:
     Each feature's coordinate array explodes into consecutive pairs
     with posexplode + a self-zip offset — no Python row loop; ndjson
     input keeps the read splittable (sources/geojson.py documents the
-    multiLine tradeoff for whole-collection files)."""
+    multiLine tradeoff for whole-collection files).
+
+    Properties absent from the whole file (an export keyed "osmid"
+    instead of "way_id", name-less extracts) yield typed NULL columns
+    rather than an analysis error; features without a way_id get a
+    NULL edge_id — assign surrogate keys downstream if such an export
+    must join by edge."""
     feat = spark.read.json(path)
-    # properties may omit any of these keys; null-safe extraction
-    props = F.col("properties")
-    way_id = props.getField("way_id").cast("long")
+
+    # read.json infers the properties struct only from keys that occur
+    # somewhere in the file — getField on an absent key is an ANALYSIS
+    # error, not a null ("osmid"-keyed exports, name-less extracts), so
+    # probe the inferred schema and substitute typed nulls for missing
+    # fields
+    try:
+        prop_fields = {
+            f.name for f in feat.schema["properties"].dataType.fields
+        }
+    except (KeyError, AttributeError):
+        prop_fields = set()
+
+    def prop(name: str, typ: str):
+        if name in prop_fields:
+            return F.col("properties").getField(name).cast(typ)
+        return F.lit(None).cast(typ)
+
     coords = F.col("geometry.coordinates")
     seg = (
         feat.filter(F.col("geometry.type") == "LineString")
         .select(
-            way_id.alias("way_id"),
-            props.getField("name").cast("string").alias("name"),
-            props.getField("highway").cast("string").alias("highway"),
+            prop("way_id", "long").alias("way_id"),
+            prop("name", "string").alias("name"),
+            prop("highway", "string").alias("highway"),
             F.posexplode(
                 F.zip_with(
                     F.slice(coords, 1, F.greatest(F.size(coords) - 1, F.lit(0))),
@@ -163,7 +208,7 @@ def load_geojson_lines(spark: SparkSession, path: str) -> DataFrame:
         )
     )
     return seg.select(
-        (F.col("way_id") * 1000 + F.col("k")).alias("edge_id"),
+        (F.col("way_id") * _SEG_STRIDE + F.col("k")).alias("edge_id"),
         "way_id",
         F.lit(None).cast("long").alias("u"),
         F.lit(None).cast("long").alias("v"),

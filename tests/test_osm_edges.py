@@ -63,15 +63,15 @@ def test_osm_xml_parses_drive_segments(spark, osm_file):
     by_id = {r["edge_id"]: r for r in edges}
     # way 100 → 2 segments, way 200 → 1; footway filtered; way 400's
     # only segment references a node outside the extract → dropped
-    assert set(by_id) == {100000, 100001, 200000}
-    e = by_id[100000]
+    assert set(by_id) == {100 * 100_000, 100 * 100_000 + 1, 200 * 100_000}
+    e = by_id[100 * 100_000]
     assert (e["u"], e["v"]) == (1, 2)
     assert (e["x1"], e["y1"], e["x2"], e["y2"]) == (
         -74.0, 40.7, -74.0, 40.71
     )
     assert e["name"] == "Test Street"
-    assert by_id[200000]["highway"] == "primary"
-    assert by_id[200000]["name"] is None
+    assert by_id[200 * 100_000]["highway"] == "primary"
+    assert by_id[200 * 100_000]["name"] is None
     # highways=None keeps the footway too
     all_edges = load_osm_xml(spark, osm_file, highways=None).collect()
     assert {r["way_id"] for r in all_edges} == {100, 200, 300}
@@ -170,3 +170,47 @@ def test_drive_filter_is_the_reference_network_type():
     # reference: ox.graph_from_place(..., network_type='drive')
     assert "residential" in DRIVE_HIGHWAYS
     assert "footway" not in DRIVE_HIGHWAYS
+
+
+def test_geojson_missing_property_keys_yield_nulls(spark, tmp_path):
+    # an export with no way_id/name/highway keys anywhere must load
+    # with typed NULL columns, not crash analysis (ADVICE-class fix)
+    f = {
+        "type": "Feature",
+        "geometry": {"type": "LineString",
+                     "coordinates": [[-74.0, 40.7], [-73.99, 40.71]]},
+        "properties": {"osmid": 7},
+    }
+    p = tmp_path / "bare.ndjson"
+    p.write_text(json.dumps(f))
+    rows = load_geojson_lines(spark, str(p)).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["way_id"] is None and r["edge_id"] is None
+    assert r["name"] is None and r["highway"] is None
+    assert (r["x1"], r["y1"], r["x2"], r["y2"]) == (-74.0, 40.7, -73.99, 40.71)
+
+
+def test_edge_ids_do_not_collide_on_long_ways(spark, tmp_path):
+    # a 1001-node way (legal: OSM caps at 2000) must not alias into the
+    # next way id's segment keyspace
+    nodes = "".join(
+        f'<node id="{i}" lat="{40.7 + i * 1e-6}" lon="-74.0"/>'
+        for i in range(1, 1002)
+    )
+    nds = "".join(f'<nd ref="{i}"/>' for i in range(1, 1002))
+    xml = (
+        "<?xml version='1.0'?><osm>" + nodes +
+        f'<way id="500">{nds}<tag k="highway" v="primary"/></way>'
+        '<node id="2000" lat="40.8" lon="-74.1"/>'
+        '<node id="2001" lat="40.81" lon="-74.1"/>'
+        '<way id="501"><nd ref="2000"/><nd ref="2001"/>'
+        '<tag k="highway" v="primary"/></way>'
+        "</osm>"
+    )
+    p = tmp_path / "long.osm"
+    p.write_text(xml)
+    edges = load_osm_xml(spark, str(p)).collect()
+    ids = [r["edge_id"] for r in edges]
+    assert len(ids) == len(set(ids)) == 1001  # 1000 segments + 1
+    assert 501 * 100_000 in ids  # way 501's first segment, unaliased
