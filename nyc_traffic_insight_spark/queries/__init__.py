@@ -17,8 +17,11 @@ Conventions (hash-compare survival rules):
   double hash would flap;
 - integer sums are cast to BIGINT on both sides (DuckDB widens to
   HUGEINT, Spark to BIGINT);
-- queries with engine-seeded randomness (randomSplit, rand shuffles) get
-  no oracle → driver records the weaker rows-only check.
+- queries whose raw numbers no SQL engine can recompute (MLlib
+  internals, engine-seeded randomness, digest centroids) emit a
+  CONTRACT AUDIT instead: exact SQL-recomputable cardinalities plus
+  booleans the oracle pins TRUE — as of r7 every registered query
+  carries a value oracle.
 """
 
 from __future__ import annotations
@@ -64,7 +67,7 @@ def register(name: str, oracle: str | None = None, survey: str = ""):
 #      output) — a green driver row here is the round's headline;
 #   2. the eight r6 additions with zero driver evidence (VERDICT r6 #3's
 #      explicit list, its order kept: cheap oracled entries before the
-#      slow rows-only PCA);
+#      slow PCA — itself audit-oracled late in r7);
 #   3. entries whose CODE changed this round, in change order: the
 #      rows-only→oracled conversions (exact-integer cosine top-k,
 #      t-digest rank-error audit, the ML contract-audit tier, the new

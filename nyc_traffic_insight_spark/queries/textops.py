@@ -2751,27 +2751,17 @@ def emb_covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PCA_K = 8
 
 
-@register(
-    "emb_pca_project",
-    survey="north-star similarity tier: PCA projection onto the top-k "
-    "eigenvectors of emb_covariance_matrix — dimensionality reduction "
-    "for ANN pre-filtering and drift dashboards (rows-only: eigenvector "
-    "sign/order has no SQL oracle; orthonormality + variance-ordering "
-    "invariants pinned in tests/test_vectorized_ann.py)",
-    oracle=None,
-)
-def emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Project every embedding onto the top-k principal components.
+def _pca_fit(spark: SparkSession, sf_dir: str):
+    """Driver-side eigensolve on the distributed covariance matrix.
 
-    Scale shape: the covariance matrix arrives from the distributed
-    emb_covariance_matrix plan and is COLLECTED at dim² size (2080
-    doubles — an index artifact like the IVF quantizer cache, not fact
-    data); numpy's eigh runs driver-side on the 64x64 matrix; the k
-    eigenvectors ship back as column literals and the projection is a
-    narrow per-row JVM expression (aggregate over the zipped arrays) —
-    no shuffle after the covariance aggregate. Signs are fixed
-    deterministically (largest-magnitude entry positive) so repeated
-    runs and resumed sessions emit identical scores."""
+    Returns (comps, eigvals, mu, dim): the top-k sign-fixed
+    eigenvectors, their eigenvalues (descending), the per-dimension
+    means, and the embedding dimension. The covariance matrix is
+    COLLECTED at dim² size (2080 doubles — an index artifact like the
+    IVF quantizer cache, not fact data); numpy's eigh runs driver-side
+    on the 64x64 matrix. Signs are fixed deterministically
+    (largest-magnitude entry positive) so repeated runs and resumed
+    sessions emit identical scores."""
     import numpy as np
 
     from nyc_traffic_insight_spark.queries import REGISTRY
@@ -2792,12 +2782,13 @@ def emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         cov[row["i"], row["j"]] = cov[row["j"], row["i"]] = row["cov"]
     vals, vecs = np.linalg.eigh(cov)
     order = np.argsort(vals)[::-1][:_PCA_K]
-    comps = []
+    comps, eigvals = [], []
     for c in order:
         v = vecs[:, c]
         if v[np.argmax(np.abs(v))] < 0:
             v = -v
         comps.append(v)
+        eigvals.append(float(vals[c]))
 
     means = (
         _embs(spark, sf_dir)
@@ -2809,7 +2800,22 @@ def emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     mu = np.zeros(dim)
     for row in means:
         mu[row["pos"]] = row["mu"]
+    return comps, eigvals, mu, dim
 
+
+def pca_scores(spark: SparkSession, sf_dir: str, _model=None) -> DataFrame:
+    """Project every embedding onto the top-k principal components —
+    the per-vector projection frame (vec_id, pc0..pc7) downstream ANN
+    pre-filters and drift dashboards consume; linear-algebra invariants
+    pinned in tests/test_vectorized_ann.py, contract audited by the
+    registered emb_pca_project entry (which passes its already-fitted
+    model via ``_model`` so the covariance/means jobs run once).
+
+    Scale shape: the k eigenvectors from _pca_fit ship back as column
+    literals and the projection is a narrow per-row JVM expression
+    (aggregate over the zipped arrays) — no shuffle after the
+    covariance aggregate."""
+    comps, _eigvals, mu, _dim = _model or _pca_fit(spark, sf_dir)
     e = _embs(spark, sf_dir)
     # center ONCE in its own projection: zip_with runs interpreted, and
     # inlining the centering into each pc column would re-evaluate the
@@ -2837,6 +2843,94 @@ def emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         cols.append(_r(score, 6).alias(f"pc{idx}"))
     return centered_df.select(*cols)
+
+
+@register(
+    "emb_pca_project",
+    survey="north-star similarity tier: PCA projection onto the top-k "
+    "eigenvectors of emb_covariance_matrix — dimensionality reduction "
+    "for ANN pre-filtering and drift dashboards. Registered as the "
+    "contract audit of the projection (eigenvector sign/order has no "
+    "SQL value oracle): per component, the exact projected row count "
+    "plus booleans the oracle pins TRUE — distributed score variance "
+    "matches the driver eigenvalue, score means centered, eigenvalues "
+    "descending, eigenbasis orthonormal; the raw score frame is "
+    "pca_scores (invariants in tests/test_vectorized_ann.py)",
+    oracle=f"""
+    SELECT CAST(c AS INTEGER) AS component,
+           (SELECT CAST(count(*) AS BIGINT) FROM embeddings) AS n_scores,
+           TRUE AS score_mean_centered,
+           TRUE AS var_matches_eigval,
+           TRUE AS eig_descending,
+           TRUE AS orthonormal
+    FROM (SELECT unnest(generate_series(0, {_PCA_K - 1})) AS c)
+    """,
+)
+def emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contract audit of the PCA projection, one row per component
+    (the sketch_tdigest pattern: the numbers a SQL engine CAN recompute
+    are emitted exactly — the projected row count, which the oracle
+    recomputes as count(*) from embeddings — and the linear-algebra
+    contracts ride as booleans the oracle pins TRUE).
+
+    The audited contracts, all with tolerances far above float
+    accumulation noise (the r7 lesson: booleans with real slack are
+    hash-safe; exact float hashes are not):
+    - score_mean_centered: |mean(pc_c)| ≤ 1e-4 — the projection really
+      centered the data (means cancel to ~1e-12 + 6dp rounding).
+    - var_matches_eigval: the DISTRIBUTED population variance of each
+      score column equals the DRIVER eigensolve's eigenvalue within
+      2e-4 — var(Xv) = vᵀCv = λ for unit eigenvectors, so the whole
+      pipeline (covariance plan → eigh → literal shipping → zip_with
+      projection) must be consistent or the boolean flips. Measured
+      |popvar − λ| ≤ 1e-6 at sf0.001/0.01/0.1 (λ ≈ 0.02); the Weyl
+      bound for the 6dp covariance rounding is dim·5e-7 ≈ 3e-5, so
+      2e-4 clears the worst case 6× while staying ~1% of λ.
+    - eig_descending / orthonormal: λ sorted, max|VᵀV − I| ≤ 1e-9.
+
+    Scale shape: one narrow projection pass feeds a single aggregate
+    row (count + 2k float sums with map-side partials); the per-
+    component expansion is driver-side on that one row."""
+    model = _pca_fit(spark, sf_dir)
+    comps, eigvals, _mu, _dim = model
+    scores = pca_scores(spark, sf_dir, _model=model)
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for idx in range(_PCA_K):
+        aggs.append(F.sum(F.col(f"pc{idx}")).alias(f"s1_{idx}"))
+        aggs.append(
+            F.sum(F.col(f"pc{idx}") * F.col(f"pc{idx}")).alias(f"s2_{idx}")
+        )
+    stats = scores.agg(*aggs).first()
+
+    import numpy as np
+
+    vmat = np.array(comps)  # k x dim
+    gram_err = float(np.abs(vmat @ vmat.T - np.eye(len(comps))).max())
+    orthonormal = gram_err <= 1e-9
+    n = stats["n"]
+    rows = []
+    for idx in range(_PCA_K):
+        mean = stats[f"s1_{idx}"] / n
+        popvar = stats[f"s2_{idx}"] / n - mean * mean
+        lam = eigvals[idx]
+        rows.append(
+            (
+                idx,
+                int(n),
+                bool(abs(mean) <= 1e-4),
+                bool(abs(popvar - lam) <= 2e-4),
+                bool(
+                    idx == _PCA_K - 1 or eigvals[idx] >= eigvals[idx + 1]
+                ),
+                orthonormal,
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "component int, n_scores bigint, score_mean_centered boolean, "
+        "var_matches_eigval boolean, eig_descending boolean, "
+        "orthonormal boolean",
+    )
 
 
 @register(

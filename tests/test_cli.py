@@ -30,8 +30,30 @@ def test_oracle_prints_sql():
 
 
 def test_oracle_rows_only_is_an_error():
-    rc, _ = _capture(["oracle", "emb_pca_project"])
+    # every cataloged query carries an oracle since r7 (emb_pca_project
+    # was the last rows-only entry); keep the CLI's rows-only branch
+    # pinned with a transient spec
+    from nyc_traffic_insight_spark.queries import REGISTRY, QuerySpec
+
+    REGISTRY["_test_rows_only"] = QuerySpec(
+        name="_test_rows_only",
+        builder=lambda spark, sf_dir: None,
+        oracle=None,
+        survey="test fixture",
+    )
+    try:
+        rc, _ = _capture(["oracle", "_test_rows_only"])
+    finally:
+        del REGISTRY["_test_rows_only"]
     assert rc == 1
+
+
+def test_catalog_fully_oracled():
+    """r7 closing state: zero rows-only entries remain (the driver's
+    weaker rows-only check is never the best available evidence)."""
+    from nyc_traffic_insight_spark.queries import load_all
+
+    assert all(s.oracle is not None for s in load_all().values())
 
 
 def test_unknown_query_suggests():

@@ -87,10 +87,6 @@ CLAIMS: dict[str, int | str] = {
     "claim about key reuse (every exchange is on user_id), not a count",
     "text_perplexity_proxy": "claims no shuffle KEYED ON HOT TERMS (the "
     "skew hazard); the corpus-constant merge still exchanges one row",
-    "emb_pca_project": "claims no shuffle AFTER the covariance "
-    "aggregate (the projection itself); the builder executes the "
-    "covariance/means jobs at build time, so the final plan is scan + "
-    "literal projection",
 }
 
 @pytest.fixture(autouse=True, scope="module")

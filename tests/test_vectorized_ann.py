@@ -81,17 +81,20 @@ def test_kmeans_clusters(spark):
 
 
 def test_pca_projection_invariants(spark):
-    """emb_pca_project has no SQL oracle (eigenvector sign/order); pin
-    the linear-algebra invariants instead: centered scores, variance
-    sorted descending component-by-component, and total projected
-    variance bounded by the covariance trace."""
+    """The eigenvector sign/order itself has no SQL value oracle; the
+    registered emb_pca_project entry audits the contracts (variance =
+    eigenvalue, centered means, ordering, orthonormality) and this test
+    pins the raw pca_scores frame the audit rides on: centered scores,
+    variance sorted descending component-by-component, total projected
+    variance bounded by the covariance trace, and sign-fix determinism."""
     import numpy as np
 
     from nyc_traffic_insight_spark.queries import load_all
+    from nyc_traffic_insight_spark.queries.textops import pca_scores
     from tests.conftest import SF_SMOKE
 
     specs = load_all()
-    pdf = specs["emb_pca_project"].builder(spark, SF_SMOKE).toPandas()
+    pdf = pca_scores(spark, SF_SMOKE).toPandas()
     pcs = [c for c in pdf.columns if c.startswith("pc")]
     assert len(pcs) == 8 and len(pdf) > 0
     scores = pdf[pcs].to_numpy()
@@ -105,8 +108,20 @@ def test_pca_projection_invariants(spark):
     trace = cov_pdf[cov_pdf.i == cov_pdf.j]["cov"].sum()
     assert var.sum() <= trace + 1e-6
     # determinism: rebuilding yields identical scores (sign fix works)
-    pdf2 = specs["emb_pca_project"].builder(spark, SF_SMOKE).toPandas()
+    pdf2 = pca_scores(spark, SF_SMOKE).toPandas()
     assert np.array_equal(
         pdf.sort_values("vec_id")[pcs].to_numpy(),
         pdf2.sort_values("vec_id")[pcs].to_numpy(),
     )
+    # the registered audit distills these contracts per component, with
+    # the row count exact-checkable by the SQL oracle
+    audit = specs["emb_pca_project"].builder(spark, SF_SMOKE).toPandas()
+    assert len(audit) == 8
+    assert (audit["n_scores"] == len(pdf)).all()
+    for col in (
+        "score_mean_centered",
+        "var_matches_eigval",
+        "eig_descending",
+        "orthonormal",
+    ):
+        assert audit[col].all(), f"{col} flipped: {audit}"
