@@ -51,6 +51,29 @@ def exact_sum(col: Column | str, dp: int = 2) -> Column:
     return F.sum(F.round(c * m).cast("long")).cast("double") / m
 
 
+def scaled_long(col: Column | str, dp: int = 2) -> Column:
+    """dp-exact decimal → BIGINT ticks (``round(x·10^dp)``), the input
+    form every order-free integer aggregate here builds on. Use it
+    directly when the ticks should STAY integer (cumulative cents,
+    scaled moments) so the one spelling that must match the oracle's
+    ``CAST(round(x * 10^dp) AS BIGINT)`` lives in one place."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(c * (10**dp)).cast("long")
+
+
+def exact_wsum(col: Column | str, dp: int, window) -> Column:
+    """Order-free WINDOWED sum of a dp-exact decimal column — the
+    window-frame sibling of exact_sum (sum BIGINT ticks over the frame,
+    divide back once). Frames with a unique total order are already
+    bit-deterministic (both engines scan the sorted frame), but the
+    integer form also survives ties and partition-layout changes.
+    Oracle spelling:
+    ``CAST(sum(CAST(round(x*10^dp) AS BIGINT)) OVER w AS DOUBLE)
+      / 10^dp``."""
+    m = 10**dp
+    return F.sum(scaled_long(col, dp)).over(window).cast("double") / m
+
+
 def exact_avg(col: Column | str, dp: int = 2) -> Column:
     """Order-free mean of a dp-exact decimal column (null-skipping,
     like ``avg``). Oracle spelling:

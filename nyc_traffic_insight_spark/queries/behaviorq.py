@@ -19,7 +19,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from nyc_traffic_insight_spark.functions.rounding import exact_avg, exact_sum, r as _r
+from nyc_traffic_insight_spark.functions.rounding import (
+    exact_avg,
+    exact_sum,
+    r as _r,
+    scaled_long,
+)
 from nyc_traffic_insight_spark.queries import register
 from nyc_traffic_insight_spark.sources import load_table
 from nyc_traffic_insight_spark.sources.catalog import load_table_wide
@@ -1959,7 +1964,8 @@ def agg_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events GROUP BY user_id
     ),
     -- arm moments from EXACT integer sums of the 4dp-exact user means:
-    -- S1=Σt, S2=Σt² (t = user_mean·10⁴, BIGINT — commutative), then
+    -- S1=Σt (t = user_mean·10⁴, BIGINT — commutative), S2=Σt² widened
+    -- to HUGEINT here / DECIMAL(38,0) in Spark (t² wraps int64), then
     -- mean = S1/(n·10⁴) and var_samp = (S2 − S1²/n)/((n−1)·10⁸) as a
     -- fixed sequence of deterministic IEEE ops — avg/var_samp over
     -- doubles accumulate in engine-dependent order (the r6 red-row
@@ -1972,7 +1978,7 @@ def agg_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT arm, CAST(count(*) AS BIGINT) AS n,
              round(CAST(sum(t) AS DOUBLE) / (count(*) * 10000), 4)
                AS mean_val,
-             round((CAST(sum(t * t) AS DOUBLE)
+             round((CAST(sum(CAST(t AS HUGEINT) * t) AS DOUBLE)
                     - CAST(sum(t) AS DOUBLE) * CAST(sum(t) AS DOUBLE)
                       / count(*))
                    / ((count(*) - 1) * 100000000.0), 4) AS var_val
@@ -2025,13 +2031,19 @@ def report_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_user = ev.groupBy("user_id").agg(
         _r(exact_avg("value"), 4).alias("user_mean")
     ).select(arm.alias("arm"), "user_mean")
-    t = F.round(F.col("user_mean") * 10000).cast("long")
+    t = scaled_long("user_mean", 4)
+    # Σt² runs in DECIMAL(38,0), not BIGINT: t² ~ (|mean|·10⁴)² wraps
+    # int64 SILENTLY in Spark past ~2e7 users/arm at this fixture's
+    # magnitudes (and immediately for money-scale metrics), while the
+    # oracle widens to HUGEINT — decimal gives the same ~1e38 headroom
+    # class on both engines and fails loud (null), never wrapped.
+    td = t.cast("decimal(19,0)")
     per_arm = (
         per_user.groupBy("arm")
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.sum(t).alias("s1"),
-            F.sum(t * t).alias("s2"),
+            F.sum(td * td).alias("s2"),
         )
         .select(
             "arm",
@@ -2280,7 +2292,7 @@ def win_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ).agg(_r(exact_sum("o_totalprice"), 4).alias("rev"))
     w_ord = W2.partitionBy("priority").orderBy("day")
-    rev_c = F.round(F.col("rev") * 100).cast("long")
+    rev_c = scaled_long("rev", 2)
     cum = daily.select(
         "priority",
         "day",
@@ -2387,9 +2399,7 @@ def report_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("month_offset"),
         )
         .agg(
-            F.sum(
-                F.round(F.col("o_totalprice") * 100).cast("long")
-            ).alias("rev_cents")
+            F.sum(scaled_long("o_totalprice", 2)).alias("rev_cents")
         )
     )
     sizes = firstorder.groupBy("cohort_m").agg(
@@ -2606,7 +2616,7 @@ def report_pareto_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_custkey")
         .agg(_r(exact_sum("o_totalprice"), 2).alias("revenue"))
     )
-    rev_c = F.round(F.col("revenue") * 100).cast("long")
+    rev_c = scaled_long("revenue", 2)
     total_c = F.sum(rev_c).over(Window.partitionBy())
     deciled = rev.select(
         "revenue",

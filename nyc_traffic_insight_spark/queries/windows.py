@@ -22,7 +22,12 @@ from pyspark.sql import functions as F
 
 from nyc_traffic_insight_spark.queries import register
 from nyc_traffic_insight_spark.sources import load_table
-from nyc_traffic_insight_spark.functions.rounding import exact_avg, exact_sum, r as _r
+from nyc_traffic_insight_spark.functions.rounding import (
+    exact_avg,
+    exact_sum,
+    exact_wsum,
+    r as _r,
+)
 
 # Shared hourly series: per-type hourly event counts + mean value.
 _HOURLY_SQL = """
@@ -147,13 +152,7 @@ def win_roll_mean_24(spark: SparkSession, sf_dir: str) -> DataFrame:
         "hr",
         "cnt",
         _r(F.avg("cnt").over(frame), 4).alias("roll_24h"),
-        _r(
-            F.sum(F.round(F.col("mean_val") * 10000).cast("long"))
-            .over(frame)
-            .cast("double")
-            / 10000,
-            4,
-        ).alias("sum_24h"),
+        _r(exact_wsum("mean_val", 4, frame), 4).alias("sum_24h"),
     )
 
 
@@ -343,13 +342,7 @@ def win_range_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "ts",
         F.count(F.lit(1)).over(w).cast("bigint").alias("n_1h"),
-        _r(
-            F.sum(F.round(F.col("value") * 100).cast("long"))
-            .over(w)
-            .cast("double")
-            / 100,
-            4,
-        ).alias("sum_1h"),
+        _r(exact_wsum("value", 2, w), 4).alias("sum_1h"),
     )
 
 

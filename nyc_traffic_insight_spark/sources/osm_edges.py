@@ -119,10 +119,15 @@ def load_osm_xml(
         n_seen += 1
         if n_seen % 100_000 == 0:
             # detach already-processed children from the root so the
-            # cleared husks become garbage-collectable
-            for child in list(root):
-                if child is not el:
-                    root.remove(child)
+            # cleared husks become garbage-collectable. Slice deletion
+            # is O(children); per-child root.remove() is O(children²)
+            # per pass (~0.9 s per 100k on this box — minutes of pure
+            # list churn on a metro extract). Keeping only the LAST
+            # child is safe: root's children append in start-tag order,
+            # so the last one is either el itself or the still-open way
+            # el is nested under (whose subtree the parser stack and
+            # the end-event handler reference directly, not via root).
+            del root[:-1]
     return spark.createDataFrame(rows, EDGE_SCHEMA)
 
 
