@@ -642,82 +642,45 @@ def _qd_leaf_body() -> str:
 """
 
 
-def _qdigest_sql(
-    table: str,
-    dom_select: str | None = None,
-    leaves_select: str | None = None,
-) -> str:
-    """One SQL text, both engines: build the canonical q-digest of
-    ``l_extendedprice`` and read the probe quantiles.
-
-    Portability rules: every floor/ceil result is CAST explicitly
-    (Spark's floor returns BIGINT, DuckDB's returns DOUBLE), integer
-    halving is floor(id / 2.0) (no engine-specific `//` or shiftright),
-    probes are UNION ALL literals (VALUES syntax differs), and the final
-    estimate is floor-form-rounded (never bare round(): engine rounding
-    modes differ).
-
-    ``dom_select`` replaces the domain-statistics CTE body. The dom row
-    is referenced by every level CTE, and Spark INLINES non-reused CTE
-    plans — leaving dom as an aggregate over base would re-scan the
-    fact table once per reference (~23 scans; the executed plan showed
-    266 single-partition exchanges). The Spark builder therefore
-    computes the row once and inlines the exact values as literals;
-    DuckDB materializes multiply-referenced CTEs, so the oracle keeps
-    the aggregate form. min/max/count/floor are exact, so both forms
-    produce bit-identical constants.
-
-    ``leaves_select`` does the same for the leaf histogram: the level
-    tree references c10 transitively from every level, and CTE inlining
-    replicated the fact-table scan ~75× in the executed plan. The Spark
-    builder materializes the ≤1024-row histogram once (localCheckpoint)
-    from the SAME _qd_leaf_body text and points this parameter at it."""
-    leaves = 2**_QD_LEVELS
-    probes = " UNION ALL ".join(
-        f"SELECT CAST({q} AS DOUBLE) AS q" for q in _QD_PROBES
-    )
-    if dom_select is None:
-        dom_select = f"""
-  SELECT min(v) AS lo, max(v) AS hi,
-         CAST(count(*) AS BIGINT) AS n,
-         CAST(floor(CAST(count(*) AS DOUBLE) / {_QD_K}.0) AS BIGINT) AS t
-  FROM base
-"""
-    if leaves_select is None:
-        leaves_select = _qd_leaf_body()
-    parts = [
-        f"""
-WITH base AS (SELECT l_extendedprice AS v FROM {table}),
-dom AS ({dom_select}),
-c{_QD_LEVELS} AS ({leaves_select})"""
-    ]
-    for lv in range(_QD_LEVELS, 0, -1):
-        parts.append(
-            f""",
-g{lv} AS (
+def _qd_g_body(lv: int) -> str:
+    """Sibling-pair rollup of level ``lv`` (expects CTE ``c{lv}``)."""
+    return f"""
   SELECT CAST(floor(id / 2.0) AS BIGINT) AS pid,
          CAST(sum(cnt) AS BIGINT) AS s
   FROM c{lv} GROUP BY 1
-),
-c{lv - 1} AS (
+"""
+
+
+def _qd_cnext_body(lv: int) -> str:
+    """Level ``lv-1`` carriers: pairs whose combined count fits the
+    threshold collapse into their parent (expects ``g{lv}``, ``dom``)."""
+    return f"""
   SELECT g.pid AS id, g.s AS cnt FROM g{lv} g CROSS JOIN dom d
   WHERE g.s <= d.t
-),
-f{lv} AS (
+"""
+
+
+def _qd_f_body(lv: int) -> str:
+    """Digest nodes emitted at level ``lv``: children of pairs that
+    exceed the threshold (expects ``c{lv}``, ``g{lv}``, ``dom``)."""
+    return f"""
   SELECT CAST({lv} AS INTEGER) AS lvl, c.id, c.cnt
   FROM c{lv} c
   JOIN g{lv} g ON CAST(floor(c.id / 2.0) AS BIGINT) = g.pid
   CROSS JOIN dom d
   WHERE g.s > d.t
-)"""
-        )
-    unions = " UNION ALL ".join(
-        [f"SELECT lvl, id, cnt FROM f{lv}" for lv in range(_QD_LEVELS, 0, -1)]
-        + ["SELECT CAST(0 AS INTEGER) AS lvl, id, cnt FROM c0"]
+"""
+
+
+def _qd_tail(nodes_union: str) -> str:
+    """The digest read: post-order rank scan + probe quantiles (expects
+    ``dom`` and whatever CTEs ``nodes_union`` references in scope)."""
+    leaves = 2**_QD_LEVELS
+    probes = " UNION ALL ".join(
+        f"SELECT CAST({q} AS DOUBLE) AS q" for q in _QD_PROBES
     )
-    parts.append(
-        f""",
-nodes AS ({unions}),
+    return f""",
+nodes AS ({nodes_union}),
 ranked AS (
   SELECT lvl, id, cnt,
          (id + 1) * CAST(power(2.0, {_QD_LEVELS} - lvl) AS BIGINT) - 1 AS ub,
@@ -748,7 +711,70 @@ SELECT h.q AS q,
        d.n AS total_weight
 FROM hits h CROSS JOIN dom d
 """
+
+
+def _qdigest_sql(
+    table: str,
+    dom_select: str | None = None,
+    leaves_select: str | None = None,
+) -> str:
+    """One SQL text, both engines: build the canonical q-digest of
+    ``l_extendedprice`` and read the probe quantiles.
+
+    Portability rules: every floor/ceil result is CAST explicitly
+    (Spark's floor returns BIGINT, DuckDB's returns DOUBLE), integer
+    halving is floor(id / 2.0) (no engine-specific `//` or shiftright),
+    probes are UNION ALL literals (VALUES syntax differs), and the final
+    estimate is floor-form-rounded (never bare round(): engine rounding
+    modes differ).
+
+    ``dom_select`` replaces the domain-statistics CTE body. The dom row
+    is referenced by every level CTE, and Spark INLINES non-reused CTE
+    plans — leaving dom as an aggregate over base would re-scan the
+    fact table once per reference (~23 scans; the executed plan showed
+    266 single-partition exchanges). The Spark builder therefore
+    computes the row once and inlines the exact values as literals;
+    DuckDB materializes multiply-referenced CTEs, so the oracle keeps
+    the aggregate form. min/max/count/floor are exact, so both forms
+    produce bit-identical constants.
+
+    ``leaves_select`` does the same for the leaf histogram: the level
+    tree references c10 transitively from every level, and CTE inlining
+    replicated the fact-table scan ~75× in the executed plan. The Spark
+    builder materializes the ≤1024-row histogram once (localCheckpoint)
+    from the SAME _qd_leaf_body text and points this parameter at it.
+
+    Every per-level body and the digest-read tail come from the
+    fragment builders above (_qd_g_body / _qd_cnext_body / _qd_f_body /
+    _qd_tail) — the SAME fragments the Spark builder executes level by
+    level — so the two execution shapes cannot drift algorithmically."""
+    if dom_select is None:
+        dom_select = f"""
+  SELECT min(v) AS lo, max(v) AS hi,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(floor(CAST(count(*) AS DOUBLE) / {_QD_K}.0) AS BIGINT) AS t
+  FROM base
+"""
+    if leaves_select is None:
+        leaves_select = _qd_leaf_body()
+    parts = [
+        f"""
+WITH base AS (SELECT l_extendedprice AS v FROM {table}),
+dom AS ({dom_select}),
+c{_QD_LEVELS} AS ({leaves_select})"""
+    ]
+    for lv in range(_QD_LEVELS, 0, -1):
+        parts.append(
+            f""",
+g{lv} AS ({_qd_g_body(lv)}),
+c{lv - 1} AS ({_qd_cnext_body(lv)}),
+f{lv} AS ({_qd_f_body(lv)})"""
+        )
+    unions = " UNION ALL ".join(
+        [f"SELECT lvl, id, cnt FROM f{lv}" for lv in range(_QD_LEVELS, 0, -1)]
+        + ["SELECT CAST(0 AS INTEGER) AS lvl, id, cnt FROM c0"]
     )
+    parts.append(_qd_tail(unions))
     return "".join(parts)
 
 
@@ -782,13 +808,22 @@ def sketch_qdigest(spark: SparkSession, sf_dir: str) -> DataFrame:
     window). The digest is mergeable by construction — union two
     digests' node counts and re-run the count-only compression — which
     is the q-digest's original sensor-network use. Spark executes the
-    IDENTICAL generated SQL text the oracle runs for everything
-    downstream of the domain row, so the cross-engine check pins the
-    algorithm, not two hopefully-equal implementations; the domain row
-    itself (exact min/max/count) is computed in ONE pass and inlined as
-    literals — see _qdigest_sql's dom_select note for why (Spark CTE
-    inlining would otherwise rescan the fact table per reference).
-    """
+    IDENTICAL generated SQL fragments the oracle's monolithic text is
+    assembled from, so the cross-engine check pins the algorithm, not
+    two hopefully-equal implementations; the domain row itself (exact
+    min/max/count) is computed in ONE pass and inlined as literals —
+    see _qdigest_sql's dom_select note for why (Spark CTE inlining
+    would otherwise rescan the fact table per reference).
+
+    Execution shape (differs from the oracle's single text ONLY in
+    materialization boundaries): Spark inlines deterministic CTEs, so
+    the ten-level chain as one text fans out ~2^levels tiny subplans
+    over the checkpointed histogram — a CONSTANT ~6-8 s of
+    planning/scheduling at any SF (the r6 accepted cost, now fixed).
+    Instead each level's carrier c{lv-1} materializes via
+    localCheckpoint (≤1024 rows, one tiny job per level), and the
+    final read assembles the SAME g/f fragments over those
+    materialized views — linear fan-out, ~30 bounded scans total."""
     li = load_table(spark, sf_dir, "lineitem")
     lo, hi, n = li.agg(
         F.min("l_extendedprice"),
@@ -808,14 +843,26 @@ def sketch_qdigest(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"WITH base AS (SELECT l_extendedprice AS v FROM __qd_lineitem),"
         f" dom AS ({dom}) {_qd_leaf_body()}"
     ).localCheckpoint()
-    leaves.createOrReplaceTempView("__qd_leaves")
-    return spark.sql(
-        _qdigest_sql(
-            "__qd_lineitem",
-            dom_select=dom,
-            leaves_select="SELECT id, cnt FROM __qd_leaves",
-        )
+    leaves.createOrReplaceTempView(f"__qd_c{_QD_LEVELS}")
+    # level-by-level compression, each carrier materialized (same
+    # fragment text the oracle runs; see docstring)
+    for lv in range(_QD_LEVELS, 0, -1):
+        nxt = spark.sql(
+            f"WITH dom AS ({dom}), "
+            f"c{lv} AS (SELECT id, cnt FROM __qd_c{lv}), "
+            f"g{lv} AS ({_qd_g_body(lv)}) {_qd_cnext_body(lv)}"
+        ).localCheckpoint()
+        nxt.createOrReplaceTempView(f"__qd_c{lv - 1}")
+    level_ctes = ", ".join(
+        f"c{lv} AS (SELECT id, cnt FROM __qd_c{lv}), "
+        f"g{lv} AS ({_qd_g_body(lv)}), f{lv} AS ({_qd_f_body(lv)})"
+        for lv in range(_QD_LEVELS, 0, -1)
     )
+    unions = " UNION ALL ".join(
+        [f"SELECT lvl, id, cnt FROM f{lv}" for lv in range(_QD_LEVELS, 0, -1)]
+        + ["SELECT CAST(0 AS INTEGER) AS lvl, id, cnt FROM __qd_c0"]
+    )
+    return spark.sql(f"WITH dom AS ({dom}), {level_ctes}{_qd_tail(unions)}")
 
 
 @register(
