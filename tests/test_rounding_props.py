@@ -101,3 +101,53 @@ def test_exact_sum_avg_match_duckdb_spelling_and_decimal_truth(spark):
 
     true_sum = sum(Decimal(int(c)) for c in cents) / 100
     assert Decimal(repr(got["s"])) == true_sum
+
+
+def test_exact_wsum_matches_duckdb_window_spelling_and_decimal_truth(spark):
+    """exact_wsum (the windowed sibling, r7 review refactor) must equal
+    the documented oracle window spelling bit-for-bit and the true
+    decimal trailing-frame sum exactly — same lossless contract as
+    exact_sum, per frame instead of per group. scaled_long is the
+    shared input form, so this pins both helpers."""
+    import duckdb
+    from decimal import Decimal
+
+    import numpy as np
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from nyc_traffic_insight_spark.functions.rounding import exact_wsum
+
+    rng = np.random.default_rng(11)
+    cents = rng.integers(-10**7, 10**7, 500)
+    xs = [c / 100.0 for c in cents]
+
+    sdf = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(xs)], "i INT, x DOUBLE"
+    )
+    frame = Window.orderBy("i").rowsBetween(-5, -1)
+    got = {
+        row["i"]: row["s"]
+        for row in sdf.select(
+            "i", exact_wsum("x", 2, frame).alias("s")
+        ).collect()
+    }
+    want = dict(
+        duckdb.sql(
+            """SELECT i,
+                      CAST(sum(CAST(round(x * 100) AS BIGINT)) OVER (
+                             ORDER BY i ROWS BETWEEN 5 PRECEDING
+                                             AND 1 PRECEDING
+                           ) AS DOUBLE) / 100
+               FROM (SELECT unnest($ii) AS i, unnest($xs) AS x)""",
+            params={"ii": list(range(len(xs))), "xs": xs},
+        ).fetchall()
+    )
+    assert got == want
+    for i in range(len(xs)):
+        lo = max(0, i - 5)
+        if lo == i:  # empty frame -> null on both engines
+            assert got[i] is None
+            continue
+        true = sum(Decimal(int(c)) for c in cents[lo:i]) / 100
+        assert Decimal(repr(got[i])) == true, i
