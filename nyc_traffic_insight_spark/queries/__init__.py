@@ -119,6 +119,11 @@ _CHECK_FIRST = [
     "flagship_volume_features",
     "join_scd2_pointintime",
     "layout_bucketed_join",
+    # late-r7 plan rewrites (per-level qdigest materialization; narrow
+    # fuzzy-key candidate shuffle) — their earlier driver evidence
+    # predates the new plans, so they re-earn it first
+    "sketch_qdigest",
+    "join_fuzzy_key",
     # post-review hardening: window sums carried as exact integers,
     # arm moments from exact integer sums
     "report_ab_test",
