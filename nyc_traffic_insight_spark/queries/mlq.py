@@ -59,7 +59,13 @@ def ml_linear_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the fit is MLlib's own distributed WLS; the audit adds
     one 44-column aggregate pass (X'X upper triangle + X'y + count)
-    and one max-error aggregate — both map-side-combinable."""
+    and one max-error aggregate — both map-side-combinable. The feature
+    table is cached for the audit's multiple actions (count, cutoff,
+    fit, two aggregates, R²) — the in-session analog of materializing
+    the feature table to storage, which is what a 100 TB training
+    pipeline does anyway (pipeline_training_dataset is that operator);
+    uncached, each action re-ran the lineitem⋈part pipeline (~8 scans,
+    ~2.5× the query's whole wall at sf0.1)."""
     import numpy as np
 
     from nyc_traffic_insight_spark.ml.pipelines import (
@@ -71,21 +77,22 @@ def ml_linear_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.ml.evaluation import RegressionEvaluator
 
-    df = feature_table(spark, sf_dir)
+    df = feature_table(spark, sf_dir).cache()
     n_total = df.count()
     train, test = temporal_split_scalable(df)
     model = fit_linear_regression(train)
 
     # independent closed-form solve: one aggregate pass builds the
-    # bias-augmented normal equations
+    # bias-augmented normal equations (n_train rides the same pass)
     cols = FEATURES + ["__one"]
     aug = train.withColumn("__one", F.lit(1.0))
-    aggs = []
+    aggs = [F.count(F.lit(1)).alias("__n_train")]
     for i, a in enumerate(cols):
         for b in cols[i:]:
             aggs.append(F.sum(F.col(a) * F.col(b)).alias(f"xx_{a}__{b}"))
         aggs.append(F.sum(F.col(a) * F.col(LABEL)).alias(f"xy_{a}"))
     row = aug.agg(*aggs).first()
+    n_train = row["__n_train"]
     d = len(cols)
     xtx = np.zeros((d, d))
     xty = np.zeros(d)
@@ -99,18 +106,23 @@ def ml_linear_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     for i, fcol in enumerate(FEATURES):
         closed = closed + F.lit(float(beta[i])) * F.col(fcol)
     pred = model.transform(test).withColumn("__closed", closed)
-    max_rel = pred.agg(
+    # max-error and n_test in one pass over the scored test side
+    err_row = pred.agg(
         F.max(
             F.abs(F.col("prediction") - F.col("__closed"))
             / (F.abs(F.col("prediction")) + 1.0)
-        ).alias("m")
-    ).first()["m"]
-    n_train, n_test = train.count(), test.count()
+        ).alias("m"),
+        F.count(F.lit(1)).alias("__n_test"),
+    ).first()
+    max_rel, n_test = err_row["m"], err_row["__n_test"]
     # reuse the already-transformed frame — a second transform(test)
     # would re-run the whole scoring job for the same numbers
     r2 = RegressionEvaluator(
         labelCol=LABEL, predictionCol="prediction", metricName="r2"
     ).evaluate(pred)
+    # every audit number is a collected scalar by now; don't strand the
+    # cache in a long catalog session (the r6 heap-pressure lesson)
+    df.unpersist()
     return spark.createDataFrame(
         [
             (
