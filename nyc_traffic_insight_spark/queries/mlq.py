@@ -172,7 +172,9 @@ def ml_random_forest(spark: SparkSession, sf_dir: str) -> DataFrame:
         temporal_split_scalable,
     )
 
-    df = feature_table(spark, sf_dir)
+    # cached across the audit's actions (count, cutoff, fit, R²) —
+    # same rationale as ml_linear_regression's feature-table cache
+    df = feature_table(spark, sf_dir).cache()
     n_total = df.count()
     train, test = temporal_split_scalable(df)
     model = fit_random_forest(train, num_trees=20, max_depth=8)
@@ -180,6 +182,7 @@ def ml_random_forest(spark: SparkSession, sf_dir: str) -> DataFrame:
     r2 = RegressionEvaluator(
         labelCol=LABEL, predictionCol="prediction", metricName="r2"
     ).evaluate(model.transform(test))
+    df.unpersist()
     return spark.createDataFrame(
         [
             (
@@ -220,7 +223,9 @@ def ml_gbt(spark: SparkSession, sf_dir: str) -> DataFrame:
         temporal_split_scalable,
     )
 
-    df = feature_table(spark, sf_dir)
+    # cached across the audit's actions — same rationale as
+    # ml_linear_regression's feature-table cache
+    df = feature_table(spark, sf_dir).cache()
     n_total = df.count()
     train, test = temporal_split_scalable(df)
     model = fit_gbt(train, max_iter=20)
@@ -230,6 +235,7 @@ def ml_gbt(spark: SparkSession, sf_dir: str) -> DataFrame:
     r2 = RegressionEvaluator(
         labelCol=LABEL, predictionCol="prediction", metricName="r2"
     ).evaluate(pred)
+    df.unpersist()
     return spark.createDataFrame(
         [("gbt_log_target", n_total, r2 > 0.9)],
         "model string, n_total bigint, r2_floor_ok boolean",
@@ -583,7 +589,10 @@ def ml_propensity_model(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from nyc_traffic_insight_spark.queries import REGISTRY
 
-    ds = REGISTRY["pipeline_training_dataset"].builder(spark, sf_dir)
+    # the leakage-safe dataset pipeline feeds the fit, the train-AUC
+    # transform, and two test-side actions — cache it for the audit's
+    # lifetime (unpersisted once every number is collected)
+    ds = REGISTRY["pipeline_training_dataset"].builder(spark, sf_dir).cache()
     feats = ["n_events", "n_purchases", "mean_value", "recency_s"]
     va = VectorAssembler(inputCols=feats, outputCol="features")
     train = va.transform(ds.filter(F.col("split") == "train"))
@@ -608,6 +617,7 @@ def ml_propensity_model(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     n_test = test.count()
     n_scored = model.transform(test).count()
+    ds.unpersist()
     rows = [
         (
             feat,
