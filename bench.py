@@ -91,6 +91,12 @@ HEADLINE = [
 ]
 
 
+def consume(df) -> None:
+    """Run a plan end-to-end through the noop sink (see module
+    docstring) — shared with tools/scaling_sweep.py."""
+    df.write.format("noop").mode("overwrite").save()
+
+
 def _exec_totals(ui_url: str | None) -> dict[str, int]:
     """Cumulative shuffle-write bytes from the executors REST endpoint
     (monotonic per-executor lifetime totals — NOT subject to stage
@@ -157,9 +163,6 @@ def main() -> None:
     warm_dir = "/root/testdata/sf0.001"
     if not os.path.isdir(warm_dir):
         warm_dir = sf_dir
-    def consume(df) -> None:
-        df.write.format("noop").mode("overwrite").save()
-
     for name in HEADLINE:
         consume(specs[name].builder(spark, warm_dir))
     # touch the target-SF files once so the first timed query measures

@@ -672,6 +672,16 @@ def _qd_f_body(lv: int) -> str:
 """
 
 
+def _qd_nodes_union() -> str:
+    """UNION ALL of every level's emitted nodes plus the root carrier
+    (expects CTEs f{LEVELS}..f1 and c0 in scope) — shared by the
+    oracle's monolithic text and the Spark builder's final read."""
+    return " UNION ALL ".join(
+        [f"SELECT lvl, id, cnt FROM f{lv}" for lv in range(_QD_LEVELS, 0, -1)]
+        + ["SELECT CAST(0 AS INTEGER) AS lvl, id, cnt FROM c0"]
+    )
+
+
 def _qd_tail(nodes_union: str) -> str:
     """The digest read: post-order rank scan + probe quantiles (expects
     ``dom`` and whatever CTEs ``nodes_union`` references in scope)."""
@@ -770,11 +780,7 @@ g{lv} AS ({_qd_g_body(lv)}),
 c{lv - 1} AS ({_qd_cnext_body(lv)}),
 f{lv} AS ({_qd_f_body(lv)})"""
         )
-    unions = " UNION ALL ".join(
-        [f"SELECT lvl, id, cnt FROM f{lv}" for lv in range(_QD_LEVELS, 0, -1)]
-        + ["SELECT CAST(0 AS INTEGER) AS lvl, id, cnt FROM c0"]
-    )
-    parts.append(_qd_tail(unions))
+    parts.append(_qd_tail(_qd_nodes_union()))
     return "".join(parts)
 
 
@@ -854,15 +860,16 @@ def sketch_qdigest(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).localCheckpoint()
         nxt.createOrReplaceTempView(f"__qd_c{lv - 1}")
     level_ctes = ", ".join(
-        f"c{lv} AS (SELECT id, cnt FROM __qd_c{lv}), "
-        f"g{lv} AS ({_qd_g_body(lv)}), f{lv} AS ({_qd_f_body(lv)})"
-        for lv in range(_QD_LEVELS, 0, -1)
+        [
+            f"c{lv} AS (SELECT id, cnt FROM __qd_c{lv}), "
+            f"g{lv} AS ({_qd_g_body(lv)}), f{lv} AS ({_qd_f_body(lv)})"
+            for lv in range(_QD_LEVELS, 0, -1)
+        ]
+        + ["c0 AS (SELECT id, cnt FROM __qd_c0)"]
     )
-    unions = " UNION ALL ".join(
-        [f"SELECT lvl, id, cnt FROM f{lv}" for lv in range(_QD_LEVELS, 0, -1)]
-        + ["SELECT CAST(0 AS INTEGER) AS lvl, id, cnt FROM __qd_c0"]
+    return spark.sql(
+        f"WITH dom AS ({dom}), {level_ctes}{_qd_tail(_qd_nodes_union())}"
     )
-    return spark.sql(f"WITH dom AS ({dom}), {level_ctes}{_qd_tail(unions)}")
 
 
 @register(

@@ -1,6 +1,6 @@
 """Smoke for tools/scaling_sweep.py (the round-7 scaling ritual).
 
-The full sweep (29 headline queries, sf0.01 -> sf0.1, median-of-3) is a
+The full sweep (the bench HEADLINE set, sf0.01 -> sf0.1, median-of-3) is a
 round ritual, not a suite member — here the tool runs end to end on two
 cheap queries across the two smallest SFs with one rep, pinning that:
 the CLI parses, both measurement passes run, the per-query ratios and

@@ -57,10 +57,6 @@ def _sf_of(path: str) -> float:
     return float(os.path.basename(os.path.normpath(path)).replace("sf", ""))
 
 
-def _noop(df) -> None:
-    df.write.format("noop").mode("overwrite").save()
-
-
 def _measure(spark, specs, names, sf_dir, reps, ui_url):
     """Median wall + per-run shuffle-write bytes for each query at one SF."""
     out = {}
@@ -70,7 +66,7 @@ def _measure(spark, specs, names, sf_dir, reps, ui_url):
         for _ in range(reps):
             spark.sparkContext._jvm.System.gc()
             t0 = time.perf_counter()
-            _noop(specs[name].builder(spark, sf_dir))
+            bench.consume(specs[name].builder(spark, sf_dir))
             walls.append(time.perf_counter() - t0)
         after = bench._exec_totals(ui_url)
         out[name] = {
@@ -114,7 +110,7 @@ def main() -> int:
     if not os.path.isdir(warm):
         warm = args.lo
     for name in names:
-        _noop(specs[name].builder(spark, warm))
+        bench.consume(specs[name].builder(spark, warm))
 
     lo = _measure(spark, specs, names, args.lo, args.reps, ui_url)
     hi = _measure(spark, specs, names, args.hi, args.reps, ui_url)
