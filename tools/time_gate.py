@@ -5,15 +5,18 @@ DataFrame and collect it, run the DuckDB oracle on the same parquet
 tables, and (here) just record wall time per side. Output: one JSON
 line per query to stdout, slowest-first summary at the end.
 
-Usage:  python tools/time_gate.py [sf_dir] [--limit N]
+Usage:  python tools/time_gate.py [sf_dir] [--limit N] [--only a,b,c]
 
 This is a dev tool for budgeting the driver's 50-query-ish gate window
 (VERDICT r1 "Next round" #1): queries near the front of registration
-order must be cheap enough that the gate reaches the back.
+order must be cheap enough that the gate reaches the back. The
+spark_s/oracle_s split is also the triage step before chasing any
+slow-looking sweep wall — only spark_s is engine time.
 """
 
 from __future__ import annotations
 
+import argparse
 import json
 import os
 import sys
@@ -28,11 +31,24 @@ from tests.oracle_utils import duck_connect  # noqa: E402
 
 
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 and not sys.argv[1].startswith("--") \
-        else "/root/testdata/sf0.01"
-    limit = None
-    if "--limit" in sys.argv:
-        limit = int(sys.argv[sys.argv.index("--limit") + 1])
+    ap = argparse.ArgumentParser(
+        description="Time the driver-style correctness gate per query "
+        "(Spark and DuckDB sides separately)."
+    )
+    ap.add_argument(
+        "sf_dir", nargs="?", default="/root/testdata/sf0.01",
+        help="parquet table directory (default sf0.01)",
+    )
+    ap.add_argument(
+        "--limit", type=int, default=None,
+        help="time only the first N registry entries",
+    )
+    ap.add_argument(
+        "--only", type=lambda s: s.split(","), default=None,
+        metavar="a,b,c", help="time only the named queries",
+    )
+    args = ap.parse_args()
+    sf_dir = args.sf_dir
 
     spark = get_spark(app_name="ntis-time-gate")
     spark.sparkContext.setLogLevel("ERROR")
@@ -40,7 +56,10 @@ def main() -> None:
 
     specs = load_all()
     rows = []
-    names = list(specs)[:limit] if limit else list(specs)
+    if args.only:
+        names = args.only
+    else:
+        names = list(specs)[: args.limit] if args.limit else list(specs)
     for name in names:
         spec = specs[name]
         t0 = time.perf_counter()
