@@ -214,3 +214,41 @@ def test_edge_ids_do_not_collide_on_long_ways(spark, tmp_path):
     ids = [r["edge_id"] for r in edges]
     assert len(ids) == len(set(ids)) == 1001  # 1000 segments + 1
     assert 501 * 100_000 in ids  # way 501's first segment, unaliased
+
+
+def test_root_detach_mid_way_keeps_the_open_ways_segments(spark, tmp_path):
+    """The periodic root-detach (every 100k end events) must not lose
+    an in-progress way: build an extract where the 100,000th end event
+    lands on an <nd> INSIDE an open <way>, so the slice deletion
+    detaches everything up to (and the safety argument says: except)
+    that open way. The way's full segment list and the coordinates of
+    long-cleared early nodes must both survive.
+
+    Node end events 1..99,997; the way's first three <nd> are events
+    99,998-100,000 (the detach trigger); three more <nd> and the
+    highway tag follow, so the way closes well after the detach."""
+    n_nodes = 99_997
+    lines = [
+        "<?xml version='1.0' encoding='UTF-8'?>",
+        '<osm version="0.6" generator="test">',
+    ]
+    for i in range(1, n_nodes + 1):
+        lines.append(
+            f'  <node id="{i}" lat="{40.0 + i * 1e-6:.6f}" lon="-74.000"/>'
+        )
+    refs = [1, 2, 3, 4, 5, 6]  # cleared long before the way opens
+    lines.append('  <way id="777">')
+    for ref in refs:
+        lines.append(f'    <nd ref="{ref}"/>')
+    lines.append('    <tag k="highway" v="residential"/>')
+    lines.append("  </way>")
+    lines.append("</osm>")
+    p = tmp_path / "big.osm"
+    p.write_text("\n".join(lines))
+
+    rows = {r["edge_id"]: r for r in load_osm_xml(spark, str(p)).collect()}
+    assert set(rows) == {777 * 100_000 + k for k in range(len(refs) - 1)}
+    first = rows[777 * 100_000]
+    assert first.u == 1 and first.v == 2
+    assert abs(first.y1 - 40.000001) < 1e-9  # node 1's coords survived
+    assert abs(first.y2 - 40.000002) < 1e-9
