@@ -902,6 +902,55 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def fuzzy_pairs_ed1(df: DataFrame, key: str, name: str) -> DataFrame:
+    """FastSS edit-distance-≤1 pair set of (key, name) rows — the
+    operator behind join_fuzzy_key (see its docstring for the
+    algorithm and scale shape). Returns (custkey_a, custkey_b, dist)
+    with key_a < key_b; exact same pair set as the O(n²) brute force,
+    guaranteed by neighborhood completeness + levenshtein verification
+    (differentially tested on random adversarial strings in
+    tests/test_join_props.py, not just the oracle's structured
+    fixture names)."""
+    base = df.select(F.col(key).alias("__k"), F.col(name).alias("__n"))
+    variants = F.array_distinct(
+        F.concat(
+            F.array("__n"),
+            F.expr(
+                "transform(sequence(1, length(__n)), i -> "
+                "concat(substring(__n, 1, i - 1), "
+                "substring(__n, i + 1)))"
+            ),
+        )
+    )
+    nb = base.select("__k", F.explode(variants).alias("variant"))
+    pairs = (
+        nb.select(F.col("__k").alias("key_a"), "variant")
+        .join(nb.select(F.col("__k").alias("key_b"), "variant"), "variant")
+        .filter(F.col("key_a") < F.col("key_b"))
+        .select("key_a", "key_b")
+        .distinct()
+    )
+    named = pairs.join(
+        base.select(
+            F.col("__k").alias("key_a"), F.col("__n").alias("name_a")
+        ),
+        "key_a",
+    ).join(
+        base.select(
+            F.col("__k").alias("key_b"), F.col("__n").alias("name_b")
+        ),
+        "key_b",
+    )
+    return (
+        named.filter(F.levenshtein("name_a", "name_b") <= 1)
+        .select(
+            F.col("key_a").alias("custkey_a"),
+            F.col("key_b").alias("custkey_b"),
+            F.levenshtein("name_a", "name_b").cast("int").alias("dist"),
+        )
+    )
+
+
 @register(
     "join_fuzzy_key",
     survey="J-family extension: fuzzy key join (edit distance <= 1) via "
@@ -946,46 +995,7 @@ def join_fuzzy_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     same candidate volume). The canonical key_a < key_b ordering also
     halves the candidate volume before verification."""
     cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
-
-    variants = F.array_distinct(
-        F.concat(
-            F.array("c_name"),
-            F.expr(
-                "transform(sequence(1, length(c_name)), i -> "
-                "concat(substring(c_name, 1, i - 1), "
-                "substring(c_name, i + 1)))"
-            ),
-        )
-    )
-    nb = cust.select(
-        "c_custkey", F.explode(variants).alias("variant")
-    )
-    pairs = (
-        nb.select(F.col("c_custkey").alias("key_a"), "variant")
-        .join(nb.select(F.col("c_custkey").alias("key_b"), "variant"), "variant")
-        .filter(F.col("key_a") < F.col("key_b"))
-        .select("key_a", "key_b")
-        .distinct()
-    )
-    named = pairs.join(
-        cust.select(
-            F.col("c_custkey").alias("key_a"), F.col("c_name").alias("name_a")
-        ),
-        "key_a",
-    ).join(
-        cust.select(
-            F.col("c_custkey").alias("key_b"), F.col("c_name").alias("name_b")
-        ),
-        "key_b",
-    )
-    return (
-        named.filter(F.levenshtein("name_a", "name_b") <= 1)
-        .select(
-            F.col("key_a").alias("custkey_a"),
-            F.col("key_b").alias("custkey_b"),
-            F.levenshtein("name_a", "name_b").cast("int").alias("dist"),
-        )
-    )
+    return fuzzy_pairs_ed1(cust, "c_custkey", "c_name")
 
 
 @register(

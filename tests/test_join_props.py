@@ -147,3 +147,52 @@ def test_binned_range_join_matches_python(spark, points, intervals):
     }
     want = python_range(points, [(i, lo, hi) for i, lo, hi in intervals if hi > lo])
     assert got == want
+
+
+def _ed_le_1(a: str, b: str) -> bool:
+    """Exact edit-distance-<=1 check (substitution/insert/delete)."""
+    if a == b:
+        return True
+    la, lb = len(a), len(b)
+    if abs(la - lb) > 1:
+        return False
+    if la == lb:
+        return sum(x != y for x, y in zip(a, b)) == 1
+    if la > lb:
+        a, b = b, a
+        lb = la
+    return any(b[:i] + b[i + 1:] == a for i in range(lb))
+
+
+def test_fuzzy_pairs_ed1_matches_bruteforce_on_adversarial_strings(spark):
+    """FastSS completeness on inputs the oracle never exercises: random
+    short strings over a 2-letter alphabet (dense ed<=1 neighborhoods,
+    heavy variant collisions), runs of repeated characters (the in-row
+    array_distinct path), the empty string, and single characters. The
+    distributed pair set must equal the O(n^2) Python brute force
+    EXACTLY — completeness means no missing pair, verification means
+    no extra pair."""
+    import random
+
+    from nyc_traffic_insight_spark.queries.joins import fuzzy_pairs_ed1
+
+    rng = random.Random(1729)
+    names = ["", "a", "b", "aa", "ab", "aaaa", "aaab", "abab"]
+    names += [
+        "".join(rng.choice("ab") for _ in range(rng.randint(0, 6)))
+        for _ in range(60)
+    ]
+    rows = [(i, s) for i, s in enumerate(names)]
+    df = spark.createDataFrame(rows, "k INT, s STRING")
+
+    got = {
+        (r["custkey_a"], r["custkey_b"], r["dist"])
+        for r in fuzzy_pairs_ed1(df, "k", "s").collect()
+    }
+    want = {
+        (ka, kb, 0 if na == nb else 1)
+        for ka, na in rows
+        for kb, nb in rows
+        if ka < kb and _ed_le_1(na, nb)
+    }
+    assert got == want
