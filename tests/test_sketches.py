@@ -361,3 +361,61 @@ def test_hll_rolling_tracks_exact_wau(spark):
         # 1.04/sqrt(64) ≈ 13%; ×3 slack covers the n<2.5m bias regime
         # the catalog documents as uncorrected
         assert rel < 0.4, (day, est[day], wau, rel)
+
+
+def test_qdigest_merge_of_halves_equals_digest_of_union():
+    """The docstring's mergeability claim, pinned exactly: over a
+    SHARED universe (same [lo, hi] domain), per-partition leaf
+    histograms ADD, and the level-synchronous compression is a pure
+    function of the leaf multiset — so summing two halves' leaf
+    histograms and compressing must produce the IDENTICAL digest (and
+    identical probe quantiles) as digesting the union directly. Runs
+    entirely in DuckDB on the same generated SQL fragments the Spark
+    builder executes, so it pins the algorithm, not an engine."""
+    import duckdb
+    import numpy as np
+
+    from nyc_traffic_insight_spark.queries.aggregates import (
+        _QD_K,
+        _qd_leaf_body,
+        _qdigest_sql,
+    )
+
+    rng = np.random.default_rng(5)
+    vals = [round(float(v), 2) for v in rng.uniform(100.0, 90000.0, 4000)]
+    half_a, half_b = vals[:2500], vals[2500:]
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t_full AS SELECT unnest($v) AS l_extendedprice",
+        {"v": vals},
+    )
+    con.execute(
+        "CREATE TABLE t_a AS SELECT unnest($v) AS l_extendedprice",
+        {"v": half_a},
+    )
+    con.execute(
+        "CREATE TABLE t_b AS SELECT unnest($v) AS l_extendedprice",
+        {"v": half_b},
+    )
+    lo, hi, n = min(vals), max(vals), len(vals)
+    dom = (
+        f"SELECT CAST({lo!r} AS DOUBLE) AS lo, CAST({hi!r} AS DOUBLE) AS hi, "
+        f"CAST({n} AS BIGINT) AS n, CAST({n // _QD_K} AS BIGINT) AS t"
+    )
+    merged_leaves = f"""
+  SELECT id, CAST(sum(cnt) AS BIGINT) AS cnt FROM (
+    (WITH base AS (SELECT l_extendedprice AS v FROM t_a),
+          dom AS ({dom}) {_qd_leaf_body()})
+    UNION ALL
+    (WITH base AS (SELECT l_extendedprice AS v FROM t_b),
+          dom AS ({dom}) {_qd_leaf_body()})
+  ) GROUP BY id
+"""
+    full = con.execute(
+        _qdigest_sql("t_full", dom_select=dom)
+    ).fetchdf().sort_values("q").reset_index(drop=True)
+    merged = con.execute(
+        _qdigest_sql("t_full", dom_select=dom, leaves_select=merged_leaves)
+    ).fetchdf().sort_values("q").reset_index(drop=True)
+    assert full.equals(merged), (full, merged)
