@@ -124,6 +124,7 @@ _CHECK_FIRST = [
     # predates the new plans, so they re-earn it first
     "sketch_qdigest",
     "join_fuzzy_key",
+    "dedup_connected_components",
     # post-review hardening: window sums carried as exact integers,
     # arm moments from exact integer sums
     "report_ab_test",

