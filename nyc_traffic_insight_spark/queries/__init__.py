@@ -189,7 +189,6 @@ _CHECK_FIRST = [
     "emb_normalize",
     "emb_quantize_int8",
     "pipeline_text_prep",
-    "dedup_connected_components",
     "dedup_edit_distance",
     "stream_tumbling_counts",
     "stream_sliding_counts",
