@@ -2623,20 +2623,29 @@ def text_perplexity_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_substring_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-document duplicated spans: tile every document with
-    80-char windows at stride 40 (every 80-char duplicate region ≥2
-    windows long is guaranteed to produce at least one aligned window
-    pair), hash each window, and keep hashes seen in more than one
-    document. The output is the boilerplate inventory — the spans an
-    ExactSubstr dedup pass would cut.
+    80-char windows at stride 40, hash each window, and keep hashes
+    seen in more than one document. The output is the boilerplate
+    inventory — the spans an ExactSubstr dedup pass would cut.
+
+    Recall property (precise, pinned in
+    tests/test_textops_graph.py): a shared region is detected iff the
+    two documents sample it at the SAME region-relative offset — i.e.
+    its start offsets are congruent mod the 40-char stride and it
+    covers at least one full 80-char window on that common grid.
+    That covers identical documents, shared prefixes, and
+    fixed-position template boilerplate (the dominant web cases); a
+    copy pasted at a misaligned offset is NOT caught by tiling at any
+    region length — that is the gap Lee et al.'s suffix array closes,
+    and why this operator is the cheap first pass, not the whole
+    ExactSubstr story.
 
     Scale shape: the explode is a narrow per-row op (~len/stride rows
     per doc, all JVM expressions), and the only shuffle groups by the
-    window hash — uniformly distributed by construction, no skew. This
-    is the distributed analog of Lee et al.'s suffix-array pass:
-    windows instead of suffixes trades exactness at span boundaries
-    for a shuffle-friendly fixed fan-out (documented; the suffix array
-    itself is not partition-parallel). At 100 TB the group-by carries
-    (hash, doc) pairs only — bytes, not text."""
+    window hash — uniformly distributed by construction, no skew.
+    Windows instead of suffixes trades the misalignment gap above for
+    a shuffle-friendly fixed fan-out (the suffix array itself is not
+    partition-parallel). At 100 TB the group-by carries (hash, doc)
+    pairs only — bytes, not text."""
     d = _docs(spark, sf_dir).filter(F.length("text") >= 80)
     spans = d.select(
         "doc_id",

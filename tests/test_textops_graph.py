@@ -78,3 +78,50 @@ def test_nonconvergence_raises_instead_of_partial_labels(spark):
     df = spark.createDataFrame(deep, "doc1 BIGINT, doc2 BIGINT")
     with pytest.raises(RuntimeError, match="did not converge"):
         min_label_components(df, "doc1", "doc2", max_rounds=5)
+
+
+def test_substring_dedup_alignment_recall_property(spark, tmp_path):
+    """Pin dedup_substring_exact's documented recall property on
+    planted inputs the fixture never produces: a 160-char block shared
+    at stride-congruent offsets IS caught; the SAME block pasted at a
+    misaligned offset yields zero matching windows at any length —
+    tiling's documented gap vs a suffix array. Runs the registered
+    builder against a purpose-built documents.parquet."""
+    import pandas as pd
+
+    from nyc_traffic_insight_spark.queries import load_all
+
+    block = ("boilerplate-" * 20)[:160]  # 160 chars = 2 full windows
+    pad_a = "a" * 40
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "source": ["t"] * 4,
+            # doc1: block at offset 0; doc2: block at offset 40
+            # (congruent mod 40 -> shared grid -> CAUGHT)
+            "text": [
+                block + "x" * 120,
+                pad_a + block + "y" * 120,
+                # doc3/doc4: same block but offsets 0 vs 17
+                # (misaligned -> every window samples different chars
+                # -> MISSED, at any region length)
+                block + "z" * 120,
+                "m" * 17 + block + "w" * 120,
+            ],
+        }
+    )
+    sf_dir = tmp_path / "sf_planted"
+    sf_dir.mkdir()
+    docs.iloc[:2].to_parquet(sf_dir / "documents.parquet")
+    aligned = load_all()["dedup_substring_exact"].builder(
+        spark, str(sf_dir)
+    ).collect()
+    assert len(aligned) >= 1  # the shared grid windows were caught
+
+    sf_dir2 = tmp_path / "sf_misaligned"
+    sf_dir2.mkdir()
+    docs.iloc[2:].to_parquet(sf_dir2 / "documents.parquet")
+    misaligned = load_all()["dedup_substring_exact"].builder(
+        spark, str(sf_dir2)
+    ).collect()
+    assert misaligned == []  # tiling's documented miss
