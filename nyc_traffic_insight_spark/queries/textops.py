@@ -3510,3 +3510,86 @@ def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("flesch"),
     )
+
+
+# ------------------------- content-defined chunking (round-8 preview)
+
+_CDC_W = 32  # rolling-window width the cut decision hashes
+_CDC_D = 64  # cut when window-hash % D == 0 -> expected ~D-char chunks
+_CDC_MIN = 16  # chunks shorter than this are dropped from the inventory
+
+
+def chunk_cdc(docs: DataFrame) -> DataFrame:
+    """Content-defined chunks of each document (FastCDC-lite): a cut
+    lands AFTER position i (i ≥ W) exactly when the hash of the
+    trailing W-char window satisfies H ≡ 0 (mod D), with
+    H = first 8 hex chars of md5(window) as an integer — deterministic,
+    engine-portable, and a pure function of the local W chars.
+
+    THE property tiling (dedup_substring_exact) lacks: boundaries are
+    content-addressed, so inserting or deleting a prefix shifts every
+    offset but reproduces the IDENTICAL chunk set over the unchanged
+    region (only the chunks overlapping the edit change) — a copy
+    pasted at ANY offset yields the same chunk hashes. Pinned in
+    tests/test_textops_graph.py against a Python reference and on the
+    exact misaligned planted-duplicate case the tiling test documents
+    as missed.
+
+    Variant spelled precisely (this is the whole definition): every
+    qualifying position cuts (no min-gap skip, so a pathological run
+    of qualifying windows yields short chunks — dropped below _CDC_MIN
+    at the consumer), and a stretch with no qualifying window stays
+    one long chunk (no max-size force-split). Both simplifications
+    keep the chunking a stateless per-position decision — the form
+    that runs as narrow in-row JVM expressions (transform/filter/
+    zip_with; no sequential scan, no UDF, no shuffle).
+
+    Returns (doc_id, chunk_start [1-based], chunk) exploded one row
+    per chunk. UNREGISTERED round-8 preview: the registry is frozen
+    this round, so this ships as a tested operator the next round can
+    promote with a one-line @register + shared-spelling oracle
+    (md5/conv/substring all have exact DuckDB equivalents)."""
+    cuts = F.expr(
+        f"filter(transform(sequence({_CDC_W}, length(text)), i -> "
+        f"IF(conv(substring(md5(substring(text, i - {_CDC_W} + 1, "
+        f"{_CDC_W})), 1, 8), 16, 10) % {_CDC_D} = 0, i, -1)), "
+        "x -> x > 0)"
+    )
+    bounds = F.array_distinct(
+        F.concat(F.array(F.lit(0)), cuts, F.array(F.length("text")))
+    )
+    chunks = F.expr(
+        "zip_with(slice(__b, 1, size(__b) - 1), "
+        "slice(__b, 2, size(__b) - 1), "
+        "(s, e) -> struct(s + 1 AS chunk_start, "
+        "substring(text, s + 1, e - s) AS chunk))"
+    )
+    return (
+        docs.select("doc_id", "text")
+        .filter(F.length("text") > 0)
+        .withColumn("__b", bounds)
+        .withColumn("__c", chunks)
+        .select("doc_id", F.explode("__c").alias("c"))
+        .select("doc_id", F.col("c.chunk_start"), F.col("c.chunk"))
+    )
+
+
+def dedup_substring_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated spans via content-defined chunks —
+    the alignment-robust sibling of dedup_substring_exact (same output
+    shape: span_hash, n_docs, n_occurrences), catching copies pasted
+    at arbitrary offsets. Scale shape identical: narrow in-row chunk
+    expansion, one groupBy on uniformly distributed chunk hashes
+    carrying (hash, doc) pairs only."""
+    ch = chunk_cdc(_docs(spark, sf_dir)).filter(
+        F.length("chunk") >= _CDC_MIN
+    )
+    return (
+        ch.select("doc_id", F.md5("chunk").alias("span_hash"))
+        .groupBy("span_hash")
+        .agg(
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )

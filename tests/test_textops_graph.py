@@ -125,3 +125,95 @@ def test_substring_dedup_alignment_recall_property(spark, tmp_path):
         spark, str(sf_dir2)
     ).collect()
     assert misaligned == []  # tiling's documented miss
+
+
+def _cdc_chunks_ref(text, w=32, d=64):
+    """Python reference of chunk_cdc's exact definition."""
+    import hashlib
+
+    cuts = [
+        i
+        for i in range(w, len(text) + 1)
+        if int(
+            hashlib.md5(text[i - w:i].encode()).hexdigest()[:8], 16
+        ) % d == 0
+    ]
+    bounds = sorted(set([0] + cuts + [len(text)]))
+    return [
+        (s + 1, text[s:e]) for s, e in zip(bounds, bounds[1:])
+    ]
+
+
+def test_chunk_cdc_matches_python_reference(spark):
+    import random
+
+    from nyc_traffic_insight_spark.queries.textops import chunk_cdc
+
+    rng = random.Random(7)
+    texts = [
+        "".join(rng.choice("abcdef ") for _ in range(rng.randint(1, 400)))
+        for _ in range(20)
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id INT, text STRING"
+    )
+    got = {}
+    for r in chunk_cdc(df).collect():
+        got.setdefault(r["doc_id"], []).append((r["chunk_start"], r["chunk"]))
+    for i, t in enumerate(texts):
+        assert sorted(got[i]) == _cdc_chunks_ref(t), i
+
+
+def test_chunk_cdc_is_shift_invariant_over_shared_region(spark):
+    """The property tiling lacks: a prefix edit shifts offsets but the
+    chunk SET over the unchanged region is identical — only chunks
+    overlapping the edit (the first W-1 chars of the shared region)
+    can differ, so the shared-suffix chunk multisets agree except for
+    at most one leading chunk per doc."""
+    import random
+
+    from nyc_traffic_insight_spark.queries.textops import chunk_cdc
+
+    rng = random.Random(13)
+    shared = "".join(rng.choice("abcdef ") for _ in range(600))
+    df = spark.createDataFrame(
+        [(1, shared), (2, "PREFIX-17-chars!!" + shared)],
+        "doc_id INT, text STRING",
+    )
+    by_doc = {1: set(), 2: set()}
+    for r in chunk_cdc(df).collect():
+        by_doc[r["doc_id"]].add(r["chunk"])
+    common = by_doc[1] & by_doc[2]
+    # all but the first chunk of each doc must be common
+    assert len(by_doc[1] - common) <= 1
+    assert len(by_doc[2] - common) <= 1
+    assert len(common) >= 3  # the shared tail really was re-found
+
+
+def test_cdc_catches_the_misaligned_duplicate_tiling_misses(spark, tmp_path):
+    """The exact planted case test_substring_dedup_alignment_recall_
+    property documents as MISSED by stride tiling: the same block at
+    offsets 0 and 17. The CDC inventory must report shared spans."""
+    import random
+
+    import pandas as pd
+
+    from nyc_traffic_insight_spark.queries.textops import (
+        dedup_substring_cdc,
+    )
+
+    rng = random.Random(99)
+    block = "".join(rng.choice("abcdef ") for _ in range(400))
+    docs = pd.DataFrame(
+        {
+            "doc_id": [3, 4],
+            "source": ["t", "t"],
+            "text": [block + "z" * 120, "m" * 17 + block + "w" * 120],
+        }
+    )
+    sf_dir = tmp_path / "sf_misaligned_cdc"
+    sf_dir.mkdir()
+    docs.to_parquet(sf_dir / "documents.parquet")
+    shared = dedup_substring_cdc(spark, str(sf_dir)).collect()
+    assert len(shared) >= 1
+    assert all(r["n_docs"] == 2 for r in shared)
