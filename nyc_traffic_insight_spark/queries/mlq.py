@@ -78,51 +78,54 @@ def ml_linear_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.evaluation import RegressionEvaluator
 
     df = feature_table(spark, sf_dir).cache()
-    n_total = df.count()
-    train, test = temporal_split_scalable(df)
-    model = fit_linear_regression(train)
+    try:
+        n_total = df.count()
+        train, test = temporal_split_scalable(df)
+        model = fit_linear_regression(train)
 
-    # independent closed-form solve: one aggregate pass builds the
-    # bias-augmented normal equations (n_train rides the same pass)
-    cols = FEATURES + ["__one"]
-    aug = train.withColumn("__one", F.lit(1.0))
-    aggs = [F.count(F.lit(1)).alias("__n_train")]
-    for i, a in enumerate(cols):
-        for b in cols[i:]:
-            aggs.append(F.sum(F.col(a) * F.col(b)).alias(f"xx_{a}__{b}"))
-        aggs.append(F.sum(F.col(a) * F.col(LABEL)).alias(f"xy_{a}"))
-    row = aug.agg(*aggs).first()
-    n_train = row["__n_train"]
-    d = len(cols)
-    xtx = np.zeros((d, d))
-    xty = np.zeros(d)
-    for i, a in enumerate(cols):
-        for j in range(i, d):
-            xtx[i, j] = xtx[j, i] = row[f"xx_{a}__{cols[j]}"]
-        xty[i] = row[f"xy_{a}"]
-    beta = np.linalg.lstsq(xtx, xty, rcond=None)[0]
+        # independent closed-form solve: one aggregate pass builds the
+        # bias-augmented normal equations (n_train rides the same pass)
+        cols = FEATURES + ["__one"]
+        aug = train.withColumn("__one", F.lit(1.0))
+        aggs = [F.count(F.lit(1)).alias("__n_train")]
+        for i, a in enumerate(cols):
+            for b in cols[i:]:
+                aggs.append(F.sum(F.col(a) * F.col(b)).alias(f"xx_{a}__{b}"))
+            aggs.append(F.sum(F.col(a) * F.col(LABEL)).alias(f"xy_{a}"))
+        row = aug.agg(*aggs).first()
+        n_train = row["__n_train"]
+        d = len(cols)
+        xtx = np.zeros((d, d))
+        xty = np.zeros(d)
+        for i, a in enumerate(cols):
+            for j in range(i, d):
+                xtx[i, j] = xtx[j, i] = row[f"xx_{a}__{cols[j]}"]
+            xty[i] = row[f"xy_{a}"]
+        beta = np.linalg.lstsq(xtx, xty, rcond=None)[0]
 
-    closed = F.lit(float(beta[-1]))  # bias
-    for i, fcol in enumerate(FEATURES):
-        closed = closed + F.lit(float(beta[i])) * F.col(fcol)
-    pred = model.transform(test).withColumn("__closed", closed)
-    # max-error and n_test in one pass over the scored test side
-    err_row = pred.agg(
-        F.max(
-            F.abs(F.col("prediction") - F.col("__closed"))
-            / (F.abs(F.col("prediction")) + 1.0)
-        ).alias("m"),
-        F.count(F.lit(1)).alias("__n_test"),
-    ).first()
-    max_rel, n_test = err_row["m"], err_row["__n_test"]
-    # reuse the already-transformed frame — a second transform(test)
-    # would re-run the whole scoring job for the same numbers
-    r2 = RegressionEvaluator(
-        labelCol=LABEL, predictionCol="prediction", metricName="r2"
-    ).evaluate(pred)
-    # every audit number is a collected scalar by now; don't strand the
-    # cache in a long catalog session (the r6 heap-pressure lesson)
-    df.unpersist()
+        closed = F.lit(float(beta[-1]))  # bias
+        for i, fcol in enumerate(FEATURES):
+            closed = closed + F.lit(float(beta[i])) * F.col(fcol)
+        pred = model.transform(test).withColumn("__closed", closed)
+        # max-error and n_test in one pass over the scored test side
+        err_row = pred.agg(
+            F.max(
+                F.abs(F.col("prediction") - F.col("__closed"))
+                / (F.abs(F.col("prediction")) + 1.0)
+            ).alias("m"),
+            F.count(F.lit(1)).alias("__n_test"),
+        ).first()
+        max_rel, n_test = err_row["m"], err_row["__n_test"]
+        # reuse the already-transformed frame — a second transform(test)
+        # would re-run the whole scoring job for the same numbers
+        r2 = RegressionEvaluator(
+            labelCol=LABEL, predictionCol="prediction", metricName="r2"
+        ).evaluate(pred)
+    finally:
+        # unpersist in finally so a mid-audit failure (fit or
+        # evaluator error) cannot strand the cache in a long
+        # catalog session — the r6 heap-pressure scenario
+        df.unpersist()
     return spark.createDataFrame(
         [
             (
@@ -175,14 +178,19 @@ def ml_random_forest(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cached across the audit's actions (count, cutoff, fit, R²) —
     # same rationale as ml_linear_regression's feature-table cache
     df = feature_table(spark, sf_dir).cache()
-    n_total = df.count()
-    train, test = temporal_split_scalable(df)
-    model = fit_random_forest(train, num_trees=20, max_depth=8)
-    imp = model.stages[-1].featureImportances.toArray()
-    r2 = RegressionEvaluator(
-        labelCol=LABEL, predictionCol="prediction", metricName="r2"
-    ).evaluate(model.transform(test))
-    df.unpersist()
+    try:
+        n_total = df.count()
+        train, test = temporal_split_scalable(df)
+        model = fit_random_forest(train, num_trees=20, max_depth=8)
+        imp = model.stages[-1].featureImportances.toArray()
+        r2 = RegressionEvaluator(
+            labelCol=LABEL, predictionCol="prediction", metricName="r2"
+        ).evaluate(model.transform(test))
+    finally:
+        # unpersist in finally so a mid-audit failure (fit or
+        # evaluator error) cannot strand the cache in a long
+        # catalog session — the r6 heap-pressure scenario
+        df.unpersist()
     return spark.createDataFrame(
         [
             (
@@ -226,16 +234,21 @@ def ml_gbt(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cached across the audit's actions — same rationale as
     # ml_linear_regression's feature-table cache
     df = feature_table(spark, sf_dir).cache()
-    n_total = df.count()
-    train, test = temporal_split_scalable(df)
-    model = fit_gbt(train, max_iter=20)
-    pred = model.transform(test).withColumn(
-        "prediction", F.expm1("prediction")
-    )
-    r2 = RegressionEvaluator(
-        labelCol=LABEL, predictionCol="prediction", metricName="r2"
-    ).evaluate(pred)
-    df.unpersist()
+    try:
+        n_total = df.count()
+        train, test = temporal_split_scalable(df)
+        model = fit_gbt(train, max_iter=20)
+        pred = model.transform(test).withColumn(
+            "prediction", F.expm1("prediction")
+        )
+        r2 = RegressionEvaluator(
+            labelCol=LABEL, predictionCol="prediction", metricName="r2"
+        ).evaluate(pred)
+    finally:
+        # unpersist in finally so a mid-audit failure (fit or
+        # evaluator error) cannot strand the cache in a long
+        # catalog session — the r6 heap-pressure scenario
+        df.unpersist()
     return spark.createDataFrame(
         [("gbt_log_target", n_total, r2 > 0.9)],
         "model string, n_total bigint, r2_floor_ok boolean",
@@ -593,31 +606,36 @@ def ml_propensity_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     # transform, and two test-side actions — cache it for the audit's
     # lifetime (unpersisted once every number is collected)
     ds = REGISTRY["pipeline_training_dataset"].builder(spark, sf_dir).cache()
-    feats = ["n_events", "n_purchases", "mean_value", "recency_s"]
-    va = VectorAssembler(inputCols=feats, outputCol="features")
-    train = va.transform(ds.filter(F.col("split") == "train"))
-    test = va.transform(ds.filter(F.col("split") == "test"))
-    lr = LogisticRegression(
-        featuresCol="features", labelCol="label", maxIter=50, regParam=0.01
-    )
-    model = lr.fit(train)
-    ev = BinaryClassificationEvaluator(
-        labelCol="label", metricName="areaUnderROC"
-    )
-    train_auc = ev.evaluate(model.transform(train))
-    # One row per feature, every column a driver-hashable scalar (the
-    # r6 array<double> output crashed the driver's sort-every-column
-    # canonicalization); optimizer numerics stay internal, the hash
-    # pins the feature set, coefficient finiteness, the AUC floor
-    # (a no-better-than-chance classifier means label leakage was
-    # FIXED but learning broke), and that scoring covers the test set
-    # row-for-row (== not >0: the sf0.001 smoke split is legitimately
-    # empty, and transform dropping rows is the defect to catch).
-    import math
+    try:
+        feats = ["n_events", "n_purchases", "mean_value", "recency_s"]
+        va = VectorAssembler(inputCols=feats, outputCol="features")
+        train = va.transform(ds.filter(F.col("split") == "train"))
+        test = va.transform(ds.filter(F.col("split") == "test"))
+        lr = LogisticRegression(
+            featuresCol="features", labelCol="label", maxIter=50, regParam=0.01
+        )
+        model = lr.fit(train)
+        ev = BinaryClassificationEvaluator(
+            labelCol="label", metricName="areaUnderROC"
+        )
+        train_auc = ev.evaluate(model.transform(train))
+        # One row per feature, every column a driver-hashable scalar (the
+        # r6 array<double> output crashed the driver's sort-every-column
+        # canonicalization); optimizer numerics stay internal, the hash
+        # pins the feature set, coefficient finiteness, the AUC floor
+        # (a no-better-than-chance classifier means label leakage was
+        # FIXED but learning broke), and that scoring covers the test set
+        # row-for-row (== not >0: the sf0.001 smoke split is legitimately
+        # empty, and transform dropping rows is the defect to catch).
+        import math
 
-    n_test = test.count()
-    n_scored = model.transform(test).count()
-    ds.unpersist()
+        n_test = test.count()
+        n_scored = model.transform(test).count()
+    finally:
+        # unpersist in finally so a mid-audit failure (fit or
+        # evaluator error) cannot strand the cache in a long
+        # catalog session — the r6 heap-pressure scenario
+        ds.unpersist()
     rows = [
         (
             feat,

@@ -3549,11 +3549,19 @@ def chunk_cdc(docs: DataFrame) -> DataFrame:
     this round, so this ships as a tested operator the next round can
     promote with a one-line @register + shared-spelling oracle
     (md5/conv/substring all have exact DuckDB equivalents)."""
+    # Guard the sequence: for texts shorter than W, sequence(W, len)
+    # would DESCEND (Spark's default step is -1 when start > stop),
+    # emitting phantom cut positions past end-of-text. Docs shorter
+    # than the window have no qualifying position by definition and
+    # must yield exactly one whole-text chunk, like the Python
+    # reference's empty range(w, len+1).
     cuts = F.expr(
+        f"IF(length(text) >= {_CDC_W}, "
         f"filter(transform(sequence({_CDC_W}, length(text)), i -> "
         f"IF(conv(substring(md5(substring(text, i - {_CDC_W} + 1, "
         f"{_CDC_W})), 1, 8), 16, 10) % {_CDC_D} = 0, i, -1)), "
-        "x -> x > 0)"
+        "x -> x > 0), "
+        "array())"
     )
     bounds = F.array_distinct(
         F.concat(F.array(F.lit(0)), cuts, F.array(F.length("text")))

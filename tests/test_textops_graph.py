@@ -154,6 +154,18 @@ def test_chunk_cdc_matches_python_reference(spark):
         "".join(rng.choice("abcdef ") for _ in range(rng.randint(1, 400)))
         for _ in range(20)
     ]
+    # Explicit sub-window lengths: seed 7's 1-400 draw happens to
+    # produce nothing under 32 chars, which is exactly the path where
+    # sequence(W, len) would descend and emit phantom cuts — pin the
+    # boundary (1, 16, 31, 32, 33) and a dense random sweep of 1-31.
+    texts += [
+        "".join(rng.choice("abcdef ") for _ in range(n))
+        for n in (1, 16, 31, 32, 33)
+    ]
+    texts += [
+        "".join(rng.choice("abcdef ") for _ in range(rng.randint(1, 31)))
+        for _ in range(200)
+    ]
     df = spark.createDataFrame(
         [(i, t) for i, t in enumerate(texts)], "doc_id INT, text STRING"
     )
