@@ -57,155 +57,92 @@ def register(name: str, oracle: str | None = None, survey: str = ""):
     return deco
 
 
-# Registration-order rotation (VERDICT.md round 2 #1, r3 #7, r4 #2,
-# r5 #1, r6 #3). The driver's sf0.01 correctness gate walks REGISTRY
-# front-to-back with a ~50-query budget (CORRECTNESS_r04–r06 each
-# carried exactly 50 rows). Round-7 ordering, freshness-driven —
-# red beats changed beats never-checked beats stale beats fresh:
-#   1. the three r6 RED rows, re-verified after their fixes (the
-#      order-free summation rewrites + the scalar-schema propensity
-#      output) — a green driver row here is the round's headline;
-#   2. the eight r6 additions with zero driver evidence (VERDICT r6 #3's
-#      explicit list, its order kept: cheap oracled entries before the
-#      slow PCA — itself audit-oracled late in r7);
-#   3. entries whose CODE changed this round, in change order: the
-#      rows-only→oracled conversions (exact-integer cosine top-k,
-#      t-digest rank-error audit, the ML contract-audit tier, the new
-#      S12 pipeline) and the determinism-hardened queries (exact-
-#      integer money sums; window sums carried as integer cents/ticks;
-#      exact-moment A/B arms) — old driver evidence is void for all
-#      of these;
-#   4. the 34 r2-era queries whose evidence is 5 rounds stale (joins,
-#      scalar/date/flag functions, the dedup front half, the first two
-#      sim_search tiers, text basics) — the ~18 past slot 50 roll to
-#      r8 with the overflow;
-#   5. overflow: the r3-era entries in registration order.
-# Everything r4+-green-and-unchanged keeps its standing evidence and
-# registers last.
+# Registration-order rotation (VERDICT.md rounds 2-7). The driver's
+# sf0.01 correctness gate walks REGISTRY front-to-back with a
+# ~50-query budget (CORRECTNESS_r04-r07 each carried exactly 50
+# rows). Round-8 ordering — the round's single job is clearing the
+# last driver-evidence debt (VERDICT r7 #1/#2):
+#   1. dedup_substring_cdc — the round's one sanctioned registry
+#      addition (the CDC promotion), zero driver evidence;
+#   2. the 19 queries whose latest driver check is r2 (six rounds
+#      stale) — scalar/date/flag functions, string ops, the LSH
+#      sim-search tier, text basics;
+#   3. the 36 r3-stale queries — the early joins/windows, streams,
+#      multimodal, sketches, sampling;
+#   4. belt-and-braces: the four ML audits whose code changed this
+#      round (cache lifetime moved into try/finally — behavior-
+#      neutral, locally oracle-green, but "code changed → re-earn
+#      evidence" is the standing rule).
+# 1+19+36 = 56: the driver's 50-slot budget covers the CDC entry and
+# all of tier 2 plus most of tier 3; the ~6-query tail (and tier 4)
+# rolls to the r9 front. Everything else keeps standing r4+ evidence
+# and registers last.
 _CHECK_FIRST = [
-    # 1. r6 red rows, now fixed
-    "ml_propensity_model",
-    "win_seasonal_decompose",
-    "report_cohort_ltv",
-    # 2. r6 additions, never driver-checked
-    "ml_segmented_router",
-    "emb_covariance_matrix",
-    "text_bpe_pair_counts",
-    "graph_pagerank_topk",
-    "agg_cumulative_users",
-    "report_pareto_deciles",
-    "join_asof_nearest",
-    "emb_pca_project",
-    # 3. changed / added in r7 (incl. the rows-only→audit-oracle
-    # conversions of the ML tier — their code changed, so their old
-    # rows-only evidence is void)
-    "sim_search_topk_vectorized",
-    "sketch_tdigest",
-    "pipeline_http_to_parquet",
+    # 1. the r8 registry addition, never driver-checked
+    "dedup_substring_cdc",
+    # 2. r2-stale (latest driver evidence six rounds old)
+    "case_volume_bins",
+    "cond_route",
+    "cyclical_encode",
+    "dt_extract",
+    "flag_rush_hour",
+    "flag_season",
+    "flag_weekend",
+    "interaction_products",
+    "json_extract",
+    "json_struct_build",
+    "log1p_expm1",
+    "round_decimal",
+    "sim_search_lsh_buckets",
+    "str_functions",
+    "str_timestamp_build",
+    "str_wkt_parse",
+    "text_lang_id",
+    "text_quality_score",
+    "text_token_count",
+    # 3. r3-stale
+    "agg_percentile_exact",
+    "dedup_edit_distance",
+    "doc_stats_by_source",
+    "emb_normalize",
+    "emb_quantize_int8",
+    "join_coord_map",
+    "join_holiday_dim",
+    "join_nearest_edge",
+    "join_traffic_weather_boro",
+    "join_traffic_weather_time",
+    "ml_grouped_ols",
+    "mm_asset_stats",
+    "mm_extract_features",
+    "mm_video_frames",
+    "pipeline_text_prep",
+    "sample_reservoir_topk",
+    "sample_stratified",
+    "scan_object_store",
+    "sketch_bloom_filter",
+    "sketch_count_min",
+    "sketch_heavy_hitters",
+    "stream_dedup_ids",
+    "stream_sessionization",
+    "stream_sliding_counts",
+    "stream_tumbling_counts",
+    "text_fingerprint",
+    "text_pii_scrub",
+    "time_spine_gapfill",
+    "win_cumulative",
+    "win_lag1",
+    "win_lag_multi",
+    "win_lag_series",
+    "win_ranking",
+    "win_roll_mean_3",
+    "win_sliding_lookback",
+    "win_time_split",
+    # 4. code changed in r8 (behavior-neutral, re-earn anyway)
     "ml_linear_regression",
     "ml_random_forest",
     "ml_gbt",
-    "ml_segmented_model",
-    "ml_permutation_importance",
-    "ml_inference_single_row",
-    "ml_kmeans",
-    "sim_search_ivf_kmeans",
-    "split_random",
-    "agg_approx_count_distinct",
-    # money-sum hardening (exact_sum/exact_avg): whole-catalog change
-    # locally exact-verified at sf0.001+sf0.01+sf0.1; the flagship and
-    # the two queries that actually flapped the sf0.1 sweep re-earn
-    # driver evidence first
-    "flagship_volume_features",
-    "join_scd2_pointintime",
-    "layout_bucketed_join",
-    # late-r7 plan rewrites (per-level qdigest materialization; narrow
-    # fuzzy-key candidate shuffle) — their earlier driver evidence
-    # predates the new plans, so they re-earn it first
-    "sketch_qdigest",
-    "join_fuzzy_key",
-    "dedup_connected_components",
-    # post-review hardening: window sums carried as exact integers,
-    # arm moments from exact integer sums
-    "report_ab_test",
-    "agg_bootstrap_ci",
-    "win_max_drawdown",
-    "win_roll_mean_24",
-    "win_range_time",
-    # 4. r2-stale
-    "join_star_broadcast",
-    "join_asof",
-    "join_range_binned",
-    "join_salted_skew",
-    "join_nearest_spatial",
-    "join_anti",
-    "join_semi",
-    "join_outer",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_sig",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_embedding_cosine",
-    "sim_search_bruteforce_topk",
-    "sim_search_lsh_buckets",
-    "text_token_count",
-    "text_quality_score",
-    "text_lang_id",
-    "str_wkt_parse",
-    "str_functions",
-    "str_timestamp_build",
-    "dt_extract",
-    "flag_weekend",
-    "flag_season",
-    "flag_rush_hour",
-    "cyclical_encode",
-    "log1p_expm1",
-    "interaction_products",
-    "case_volume_bins",
-    "round_decimal",
-    "cond_route",
-    "json_struct_build",
-    "json_extract",
-    # 5. r3-stale overflow (positions 49+; r8's natural front)
-    "win_lag1",
-    "win_lag_multi",
-    "win_roll_mean_3",
-    "win_time_split",
-    "win_sliding_lookback",
-    "win_lag_series",
-    "win_ranking",
-    "win_cumulative",
-    "time_spine_gapfill",
-    "join_traffic_weather_boro",
-    "join_traffic_weather_time",
-    "join_holiday_dim",
-    "join_coord_map",
-    "join_nearest_edge",
-    "text_fingerprint",
-    "doc_stats_by_source",
-    "sketch_count_min",
-    "sketch_heavy_hitters",
-    "emb_normalize",
-    "emb_quantize_int8",
-    "pipeline_text_prep",
-    "dedup_edit_distance",
-    "stream_tumbling_counts",
-    "stream_sliding_counts",
-    "stream_dedup_ids",
-    "stream_sessionization",
-    "mm_extract_features",
-    "mm_video_frames",
-    "mm_asset_stats",
-    "sample_stratified",
-    "sample_reservoir_topk",
-    "sketch_bloom_filter",
-    "text_pii_scrub",
-    "agg_percentile_exact",
-    "ml_grouped_ols",
-    "scan_object_store",
+    "ml_propensity_model",
 ]
-
 
 def load_all() -> dict[str, QuerySpec]:
     """Import every catalog module (side effect: fills REGISTRY), then

@@ -3545,10 +3545,9 @@ def chunk_cdc(docs: DataFrame) -> DataFrame:
     zip_with; no sequential scan, no UDF, no shuffle).
 
     Returns (doc_id, chunk_start [1-based], chunk) exploded one row
-    per chunk. UNREGISTERED round-8 preview: the registry is frozen
-    this round, so this ships as a tested operator the next round can
-    promote with a one-line @register + shared-spelling oracle
-    (md5/conv/substring all have exact DuckDB equivalents)."""
+    per chunk. Consumed by the registered dedup_substring_cdc query;
+    the promotion was round 8's sanctioned registry addition
+    (VERDICT r7 #2)."""
     # Guard the sequence: for texts shorter than W, sequence(W, len)
     # would DESCEND (Spark's default step is -1 when start > stop),
     # emitting phantom cut positions past end-of-text. Docs shorter
@@ -3582,13 +3581,70 @@ def chunk_cdc(docs: DataFrame) -> DataFrame:
     )
 
 
+@register(
+    "dedup_substring_cdc",
+    survey="north-star dedup tier: content-defined-chunking duplicated-"
+    "span detection — closes dedup_substring_exact's documented "
+    "misalignment gap (tiling misses copies pasted at offsets not "
+    "congruent mod the stride; CDC boundaries are content-addressed, "
+    "so the same bytes chunk identically at any paste offset)",
+    oracle=f"""
+    WITH cuts AS (
+      SELECT doc_id, text,
+             CASE WHEN length(text) >= {_CDC_W} THEN
+               list_filter(list_transform(
+                 range({_CDC_W}, length(text) + 1),
+                 i -> CASE WHEN CAST('0x' ||
+                        substr(md5(substr(text, CAST(i - {_CDC_W} + 1
+                          AS INTEGER), {_CDC_W})), 1, 8) AS BIGINT)
+                        % {_CDC_D} = 0
+                      THEN i ELSE -1 END),
+                 x -> x > 0)
+             ELSE [] END AS cs
+      FROM documents WHERE length(text) > 0
+    ),
+    bounds AS (
+      SELECT doc_id, text,
+             unnest(list_sort(list_distinct(list_concat(
+               list_concat([CAST(0 AS BIGINT)], cs),
+               [CAST(length(text) AS BIGINT)])))) AS s
+      FROM cuts
+    ),
+    spans AS (
+      SELECT doc_id, text, s,
+             lead(s) OVER (PARTITION BY doc_id ORDER BY s) AS e
+      FROM bounds
+    ),
+    ch AS (
+      SELECT doc_id,
+             substr(text, CAST(s + 1 AS INTEGER), CAST(e - s AS INTEGER))
+               AS chunk
+      FROM spans WHERE e IS NOT NULL
+    )
+    SELECT md5(chunk) AS span_hash,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_occurrences
+    FROM ch
+    WHERE length(chunk) >= {_CDC_MIN}
+    GROUP BY 1
+    HAVING count(DISTINCT doc_id) > 1
+    """,
+)
 def dedup_substring_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-document duplicated spans via content-defined chunks —
     the alignment-robust sibling of dedup_substring_exact (same output
     shape: span_hash, n_docs, n_occurrences), catching copies pasted
     at arbitrary offsets. Scale shape identical: narrow in-row chunk
     expansion, one groupBy on uniformly distributed chunk hashes
-    carrying (hash, doc) pairs only."""
+    carrying (hash, doc) pairs only.
+
+    Oracle notes (engine-portable spellings): Spark's
+    conv(hex, 16, 10) ≡ DuckDB's CAST('0x' || hex AS BIGINT) — both
+    exact on the 8-hex-char (32-bit) prefix; Spark's
+    sequence(W, len) needs the ascending guard (length >= W) that
+    DuckDB's range() makes implicit (empty when start > stop); the
+    consecutive-bound pairing is zip_with over slices on the Spark
+    side and a lead() window in SQL — same pairs."""
     ch = chunk_cdc(_docs(spark, sf_dir)).filter(
         F.length("chunk") >= _CDC_MIN
     )

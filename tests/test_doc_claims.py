@@ -189,3 +189,44 @@ def test_no_shrinking_window_frames():
         f"found — rewrite as running frames over the reversed sort:\n"
         + "\n".join(offenders)
     )
+
+
+def test_catalog_counts_in_docs():
+    """The registry size is quoted in four documents; a stale count
+    survived two rounds in SCALE.md (VERDICT r7 nit), so pin every
+    quoted count to the regenerated truth. On registry growth, update
+    the doc lines — this test names them."""
+    import pathlib
+
+    reg = load_all()
+    n = len(reg)
+    n_oracled = sum(1 for s in reg.values() if s.oracle)
+    root = pathlib.Path(__file__).resolve().parents[1]
+    expectations = {
+        "README.md": [
+            f"THE CATALOG: {n} operators",
+            f"one of the {n} entries carries a value-hash oracle",
+        ],
+        "SCALE.md": [
+            f"The catalog ({n} queries, {n_oracled} with "
+            "cross-engine value oracles)",
+        ],
+        "NOTES.md": [
+            f"**Registry state (authoritative): {n} queries / "
+            f"{n_oracled} DuckDB",
+        ],
+        "SURVEY.md": [
+            f"{n} registered queries, {n_oracled} with full DuckDB "
+            "value oracles",
+        ],
+    }
+    stale = []
+    for doc, lines in expectations.items():
+        text = (root / doc).read_text()
+        for want in lines:
+            if want not in text:
+                stale.append(f"{doc}: expected {want!r}")
+    assert not stale, (
+        f"registry is {n} queries / {n_oracled} oracles but these doc "
+        "lines disagree:\n" + "\n".join(stale)
+    )
