@@ -133,6 +133,8 @@ AUDITED = [
     "report_pareto_deciles",
     "emb_covariance_matrix",
     "join_asof_nearest",
+    # round 8 addition (the CDC promotion)
+    "dedup_substring_cdc",
 ]
 
 # query -> flags it is ALLOWED to carry, with the reason pinned here.

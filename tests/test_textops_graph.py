@@ -166,6 +166,15 @@ def test_chunk_cdc_matches_python_reference(spark):
         "".join(rng.choice("abcdef ") for _ in range(rng.randint(1, 31)))
         for _ in range(200)
     ]
+    # Multibyte coverage: length/substring are CHARACTER-based on both
+    # engines while md5 hashes UTF-8 BYTES — the differential pins that
+    # Spark's spelling matches Python slicing + .encode() on 2-, 3-
+    # and 4-byte code points (the parquet corpus is ASCII, so without
+    # this the unicode path would ride untested).
+    texts += [
+        "".join(rng.choice("abcdef éü汉字🚀 ") for _ in range(rng.randint(1, 120)))
+        for _ in range(30)
+    ]
     df = spark.createDataFrame(
         [(i, t) for i, t in enumerate(texts)], "doc_id INT, text STRING"
     )
@@ -229,3 +238,54 @@ def test_cdc_catches_the_misaligned_duplicate_tiling_misses(spark, tmp_path):
     shared = dedup_substring_cdc(spark, str(sf_dir)).collect()
     assert len(shared) >= 1
     assert all(r["n_docs"] == 2 for r in shared)
+
+
+def test_cdc_oracle_spelling_matches_python_on_unicode():
+    """The registered dedup_substring_cdc oracle's chunking fragment
+    (range + '0x'-cast + substr + lead pairing) against the Python
+    reference on multibyte text. The driver's cross-engine check only
+    ever feeds it the ASCII parquet corpus; this pins that the DuckDB
+    spelling is character-correct (substr/length) and byte-correct
+    (md5 over UTF-8) for 2-/3-/4-byte code points too, so the oracle
+    stays valid if the corpus gains unicode."""
+    import random
+
+    import duckdb
+
+    rng = random.Random(99)
+    texts = [
+        "".join(rng.choice("abcdef éü汉字🚀 ") for _ in range(rng.randint(1, 200)))
+        for _ in range(30)
+    ]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(doc_id INT, text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", list(enumerate(texts)))
+    got: dict[int, list] = {}
+    for doc, cs, ch in con.sql(
+        """
+        WITH cuts AS (
+          SELECT doc_id, text,
+                 CASE WHEN length(text) >= 32 THEN
+                   list_filter(list_transform(range(32, length(text) + 1),
+                     i -> CASE WHEN CAST('0x' || substr(md5(substr(text,
+                            CAST(i - 31 AS INTEGER), 32)), 1, 8) AS BIGINT)
+                            % 64 = 0
+                          THEN i ELSE -1 END), x -> x > 0)
+                 ELSE [] END AS cs
+          FROM t WHERE length(text) > 0),
+        bounds AS (
+          SELECT doc_id, text, unnest(list_sort(list_distinct(list_concat(
+            list_concat([CAST(0 AS BIGINT)], cs),
+            [CAST(length(text) AS BIGINT)])))) AS s FROM cuts),
+        spans AS (SELECT doc_id, text, s,
+                         lead(s) OVER (PARTITION BY doc_id ORDER BY s) AS e
+                  FROM bounds)
+        SELECT doc_id, CAST(s + 1 AS INTEGER) AS cs,
+               substr(text, CAST(s + 1 AS INTEGER), CAST(e - s AS INTEGER))
+                 AS chunk
+        FROM spans WHERE e IS NOT NULL
+        """
+    ).fetchall():
+        got.setdefault(doc, []).append((cs, ch))
+    for i, t in enumerate(texts):
+        assert sorted(got.get(i, [])) == _cdc_chunks_ref(t), i
