@@ -168,7 +168,11 @@ def load_all() -> dict[str, QuerySpec]:
         core,
     )
 
-    front = {n: REGISTRY[n] for n in _CHECK_FIRST if n in REGISTRY}
+    unknown = set(_CHECK_FIRST) - REGISTRY.keys()
+    # a typo here would silently cost the query its driver-evidence
+    # slot (the whole point of the rotation) — fail loudly instead
+    assert not unknown, f"_CHECK_FIRST names not in registry: {sorted(unknown)}"
+    front = {n: REGISTRY[n] for n in _CHECK_FIRST}
     rest = {n: s for n, s in REGISTRY.items() if n not in front}
     REGISTRY.clear()
     REGISTRY.update(front)

@@ -3581,14 +3581,14 @@ def chunk_cdc(docs: DataFrame) -> DataFrame:
     )
 
 
-@register(
-    "dedup_substring_cdc",
-    survey="north-star dedup tier: content-defined-chunking duplicated-"
-    "span detection — closes dedup_substring_exact's documented "
-    "misalignment gap (tiling misses copies pasted at offsets not "
-    "congruent mod the stride; CDC boundaries are content-addressed, "
-    "so the same bytes chunk identically at any paste offset)",
-    oracle=f"""
+def _cdc_chunks_oracle_cte(table: str) -> str:
+    """The DuckDB spelling of chunk_cdc's exact definition, as a WITH
+    prefix ending in ``ch(doc_id, chunk_start, chunk)``. ONE source of
+    truth: the registered dedup_substring_cdc oracle and the unicode
+    differential test (tests/test_textops_graph.py) both assemble
+    their SQL from this fragment, so the W/D constants and the
+    chunking spelling cannot drift between them."""
+    return f"""
     WITH cuts AS (
       SELECT doc_id, text,
              CASE WHEN length(text) >= {_CDC_W} THEN
@@ -3601,7 +3601,7 @@ def chunk_cdc(docs: DataFrame) -> DataFrame:
                       THEN i ELSE -1 END),
                  x -> x > 0)
              ELSE [] END AS cs
-      FROM documents WHERE length(text) > 0
+      FROM {table} WHERE length(text) > 0
     ),
     bounds AS (
       SELECT doc_id, text,
@@ -3616,11 +3616,22 @@ def chunk_cdc(docs: DataFrame) -> DataFrame:
       FROM bounds
     ),
     ch AS (
-      SELECT doc_id,
+      SELECT doc_id, CAST(s + 1 AS INTEGER) AS chunk_start,
              substr(text, CAST(s + 1 AS INTEGER), CAST(e - s AS INTEGER))
                AS chunk
       FROM spans WHERE e IS NOT NULL
-    )
+    )"""
+
+
+@register(
+    "dedup_substring_cdc",
+    survey="north-star dedup tier: content-defined-chunking duplicated-"
+    "span detection — closes dedup_substring_exact's documented "
+    "misalignment gap (tiling misses copies pasted at offsets not "
+    "congruent mod the stride; CDC boundaries are content-addressed, "
+    "so the same bytes chunk identically at any paste offset)",
+    oracle=_cdc_chunks_oracle_cte("documents")
+    + f"""
     SELECT md5(chunk) AS span_hash,
            CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
            CAST(count(*) AS BIGINT) AS n_occurrences

@@ -202,10 +202,20 @@ def test_catalog_counts_in_docs():
     n = len(reg)
     n_oracled = sum(1 for s in reg.values() if s.oracle)
     root = pathlib.Path(__file__).resolve().parents[1]
+    # README's "every one of the N entries carries a value-hash
+    # oracle" is an ALL-oracled claim: interpolating n_oracled (not n)
+    # means a future rows-only entry breaks this pin instead of the
+    # count silently papering over a now-false sentence — reword the
+    # README (and drop this coupling) if the registry ever regrows a
+    # rows-only tier.
+    assert n == n_oracled, (
+        f"{n - n_oracled} rows-only entries exist but README claims "
+        "every entry is oracled — reword README and update this test"
+    )
     expectations = {
         "README.md": [
             f"THE CATALOG: {n} operators",
-            f"one of the {n} entries carries a value-hash oracle",
+            f"one of the {n_oracled} entries carries a value-hash oracle",
         ],
         "SCALE.md": [
             f"The catalog ({n} queries, {n_oracled} with "

@@ -241,16 +241,24 @@ def test_cdc_catches_the_misaligned_duplicate_tiling_misses(spark, tmp_path):
 
 
 def test_cdc_oracle_spelling_matches_python_on_unicode():
-    """The registered dedup_substring_cdc oracle's chunking fragment
-    (range + '0x'-cast + substr + lead pairing) against the Python
-    reference on multibyte text. The driver's cross-engine check only
-    ever feeds it the ASCII parquet corpus; this pins that the DuckDB
-    spelling is character-correct (substr/length) and byte-correct
-    (md5 over UTF-8) for 2-/3-/4-byte code points too, so the oracle
-    stays valid if the corpus gains unicode."""
+    """The registered dedup_substring_cdc oracle's chunking fragment —
+    THE SAME generated SQL text the @register oracle is assembled from
+    (textops._cdc_chunks_oracle_cte; W/D interpolated from _CDC_W/
+    _CDC_D, so this cannot silently test a stale copy) — against the
+    Python reference on multibyte text. The driver's cross-engine
+    check only ever feeds it the ASCII parquet corpus; this pins that
+    the DuckDB spelling is character-correct (substr/length) and
+    byte-correct (md5 over UTF-8) for 2-/3-/4-byte code points too,
+    so the oracle stays valid if the corpus gains unicode."""
     import random
 
     import duckdb
+
+    from nyc_traffic_insight_spark.queries.textops import (
+        _CDC_D,
+        _CDC_W,
+        _cdc_chunks_oracle_cte,
+    )
 
     rng = random.Random(99)
     texts = [
@@ -262,30 +270,9 @@ def test_cdc_oracle_spelling_matches_python_on_unicode():
     con.executemany("INSERT INTO t VALUES (?, ?)", list(enumerate(texts)))
     got: dict[int, list] = {}
     for doc, cs, ch in con.sql(
-        """
-        WITH cuts AS (
-          SELECT doc_id, text,
-                 CASE WHEN length(text) >= 32 THEN
-                   list_filter(list_transform(range(32, length(text) + 1),
-                     i -> CASE WHEN CAST('0x' || substr(md5(substr(text,
-                            CAST(i - 31 AS INTEGER), 32)), 1, 8) AS BIGINT)
-                            % 64 = 0
-                          THEN i ELSE -1 END), x -> x > 0)
-                 ELSE [] END AS cs
-          FROM t WHERE length(text) > 0),
-        bounds AS (
-          SELECT doc_id, text, unnest(list_sort(list_distinct(list_concat(
-            list_concat([CAST(0 AS BIGINT)], cs),
-            [CAST(length(text) AS BIGINT)])))) AS s FROM cuts),
-        spans AS (SELECT doc_id, text, s,
-                         lead(s) OVER (PARTITION BY doc_id ORDER BY s) AS e
-                  FROM bounds)
-        SELECT doc_id, CAST(s + 1 AS INTEGER) AS cs,
-               substr(text, CAST(s + 1 AS INTEGER), CAST(e - s AS INTEGER))
-                 AS chunk
-        FROM spans WHERE e IS NOT NULL
-        """
+        _cdc_chunks_oracle_cte("t")
+        + " SELECT doc_id, chunk_start, chunk FROM ch"
     ).fetchall():
         got.setdefault(doc, []).append((cs, ch))
     for i, t in enumerate(texts):
-        assert sorted(got.get(i, [])) == _cdc_chunks_ref(t), i
+        assert sorted(got.get(i, [])) == _cdc_chunks_ref(t, w=_CDC_W, d=_CDC_D), i
