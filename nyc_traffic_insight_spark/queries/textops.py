@@ -2133,7 +2133,8 @@ def text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     lexicographic — deterministic). Picking the argmax pair and
     re-segmenting is one BPE training step; the COUNT table is the
     expensive distributed part, so it is the catalog operator (the
-    merge loop itself is tokenizer-sized driver work).
+    full merge LOOP is the bpe_train_merges preview below — same
+    collapse, iterated relationally).
 
     Scale shape: the corpus collapses to the word-frequency table first
     (one aggregate with map-side partials — the standard BPE trick: pair
@@ -3668,3 +3669,239 @@ def dedup_substring_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_docs") > 1)
     )
+
+
+# ----------------- distributed BPE merge training (round-9 preview)
+#
+# text_bpe_pair_counts computes ONE BPE training step's candidate
+# table and its docstring parks the merge loop as "tokenizer-sized
+# driver work". This preview makes the LOOP itself an engine operator:
+# the whole trainer — vocabulary cap, symbol explosion, per-iteration
+# pair statistics, argmax selection, greedy non-overlapping merge —
+# is expressed as portable ANSI SQL (windows + joins + exact integer
+# sums; no regex over symbols, no strings-as-state), generated once
+# and executed by BOTH engines (the qdigest shared-fragment pattern),
+# so a future @register gets a full value-hash oracle for an
+# iterative algorithm.
+#
+# The merge step is the part Spark/DuckDB SQL does not have a
+# primitive for: BPE's merge is GREEDY LEFTMOST NON-OVERLAPPING
+# (Sennrich et al. 2016's pattern.sub with lookarounds; for pair
+# (a,a) on the run "a a a a" it yields "aa aa", never "aa a a").
+# A string replace() loop is NOT equivalent — replace consumes the
+# trailing separator, misses boundary-sharing occurrences, and its
+# fixpoint diverges from greedy on same-symbol runs (measured:
+# "a a a a a a" -> "aa a aa", wrong). The relational form is exact:
+# matches of (a,b) with a<>b can never overlap (a match at p+1 would
+# need sym(p+1)=a, but it is b), so they all merge; for a=b the
+# overlap structure is runs of equal symbols, where greedy merges at
+# run offsets 0, 2, 4, ... — the "(pos - run_start) % 2 = 0" parity
+# rule over gaps-and-islands run detection. Both facts are pinned
+# differentially against a Python reference implementation of the
+# greedy fold (tests/test_bpe_train.py), including same-symbol runs.
+#
+# Scale shape: the ONLY full-corpus operation is the word-frequency
+# aggregate (map-side partials, the standard BPE collapse — a
+# trillion-token corpus costs one word count). Everything after runs
+# on the capped vocabulary's symbol table (<= _BPE_VOCAB * (_BPE_MAXLEN
+# + 1) rows, ~62k here): each iteration is three window passes and an
+# alphabet^2-bounded aggregate over that bounded table, partitioned by
+# word. Like sketch_qdigest's level cascade, the iterations are an
+# SF-INDEPENDENT constant cost; Spark materializes each iteration's
+# state via localCheckpoint so CTE re-inlining cannot re-run the chain
+# (the qdigest lesson), while DuckDB's oracle keeps the monolithic
+# WITH form (it materializes multiply-referenced CTEs itself).
+
+_BPE_MAXLEN = 30  # words longer than this are excluded (both engines)
+_BPE_VOCAB = 2000  # vocabulary cap: top-V words by (freq DESC, word ASC)
+_BPE_MERGES = 10  # merge iterations = output rows
+
+
+def _bpe_spine_sql() -> str:
+    """Position spine 1.._BPE_MAXLEN as UNION ALL literals — the
+    engine-portable spelling of generate_series (the qdigest probe
+    trick)."""
+    return " UNION ALL ".join(
+        f"SELECT {k} AS pos" for k in range(1, _BPE_MAXLEN + 1)
+    )
+
+
+def _bpe_vocab_body() -> str:
+    """Capped vocabulary from a `wf(w, cnt)` word-frequency relation.
+    Deterministic: ties broken by word ASC."""
+    return (
+        f"SELECT w AS word, cnt AS freq FROM wf "
+        f"WHERE length(w) <= {_BPE_MAXLEN} "
+        f"ORDER BY cnt DESC, w LIMIT {_BPE_VOCAB}"
+    )
+
+
+def _bpe_init_body() -> str:
+    """vocab -> exploded symbol table (word, freq, pos, sym): one row
+    per character position via the spine join, plus the '</w>'
+    terminal (Sennrich's end-of-word marker)."""
+    return (
+        "SELECT v.word, v.freq, sp.pos, substr(v.word, sp.pos, 1) AS sym "
+        "FROM vocab v JOIN spine sp ON sp.pos <= length(v.word) "
+        "UNION ALL "
+        "SELECT word, freq, length(word) + 1 AS pos, '</w>' AS sym "
+        "FROM vocab"
+    )
+
+
+def _bpe_pairs_body(w: str) -> str:
+    """Adjacent-pair statistics over symbol table `w`: every adjacent
+    position counts (overlapping occurrences included — Sennrich
+    get_stats semantics), weighted by word frequency, exact BIGINT."""
+    return (
+        "SELECT left_sym, right_sym, CAST(sum(freq) AS BIGINT) AS cnt "
+        "FROM (SELECT sym AS left_sym, "
+        "lead(sym) OVER (PARTITION BY word ORDER BY pos) AS right_sym, "
+        f"freq FROM {w}) t "
+        "WHERE right_sym IS NOT NULL GROUP BY left_sym, right_sym"
+    )
+
+
+def _bpe_best_body(p: str) -> str:
+    """Argmax merge candidate, fully deterministic (cnt DESC, then
+    lexicographic pair ASC)."""
+    return (
+        f"SELECT left_sym, right_sym, cnt FROM {p} "
+        "ORDER BY cnt DESC, left_sym, right_sym LIMIT 1"
+    )
+
+
+def _bpe_merge_body(w: str, b: str) -> str:
+    """Apply the 1-row best pair to symbol table `w` with GREEDY
+    LEFTMOST NON-OVERLAPPING semantics, relationally:
+
+    - flagged: broadcast the pair, look one symbol ahead;
+    - isl/runs: gaps-and-islands run detection (pos - row_number over
+      equal-symbol islands is constant within a run; run_start is the
+      run's min pos) — needed only for the a=b overlap case;
+    - dec: a position merges iff it heads a pair occurrence AND
+      (a <> b, where occurrences cannot overlap, OR its offset into
+      the equal-symbol run is even — greedy picks 0, 2, 4, ...);
+    - keep/renumber: a position is consumed iff its predecessor
+      merged (lag); survivors emit the merged symbol or their own,
+      and row_number re-densifies pos for the next iteration.
+    """
+    return (
+        "SELECT word, freq, "
+        "CAST(row_number() OVER (PARTITION BY word ORDER BY pos) AS INTEGER)"
+        " AS pos, sym "
+        "FROM ("
+        "  SELECT word, freq, pos, "
+        "         CASE WHEN merged_here = 1 THEN a || bb ELSE sym END AS sym, "
+        "         lag(merged_here) OVER (PARTITION BY word ORDER BY pos)"
+        "           AS consumed "
+        "  FROM ("
+        "    SELECT *, "
+        "           CASE WHEN sym = a AND nxt = bb "
+        "                     AND (a <> bb OR (pos - run_start) % 2 = 0) "
+        "                THEN 1 ELSE 0 END AS merged_here "
+        "    FROM ("
+        "      SELECT *, min(pos) OVER (PARTITION BY word, sym, grp)"
+        "               AS run_start "
+        "      FROM ("
+        "        SELECT *, pos - row_number() OVER"
+        "                 (PARTITION BY word, sym ORDER BY pos) AS grp "
+        "        FROM ("
+        "          SELECT s.word, s.freq, s.pos, s.sym, "
+        "                 b.left_sym AS a, b.right_sym AS bb, "
+        "                 lead(s.sym) OVER"
+        "                   (PARTITION BY s.word ORDER BY s.pos) AS nxt "
+        f"          FROM {w} s CROSS JOIN {b} b"
+        "        ) t0"
+        "      ) t1"
+        "    ) t2"
+        "  ) t3"
+        ") t4 "
+        "WHERE consumed IS NULL OR consumed = 0"
+    )
+
+
+def _bpe_wf_duckdb(table: str) -> str:
+    """DuckDB-side word-frequency glue (the one engine-specific step;
+    same split spelling as text_bpe_pair_counts' oracle)."""
+    return (
+        "SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM ("
+        r"SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+'))"
+        f" AS w FROM {table}) u WHERE w <> '' GROUP BY 1"
+    )
+
+
+def bpe_oracle_sql(table: str = "documents") -> str:
+    """The full trainer as ONE DuckDB SQL text, assembled from the
+    same fragment generators the Spark path executes. Output:
+    (rank, left_sym, right_sym, merged, cnt), _BPE_MERGES rows (fewer
+    only if the pair table drains — both engines agree)."""
+    # AS MATERIALIZED is DuckDB-side assembly glue, not fragment text:
+    # each w{i} is referenced twice (pair stats + merge), so the default
+    # inlining re-expands the chain 2^iterations times (measured: 14 s
+    # at 6 iterations, 0.2 s materialized) — the same CTE-inlining
+    # hazard sketch_qdigest documents, solved on the Spark side by the
+    # per-iteration localCheckpoint in bpe_train_merges.
+    parts = [
+        f"WITH wf AS ({_bpe_wf_duckdb(table)}),",
+        f"spine AS ({_bpe_spine_sql()}),",
+        f"vocab AS MATERIALIZED ({_bpe_vocab_body()}),",
+        f"w0 AS MATERIALIZED ({_bpe_init_body()})",
+    ]
+    for i in range(_BPE_MERGES):
+        parts.append(f", p{i} AS MATERIALIZED ({_bpe_pairs_body(f'w{i}')})")
+        parts.append(f", b{i} AS MATERIALIZED ({_bpe_best_body(f'p{i}')})")
+        parts.append(
+            f", w{i + 1} AS MATERIALIZED "
+            f"({_bpe_merge_body(f'w{i}', f'b{i}')})"
+        )
+    selects = " UNION ALL ".join(
+        f"SELECT CAST({i + 1} AS INTEGER) AS rank, left_sym, right_sym, "
+        f"left_sym || right_sym AS merged, cnt FROM b{i}"
+        for i in range(_BPE_MERGES)
+    )
+    parts.append(f" SELECT * FROM ({selects}) out ORDER BY rank")
+    return "".join(parts)
+
+
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE merge training over the documents corpus —
+    the round-9 preview completing text_bpe_pair_counts (which is this
+    trainer's first pair table). UNREGISTERED this round (registry
+    frozen at 238); promotion is one @register with oracle=
+    bpe_oracle_sql(), the shared-fragment contract already holding.
+
+    Execution: the corpus word count is the only full-data pass;
+    vocab/init and each of the _BPE_MERGES iterations run the SAME
+    generated fragments the oracle text is assembled from, with each
+    iteration's bounded symbol table materialized via localCheckpoint
+    (states are <= _BPE_VOCAB*(_BPE_MAXLEN+1) rows; the qdigest
+    pattern — linear fan-out, constant per-iteration cost at any SF).
+    """
+    words = _docs(spark, sf_dir).select(
+        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("w")
+    )
+    wf = (
+        words.filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    wf.createOrReplaceTempView("__bpe_wf")
+    spark.sql(
+        f"WITH wf AS (SELECT * FROM __bpe_wf), "
+        f"spine AS ({_bpe_spine_sql()}), "
+        f"vocab AS ({_bpe_vocab_body()}) {_bpe_init_body()}"
+    ).localCheckpoint().createOrReplaceTempView("__bpe_w0")
+    for i in range(_BPE_MERGES):
+        spark.sql(
+            _bpe_best_body(f"({_bpe_pairs_body(f'__bpe_w{i}')}) p")
+        ).localCheckpoint().createOrReplaceTempView(f"__bpe_b{i}")
+        spark.sql(
+            _bpe_merge_body(f"__bpe_w{i}", f"__bpe_b{i}")
+        ).localCheckpoint().createOrReplaceTempView(f"__bpe_w{i + 1}")
+    selects = " UNION ALL ".join(
+        f"SELECT CAST({i + 1} AS INTEGER) AS rank, left_sym, right_sym, "
+        f"left_sym || right_sym AS merged, cnt FROM __bpe_b{i}"
+        for i in range(_BPE_MERGES)
+    )
+    return spark.sql(f"SELECT * FROM ({selects}) out ORDER BY rank")

@@ -1,0 +1,163 @@
+"""bpe_train_merges (round-9 preview): differential tests.
+
+The trainer's one nontrivial claim is that its relational merge step
+equals BPE's greedy leftmost non-overlapping merge (Sennrich et al.
+2016) — including the same-symbol-run overlap case where a string
+replace() loop diverges (see the module comment in textops.py). These
+tests pin the whole trainer, both engines, against an independent
+Python implementation of the standard algorithm:
+
+1. Spark pipeline vs Python on synthetic corpora built to stress the
+   merge rule (same-symbol runs, alternations, ties);
+2. the generated DuckDB oracle text vs Python on the same corpora;
+3. Spark vs DuckDB, row-exact, on the real sf0.001 documents table.
+"""
+
+from __future__ import annotations
+
+import re
+from collections import Counter
+
+import pytest
+
+from nyc_traffic_insight_spark.queries.textops import (
+    _BPE_MAXLEN,
+    _BPE_MERGES,
+    _BPE_VOCAB,
+    bpe_oracle_sql,
+    bpe_train_merges,
+)
+
+
+def _bpe_ref(texts, maxlen=None, vocab_cap=None, merges=None):
+    """Independent reference: standard BPE training on word
+    frequencies with greedy leftmost non-overlapping merges."""
+    maxlen = maxlen or _BPE_MAXLEN
+    vocab_cap = vocab_cap or _BPE_VOCAB
+    merges = merges or _BPE_MERGES
+    wf = Counter(
+        w
+        for t in texts
+        for w in re.split(r"\s+", t.strip().lower())
+        if w
+    )
+    vocab = sorted(
+        ((w, c) for w, c in wf.items() if len(w) <= maxlen),
+        key=lambda x: (-x[1], x[0]),
+    )[:vocab_cap]
+    spellings = {w: list(w) + ["</w>"] for w, _ in vocab}
+    freqs = dict(vocab)
+    out = []
+    for rank in range(1, merges + 1):
+        stats: Counter = Counter()
+        for w, syms in spellings.items():
+            for i in range(len(syms) - 1):
+                stats[(syms[i], syms[i + 1])] += freqs[w]
+        if not stats:
+            break
+        best = min(stats.items(), key=lambda kv: (-kv[1], kv[0]))
+        (a, b), cnt = best
+        out.append((rank, a, b, a + b, cnt))
+        for w, syms in spellings.items():
+            merged = []
+            i = 0
+            while i < len(syms):  # greedy leftmost non-overlap
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    merged.append(a + b)
+                    i += 2
+                else:
+                    merged.append(syms[i])
+                    i += 1
+            spellings[w] = merged
+    return out
+
+
+# corpora chosen to force the hard merge cases: same-symbol runs of
+# odd/even length (the replace()-divergence case), alternations whose
+# occurrences share separators, count ties resolved lexicographically,
+# and words at/over the length cap
+CORPORA = {
+    "runs": ["aaaa aaa aaaaaa b", "aaaa aaaa c aaa"],
+    "alternation": ["abab ababab abababab", "ab ab abab"],
+    "ties": ["xy xy uv uv", "xy uv"],
+    "mixed": [
+        "the quick brown fox jumps over the lazy dog",
+        "the the the quick quick fox",
+        "a" * (_BPE_MAXLEN + 5) + " within limit",
+    ],
+}
+
+
+@pytest.mark.parametrize("name", sorted(CORPORA))
+def test_oracle_sql_matches_python_reference(name):
+    import duckdb
+
+    texts = CORPORA[name]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE docs(text VARCHAR)")
+    con.executemany("INSERT INTO docs VALUES (?)", [(t,) for t in texts])
+    got = con.sql(bpe_oracle_sql("docs")).fetchall()
+    assert got == _bpe_ref(texts), name
+
+
+@pytest.mark.parametrize("name", sorted(CORPORA))
+def test_spark_matches_python_reference(spark, name, tmp_path):
+    import pandas as pd
+
+    texts = CORPORA[name]
+    sf_dir = tmp_path / f"sf_bpe_{name}"
+    sf_dir.mkdir()
+    pd.DataFrame(
+        {"doc_id": range(len(texts)), "source": "t", "text": texts}
+    ).to_parquet(sf_dir / "documents.parquet")
+    got = [
+        (r["rank"], r["left_sym"], r["right_sym"], r["merged"], r["cnt"])
+        for r in bpe_train_merges(spark, str(sf_dir)).collect()
+    ]
+    assert got == _bpe_ref(texts), name
+
+
+def test_spark_matches_duckdb_on_testdata(spark):
+    import duckdb
+
+    from tests.conftest import SF_SMOKE
+
+    got = [
+        (r["rank"], r["left_sym"], r["right_sym"], r["merged"], r["cnt"])
+        for r in bpe_train_merges(spark, SF_SMOKE).collect()
+    ]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF_SMOKE}/documents.parquet')"
+    )
+    want = con.sql(bpe_oracle_sql("documents")).fetchall()
+    assert got == want
+    assert len(got) == _BPE_MERGES  # real corpus never drains the pairs
+
+
+def test_random_corpora_match_python_reference():
+    """Randomized DuckDB-vs-Python sweep over a tiny alphabet (dense
+    runs and ties — the adversarial regime for the merge rule)."""
+    import random
+
+    import duckdb
+
+    rng = random.Random(17)
+    for trial in range(8):
+        texts = [
+            " ".join(
+                "".join(
+                    rng.choice("aab") for _ in range(rng.randint(1, 12))
+                )
+                for _ in range(rng.randint(3, 25))
+            )
+            for _ in range(rng.randint(1, 4))
+        ]
+        con = duckdb.connect()
+        con.execute("CREATE TABLE docs(text VARCHAR)")
+        con.executemany(
+            "INSERT INTO docs VALUES (?)", [(t,) for t in texts]
+        )
+        got = con.sql(bpe_oracle_sql("docs")).fetchall()
+        assert got == _bpe_ref(texts), (trial, texts)
