@@ -144,6 +144,7 @@ _CHECK_FIRST = [
     "ml_propensity_model",
 ]
 
+
 def load_all() -> dict[str, QuerySpec]:
     """Import every catalog module (side effect: fills REGISTRY), then
     reorder so the stalest / most-recently-changed queries register

@@ -118,19 +118,14 @@ def test_spark_matches_python_reference(spark, name, tmp_path):
 
 
 def test_spark_matches_duckdb_on_testdata(spark):
-    import duckdb
-
     from tests.conftest import SF_SMOKE
+    from tests.oracle_utils import duck_connect
 
     got = [
         (r["rank"], r["left_sym"], r["right_sym"], r["merged"], r["cnt"])
         for r in bpe_train_merges(spark, SF_SMOKE).collect()
     ]
-    con = duckdb.connect()
-    con.execute(
-        "CREATE VIEW documents AS SELECT * FROM "
-        f"read_parquet('{SF_SMOKE}/documents.parquet')"
-    )
+    con = duck_connect(SF_SMOKE)  # keep the ref: GC closes the conn
     want = con.sql(bpe_oracle_sql("documents")).fetchall()
     assert got == want
     assert len(got) == _BPE_MERGES  # real corpus never drains the pairs
