@@ -156,3 +156,39 @@ def test_random_corpora_match_python_reference():
         )
         got = con.sql(bpe_oracle_sql("docs")).fetchall()
         assert got == _bpe_ref(texts), (trial, texts)
+
+
+def test_empty_and_drained_corpora_agree_across_engines(spark, tmp_path):
+    """Engine agreement on the degenerate paths: an empty corpus emits
+    zero merges, and a corpus whose pair table drains before
+    _BPE_MERGES iterations emits exactly the drained count — both
+    engines must agree on the short row count (the UNION ALL arms over
+    empty best-tables are empty in both)."""
+    import pandas as pd
+
+    from tests.oracle_utils import duck_connect
+
+    cases = {
+        "empty": [],
+        # one repeated 2-char word: [a, b, </w>] fully merges in 2
+        # steps, then the pair table drains
+        "drained": ["ab ab ab"],
+    }
+    for name, texts in cases.items():
+        sf_dir = tmp_path / f"sf_bpe_{name}"
+        sf_dir.mkdir()
+        pd.DataFrame(
+            {
+                "doc_id": pd.array(range(len(texts)), dtype="int64"),
+                "source": pd.array(["t"] * len(texts), dtype="string"),
+                "text": pd.array(texts, dtype="string"),
+            }
+        ).to_parquet(sf_dir / "documents.parquet")
+        got = [
+            (r["rank"], r["left_sym"], r["right_sym"], r["merged"], r["cnt"])
+            for r in bpe_train_merges(spark, str(sf_dir)).collect()
+        ]
+        con = duck_connect(str(sf_dir))
+        want = con.sql(bpe_oracle_sql("documents")).fetchall()
+        assert got == want == _bpe_ref(texts), name
+        assert len(got) < _BPE_MERGES  # genuinely exercised the drain
