@@ -85,6 +85,9 @@ CORPORA = {
         "the the the quick quick fox",
         "a" * (_BPE_MAXLEN + 5) + " within limit",
     ],
+    # substr(word, pos, 1) must be CHARACTER-based on both engines
+    # (2-/3-/4-byte code points), mirroring the CDC unicode pinning
+    "unicode": ["héllo héllo wörld 汉字汉字 🚀🚀🚀", "héllo 汉字 🚀"],
 }
 
 
