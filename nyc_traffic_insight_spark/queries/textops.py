@@ -3775,7 +3775,12 @@ def _bpe_merge_body(w: str, b: str) -> str:
     """Apply the 1-row best pair to symbol table `w` with GREEDY
     LEFTMOST NON-OVERLAPPING semantics, relationally:
 
-    - flagged: broadcast the pair, look one symbol ahead;
+    - flagged: broadcast the pair, look one symbol ahead. LEFT JOIN
+      ON 1=1, not CROSS JOIN: when the pair table has drained, `b` is
+      EMPTY, and a cross join would wipe the whole symbol table (fatal
+      for the application chain in bpe_encode_top_tokens, which must
+      pass through unchanged); with the left join the pair columns
+      come back NULL, every merged_here is 0, and the state survives;
     - isl/runs: gaps-and-islands run detection (pos - row_number over
       equal-symbol islands is constant within a run; run_start is the
       run's min pos) — needed only for the a=b overlap case;
@@ -3811,7 +3816,7 @@ def _bpe_merge_body(w: str, b: str) -> str:
         "                 b.left_sym AS a, b.right_sym AS bb, "
         "                 lead(s.sym) OVER"
         "                   (PARTITION BY s.word ORDER BY s.pos) AS nxt "
-        f"          FROM {w} s CROSS JOIN {b} b"
+        f"          FROM {w} s LEFT JOIN {b} b ON 1 = 1"
         "        ) t0"
         "      ) t1"
         "    ) t2"
@@ -3905,3 +3910,113 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         for i in range(_BPE_MERGES)
     )
     return spark.sql(f"SELECT * FROM ({selects}) out ORDER BY rank")
+
+
+_BPE_TOP_TOKENS = 50  # bpe_encode output size
+
+
+def _bpe_apply_init_body() -> str:
+    """Application-side symbol table: EVERY corpus word (same
+    length-cap exclusion as training, but no vocabulary cap — the
+    tokenizer must segment the long tail too, and the sub-cap words
+    are exactly where subword segmentation earns its keep)."""
+    return (
+        "SELECT w.word, w.freq, sp.pos, substr(w.word, sp.pos, 1) AS sym "
+        "FROM allwords w JOIN spine sp ON sp.pos <= length(w.word) "
+        "UNION ALL "
+        "SELECT word, freq, length(word) + 1 AS pos, '</w>' AS sym "
+        "FROM allwords"
+    )
+
+
+def _bpe_allwords_body() -> str:
+    return f"SELECT w AS word, cnt AS freq FROM wf WHERE length(w) <= {_BPE_MAXLEN}"
+
+
+def _bpe_token_counts_body(a: str) -> str:
+    """Corpus token-frequency table after segmentation: the artifact a
+    pretraining data pipeline actually ships (token histogram under
+    the learned vocabulary). Deterministic top-k: ties by token ASC."""
+    return (
+        "SELECT sym AS token, CAST(sum(freq) AS BIGINT) AS n_occurrences "
+        f"FROM {a} GROUP BY sym "
+        f"ORDER BY n_occurrences DESC, token LIMIT {_BPE_TOP_TOKENS}"
+    )
+
+
+def bpe_encode_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize the corpus with the BPE merges learned on it (train +
+    apply in one self-contained query) and emit the top-K token
+    frequencies — the inference side of bpe_train_merges, upgrading
+    text_token_count's whitespace proxy to a learned subword
+    vocabulary. UNREGISTERED round-9 preview, same contract story as
+    the trainer (promotion = one @register with
+    oracle=bpe_encode_oracle_sql()).
+
+    The application chain runs the IDENTICAL generated merge fragment
+    as training (the greedy-non-overlap parity rule), just over the
+    uncapped word table and driven by each iteration's learned best
+    pair — so training and application cannot drift. Scale shape:
+    application state is ∝ DISTINCT corpus words (the word-collapse
+    again), not corpus size; the only full-data pass remains the word
+    count, and the final histogram is one alphabet-bounded aggregate
+    plus a distributed TakeOrdered."""
+    words = _docs(spark, sf_dir).select(
+        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("w")
+    )
+    wf = (
+        words.filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    wf.localCheckpoint().createOrReplaceTempView("__bpe_wf")
+    base = (
+        f"WITH wf AS (SELECT * FROM __bpe_wf), "
+        f"spine AS ({_bpe_spine_sql()}), "
+        f"vocab AS ({_bpe_vocab_body()}), "
+        f"allwords AS ({_bpe_allwords_body()}) "
+    )
+    spark.sql(base + _bpe_init_body()).localCheckpoint(
+    ).createOrReplaceTempView("__bpe_w0")
+    spark.sql(base + _bpe_apply_init_body()).localCheckpoint(
+    ).createOrReplaceTempView("__bpe_a0")
+    for i in range(_BPE_MERGES):
+        spark.sql(
+            _bpe_best_body(f"({_bpe_pairs_body(f'__bpe_w{i}')}) p")
+        ).localCheckpoint().createOrReplaceTempView(f"__bpe_b{i}")
+        spark.sql(
+            _bpe_merge_body(f"__bpe_w{i}", f"__bpe_b{i}")
+        ).localCheckpoint().createOrReplaceTempView(f"__bpe_w{i + 1}")
+        spark.sql(
+            _bpe_merge_body(f"__bpe_a{i}", f"__bpe_b{i}")
+        ).localCheckpoint().createOrReplaceTempView(f"__bpe_a{i + 1}")
+    return spark.sql(_bpe_token_counts_body(f"__bpe_a{_BPE_MERGES}"))
+
+
+def bpe_encode_oracle_sql(table: str = "documents") -> str:
+    """bpe_encode_top_tokens as one DuckDB text — the trainer chain
+    plus a parallel application chain a0..aN over the uncapped word
+    table, assembled from the same fragments Spark executes (AS
+    MATERIALIZED for the linear-chain reason documented in
+    bpe_oracle_sql)."""
+    parts = [
+        f"WITH wf AS ({_bpe_wf_duckdb(table)}),",
+        f"spine AS ({_bpe_spine_sql()}),",
+        f"vocab AS MATERIALIZED ({_bpe_vocab_body()}),",
+        f"allwords AS MATERIALIZED ({_bpe_allwords_body()}),",
+        f"w0 AS MATERIALIZED ({_bpe_init_body()}),",
+        f"a0 AS MATERIALIZED ({_bpe_apply_init_body()})",
+    ]
+    for i in range(_BPE_MERGES):
+        parts.append(f", p{i} AS MATERIALIZED ({_bpe_pairs_body(f'w{i}')})")
+        parts.append(f", b{i} AS MATERIALIZED ({_bpe_best_body(f'p{i}')})")
+        parts.append(
+            f", w{i + 1} AS MATERIALIZED "
+            f"({_bpe_merge_body(f'w{i}', f'b{i}')})"
+        )
+        parts.append(
+            f", a{i + 1} AS MATERIALIZED "
+            f"({_bpe_merge_body(f'a{i}', f'b{i}')})"
+        )
+    parts.append(f" {_bpe_token_counts_body(f'a{_BPE_MERGES}')}")
+    return "".join(parts)

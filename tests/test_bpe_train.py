@@ -195,3 +195,88 @@ def test_empty_and_drained_corpora_agree_across_engines(spark, tmp_path):
         want = con.sql(bpe_oracle_sql("documents")).fetchall()
         assert got == want == _bpe_ref(texts), name
         assert len(got) < _BPE_MERGES  # genuinely exercised the drain
+        # the ENCODE chain must survive the drain (the empty best-table
+        # left-join pass-through — a cross join here wiped the state)
+        from nyc_traffic_insight_spark.queries.textops import (
+            bpe_encode_oracle_sql,
+            bpe_encode_top_tokens,
+        )
+
+        enc = [
+            (r["token"], r["n_occurrences"])
+            for r in bpe_encode_top_tokens(spark, str(sf_dir)).collect()
+        ]
+        enc_want = con.sql(bpe_encode_oracle_sql("documents")).fetchall()
+        assert enc == enc_want == _bpe_encode_ref(texts), name
+        if name == "drained":  # fully merged single word survives
+            assert enc == [("ab</w>", 3)]
+
+
+def _bpe_encode_ref(texts, top_k=None):
+    """Reference application: train via _bpe_ref's algorithm, then
+    segment EVERY word (len <= cap, no vocab cap) with the learned
+    merges in rank order; return top-k (token, count)."""
+    from nyc_traffic_insight_spark.queries.textops import _BPE_TOP_TOKENS
+
+    top_k = top_k or _BPE_TOP_TOKENS
+    wf = Counter(
+        w
+        for t in texts
+        for w in re.split(r"\s+", t.strip().lower())
+        if w
+    )
+    merges = [(a, b) for _, a, b, _, _ in _bpe_ref(texts)]
+    counts: Counter = Counter()
+    for w, freq in wf.items():
+        if len(w) > _BPE_MAXLEN:
+            continue
+        syms = list(w) + ["</w>"]
+        for a, b in merges:
+            merged = []
+            i = 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    merged.append(a + b)
+                    i += 2
+                else:
+                    merged.append(syms[i])
+                    i += 1
+            syms = merged
+        for s in syms:
+            counts[s] += freq
+    return sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:top_k]
+
+
+@pytest.mark.parametrize("name", sorted(CORPORA))
+def test_encode_oracle_matches_python_reference(name):
+    import duckdb
+
+    from nyc_traffic_insight_spark.queries.textops import bpe_encode_oracle_sql
+
+    texts = CORPORA[name]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE docs(text VARCHAR)")
+    con.executemany("INSERT INTO docs VALUES (?)", [(t,) for t in texts])
+    got = con.sql(bpe_encode_oracle_sql("docs")).fetchall()
+    assert got == _bpe_encode_ref(texts), name
+
+
+def test_encode_spark_matches_duckdb_on_testdata(spark):
+    from nyc_traffic_insight_spark.queries.textops import (
+        bpe_encode_oracle_sql,
+        bpe_encode_top_tokens,
+    )
+    from tests.conftest import SF_SMOKE
+    from tests.oracle_utils import duck_connect
+
+    got = [
+        (r["token"], r["n_occurrences"])
+        for r in bpe_encode_top_tokens(spark, SF_SMOKE).collect()
+    ]
+    con = duck_connect(SF_SMOKE)
+    want = con.sql(bpe_encode_oracle_sql("documents")).fetchall()
+    assert got == want
+    # the learned subwords really took over the top of the histogram:
+    # multi-char tokens must appear (pure chars would mean no merge
+    # ever applied)
+    assert any(len(t.replace("</w>", "x")) > 1 for t, _ in got)
