@@ -280,3 +280,59 @@ def test_encode_spark_matches_duckdb_on_testdata(spark):
     # multi-char tokens must appear (pure chars would mean no merge
     # ever applied)
     assert any(len(t.replace("</w>", "x")) > 1 for t, _ in got)
+
+
+def test_merge_body_fuzz_vs_greedy_fold():
+    """Unit-level fuzz of the single hardest fragment — the relational
+    greedy-merge body (_bpe_merge_body's run-parity rule) — against
+    the Python greedy fold, in isolation and at much higher case
+    density than the end-to-end sweeps: 400 random symbol sequences ×
+    random pairs over a 2-symbol alphabet (maximum run/overlap
+    density), executed via DuckDB on a hand-built symbol table."""
+    import random
+
+    import duckdb
+
+    from nyc_traffic_insight_spark.queries.textops import _bpe_merge_body
+
+    rng = random.Random(23)
+    rows = []
+    expected = {}
+    for wid in range(400):
+        n = rng.randint(1, 14)
+        syms = [rng.choice("ab") for _ in range(n)]
+        a, b = rng.choice([("a", "a"), ("a", "b"), ("b", "a"), ("b", "b")])
+        word = f"w{wid}|{a}{b}"  # pair rides in the key: one query
+        rows += [(word, 1, p + 1, s) for p, s in enumerate(syms)]
+        merged = []
+        i = 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                merged.append(a + b)
+                i += 2
+            else:
+                merged.append(syms[i])
+                i += 1
+        expected[word] = merged
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE symtab(word VARCHAR, freq BIGINT, pos INT, sym VARCHAR)"
+    )
+    con.executemany("INSERT INTO symtab VALUES (?,?,?,?)", rows)
+    # one merge body per pair value, filtered to that pair's words
+    for a, b in [("a", "a"), ("a", "b"), ("b", "a"), ("b", "b")]:
+        con.execute("CREATE OR REPLACE TABLE best(left_sym VARCHAR, right_sym VARCHAR, cnt BIGINT)")
+        con.execute("INSERT INTO best VALUES (?,?,1)", [a, b])
+        got: dict[str, list] = {}
+        for word, pos, sym in con.sql(
+            "SELECT word, pos, sym FROM ("
+            + _bpe_merge_body(
+                f"(SELECT * FROM symtab WHERE word LIKE '%|{a}{b}')",
+                "best",
+            )
+            + ") m ORDER BY word, pos"
+        ).fetchall():
+            got.setdefault(word, []).append(sym)
+        for word, want in expected.items():
+            if word.endswith(f"|{a}{b}"):
+                assert got.get(word, []) == want, (word, a, b)
