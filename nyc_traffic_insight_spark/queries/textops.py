@@ -3675,14 +3675,15 @@ def dedup_substring_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
 #
 # text_bpe_pair_counts computes ONE BPE training step's candidate
 # table and its docstring parks the merge loop as "tokenizer-sized
-# driver work". This preview makes the LOOP itself an engine operator:
-# the whole trainer — vocabulary cap, symbol explosion, per-iteration
-# pair statistics, argmax selection, greedy non-overlapping merge —
-# is expressed as portable ANSI SQL (windows + joins + exact integer
-# sums; no regex over symbols, no strings-as-state), generated once
-# and executed by BOTH engines (the qdigest shared-fragment pattern),
-# so a future @register gets a full value-hash oracle for an
-# iterative algorithm.
+# driver work". This preview makes the LOOP itself an engine operator
+# — and its application sibling tokenizes the corpus under the learned
+# merges. The whole trainer — vocabulary cap, symbol explosion,
+# per-iteration pair statistics, argmax selection, greedy
+# non-overlapping merge — is expressed as portable ANSI SQL (windows +
+# joins + exact integer sums; no regex over symbols, no
+# strings-as-state), generated once and executed by BOTH engines (the
+# qdigest shared-fragment pattern), so a future @register gets a full
+# value-hash oracle for an iterative algorithm.
 #
 # The merge step is the part Spark/DuckDB SQL does not have a
 # primitive for: BPE's merge is GREEDY LEFTMOST NON-OVERLAPPING
@@ -3698,7 +3699,8 @@ def dedup_substring_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
 # run offsets 0, 2, 4, ... — the "(pos - run_start) % 2 = 0" parity
 # rule over gaps-and-islands run detection. Both facts are pinned
 # differentially against a Python reference implementation of the
-# greedy fold (tests/test_bpe_train.py), including same-symbol runs.
+# greedy fold (tests/test_bpe_train.py), including same-symbol runs
+# and an isolated 400-case fuzz of the merge body.
 #
 # Scale shape: the ONLY full-corpus operation is the word-frequency
 # aggregate (map-side partials, the standard BPE collapse — a
@@ -3706,15 +3708,29 @@ def dedup_substring_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
 # on the capped vocabulary's symbol table (<= _BPE_VOCAB * (_BPE_MAXLEN
 # + 1) rows, ~62k here): each iteration is three window passes and an
 # alphabet^2-bounded aggregate over that bounded table, partitioned by
-# word. Like sketch_qdigest's level cascade, the iterations are an
+# word; application state is ∝ DISTINCT corpus words, never corpus
+# size. Like sketch_qdigest's level cascade, the iterations are an
 # SF-INDEPENDENT constant cost; Spark materializes each iteration's
-# state via localCheckpoint so CTE re-inlining cannot re-run the chain
-# (the qdigest lesson), while DuckDB's oracle keeps the monolithic
-# WITH form (it materializes multiply-referenced CTEs itself).
+# state via _materialize() (reliable checkpoint on the cluster
+# profile, localCheckpoint on local[*]) so CTE re-inlining cannot
+# re-run the chain, while DuckDB's oracle uses AS MATERIALIZED hints
+# for the same reason (measured: the un-hinted monolith re-expands the
+# chain 2^iterations — 14 s at 6 iterations vs 0.2 s hinted).
 
 _BPE_MAXLEN = 30  # words longer than this are excluded (both engines)
 _BPE_VOCAB = 2000  # vocabulary cap: top-V words by (freq DESC, word ASC)
-_BPE_MERGES = 10  # merge iterations = output rows
+_BPE_MERGES = 10  # merge iterations = trainer output rows
+_BPE_TOP_TOKENS = 50  # bpe_encode output size
+
+# Explicit ASCII-whitespace class, NOT \s: Java regex (Spark), RE2
+# (DuckDB) and Python disagree on \s (RE2's \s excludes \x0B; Python's
+# str \s adds unicode spaces), and in an ITERATIVE trainer a single
+# word-table difference flips an argmax and cascades through every
+# later merge. One spelling, three engines, zero ambiguity. The
+# registered \s+ splitters elsewhere in this module keep their
+# spelling (their fixed ASCII corpora never hit the divergence and
+# their outputs are non-iterative); see NOTES r8.
+_BPE_WS = r"[ \t\n\r\x0B\f]+"
 
 
 def _bpe_spine_sql() -> str:
@@ -3736,16 +3752,29 @@ def _bpe_vocab_body() -> str:
     )
 
 
-def _bpe_init_body() -> str:
-    """vocab -> exploded symbol table (word, freq, pos, sym): one row
-    per character position via the spine join, plus the '</w>'
-    terminal (Sennrich's end-of-word marker)."""
+def _bpe_allwords_body() -> str:
+    """Application-side word table: every corpus word under the length
+    cap, NO vocabulary cap — the tokenizer must segment the long tail
+    too, and the sub-cap words are exactly where subword segmentation
+    earns its keep."""
     return (
-        "SELECT v.word, v.freq, sp.pos, substr(v.word, sp.pos, 1) AS sym "
-        "FROM vocab v JOIN spine sp ON sp.pos <= length(v.word) "
-        "UNION ALL "
-        "SELECT word, freq, length(word) + 1 AS pos, '</w>' AS sym "
-        "FROM vocab"
+        f"SELECT w AS word, cnt AS freq FROM wf "
+        f"WHERE length(w) <= {_BPE_MAXLEN}"
+    )
+
+
+def _bpe_init_body(words: str = "vocab") -> str:
+    """Word table -> exploded symbol table (word, freq, pos, sym): one
+    row per character position via the spine join, plus the '</w>'
+    terminal (Sennrich's end-of-word marker). Used for both the
+    training state (words='vocab') and the application state
+    (words='allwords') so the two explosions cannot drift."""
+    return (
+        f"SELECT v.word, v.freq, sp.pos, substr(v.word, sp.pos, 1) AS sym "
+        f"FROM {words} v JOIN spine sp ON sp.pos <= length(v.word) "
+        f"UNION ALL "
+        f"SELECT word, freq, length(word) + 1 AS pos, '</w>' AS sym "
+        f"FROM {words}"
     )
 
 
@@ -3826,111 +3855,14 @@ def _bpe_merge_body(w: str, b: str) -> str:
     )
 
 
-def _bpe_wf_duckdb(table: str) -> str:
-    """DuckDB-side word-frequency glue (the one engine-specific step;
-    same split spelling as text_bpe_pair_counts' oracle)."""
-    return (
-        "SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM ("
-        r"SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+'))"
-        f" AS w FROM {table}) u WHERE w <> '' GROUP BY 1"
-    )
-
-
-def bpe_oracle_sql(table: str = "documents") -> str:
-    """The full trainer as ONE DuckDB SQL text, assembled from the
-    same fragment generators the Spark path executes. Output:
-    (rank, left_sym, right_sym, merged, cnt), _BPE_MERGES rows (fewer
-    only if the pair table drains — both engines agree)."""
-    # AS MATERIALIZED is DuckDB-side assembly glue, not fragment text:
-    # each w{i} is referenced twice (pair stats + merge), so the default
-    # inlining re-expands the chain 2^iterations times (measured: 14 s
-    # at 6 iterations, 0.2 s materialized) — the same CTE-inlining
-    # hazard sketch_qdigest documents, solved on the Spark side by the
-    # per-iteration localCheckpoint in bpe_train_merges.
-    parts = [
-        f"WITH wf AS ({_bpe_wf_duckdb(table)}),",
-        f"spine AS ({_bpe_spine_sql()}),",
-        f"vocab AS MATERIALIZED ({_bpe_vocab_body()}),",
-        f"w0 AS MATERIALIZED ({_bpe_init_body()})",
-    ]
-    for i in range(_BPE_MERGES):
-        parts.append(f", p{i} AS MATERIALIZED ({_bpe_pairs_body(f'w{i}')})")
-        parts.append(f", b{i} AS MATERIALIZED ({_bpe_best_body(f'p{i}')})")
-        parts.append(
-            f", w{i + 1} AS MATERIALIZED "
-            f"({_bpe_merge_body(f'w{i}', f'b{i}')})"
-        )
+def _bpe_merges_select(best_rel: str = "b") -> str:
+    """Trainer output: one row per learned merge, rank-ordered."""
     selects = " UNION ALL ".join(
         f"SELECT CAST({i + 1} AS INTEGER) AS rank, left_sym, right_sym, "
-        f"left_sym || right_sym AS merged, cnt FROM b{i}"
+        f"left_sym || right_sym AS merged, cnt FROM {best_rel}{i}"
         for i in range(_BPE_MERGES)
     )
-    parts.append(f" SELECT * FROM ({selects}) out ORDER BY rank")
-    return "".join(parts)
-
-
-def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distributed BPE merge training over the documents corpus —
-    the round-9 preview completing text_bpe_pair_counts (which is this
-    trainer's first pair table). UNREGISTERED this round (registry
-    frozen at 238); promotion is one @register with oracle=
-    bpe_oracle_sql(), the shared-fragment contract already holding.
-
-    Execution: the corpus word count is the only full-data pass;
-    vocab/init and each of the _BPE_MERGES iterations run the SAME
-    generated fragments the oracle text is assembled from, with each
-    iteration's bounded symbol table materialized via localCheckpoint
-    (states are <= _BPE_VOCAB*(_BPE_MAXLEN+1) rows; the qdigest
-    pattern — linear fan-out, constant per-iteration cost at any SF).
-    """
-    words = _docs(spark, sf_dir).select(
-        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("w")
-    )
-    wf = (
-        words.filter(F.col("w") != "")
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
-    )
-    wf.createOrReplaceTempView("__bpe_wf")
-    spark.sql(
-        f"WITH wf AS (SELECT * FROM __bpe_wf), "
-        f"spine AS ({_bpe_spine_sql()}), "
-        f"vocab AS ({_bpe_vocab_body()}) {_bpe_init_body()}"
-    ).localCheckpoint().createOrReplaceTempView("__bpe_w0")
-    for i in range(_BPE_MERGES):
-        spark.sql(
-            _bpe_best_body(f"({_bpe_pairs_body(f'__bpe_w{i}')}) p")
-        ).localCheckpoint().createOrReplaceTempView(f"__bpe_b{i}")
-        spark.sql(
-            _bpe_merge_body(f"__bpe_w{i}", f"__bpe_b{i}")
-        ).localCheckpoint().createOrReplaceTempView(f"__bpe_w{i + 1}")
-    selects = " UNION ALL ".join(
-        f"SELECT CAST({i + 1} AS INTEGER) AS rank, left_sym, right_sym, "
-        f"left_sym || right_sym AS merged, cnt FROM __bpe_b{i}"
-        for i in range(_BPE_MERGES)
-    )
-    return spark.sql(f"SELECT * FROM ({selects}) out ORDER BY rank")
-
-
-_BPE_TOP_TOKENS = 50  # bpe_encode output size
-
-
-def _bpe_apply_init_body() -> str:
-    """Application-side symbol table: EVERY corpus word (same
-    length-cap exclusion as training, but no vocabulary cap — the
-    tokenizer must segment the long tail too, and the sub-cap words
-    are exactly where subword segmentation earns its keep)."""
-    return (
-        "SELECT w.word, w.freq, sp.pos, substr(w.word, sp.pos, 1) AS sym "
-        "FROM allwords w JOIN spine sp ON sp.pos <= length(w.word) "
-        "UNION ALL "
-        "SELECT word, freq, length(word) + 1 AS pos, '</w>' AS sym "
-        "FROM allwords"
-    )
-
-
-def _bpe_allwords_body() -> str:
-    return f"SELECT w AS word, cnt AS freq FROM wf WHERE length(w) <= {_BPE_MAXLEN}"
+    return f"SELECT * FROM ({selects}) out ORDER BY rank"
 
 
 def _bpe_token_counts_body(a: str) -> str:
@@ -3944,69 +3876,38 @@ def _bpe_token_counts_body(a: str) -> str:
     )
 
 
-def bpe_encode_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tokenize the corpus with the BPE merges learned on it (train +
-    apply in one self-contained query) and emit the top-K token
-    frequencies — the inference side of bpe_train_merges, upgrading
-    text_token_count's whitespace proxy to a learned subword
-    vocabulary. UNREGISTERED round-9 preview, same contract story as
-    the trainer (promotion = one @register with
-    oracle=bpe_encode_oracle_sql()).
-
-    The application chain runs the IDENTICAL generated merge fragment
-    as training (the greedy-non-overlap parity rule), just over the
-    uncapped word table and driven by each iteration's learned best
-    pair — so training and application cannot drift. Scale shape:
-    application state is ∝ DISTINCT corpus words (the word-collapse
-    again), not corpus size; the only full-data pass remains the word
-    count, and the final histogram is one alphabet-bounded aggregate
-    plus a distributed TakeOrdered."""
-    words = _docs(spark, sf_dir).select(
-        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("w")
+def _bpe_wf_duckdb(table: str) -> str:
+    """DuckDB-side word-frequency glue (the one engine-specific step;
+    explicit whitespace class, see _BPE_WS)."""
+    return (
+        "SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM ("
+        "SELECT unnest(regexp_split_to_array(lower(trim(text)), "
+        f"'{_BPE_WS}')) AS w FROM {table}) u WHERE w <> '' GROUP BY 1"
     )
-    wf = (
-        words.filter(F.col("w") != "")
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
-    )
-    wf.localCheckpoint().createOrReplaceTempView("__bpe_wf")
-    base = (
-        f"WITH wf AS (SELECT * FROM __bpe_wf), "
-        f"spine AS ({_bpe_spine_sql()}), "
-        f"vocab AS ({_bpe_vocab_body()}), "
-        f"allwords AS ({_bpe_allwords_body()}) "
-    )
-    spark.sql(base + _bpe_init_body()).localCheckpoint(
-    ).createOrReplaceTempView("__bpe_w0")
-    spark.sql(base + _bpe_apply_init_body()).localCheckpoint(
-    ).createOrReplaceTempView("__bpe_a0")
-    for i in range(_BPE_MERGES):
-        spark.sql(
-            _bpe_best_body(f"({_bpe_pairs_body(f'__bpe_w{i}')}) p")
-        ).localCheckpoint().createOrReplaceTempView(f"__bpe_b{i}")
-        spark.sql(
-            _bpe_merge_body(f"__bpe_w{i}", f"__bpe_b{i}")
-        ).localCheckpoint().createOrReplaceTempView(f"__bpe_w{i + 1}")
-        spark.sql(
-            _bpe_merge_body(f"__bpe_a{i}", f"__bpe_b{i}")
-        ).localCheckpoint().createOrReplaceTempView(f"__bpe_a{i + 1}")
-    return spark.sql(_bpe_token_counts_body(f"__bpe_a{_BPE_MERGES}"))
 
 
-def bpe_encode_oracle_sql(table: str = "documents") -> str:
-    """bpe_encode_top_tokens as one DuckDB text — the trainer chain
-    plus a parallel application chain a0..aN over the uncapped word
-    table, assembled from the same fragments Spark executes (AS
-    MATERIALIZED for the linear-chain reason documented in
-    bpe_oracle_sql)."""
+def _bpe_oracle_parts(table: str, with_apply: bool) -> list[str]:
+    """ONE assembly of the DuckDB WITH-chain for both oracles —
+    trainer-only, or trainer + the parallel application chain a0..aN
+    over the uncapped word table. AS MATERIALIZED is DuckDB-side glue,
+    not fragment text: each chained state is referenced twice, so the
+    default inlining re-expands the chain exponentially (see the
+    module comment). The Spark orchestration (_bpe_run_chain) stitches
+    the SAME fragments, so a fix to either chain is a fix to both
+    engines and both operators."""
     parts = [
         f"WITH wf AS ({_bpe_wf_duckdb(table)}),",
         f"spine AS ({_bpe_spine_sql()}),",
         f"vocab AS MATERIALIZED ({_bpe_vocab_body()}),",
-        f"allwords AS MATERIALIZED ({_bpe_allwords_body()}),",
-        f"w0 AS MATERIALIZED ({_bpe_init_body()}),",
-        f"a0 AS MATERIALIZED ({_bpe_apply_init_body()})",
+        f"w0 AS MATERIALIZED ({_bpe_init_body('vocab')})",
     ]
+    if with_apply:
+        parts.insert(
+            3, f"allwords AS MATERIALIZED ({_bpe_allwords_body()}),"
+        )
+        parts.append(
+            f", a0 AS MATERIALIZED ({_bpe_init_body('allwords')})"
+        )
     for i in range(_BPE_MERGES):
         parts.append(f", p{i} AS MATERIALIZED ({_bpe_pairs_body(f'w{i}')})")
         parts.append(f", b{i} AS MATERIALIZED ({_bpe_best_body(f'p{i}')})")
@@ -4014,9 +3915,98 @@ def bpe_encode_oracle_sql(table: str = "documents") -> str:
             f", w{i + 1} AS MATERIALIZED "
             f"({_bpe_merge_body(f'w{i}', f'b{i}')})"
         )
-        parts.append(
-            f", a{i + 1} AS MATERIALIZED "
-            f"({_bpe_merge_body(f'a{i}', f'b{i}')})"
-        )
-    parts.append(f" {_bpe_token_counts_body(f'a{_BPE_MERGES}')}")
-    return "".join(parts)
+        if with_apply:
+            parts.append(
+                f", a{i + 1} AS MATERIALIZED "
+                f"({_bpe_merge_body(f'a{i}', f'b{i}')})"
+            )
+    return parts
+
+
+def bpe_oracle_sql(table: str = "documents") -> str:
+    """The full trainer as ONE DuckDB SQL text, assembled from the
+    same fragment generators the Spark path executes. Output:
+    (rank, left_sym, right_sym, merged, cnt), _BPE_MERGES rows (fewer
+    only if the pair table drains — both engines agree)."""
+    return "".join(
+        _bpe_oracle_parts(table, with_apply=False)
+        + [" ", _bpe_merges_select()]
+    )
+
+
+def bpe_encode_oracle_sql(table: str = "documents") -> str:
+    """bpe_encode_top_tokens as one DuckDB text — the trainer chain
+    plus the parallel application chain, same shared assembly."""
+    return "".join(
+        _bpe_oracle_parts(table, with_apply=True)
+        + [" ", _bpe_token_counts_body(f"a{_BPE_MERGES}")]
+    )
+
+
+def _bpe_run_chain(spark: SparkSession, sf_dir: str, with_apply: bool) -> None:
+    """ONE Spark orchestration for both operators: build the
+    word-frequency table (the only full-data pass and the only
+    engine-glue step — same _BPE_WS class as the DuckDB side), then
+    execute the generated fragments iteration by iteration, each state
+    materialized via _materialize() (reliable checkpoint on the
+    cluster profile — a lost executor must not kill the 10-step
+    chain; localCheckpoint on local[*]). Registers temp views
+    __bpe_w{i}, __bpe_b{i} and (with_apply) __bpe_a{i}."""
+    words = _docs(spark, sf_dir).select(
+        F.explode(F.split(F.lower(F.trim("text")), _BPE_WS)).alias("w")
+    )
+    wf = (
+        words.filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    _materialize(wf).createOrReplaceTempView("__bpe_wf")
+    base = (
+        f"WITH wf AS (SELECT * FROM __bpe_wf), "
+        f"spine AS ({_bpe_spine_sql()}), "
+        f"vocab AS ({_bpe_vocab_body()}), "
+        f"allwords AS ({_bpe_allwords_body()}) "
+    )
+    _materialize(spark.sql(base + _bpe_init_body("vocab"))
+                 ).createOrReplaceTempView("__bpe_w0")
+    if with_apply:
+        _materialize(spark.sql(base + _bpe_init_body("allwords"))
+                     ).createOrReplaceTempView("__bpe_a0")
+    for i in range(_BPE_MERGES):
+        _materialize(spark.sql(
+            _bpe_best_body(f"({_bpe_pairs_body(f'__bpe_w{i}')}) p")
+        )).createOrReplaceTempView(f"__bpe_b{i}")
+        _materialize(spark.sql(
+            _bpe_merge_body(f"__bpe_w{i}", f"__bpe_b{i}")
+        )).createOrReplaceTempView(f"__bpe_w{i + 1}")
+        if with_apply:
+            _materialize(spark.sql(
+                _bpe_merge_body(f"__bpe_a{i}", f"__bpe_b{i}")
+            )).createOrReplaceTempView(f"__bpe_a{i + 1}")
+
+
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE merge training over the documents corpus —
+    the round-9 preview completing text_bpe_pair_counts (which is this
+    trainer's first pair table). UNREGISTERED this round (registry
+    frozen at 238); promotion is one @register with oracle=
+    bpe_oracle_sql(), the shared-fragment contract already holding."""
+    _bpe_run_chain(spark, sf_dir, with_apply=False)
+    return spark.sql(_bpe_merges_select("__bpe_b"))
+
+
+def bpe_encode_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize the corpus with the BPE merges learned on it (train +
+    apply in one self-contained query) and emit the top-K token
+    frequencies — the inference side of bpe_train_merges, upgrading
+    text_token_count's whitespace proxy to a learned subword
+    vocabulary. UNREGISTERED round-9 preview (promotion = one
+    @register with oracle=bpe_encode_oracle_sql()).
+
+    The application chain runs the IDENTICAL generated merge fragment
+    as training (the greedy-non-overlap parity rule), just over the
+    uncapped word table and driven by each iteration's learned best
+    pair — one orchestration function stitches both, so training and
+    application cannot drift."""
+    _bpe_run_chain(spark, sf_dir, with_apply=True)
+    return spark.sql(_bpe_token_counts_body(f"__bpe_a{_BPE_MERGES}"))

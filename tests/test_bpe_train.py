@@ -38,7 +38,9 @@ def _bpe_ref(texts, maxlen=None, vocab_cap=None, merges=None):
     wf = Counter(
         w
         for t in texts
-        for w in re.split(r"\s+", t.strip().lower())
+        # explicit ASCII class, matching _BPE_WS (Python's str \s
+        # would add unicode whitespace the engines don't split on)
+        for w in re.split("[ \t\n\r\x0b\f]+", t.strip().lower())
         if w
     )
     vocab = sorted(
@@ -88,6 +90,11 @@ CORPORA = {
     # substr(word, pos, 1) must be CHARACTER-based on both engines
     # (2-/3-/4-byte code points), mirroring the CDC unicode pinning
     "unicode": ["héllo héllo wörld 汉字汉字 🚀🚀🚀", "héllo 汉字 🚀"],
+    # \x0B (vertical tab) is whitespace to Java's \s but NOT to
+    # RE2's — the review-found engine divergence _BPE_WS exists to
+    # close; in an iterative trainer one differing word flips an
+    # argmax and cascades. All three engines must split it.
+    "ws_edge": ["foo\x0bbar foo bar", "a\x0ba\fb\tb\rc\nc"],
 }
 
 
@@ -222,7 +229,9 @@ def _bpe_encode_ref(texts, top_k=None):
     wf = Counter(
         w
         for t in texts
-        for w in re.split(r"\s+", t.strip().lower())
+        # explicit ASCII class, matching _BPE_WS (Python's str \s
+        # would add unicode whitespace the engines don't split on)
+        for w in re.split("[ \t\n\r\x0b\f]+", t.strip().lower())
         if w
     )
     merges = [(a, b) for _, a, b, _, _ in _bpe_ref(texts)]
