@@ -57,91 +57,86 @@ def register(name: str, oracle: str | None = None, survey: str = ""):
     return deco
 
 
-# Registration-order rotation (VERDICT.md rounds 2-7). The driver's
+# Registration-order rotation (VERDICT.md rounds 2-8). The driver's
 # sf0.01 correctness gate walks REGISTRY front-to-back with a
-# ~50-query budget (CORRECTNESS_r04-r07 each carried exactly 50
-# rows). Round-8 ordering — the round's single job is clearing the
-# last driver-evidence debt (VERDICT r7 #1/#2):
-#   1. dedup_substring_cdc — the round's one sanctioned registry
-#      addition (the CDC promotion), zero driver evidence;
-#   2. the 19 queries whose latest driver check is r2 (six rounds
-#      stale) — scalar/date/flag functions, string ops, the LSH
-#      sim-search tier, text basics;
-#   3. the 36 r3-stale queries — the early joins/windows, streams,
-#      multimodal, sketches, sampling;
-#   4. belt-and-braces: the four ML audits whose code changed this
-#      round (cache lifetime moved into try/finally — behavior-
-#      neutral, locally oracle-green, but "code changed → re-earn
-#      evidence" is the standing rule).
-# 1+19+36 = 56: the driver's 50-slot budget covers the CDC entry and
-# all of tier 2 plus most of tier 3; the ~6-query tail (and tier 4)
-# rolls to the r9 front. Everything else keeps standing r4+ evidence
-# and registers last.
+# ~50-query budget (CORRECTNESS_r04-r08 each carried exactly 50
+# rows). Round-9 ordering — the precomputed front from NOTES
+# "Round-9 rotation precompute" / VERDICT r8 #1/#2:
+#   1. the 6 window queries whose latest driver evidence is r3 (the
+#      r8 rotation's 50-slot budget covered 50 of its 56 fronted
+#      entries; these were the tail);
+#   2. the 4 ML audits whose code changed in r8 (unpersist moved
+#      into try/finally — behavior-neutral, locally oracle-green,
+#      but "code changed → re-earn evidence" is the standing rule);
+#   3. the two BPE promotions (bpe_train_merges + its application
+#      sibling bpe_encode_top_tokens) — the round's sanctioned
+#      registry additions, never driver-checked;
+#   4. freshness fill: every query whose latest driver evidence is
+#      r4 (the oldest remaining tier), oldest-registered first.
+# 6+4+2 = 12 debt slots + 43 r4-stale = 55 fronted; the 50-slot
+# budget clears ALL debt (tiers 1-3) and re-verifies 38 of the r4
+# tier; the ~5-query r4 tail rolls to r10. Everything else keeps
+# standing r5+ evidence and registers last.
 _CHECK_FIRST = [
-    # 1. the r8 registry addition, never driver-checked
-    "dedup_substring_cdc",
-    # 2. r2-stale (latest driver evidence six rounds old)
-    "case_volume_bins",
-    "cond_route",
-    "cyclical_encode",
-    "dt_extract",
-    "flag_rush_hour",
-    "flag_season",
-    "flag_weekend",
-    "interaction_products",
-    "json_extract",
-    "json_struct_build",
-    "log1p_expm1",
-    "round_decimal",
-    "sim_search_lsh_buckets",
-    "str_functions",
-    "str_timestamp_build",
-    "str_wkt_parse",
-    "text_lang_id",
-    "text_quality_score",
-    "text_token_count",
-    # 3. r3-stale
-    "agg_percentile_exact",
-    "dedup_edit_distance",
-    "doc_stats_by_source",
-    "emb_normalize",
-    "emb_quantize_int8",
-    "join_coord_map",
-    "join_holiday_dim",
-    "join_nearest_edge",
-    "join_traffic_weather_boro",
-    "join_traffic_weather_time",
-    "ml_grouped_ols",
-    "mm_asset_stats",
-    "mm_extract_features",
-    "mm_video_frames",
-    "pipeline_text_prep",
-    "sample_reservoir_topk",
-    "sample_stratified",
-    "scan_object_store",
-    "sketch_bloom_filter",
-    "sketch_count_min",
-    "sketch_heavy_hitters",
-    "stream_dedup_ids",
-    "stream_sessionization",
-    "stream_sliding_counts",
-    "stream_tumbling_counts",
-    "text_fingerprint",
-    "text_pii_scrub",
-    "time_spine_gapfill",
-    "win_cumulative",
-    "win_lag1",
+    # 1. r3-stale window tail (latest driver evidence six rounds old)
     "win_lag_multi",
     "win_lag_series",
     "win_ranking",
     "win_roll_mean_3",
     "win_sliding_lookback",
     "win_time_split",
-    # 4. code changed in r8 (behavior-neutral, re-earn anyway)
+    # 2. code changed in r8 (behavior-neutral, re-earn anyway)
     "ml_linear_regression",
     "ml_random_forest",
     "ml_gbt",
     "ml_propensity_model",
+    # 3. the r9 registry additions, never driver-checked
+    "bpe_train_merges",
+    "bpe_encode_top_tokens",
+    # 4. r4-stale freshness fill
+    "agg_null_counts",
+    "agg_count",
+    "agg_distinct_years",
+    "agg_corr_matrix",
+    "agg_regression_metrics",
+    "agg_group_mean",
+    "pivot_onehot",
+    "onehot_flags",
+    "agg_feature_importance_sort",
+    "agg_rollup",
+    "agg_cube",
+    "agg_count_distinct",
+    "agg_quantiles",
+    "ols_closed_form",
+    "sketch_histogram",
+    "agg_grouping_sets",
+    "scan_csv",
+    "scan_csv_multifile",
+    "scan_csv_pruned",
+    "scan_csv_parsedates",
+    "sink_idempotent",
+    "project_drop",
+    "project_rename",
+    "dedup_rows",
+    "cast_int",
+    "cast_numeric_coerce",
+    "cast_timestamp",
+    "make_timestamp_parts",
+    "geo_reproject_forward",
+    "geo_reproject_roundtrip",
+    "sim_search_ivf_topk",
+    "text_decontaminate",
+    "shard_pack_greedy",
+    "vocab_top_ngrams",
+    "sample_temperature_mix",
+    "text_repetition_filter",
+    "pipeline_pretrain_corpus",
+    "dedup_incremental_batch",
+    "sketch_hll_by_group",
+    "qa_referential_integrity",
+    "text_perplexity_proxy",
+    "join_interval_overlap",
+    "agg_mode_by_group",
 ]
 
 
@@ -170,9 +165,14 @@ def load_all() -> dict[str, QuerySpec]:
     )
 
     unknown = set(_CHECK_FIRST) - REGISTRY.keys()
-    # a typo here would silently cost the query its driver-evidence
-    # slot (the whole point of the rotation) — fail loudly instead
-    assert not unknown, f"_CHECK_FIRST names not in registry: {sorted(unknown)}"
+    if unknown:
+        # a typo here would silently cost the query its driver-evidence
+        # slot (the whole point of the rotation) — fail loudly instead,
+        # and with a real raise: a bare assert is stripped under
+        # `python -O`, losing this diagnostic (ADVICE r8)
+        raise ValueError(
+            f"_CHECK_FIRST names not in registry: {sorted(unknown)}"
+        )
     front = {n: REGISTRY[n] for n in _CHECK_FIRST}
     rest = {n: s for n, s in REGISTRY.items() if n not in front}
     REGISTRY.clear()

@@ -21,6 +21,8 @@ verification only ever runs on LSH candidates, never all O(n²) pairs
 
 from __future__ import annotations
 
+import itertools as _itertools
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
@@ -124,7 +126,9 @@ def clear_caches(spark: SparkSession | None = None) -> int:
     docs/embeddings tables and the shingle sets), optionally scoped to
     one session's applicationId.  Bench teardown calls this so no
     persisted blocks outlive the run; returns the number of entries
-    dropped (tests assert on it and on getPersistentRDDs emptiness)."""
+    dropped (tests assert on it and on the held frames' storage
+    levels — NOT the global getPersistentRDDs count, which the async
+    ContextCleaner makes non-monotone in a shared session)."""
     app = spark.sparkContext.applicationId if spark is not None else None
     dropped = 0
     for cache in (_WIDE_CACHE, _SHINGLE_CACHE):
@@ -2133,7 +2137,7 @@ def text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     lexicographic — deterministic). Picking the argmax pair and
     re-segmenting is one BPE training step; the COUNT table is the
     expensive distributed part, so it is the catalog operator (the
-    full merge LOOP is the bpe_train_merges preview below — same
+    full merge LOOP is the registered bpe_train_merges below — same
     collapse, iterated relationally).
 
     Scale shape: the corpus collapses to the word-frequency table first
@@ -3671,18 +3675,19 @@ def dedup_substring_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# ----------------- distributed BPE merge training (round-9 preview)
+# ----------------- distributed BPE merge training
+# (r8 preview, registered r9)
 #
 # text_bpe_pair_counts computes ONE BPE training step's candidate
 # table and its docstring parks the merge loop as "tokenizer-sized
-# driver work". This preview makes the LOOP itself an engine operator
-# — and its application sibling tokenizes the corpus under the learned
-# merges. The whole trainer — vocabulary cap, symbol explosion,
-# per-iteration pair statistics, argmax selection, greedy
+# driver work". These operators make the LOOP itself an engine
+# operator — and the application sibling tokenizes the corpus under
+# the learned merges. The whole trainer — vocabulary cap, symbol
+# explosion, per-iteration pair statistics, argmax selection, greedy
 # non-overlapping merge — is expressed as portable ANSI SQL (windows +
 # joins + exact integer sums; no regex over symbols, no
 # strings-as-state), generated once and executed by BOTH engines (the
-# qdigest shared-fragment pattern), so a future @register gets a full
+# qdigest shared-fragment pattern), so the @register carries a full
 # value-hash oracle for an iterative algorithm.
 #
 # The merge step is the part Spark/DuckDB SQL does not have a
@@ -3731,6 +3736,21 @@ _BPE_TOP_TOKENS = 50  # bpe_encode output size
 # spelling (their fixed ASCII corpora never hit the divergence and
 # their outputs are non-iterative); see NOTES r8.
 _BPE_WS = r"[ \t\n\r\x0B\f]+"
+
+# Explicit ASCII case fold via translate(), NOT lower() — the same
+# class of engine divergence as \s, found by ADVICE r8 and confirmed
+# by probe: DuckDB's utf8proc lowercases U+0130 ('İ') in-context to
+# plain 'i' ('İstanbul' → 'istanbul') while Java (Spark) and Python
+# emit 'i' + combining U+0307 ('i̇stanbul'); one differing word flips
+# an argmax and cascades through every later merge. translate() is a
+# pure per-codepoint substitution all three engines define
+# identically, so the trainer's normalization is ASCII-only case
+# folding: A-Z fold, every non-ASCII codepoint passes through
+# untouched (pinned by the casefold corpus in tests/test_bpe_train.py;
+# the registered non-iterative lower() call sites elsewhere keep
+# their spelling for the same reason the \s+ ones do).
+_BPE_UP = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+_BPE_LO = "abcdefghijklmnopqrstuvwxyz"
 
 
 def _bpe_spine_sql() -> str:
@@ -3878,10 +3898,12 @@ def _bpe_token_counts_body(a: str) -> str:
 
 def _bpe_wf_duckdb(table: str) -> str:
     """DuckDB-side word-frequency glue (the one engine-specific step;
-    explicit whitespace class, see _BPE_WS)."""
+    explicit whitespace class and ASCII case fold, see _BPE_WS /
+    _BPE_UP)."""
     return (
         "SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM ("
-        "SELECT unnest(regexp_split_to_array(lower(trim(text)), "
+        "SELECT unnest(regexp_split_to_array("
+        f"translate(trim(text), '{_BPE_UP}', '{_BPE_LO}'), "
         f"'{_BPE_WS}')) AS w FROM {table}) u WHERE w <> '' GROUP BY 1"
     )
 
@@ -3943,70 +3965,121 @@ def bpe_encode_oracle_sql(table: str = "documents") -> str:
     )
 
 
-def _bpe_run_chain(spark: SparkSession, sf_dir: str, with_apply: bool) -> None:
+# Per-call temp-view namespace (ADVICE r8): the chain used fixed
+# session-global view names (__bpe_w{i}, ...), so two BPE operators —
+# or the same one on two sf_dirs — executing concurrently in one
+# SparkSession could cross-contaminate MID-orchestration (sequential
+# use was safe: spark.sql analyzes eagerly, so a replaced view never
+# retroactively changes an already-built DataFrame). Every chain now
+# gets a unique prefix from this counter (itertools.count's __next__
+# is atomic under the GIL), and the builders drop their views once
+# the result DataFrame is analyzed.
+_BPE_SEQ = _itertools.count()
+
+
+def _bpe_run_chain(spark: SparkSession, sf_dir: str, with_apply: bool) -> str:
     """ONE Spark orchestration for both operators: build the
     word-frequency table (the only full-data pass and the only
-    engine-glue step — same _BPE_WS class as the DuckDB side), then
-    execute the generated fragments iteration by iteration, each state
-    materialized via _materialize() (reliable checkpoint on the
-    cluster profile — a lost executor must not kill the 10-step
-    chain; localCheckpoint on local[*]). Registers temp views
-    __bpe_w{i}, __bpe_b{i} and (with_apply) __bpe_a{i}."""
+    engine-glue step — same _BPE_WS class and _BPE_UP/_BPE_LO ASCII
+    fold as the DuckDB side), then execute the generated fragments
+    iteration by iteration, each state materialized via
+    _materialize() (reliable checkpoint on the cluster profile — a
+    lost executor must not kill the 10-step chain; localCheckpoint on
+    local[*]). Registers temp views {v}_wf, {v}_w{i}, {v}_b{i} and
+    (with_apply) {v}_a{i} under a per-call prefix and returns that
+    prefix; callers drop the views via _bpe_drop_views()."""
+    v = f"__bpe{next(_BPE_SEQ)}"
     words = _docs(spark, sf_dir).select(
-        F.explode(F.split(F.lower(F.trim("text")), _BPE_WS)).alias("w")
+        F.explode(
+            F.split(F.translate(F.trim("text"), _BPE_UP, _BPE_LO), _BPE_WS)
+        ).alias("w")
     )
     wf = (
         words.filter(F.col("w") != "")
         .groupBy("w")
         .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
     )
-    _materialize(wf).createOrReplaceTempView("__bpe_wf")
+    _materialize(wf).createOrReplaceTempView(f"{v}_wf")
     base = (
-        f"WITH wf AS (SELECT * FROM __bpe_wf), "
+        f"WITH wf AS (SELECT * FROM {v}_wf), "
         f"spine AS ({_bpe_spine_sql()}), "
         f"vocab AS ({_bpe_vocab_body()}), "
         f"allwords AS ({_bpe_allwords_body()}) "
     )
     _materialize(spark.sql(base + _bpe_init_body("vocab"))
-                 ).createOrReplaceTempView("__bpe_w0")
+                 ).createOrReplaceTempView(f"{v}_w0")
     if with_apply:
         _materialize(spark.sql(base + _bpe_init_body("allwords"))
-                     ).createOrReplaceTempView("__bpe_a0")
+                     ).createOrReplaceTempView(f"{v}_a0")
     for i in range(_BPE_MERGES):
         _materialize(spark.sql(
-            _bpe_best_body(f"({_bpe_pairs_body(f'__bpe_w{i}')}) p")
-        )).createOrReplaceTempView(f"__bpe_b{i}")
+            _bpe_best_body(f"({_bpe_pairs_body(f'{v}_w{i}')}) p")
+        )).createOrReplaceTempView(f"{v}_b{i}")
         _materialize(spark.sql(
-            _bpe_merge_body(f"__bpe_w{i}", f"__bpe_b{i}")
-        )).createOrReplaceTempView(f"__bpe_w{i + 1}")
+            _bpe_merge_body(f"{v}_w{i}", f"{v}_b{i}")
+        )).createOrReplaceTempView(f"{v}_w{i + 1}")
         if with_apply:
             _materialize(spark.sql(
-                _bpe_merge_body(f"__bpe_a{i}", f"__bpe_b{i}")
-            )).createOrReplaceTempView(f"__bpe_a{i + 1}")
+                _bpe_merge_body(f"{v}_a{i}", f"{v}_b{i}")
+            )).createOrReplaceTempView(f"{v}_a{i + 1}")
+    return v
 
 
+def _bpe_drop_views(spark: SparkSession, v: str, with_apply: bool) -> None:
+    """Drop one chain's temp views (safe AFTER the result DataFrame is
+    built: spark.sql resolves views eagerly at analysis, and the
+    materialized states back the resolved plans, not the catalog)."""
+    names = [f"{v}_wf"] + [f"{v}_w{i}" for i in range(_BPE_MERGES + 1)]
+    names += [f"{v}_b{i}" for i in range(_BPE_MERGES)]
+    if with_apply:
+        names += [f"{v}_a{i}" for i in range(_BPE_MERGES + 1)]
+    for name in names:
+        spark.catalog.dropTempView(name)
+
+
+@register(
+    "bpe_train_merges",
+    survey="north-star text tier: distributed BPE tokenizer TRAINING "
+    "(Sennrich et al. 2016) — the full merge loop text_bpe_pair_counts "
+    "computes only step 1 of, as a value-hash-oracled iterative "
+    "relational algorithm (greedy leftmost non-overlapping merge "
+    "proven equal to the parity rule over symbol runs)",
+    oracle=bpe_oracle_sql("documents"),
+)
 def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE merge training over the documents corpus —
-    the round-9 preview completing text_bpe_pair_counts (which is this
-    trainer's first pair table). UNREGISTERED this round (registry
-    frozen at 238); promotion is one @register with oracle=
-    bpe_oracle_sql(), the shared-fragment contract already holding."""
-    _bpe_run_chain(spark, sf_dir, with_apply=False)
-    return spark.sql(_bpe_merges_select("__bpe_b"))
+    the r8 preview promoted in round 9, completing
+    text_bpe_pair_counts (which is this trainer's first pair table).
+    Output: (rank, left_sym, right_sym, merged, cnt), one row per
+    learned merge, _BPE_MERGES rows unless the pair table drains."""
+    v = _bpe_run_chain(spark, sf_dir, with_apply=False)
+    out = spark.sql(_bpe_merges_select(f"{v}_b"))
+    _bpe_drop_views(spark, v, with_apply=False)
+    return out
 
 
+@register(
+    "bpe_encode_top_tokens",
+    survey="north-star text tier: BPE tokenizer APPLICATION — segment "
+    "the corpus under the merges learned on it (train + apply "
+    "self-contained) and emit the top-K token frequencies; the "
+    "learned-vocabulary upgrade of text_token_count's whitespace "
+    "proxy, sharing the trainer's generated merge fragment so the "
+    "two sides cannot drift",
+    oracle=bpe_encode_oracle_sql("documents"),
+)
 def bpe_encode_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenize the corpus with the BPE merges learned on it (train +
     apply in one self-contained query) and emit the top-K token
-    frequencies — the inference side of bpe_train_merges, upgrading
-    text_token_count's whitespace proxy to a learned subword
-    vocabulary. UNREGISTERED round-9 preview (promotion = one
-    @register with oracle=bpe_encode_oracle_sql()).
+    frequencies — the inference side of bpe_train_merges.
 
     The application chain runs the IDENTICAL generated merge fragment
     as training (the greedy-non-overlap parity rule), just over the
     uncapped word table and driven by each iteration's learned best
     pair — one orchestration function stitches both, so training and
-    application cannot drift."""
-    _bpe_run_chain(spark, sf_dir, with_apply=True)
-    return spark.sql(_bpe_token_counts_body(f"__bpe_a{_BPE_MERGES}"))
+    application cannot drift. Output: (token, n_occurrences),
+    _BPE_TOP_TOKENS rows max, ties broken by token ASC."""
+    v = _bpe_run_chain(spark, sf_dir, with_apply=True)
+    out = spark.sql(_bpe_token_counts_body(f"{v}_a{_BPE_MERGES}"))
+    _bpe_drop_views(spark, v, with_apply=True)
+    return out

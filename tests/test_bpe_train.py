@@ -29,20 +29,37 @@ from nyc_traffic_insight_spark.queries.textops import (
 )
 
 
+# ASCII-only case fold matching textops._BPE_UP/_BPE_LO: Python's
+# str.lower() full-Unicode case map diverges from DuckDB's utf8proc on
+# edges like U+0130 'İ' (see the _BPE_UP comment in textops.py), so
+# the reference folds A-Z only, exactly like both engines' translate()
+_ASCII_FOLD = str.maketrans(
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZ", "abcdefghijklmnopqrstuvwxyz"
+)
+
+
+def _bpe_wf_ref(texts):
+    """Reference word-frequency table: ASCII case fold + explicit
+    ASCII whitespace split, matching _BPE_UP/_BPE_LO and _BPE_WS
+    (Python's str \\s would add unicode whitespace the engines don't
+    split on; no strip() — str.strip() removes unicode whitespace the
+    engines' trim() keeps, and split-plus-drop-empties already
+    handles ASCII edges)."""
+    return Counter(
+        w
+        for t in texts
+        for w in re.split("[ \t\n\r\x0b\f]+", t.translate(_ASCII_FOLD))
+        if w
+    )
+
+
 def _bpe_ref(texts, maxlen=None, vocab_cap=None, merges=None):
     """Independent reference: standard BPE training on word
     frequencies with greedy leftmost non-overlapping merges."""
     maxlen = maxlen or _BPE_MAXLEN
     vocab_cap = vocab_cap or _BPE_VOCAB
     merges = merges or _BPE_MERGES
-    wf = Counter(
-        w
-        for t in texts
-        # explicit ASCII class, matching _BPE_WS (Python's str \s
-        # would add unicode whitespace the engines don't split on)
-        for w in re.split("[ \t\n\r\x0b\f]+", t.strip().lower())
-        if w
-    )
+    wf = _bpe_wf_ref(texts)
     vocab = sorted(
         ((w, c) for w, c in wf.items() if len(w) <= maxlen),
         key=lambda x: (-x[1], x[0]),
@@ -95,6 +112,19 @@ CORPORA = {
     # close; in an iterative trainer one differing word flips an
     # argmax and cascades. All three engines must split it.
     "ws_edge": ["foo\x0bbar foo bar", "a\x0ba\fb\tb\rc\nc"],
+    # full-Unicode lower() diverges across the three engines (DuckDB's
+    # utf8proc maps in-context U+0130 'İ' to plain 'i'; Java and
+    # Python emit 'i' + combining U+0307) — the ADVICE-r8 exposure the
+    # ASCII-only translate() fold (_BPE_UP/_BPE_LO) exists to close.
+    # These words pin that non-ASCII case stays UNfolded identically
+    # on all three engines: İ in-context and alone, ß (whose upcase
+    # 'SS' round-trip is asymmetric), and Σ/ς (final-sigma context
+    # sensitivity).
+    "casefold": [
+        "İstanbul İSTANBUL istanbul İ MİX",
+        "STRASSE straße ßß ß",
+        "ΣΥΡΙΖΑ σύριζα Σ ς ΒΑΣΙΣ",
+    ],
 }
 
 
@@ -226,14 +256,7 @@ def _bpe_encode_ref(texts, top_k=None):
     from nyc_traffic_insight_spark.queries.textops import _BPE_TOP_TOKENS
 
     top_k = top_k or _BPE_TOP_TOKENS
-    wf = Counter(
-        w
-        for t in texts
-        # explicit ASCII class, matching _BPE_WS (Python's str \s
-        # would add unicode whitespace the engines don't split on)
-        for w in re.split("[ \t\n\r\x0b\f]+", t.strip().lower())
-        if w
-    )
+    wf = _bpe_wf_ref(texts)
     merges = [(a, b) for _, a, b, _, _ in _bpe_ref(texts)]
     counts: Counter = Counter()
     for w, freq in wf.items():
