@@ -92,6 +92,14 @@ HEADLINE = [
     # chunking dedup) joins the perf gate with its own byte anchor.
     # 31 -> 32 queries; subset accounting in BASELINE.md unchanged.
     "dedup_substring_cdc",
+    # round 9: the two BPE promotions (tokenizer training + corpus
+    # tokenization) join the perf gate with their own byte anchors —
+    # the trainer guards the capped iterative chain, the encoder the
+    # uncapped application chain (state ∝ distinct words, the
+    # scale-risky side). 32 -> 34 queries; subset accounting in
+    # BASELINE.md unchanged.
+    "bpe_train_merges",
+    "bpe_encode_top_tokens",
 ]
 
 

@@ -135,6 +135,15 @@ AUDITED = [
     "join_asof_nearest",
     # round 8 addition (the CDC promotion)
     "dedup_substring_cdc",
+    # round 9 additions (the BPE promotions). Their builders execute
+    # the materialized merge chain at build time (~5-10 s at smoke SF
+    # — the checkpoint-per-iteration discipline), so auditing them
+    # here costs real CI seconds; kept anyway because HEADLINE must
+    # stay a subset of AUDITED. Final plans are flag-free: trainer =
+    # union of 10 one-row checkpointed bests + rank sort; encoder =
+    # partial-agg + TakeOrdered over the checkpointed symbol table.
+    "bpe_train_merges",
+    "bpe_encode_top_tokens",
 ]
 
 # query -> flags it is ALLOWED to carry, with the reason pinned here.
