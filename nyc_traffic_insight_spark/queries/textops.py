@@ -4083,3 +4083,294 @@ def bpe_encode_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = spark.sql(_bpe_token_counts_body(f"{v}_a{_BPE_MERGES}"))
     _bpe_drop_views(spark, v, with_apply=True)
     return out
+
+
+# ----------------- bigram language model (round-10 preview)
+#
+# text_perplexity_proxy scores documents with a UNIGRAM table — the
+# degenerate, dependency-free form of CCNet's LM-perplexity corpus
+# ranking (Wenzek et al. 2020 train a small KenLM n-gram model and
+# rank Common Crawl by perplexity). This preview is the real first
+# step up that ladder: train a Laplace-smoothed BIGRAM model on the
+# corpus (lm_train_bigram) and score every document's perplexity
+# under it (lm_score_perplexity) — train + apply self-contained, the
+# same two-operator story as the BPE pair above, and like it built
+# from ONE set of generated ANSI-SQL fragments both engines execute
+# (the shared-fragment oracle pattern), so the iterative-free chain
+# gets a full value-hash oracle.
+#
+# Determinism inventory (everything the hash compare depends on):
+# tokenization is the engine-exact _BPE_WS split + _BPE_UP/_BPE_LO
+# ASCII fold (see those constants for the probe evidence); the
+# vocabulary cap breaks ties (count DESC, word ASC); Laplace add-1
+# keeps every probability a ratio of INTEGERS, so neg log-probs are
+# ln(bigint) - ln(bigint) — cross-engine to the last ulp — and the
+# only order-dependent accumulation (the per-doc mean) is rounded
+# floor-form at 4 decimals per the catalog convention (_lm_r4; the
+# arguments are strictly positive so the unsigned floor form is
+# exact).
+#
+# Scale shape: vocab and the bigram table are CAP-BOUNDED —
+# ≤ _LM_VOCAB + 1 context rows and ≤ (_LM_VOCAB + 1)² bigram rows no
+# matter the corpus — so the model is a broadcastable artifact
+# (CCNet ships its model to every worker the same way). The corpus
+# appears in exactly three linear passes: the token count behind the
+# vocabulary, the bigram count, and the scoring join (model
+# broadcast onto the pair stream, then one groupBy doc_id). Hot keys
+# (stopwords, '<unk>') land in GROUP BYs with map-side partials, and
+# the unk-mapping joins are against the tiny vocab relation —
+# broadcast, never a shuffled skew join on term keys.
+
+_LM_VOCAB = 2000  # vocabulary cap (top-V words; everything else <unk>)
+_LM_TOPK = 100  # trainer output: top-K bigrams by count
+
+
+def _lm_r4(expr: str) -> str:
+    """Floor-form round-to-4dp as shared SQL text (the engine-portable
+    spelling of functions/rounding.r for STRICTLY POSITIVE values —
+    neg log-probs and perplexities; see that module's docstring for
+    why round() itself diverges across engines). The CAST AS DOUBLE is
+    load-bearing: Spark's floor() returns BIGINT and parses the
+    10000.0 literal as DECIMAL, so the uncast quotient comes back
+    Decimal('0.6931000') and hash-mismatches DuckDB's double."""
+    return f"CAST(floor(({expr}) * 10000.0 + 0.5) AS DOUBLE) / 10000.0"
+
+
+def _lm_vocab_body(toks: str, cap: int) -> str:
+    """Capped vocabulary from a (doc_id, w) token relation.
+    Deterministic: ties broken by word ASC."""
+    return (
+        f"SELECT w FROM (SELECT w, count(*) AS c FROM {toks} "
+        f"GROUP BY 1 ORDER BY c DESC, w LIMIT {cap}) v"
+    )
+
+
+def _lm_vs_body(vocab: str) -> str:
+    """Smoothing denominator size: |vocab| + 1 (the '<unk>' bucket)."""
+    return f"SELECT CAST(count(*) + 1 AS BIGINT) AS vs FROM {vocab}"
+
+
+def _lm_mpairs_body(pairs: str, vocab: str) -> str:
+    """Unk-map both sides of the adjacent-pair relation: a token
+    outside the capped vocabulary becomes '<unk>' BEFORE counting —
+    standard open-vocabulary n-gram practice, and what bounds the
+    model by the cap instead of the corpus."""
+    return (
+        "SELECT p.doc_id, "
+        "CASE WHEN v1.w IS NULL THEN '<unk>' ELSE p.w1 END AS w1, "
+        "CASE WHEN v2.w IS NULL THEN '<unk>' ELSE p.w2 END AS w2 "
+        f"FROM {pairs} p LEFT JOIN {vocab} v1 ON p.w1 = v1.w "
+        f"LEFT JOIN {vocab} v2 ON p.w2 = v2.w"
+    )
+
+
+def _lm_bg_body(mpairs: str) -> str:
+    """Bigram counts over the unk-mapped pairs — the model table,
+    (cap+1)²-bounded."""
+    return (
+        "SELECT w1, w2, CAST(count(*) AS BIGINT) AS pair_cnt "
+        f"FROM {mpairs} GROUP BY 1, 2"
+    )
+
+
+def _lm_ctx_body(bg: str) -> str:
+    """Context totals c(w1) — derived from the bigram table (every
+    pair occurrence contributes once), cap+1-bounded."""
+    return (
+        "SELECT w1, CAST(sum(pair_cnt) AS BIGINT) AS ctx_cnt "
+        f"FROM {bg} GROUP BY 1"
+    )
+
+
+def _lm_neglogp(vsize: str) -> str:
+    """Laplace-smoothed negative log conditional probability,
+    -ln P(w2|w1) = ln(c(w1) + V') - ln(c(w1,w2) + 1) — both ln
+    arguments are BIGINTs, so the doubles agree cross-engine."""
+    return f"ln(ctx_cnt + (SELECT vs FROM {vsize})) - ln(pair_cnt + 1)"
+
+
+# The /*+ BROADCAST(...) */ hints below are Spark join-strategy hints
+# spelled as standard SQL block comments, so the SAME fragment text
+# runs on DuckDB (which ignores them). They are load-bearing on the
+# Spark side: the model tables come in as materialized ExistingRDD
+# views with NO stats, so without the hint Catalyst sort-merge-joins —
+# shuffling the corpus-sized pair stream on bigram keys, which are
+# stopword-skewed, against a table bounded by the vocab cap. With the
+# hint the model broadcasts (≤ (cap+1)² rows by construction; the cap
+# sizes the broadcast — raise it past ~10⁴ and this should flip to the
+# shuffle join) and the scorer's only corpus shuffle is the final
+# per-doc groupBy.
+
+
+def _lm_train_select(bg: str, ctx: str, vsize: str, topk: int) -> str:
+    """Trainer output: the top-K bigrams by count with their counts
+    and smoothed neg log-probs. Deterministic: ties by (w1, w2)."""
+    return (
+        "SELECT /*+ BROADCAST(c) */ b.w1, b.w2, b.pair_cnt, c.ctx_cnt, "
+        f"{_lm_r4(_lm_neglogp(vsize))} AS neg_logp "
+        f"FROM {bg} b JOIN {ctx} c ON b.w1 = c.w1 "
+        f"ORDER BY b.pair_cnt DESC, b.w1, b.w2 LIMIT {topk}"
+    )
+
+
+def _lm_score_select(mpairs: str, bg: str, ctx: str, vsize: str) -> str:
+    """Per-document perplexity under the trained model: exp of the
+    mean neg log-prob over the doc's (unk-mapped) adjacent pairs.
+    Inner joins are total by construction — the model was trained on
+    this corpus, so every scored pair exists in it. Documents with
+    fewer than two tokens have no bigrams and are (definitionally)
+    absent from the output."""
+    return (
+        "SELECT /*+ BROADCAST(b, c) */ "
+        "m.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams, "
+        f"{_lm_r4('exp(avg(' + _lm_neglogp(vsize) + '))')} AS ppl "
+        f"FROM {mpairs} m JOIN {bg} b ON m.w1 = b.w1 AND m.w2 = b.w2 "
+        f"JOIN {ctx} c ON m.w1 = c.w1 "
+        "GROUP BY m.doc_id"
+    )
+
+
+def _lm_duckdb_glue(table: str) -> str:
+    """DuckDB-side tokenization glue (the engine-specific step): the
+    folded, empty-filtered token array, its exploded (doc_id, w) view,
+    and the in-row adjacent pairs via the established
+    unnest(range(...)) index idiom (empty/1-token arrays yield no
+    pairs: range(1, 1) is empty)."""
+    fold = (
+        f"list_filter(regexp_split_to_array(translate(trim(text), "
+        f"'{_BPE_UP}', '{_BPE_LO}'), '{_BPE_WS}'), x -> x <> '')"
+    )
+    return (
+        f"arr AS (SELECT doc_id, {fold} AS a FROM {table}), "
+        "toks AS (SELECT doc_id, unnest(a) AS w FROM arr), "
+        "idx AS (SELECT doc_id, a, unnest(range(1, greatest(len(a), 1)))"
+        " AS i FROM arr), "
+        "pairs AS (SELECT doc_id, a[i] AS w1, a[i + 1] AS w2 FROM idx)"
+    )
+
+
+def _lm_oracle_parts(table: str, cap: int) -> str:
+    """Shared WITH-chain both oracles build on (glue + model). AS
+    MATERIALIZED on the twice-referenced relations for the same
+    re-inlining reason as the BPE oracle."""
+    return (
+        "WITH "
+        + _lm_duckdb_glue(table)
+        + f", vocab AS MATERIALIZED ({_lm_vocab_body('toks', cap)})"
+        + f", vsize AS ({_lm_vs_body('vocab')})"
+        + f", mpairs AS MATERIALIZED ({_lm_mpairs_body('pairs', 'vocab')})"
+        + f", bg AS MATERIALIZED ({_lm_bg_body('mpairs')})"
+        + f", ctx AS ({_lm_ctx_body('bg')}) "
+    )
+
+
+def lm_oracle_sql(
+    table: str = "documents", cap: int = _LM_VOCAB, topk: int = _LM_TOPK
+) -> str:
+    """lm_train_bigram as one DuckDB text, from the shared fragments."""
+    return _lm_oracle_parts(table, cap) + _lm_train_select(
+        "bg", "ctx", "vsize", topk
+    )
+
+
+def lm_score_oracle_sql(table: str = "documents", cap: int = _LM_VOCAB) -> str:
+    """lm_score_perplexity as one DuckDB text, same shared assembly."""
+    return _lm_oracle_parts(table, cap) + _lm_score_select(
+        "mpairs", "bg", "ctx", "vsize"
+    )
+
+
+_LM_SEQ = _itertools.count()  # per-call temp-view namespace (BPE pattern)
+
+
+def _lm_run_chain(spark: SparkSession, sf_dir: str, cap: int) -> str:
+    """ONE Spark orchestration for both LM operators: build the token
+    and in-row adjacent-pair relations (the engine-glue step — the
+    shingle slice/zip_with idiom, zero shuffle), then materialize the
+    two cap-bounded model stages (vocab, bigram counts) the generated
+    fragments define, under a per-call view prefix. Materialization is
+    re-inlining protection, not checkpoint-chain survival (this chain
+    is two stages, not ten): without it Spark re-expands each CTE
+    reference into a fresh corpus scan. Returns the prefix; callers
+    drop the views via _lm_drop_views()."""
+    v = f"__lm{next(_LM_SEQ)}"
+    docs = _docs(spark, sf_dir)
+    a = F.filter(
+        F.split(F.translate(F.trim("text"), _BPE_UP, _BPE_LO), _BPE_WS),
+        lambda x: x != F.lit(""),
+    )
+    n = F.greatest(F.size(a) - 1, F.lit(0))
+    pair = F.zip_with(
+        F.slice(a, 1, n),
+        F.slice(a, 2, n),
+        lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
+    )
+    docs.select("doc_id", F.explode(a).alias("w")).createOrReplaceTempView(
+        f"{v}_toks"
+    )
+    (
+        docs.select("doc_id", F.explode(pair).alias("p"))
+        .select("doc_id", "p.w1", "p.w2")
+        .createOrReplaceTempView(f"{v}_pairs")
+    )
+    _materialize(
+        spark.sql(_lm_vocab_body(f"{v}_toks", cap))
+    ).createOrReplaceTempView(f"{v}_vocab")
+    _materialize(
+        spark.sql(
+            f"WITH mpairs AS ({_lm_mpairs_body(f'{v}_pairs', f'{v}_vocab')}) "
+            + _lm_bg_body("mpairs")
+        )
+    ).createOrReplaceTempView(f"{v}_bg")
+    return v
+
+
+def _lm_drop_views(spark: SparkSession, v: str) -> None:
+    """Drop one LM chain's temp views (safe after the result DataFrame
+    is analyzed — same reasoning as _bpe_drop_views)."""
+    for name in (f"{v}_toks", f"{v}_pairs", f"{v}_vocab", f"{v}_bg"):
+        spark.catalog.dropTempView(name)
+
+
+def lm_train_bigram(
+    spark: SparkSession,
+    sf_dir: str,
+    cap: int = _LM_VOCAB,
+    topk: int = _LM_TOPK,
+) -> DataFrame:
+    """Train a Laplace-smoothed bigram LM on the documents corpus and
+    emit the top-K bigrams with their counts and smoothed neg
+    log-probs — the model-table half of the CCNet-style perplexity
+    ranking story. UNREGISTERED round-10 preview (registry grew by its
+    two sanctioned entries this round); promotion is one @register
+    with oracle=lm_oracle_sql(). Output:
+    (w1, w2, pair_cnt, ctx_cnt, neg_logp)."""
+    v = _lm_run_chain(spark, sf_dir, cap)
+    out = spark.sql(
+        f"WITH ctx AS ({_lm_ctx_body(f'{v}_bg')}), "
+        f"vsize AS ({_lm_vs_body(f'{v}_vocab')}) "
+        + _lm_train_select(f"{v}_bg", "ctx", "vsize", topk)
+    )
+    _lm_drop_views(spark, v)
+    return out
+
+
+def lm_score_perplexity(
+    spark: SparkSession, sf_dir: str, cap: int = _LM_VOCAB
+) -> DataFrame:
+    """Score every document's perplexity under the bigram LM trained
+    on the corpus itself (train + apply self-contained) — the learned
+    upgrade of text_perplexity_proxy's unigram cross-entropy, and the
+    quality signal CCNet ranks Common Crawl with. UNREGISTERED
+    round-10 preview (promotion = one @register with
+    oracle=lm_score_oracle_sql()). Output: (doc_id, n_bigrams, ppl);
+    docs with <2 tokens have no bigrams and are absent."""
+    v = _lm_run_chain(spark, sf_dir, cap)
+    out = spark.sql(
+        f"WITH mpairs AS ({_lm_mpairs_body(f'{v}_pairs', f'{v}_vocab')}), "
+        f"ctx AS ({_lm_ctx_body(f'{v}_bg')}), "
+        f"vsize AS ({_lm_vs_body(f'{v}_vocab')}) "
+        + _lm_score_select("mpairs", f"{v}_bg", "ctx", "vsize")
+    )
+    _lm_drop_views(spark, v)
+    return out
