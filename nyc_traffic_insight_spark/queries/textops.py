@@ -3977,7 +3977,9 @@ def bpe_encode_oracle_sql(table: str = "documents") -> str:
 _BPE_SEQ = _itertools.count()
 
 
-def _bpe_run_chain(spark: SparkSession, sf_dir: str, with_apply: bool) -> str:
+def _bpe_run_chain(
+    spark: SparkSession, sf_dir: str, with_apply: bool, v: str
+) -> None:
     """ONE Spark orchestration for both operators: build the
     word-frequency table (the only full-data pass and the only
     engine-glue step — same _BPE_WS class and _BPE_UP/_BPE_LO ASCII
@@ -3986,9 +3988,11 @@ def _bpe_run_chain(spark: SparkSession, sf_dir: str, with_apply: bool) -> str:
     _materialize() (reliable checkpoint on the cluster profile — a
     lost executor must not kill the 10-step chain; localCheckpoint on
     local[*]). Registers temp views {v}_wf, {v}_w{i}, {v}_b{i} and
-    (with_apply) {v}_a{i} under a per-call prefix and returns that
-    prefix; callers drop the views via _bpe_drop_views()."""
-    v = f"__bpe{next(_BPE_SEQ)}"
+    (with_apply) {v}_a{i} under the caller-allocated prefix; the
+    caller drops them in a finally via _bpe_drop_views() (a failure
+    anywhere in this 30+-job chain must not leak catalog views, which
+    would pin their checkpointed frames for the session — the same
+    resource-lifetime rule as the r8 ML-audit try/finally fix)."""
     words = _docs(spark, sf_dir).select(
         F.explode(
             F.split(F.translate(F.trim("text"), _BPE_UP, _BPE_LO), _BPE_WS)
@@ -4022,13 +4026,15 @@ def _bpe_run_chain(spark: SparkSession, sf_dir: str, with_apply: bool) -> str:
             _materialize(spark.sql(
                 _bpe_merge_body(f"{v}_a{i}", f"{v}_b{i}")
             )).createOrReplaceTempView(f"{v}_a{i + 1}")
-    return v
 
 
 def _bpe_drop_views(spark: SparkSession, v: str, with_apply: bool) -> None:
-    """Drop one chain's temp views (safe AFTER the result DataFrame is
-    built: spark.sql resolves views eagerly at analysis, and the
-    materialized states back the resolved plans, not the catalog)."""
+    """Drop one chain's temp views — runs in the builders' finally, so
+    it must tolerate a chain that failed partway (dropTempView on a
+    never-registered name returns False, no raise). Safe AFTER the
+    result DataFrame is built: spark.sql resolves views eagerly at
+    analysis, and the materialized states back the resolved plans,
+    not the catalog."""
     names = [f"{v}_wf"] + [f"{v}_w{i}" for i in range(_BPE_MERGES + 1)]
     names += [f"{v}_b{i}" for i in range(_BPE_MERGES)]
     if with_apply:
@@ -4052,10 +4058,12 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     text_bpe_pair_counts (which is this trainer's first pair table).
     Output: (rank, left_sym, right_sym, merged, cnt), one row per
     learned merge, _BPE_MERGES rows unless the pair table drains."""
-    v = _bpe_run_chain(spark, sf_dir, with_apply=False)
-    out = spark.sql(_bpe_merges_select(f"{v}_b"))
-    _bpe_drop_views(spark, v, with_apply=False)
-    return out
+    v = f"__bpe{next(_BPE_SEQ)}"
+    try:
+        _bpe_run_chain(spark, sf_dir, with_apply=False, v=v)
+        return spark.sql(_bpe_merges_select(f"{v}_b"))
+    finally:
+        _bpe_drop_views(spark, v, with_apply=False)
 
 
 @register(
@@ -4079,10 +4087,12 @@ def bpe_encode_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair — one orchestration function stitches both, so training and
     application cannot drift. Output: (token, n_occurrences),
     _BPE_TOP_TOKENS rows max, ties broken by token ASC."""
-    v = _bpe_run_chain(spark, sf_dir, with_apply=True)
-    out = spark.sql(_bpe_token_counts_body(f"{v}_a{_BPE_MERGES}"))
-    _bpe_drop_views(spark, v, with_apply=True)
-    return out
+    v = f"__bpe{next(_BPE_SEQ)}"
+    try:
+        _bpe_run_chain(spark, sf_dir, with_apply=True, v=v)
+        return spark.sql(_bpe_token_counts_body(f"{v}_a{_BPE_MERGES}"))
+    finally:
+        _bpe_drop_views(spark, v, with_apply=True)
 
 
 # ----------------- bigram language model (round-10 preview)
@@ -4283,17 +4293,20 @@ def lm_score_oracle_sql(table: str = "documents", cap: int = _LM_VOCAB) -> str:
 _LM_SEQ = _itertools.count()  # per-call temp-view namespace (BPE pattern)
 
 
-def _lm_run_chain(spark: SparkSession, sf_dir: str, cap: int) -> str:
+def _lm_run_chain(
+    spark: SparkSession, sf_dir: str, cap: int, v: str
+) -> None:
     """ONE Spark orchestration for both LM operators: build the token
     and in-row adjacent-pair relations (the engine-glue step — the
     shingle slice/zip_with idiom, zero shuffle), then materialize the
     two cap-bounded model stages (vocab, bigram counts) the generated
-    fragments define, under a per-call view prefix. Materialization is
-    re-inlining protection, not checkpoint-chain survival (this chain
-    is two stages, not ten): without it Spark re-expands each CTE
-    reference into a fresh corpus scan. Returns the prefix; callers
-    drop the views via _lm_drop_views()."""
-    v = f"__lm{next(_LM_SEQ)}"
+    fragments define, under the caller-allocated view prefix.
+    Materialization is re-inlining protection, not checkpoint-chain
+    survival (this chain is two stages, not ten): without it Spark
+    re-expands each CTE reference into a fresh corpus scan. Callers
+    drop the views in a finally via _lm_drop_views() — a mid-chain
+    failure must not leak catalog views (same rule as the BPE
+    chain)."""
     docs = _docs(spark, sf_dir)
     a = F.filter(
         F.split(F.translate(F.trim("text"), _BPE_UP, _BPE_LO), _BPE_WS),
@@ -4322,12 +4335,11 @@ def _lm_run_chain(spark: SparkSession, sf_dir: str, cap: int) -> str:
             + _lm_bg_body("mpairs")
         )
     ).createOrReplaceTempView(f"{v}_bg")
-    return v
 
 
 def _lm_drop_views(spark: SparkSession, v: str) -> None:
-    """Drop one LM chain's temp views (safe after the result DataFrame
-    is analyzed — same reasoning as _bpe_drop_views)."""
+    """Drop one LM chain's temp views — finally-safe on a partially
+    built chain, same reasoning as _bpe_drop_views."""
     for name in (f"{v}_toks", f"{v}_pairs", f"{v}_vocab", f"{v}_bg"):
         spark.catalog.dropTempView(name)
 
@@ -4345,14 +4357,16 @@ def lm_train_bigram(
     two sanctioned entries this round); promotion is one @register
     with oracle=lm_oracle_sql(). Output:
     (w1, w2, pair_cnt, ctx_cnt, neg_logp)."""
-    v = _lm_run_chain(spark, sf_dir, cap)
-    out = spark.sql(
-        f"WITH ctx AS ({_lm_ctx_body(f'{v}_bg')}), "
-        f"vsize AS ({_lm_vs_body(f'{v}_vocab')}) "
-        + _lm_train_select(f"{v}_bg", "ctx", "vsize", topk)
-    )
-    _lm_drop_views(spark, v)
-    return out
+    v = f"__lm{next(_LM_SEQ)}"
+    try:
+        _lm_run_chain(spark, sf_dir, cap, v)
+        return spark.sql(
+            f"WITH ctx AS ({_lm_ctx_body(f'{v}_bg')}), "
+            f"vsize AS ({_lm_vs_body(f'{v}_vocab')}) "
+            + _lm_train_select(f"{v}_bg", "ctx", "vsize", topk)
+        )
+    finally:
+        _lm_drop_views(spark, v)
 
 
 def lm_score_perplexity(
@@ -4365,12 +4379,14 @@ def lm_score_perplexity(
     round-10 preview (promotion = one @register with
     oracle=lm_score_oracle_sql()). Output: (doc_id, n_bigrams, ppl);
     docs with <2 tokens have no bigrams and are absent."""
-    v = _lm_run_chain(spark, sf_dir, cap)
-    out = spark.sql(
-        f"WITH mpairs AS ({_lm_mpairs_body(f'{v}_pairs', f'{v}_vocab')}), "
-        f"ctx AS ({_lm_ctx_body(f'{v}_bg')}), "
-        f"vsize AS ({_lm_vs_body(f'{v}_vocab')}) "
-        + _lm_score_select("mpairs", f"{v}_bg", "ctx", "vsize")
-    )
-    _lm_drop_views(spark, v)
-    return out
+    v = f"__lm{next(_LM_SEQ)}"
+    try:
+        _lm_run_chain(spark, sf_dir, cap, v)
+        return spark.sql(
+            f"WITH mpairs AS ({_lm_mpairs_body(f'{v}_pairs', f'{v}_vocab')}), "
+            f"ctx AS ({_lm_ctx_body(f'{v}_bg')}), "
+            f"vsize AS ({_lm_vs_body(f'{v}_vocab')}) "
+            + _lm_score_select("mpairs", f"{v}_bg", "ctx", "vsize")
+        )
+    finally:
+        _lm_drop_views(spark, v)

@@ -29,6 +29,17 @@ def _is_persisted(df) -> bool:
     return lvl.useMemory or lvl.useDisk
 
 
+def _persistent_ids(spark) -> set:
+    # the id SET (not the count): set-difference against a snapshot is
+    # flake-free where the count comparison was not — the cleaner
+    # removing some OTHER test's GC'd id shrinks both sides of the
+    # diff consistently, while the ids THIS test creates are pinned by
+    # the module caches until clear_caches() and so cannot be
+    # collected mid-test
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    return {int(k) for k in jmap.keySet().toArray()}
+
+
 def test_wide_table_cached_once_per_session(spark):
     textops.clear_caches(spark)
     d1 = textops._docs(spark, SF_SMOKE)
@@ -73,11 +84,18 @@ def test_row_group_gate_skips_wide_scans(tmp_path, spark):
 
 def test_clear_caches_unpersists_everything(spark):
     textops.clear_caches(spark)
+    before_ids = _persistent_ids(spark)
     textops._docs(spark, SF_SMOKE).count()
     textops._embs(spark, SF_SMOKE).count()
     textops._shingle_sets_persisted(spark, SF_SMOKE).count()
     cents = textops._ivf_centroids(spark, SF_SMOKE)
     assert cents and cents is textops._ivf_centroids(spark, SF_SMOKE)
+    # the blocks THIS test's calls persisted — the review-restored
+    # GLOBAL leak detector (a persisted frame the module forgot to
+    # track in its cache dicts would show up here and survive the
+    # clear below), in the flake-free id-set form
+    new_ids = _persistent_ids(spark) - before_ids
+    assert len(new_ids) >= 3
     # the cache dicts must be populated, and every entry the module
     # holds must actually be marked persisted
     assert len(textops._WIDE_CACHE) + len(textops._SHINGLE_CACHE) >= 3
@@ -91,5 +109,7 @@ def test_clear_caches_unpersists_everything(spark):
     assert not textops._SHINGLE_CACHE
     assert not textops._IVF_CENTROID_CACHE
     # clear_caches(blocking=True) must have dropped the module's own
-    # blocks — assert on the held frames, not the global RDD count
+    # blocks (held-frame storage levels) AND every block this test
+    # created (the id-set diff — catches untracked persists too)
     assert all(not _is_persisted(df) for df in held)
+    assert not (_persistent_ids(spark) & new_ids)
