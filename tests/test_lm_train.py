@@ -233,3 +233,48 @@ def test_empty_and_degenerate_corpora(spark, tmp_path):
         if name == "short_docs":
             # only the two >=2-token docs are scored
             assert [d for d, _, _ in got_s] == [3, 4]
+
+
+# hypothesis differential: generated corpora over an alphabet chosen
+# to stress every divergence class at once — case edges the ASCII
+# fold must NOT map (İ, ß, ς), multibyte code points, the whitespace
+# characters _BPE_WS pins, ASCII case pairs the fold MUST map, and
+# count ties at the vocab-cap boundary (tiny alphabet → dense ties,
+# resolved lexicographically on both engines). DuckDB executes the
+# exact fragment text the Spark side stitches, so this fuzzes the
+# shared algorithm itself against the independent Python reference.
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _HAVE_HYPOTHESIS = True
+except ImportError:  # pragma: no cover - baked into this container
+    _HAVE_HYPOTHESIS = False
+
+if _HAVE_HYPOTHESIS:
+    _word = st.text(
+        alphabet=["a", "b", "A", "B", "İ", "ß", "ς", "汉", "🚀"],
+        min_size=1,
+        max_size=6,
+    )
+    _sep = st.sampled_from([" ", "\t", "\n", "\x0b", "\f", "  "])
+    _doc = st.lists(_word, min_size=0, max_size=20).flatmap(
+        lambda ws: st.lists(
+            _sep, min_size=max(len(ws) - 1, 0), max_size=max(len(ws) - 1, 0)
+        ).map(
+            lambda seps: "".join(
+                w + s for w, s in zip(ws, list(seps) + [""])
+            )
+        )
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.lists(_doc, min_size=0, max_size=5), st.integers(2, 5))
+    def test_hypothesis_oracle_matches_python_reference(texts, cap):
+        con = _duck_on(texts)  # keep the ref: GC closes the conn
+        got_t = con.sql(lm_oracle_sql("docs", cap=cap)).fetchall()
+        assert got_t == _lm_train_ref(texts, cap, _LM_TOPK)
+        got_s = sorted(
+            con.sql(lm_score_oracle_sql("docs", cap=cap)).fetchall()
+        )
+        assert got_s == _lm_score_ref(texts, cap)
