@@ -278,3 +278,25 @@ if _HAVE_HYPOTHESIS:
             con.sql(lm_score_oracle_sql("docs", cap=cap)).fetchall()
         )
         assert got_s == _lm_score_ref(texts, cap)
+
+
+def test_failed_chain_leaks_no_temp_views(spark, tmp_path):
+    """The r9 review fix: a chain that fails partway (here: at the
+    very first job, scanning a directory with no documents.parquet)
+    must drop whatever views it registered before the raise — leaked
+    catalog views would pin their checkpointed frames for the session
+    lifetime. Applies to all four BPE/LM builders via the shared
+    try/finally shape; exercised on one of each family."""
+    from nyc_traffic_insight_spark.queries.textops import bpe_train_merges
+
+    empty = tmp_path / "no_tables"
+    empty.mkdir()
+    for fn in (lm_train_bigram, bpe_train_merges):
+        with pytest.raises(Exception):
+            fn(spark, str(empty))
+    leaked = [
+        t.name
+        for t in spark.catalog.listTables()
+        if t.name.startswith("__lm") or t.name.startswith("__bpe")
+    ]
+    assert leaked == []
