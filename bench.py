@@ -100,6 +100,15 @@ HEADLINE = [
     # BASELINE.md unchanged.
     "bpe_train_merges",
     "bpe_encode_top_tokens",
+    # round 11: the two bigram-LM promotions (model training + corpus
+    # perplexity scoring, the CCNet ranking story) join the perf gate
+    # with their own byte anchors — the trainer guards the cap-bounded
+    # model build, the scorer the model-broadcast + per-doc-groupBy
+    # corpus pass. 34 -> 36 queries; the 34-query subset (BPE included
+    # per its two rounds of identical anchors) is the standing
+    # like-for-like line; subtract these two against earlier rounds.
+    "lm_train_bigram",
+    "lm_score_perplexity",
 ]
 
 

@@ -57,86 +57,86 @@ def register(name: str, oracle: str | None = None, survey: str = ""):
     return deco
 
 
-# Registration-order rotation (VERDICT.md rounds 2-8). The driver's
+# Registration-order rotation (VERDICT.md rounds 2-10). The driver's
 # sf0.01 correctness gate walks REGISTRY front-to-back with a
-# ~50-query budget (CORRECTNESS_r04-r08 each carried exactly 50
-# rows). Round-9 ordering — the precomputed front from NOTES
-# "Round-9 rotation precompute" / VERDICT r8 #1/#2:
-#   1. the 6 window queries whose latest driver evidence is r3 (the
-#      r8 rotation's 50-slot budget covered 50 of its 56 fronted
-#      entries; these were the tail);
-#   2. the 4 ML audits whose code changed in r8 (unpersist moved
-#      into try/finally — behavior-neutral, locally oracle-green,
-#      but "code changed → re-earn evidence" is the standing rule);
-#   3. the two BPE promotions (bpe_train_merges + its application
-#      sibling bpe_encode_top_tokens) — the round's sanctioned
-#      registry additions, never driver-checked;
-#   4. freshness fill: every query whose latest driver evidence is
-#      r4 (the oldest remaining tier), oldest-registered first.
-# 6+4+2 = 12 debt slots + 43 r4-stale = 55 fronted; the 50-slot
-# budget clears ALL debt (tiers 1-3) and re-verifies 38 of the r4
-# tier; the ~5-query r4 tail rolls to r10. Everything else keeps
-# standing r5+ evidence and registers last.
+# ~50-query budget (CORRECTNESS_r04-r10 each carried exactly 50
+# rows). Round-11 ordering — VERDICT r10 #1/#2 (the r9 front carried
+# forward after the zero-turn round 10):
+#   1. the 5 r4-stale holdovers — the oldest evidence anywhere in the
+#      catalog (the r9 front placed them past slot 50; the r10
+#      rotation re-ran the r9 set verbatim, so they aged two more
+#      rounds without a check);
+#   2. the two bigram-LM promotions (lm_train_bigram +
+#      lm_score_perplexity) — the round's sanctioned registry
+#      additions, never driver-checked;
+#   3. the 47-query r5-stale tier (the F1-F7 filter block, U1/U2,
+#      O3/O4, the report_* tier, scan_jsonl_*, win_first_last /
+#      ntile / streaks / sessionize_batch, ...), registration order.
+# 5 + 2 + 47 = 54 fronted; the 50-slot budget clears the holdovers
+# and promotions and re-verifies 43 of the r5 tier; the 4-query
+# registration-order tail (scan_jsonl_roundtrip,
+# scan_jsonl_malformed_skip, sink_merge_upsert, qa_snapshot_diff)
+# rolls to r12 — all 54 are locally driver-replica-verified this
+# round regardless (NOTES.md). Everything else keeps standing r6+
+# evidence and registers last.
 _CHECK_FIRST = [
-    # 1. r3-stale window tail (latest driver evidence six rounds old)
-    "win_lag_multi",
-    "win_lag_series",
-    "win_ranking",
-    "win_roll_mean_3",
-    "win_sliding_lookback",
-    "win_time_split",
-    # 2. code changed in r8 (behavior-neutral, re-earn anyway)
-    "ml_linear_regression",
-    "ml_random_forest",
-    "ml_gbt",
-    "ml_propensity_model",
-    # 3. the r9 registry additions, never driver-checked
-    "bpe_train_merges",
-    "bpe_encode_top_tokens",
-    # 4. r4-stale freshness fill
-    "agg_null_counts",
-    "agg_count",
-    "agg_distinct_years",
-    "agg_corr_matrix",
-    "agg_regression_metrics",
-    "agg_group_mean",
-    "pivot_onehot",
-    "onehot_flags",
-    "agg_feature_importance_sort",
-    "agg_rollup",
-    "agg_cube",
-    "agg_count_distinct",
-    "agg_quantiles",
-    "ols_closed_form",
-    "sketch_histogram",
-    "agg_grouping_sets",
-    "scan_csv",
-    "scan_csv_multifile",
-    "scan_csv_pruned",
-    "scan_csv_parsedates",
-    "sink_idempotent",
-    "project_drop",
-    "project_rename",
-    "dedup_rows",
-    "cast_int",
-    "cast_numeric_coerce",
-    "cast_timestamp",
-    "make_timestamp_parts",
-    "geo_reproject_forward",
-    "geo_reproject_roundtrip",
-    "sim_search_ivf_topk",
-    "text_decontaminate",
-    "shard_pack_greedy",
-    "vocab_top_ngrams",
-    "sample_temperature_mix",
-    "text_repetition_filter",
-    "pipeline_pretrain_corpus",
-    "dedup_incremental_batch",
+    # 1. r4-stale holdovers (oldest evidence in the catalog)
     "sketch_hll_by_group",
     "qa_referential_integrity",
     "text_perplexity_proxy",
     "join_interval_overlap",
     "agg_mode_by_group",
+    # 2. the r11 registry additions, never driver-checked
+    "lm_train_bigram",
+    "lm_score_perplexity",
+    # 3. r5-stale tier, registration order
+    "win_first_last",
+    "win_streaks",
+    "dim_scd2_build",
+    "report_shipping_priority",
+    "report_region_supplier_volume",
+    "report_returned_customers",
+    "dedup_substring_exact",
+    "emb_centroid_by_label",
+    "dedup_containment",
+    "text_tfidf_top_terms",
+    "stream_file_ingest",
+    "stream_stream_join",
+    "sketch_hll",
+    "join_bloom_prefilter",
+    "split_deterministic",
+    "layout_zorder_key",
+    "win_ntile_buckets",
+    "funnel_conversion",
+    "cohort_retention",
+    "agg_outlier_mad",
+    "qa_profile_table",
+    "agg_skew_kurtosis",
+    "agg_entropy_by_group",
+    "win_sessionize_batch",
+    "event_transition_matrix",
+    "report_market_share",
+    "agg_audience_overlap",
+    "report_rfm_scores",
+    "filter_dropna",
+    "fillna",
+    "filter_eq_composite",
+    "filter_bool_mask",
+    "filter_gt",
+    "filter_threshold_flag",
+    "filter_malformed_skip",
+    "union_all_shards",
+    "union_oversample",
+    "except_rows",
+    "intersect_rows",
+    "unpivot_measures",
+    "sort_time",
+    "limit_head",
+    "sample_shuffle",
+    "scan_jsonl_roundtrip",
+    "scan_jsonl_malformed_skip",
+    "sink_merge_upsert",
+    "qa_snapshot_diff",
 ]
 
 

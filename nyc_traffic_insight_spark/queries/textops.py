@@ -4344,6 +4344,17 @@ def _lm_drop_views(spark: SparkSession, v: str) -> None:
         spark.catalog.dropTempView(name)
 
 
+@register(
+    "lm_train_bigram",
+    survey="north-star text tier: bigram language-model TRAINING — the "
+    "learned-model half of CCNet's LM-perplexity corpus ranking "
+    "(Wenzek et al. 2020 train a small KenLM n-gram model and rank "
+    "Common Crawl by perplexity); Laplace add-1 smoothing keeps every "
+    "probability a ratio of BIGINTs so the neg log-probs hash "
+    "cross-engine, and the (cap+1)²-bounded model table is a "
+    "broadcastable artifact",
+    oracle=lm_oracle_sql("documents"),
+)
 def lm_train_bigram(
     spark: SparkSession,
     sf_dir: str,
@@ -4353,9 +4364,7 @@ def lm_train_bigram(
     """Train a Laplace-smoothed bigram LM on the documents corpus and
     emit the top-K bigrams with their counts and smoothed neg
     log-probs — the model-table half of the CCNet-style perplexity
-    ranking story. UNREGISTERED round-10 preview (registry grew by its
-    two sanctioned entries this round); promotion is one @register
-    with oracle=lm_oracle_sql(). Output:
+    ranking story. Round-10 preview promoted in round 11. Output:
     (w1, w2, pair_cnt, ctx_cnt, neg_logp)."""
     v = f"__lm{next(_LM_SEQ)}"
     try:
@@ -4369,15 +4378,25 @@ def lm_train_bigram(
         _lm_drop_views(spark, v)
 
 
+@register(
+    "lm_score_perplexity",
+    survey="north-star text tier: bigram language-model SCORING — "
+    "per-document perplexity under the LM trained on the corpus "
+    "itself (train + apply self-contained, the BPE pair's two-operator "
+    "story); the learned upgrade of text_perplexity_proxy's unigram "
+    "cross-entropy, i.e. the signal CCNet filters Common Crawl with; "
+    "model broadcast onto the pair stream, ONE corpus shuffle (the "
+    "per-doc groupBy)",
+    oracle=lm_score_oracle_sql("documents"),
+)
 def lm_score_perplexity(
     spark: SparkSession, sf_dir: str, cap: int = _LM_VOCAB
 ) -> DataFrame:
     """Score every document's perplexity under the bigram LM trained
     on the corpus itself (train + apply self-contained) — the learned
     upgrade of text_perplexity_proxy's unigram cross-entropy, and the
-    quality signal CCNet ranks Common Crawl with. UNREGISTERED
-    round-10 preview (promotion = one @register with
-    oracle=lm_score_oracle_sql()). Output: (doc_id, n_bigrams, ppl);
+    quality signal CCNet ranks Common Crawl with. Round-10 preview
+    promoted in round 11. Output: (doc_id, n_bigrams, ppl);
     docs with <2 tokens have no bigrams and are absent."""
     v = f"__lm{next(_LM_SEQ)}"
     try:

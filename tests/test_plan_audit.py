@@ -144,6 +144,14 @@ AUDITED = [
     # partial-agg + TakeOrdered over the checkpointed symbol table.
     "bpe_train_merges",
     "bpe_encode_top_tokens",
+    # round 11 additions (the bigram-LM promotions). Builders run the
+    # materialized two-stage model chain at build time (vocab + bigram
+    # counts, cap-bounded). Probed plans: zero SortMergeJoin (the
+    # /*+ BROADCAST */ hints in the shared fragments take — trainer 1
+    # BHJ, scorer 4 BHJ), corpus shuffles only at the accounted
+    # groupBys (model count; per-doc mean).
+    "lm_train_bigram",
+    "lm_score_perplexity",
 ]
 
 # query -> flags it is ALLOWED to carry, with the reason pinned here.
@@ -218,6 +226,12 @@ ALLOWED = {
     # ntile + one-row total over the |customers| revenue table (the
     # report_rfm_scores accounted shape)
     "report_pareto_deciles": {"single_partition"},
+    # the one-row vsize scalar subquery (|vocab|+1 smoothing
+    # denominator) merges on a single partition; the trainer's final
+    # top-K sort runs over the (cap+1)²-bounded bigram table, never
+    # the corpus
+    "lm_train_bigram": {"single_partition"},
+    "lm_score_perplexity": {"single_partition"},
 }
 
 
