@@ -154,6 +154,7 @@ def load_all() -> dict[str, QuerySpec]:
         joins,
         scalars,
         textops,
+        tokenizers,
         streamingq,
         multimodalq,
         samplingq,

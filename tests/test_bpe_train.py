@@ -3,7 +3,7 @@
 The trainer's one nontrivial claim is that its relational merge step
 equals BPE's greedy leftmost non-overlapping merge (Sennrich et al.
 2016) — including the same-symbol-run overlap case where a string
-replace() loop diverges (see the module comment in textops.py). These
+replace() loop diverges (see the module comment in tokenizers.py). These
 tests pin the whole trainer, both engines, against an independent
 Python implementation of the standard algorithm:
 
@@ -20,7 +20,7 @@ from collections import Counter
 
 import pytest
 
-from nyc_traffic_insight_spark.queries.textops import (
+from nyc_traffic_insight_spark.queries.tokenizers import (
     _BPE_MAXLEN,
     _BPE_MERGES,
     _BPE_VOCAB,
@@ -29,9 +29,9 @@ from nyc_traffic_insight_spark.queries.textops import (
 )
 
 
-# ASCII-only case fold matching textops._BPE_UP/_BPE_LO: Python's
+# ASCII-only case fold matching tokenizers._BPE_UP/_BPE_LO: Python's
 # str.lower() full-Unicode case map diverges from DuckDB's utf8proc on
-# edges like U+0130 'İ' (see the _BPE_UP comment in textops.py), so
+# edges like U+0130 'İ' (see the _BPE_UP comment in tokenizers.py), so
 # the reference folds A-Z only, exactly like both engines' translate()
 _ASCII_FOLD = str.maketrans(
     "ABCDEFGHIJKLMNOPQRSTUVWXYZ", "abcdefghijklmnopqrstuvwxyz"
@@ -234,7 +234,7 @@ def test_empty_and_drained_corpora_agree_across_engines(spark, tmp_path):
         assert len(got) < _BPE_MERGES  # genuinely exercised the drain
         # the ENCODE chain must survive the drain (the empty best-table
         # left-join pass-through — a cross join here wiped the state)
-        from nyc_traffic_insight_spark.queries.textops import (
+        from nyc_traffic_insight_spark.queries.tokenizers import (
             bpe_encode_oracle_sql,
             bpe_encode_top_tokens,
         )
@@ -253,7 +253,7 @@ def _bpe_encode_ref(texts, top_k=None):
     """Reference application: train via _bpe_ref's algorithm, then
     segment EVERY word (len <= cap, no vocab cap) with the learned
     merges in rank order; return top-k (token, count)."""
-    from nyc_traffic_insight_spark.queries.textops import _BPE_TOP_TOKENS
+    from nyc_traffic_insight_spark.queries.tokenizers import _BPE_TOP_TOKENS
 
     top_k = top_k or _BPE_TOP_TOKENS
     wf = _bpe_wf_ref(texts)
@@ -283,7 +283,7 @@ def _bpe_encode_ref(texts, top_k=None):
 def test_encode_oracle_matches_python_reference(name):
     import duckdb
 
-    from nyc_traffic_insight_spark.queries.textops import bpe_encode_oracle_sql
+    from nyc_traffic_insight_spark.queries.tokenizers import bpe_encode_oracle_sql
 
     texts = CORPORA[name]
     con = duckdb.connect()
@@ -294,7 +294,7 @@ def test_encode_oracle_matches_python_reference(name):
 
 
 def test_encode_spark_matches_duckdb_on_testdata(spark):
-    from nyc_traffic_insight_spark.queries.textops import (
+    from nyc_traffic_insight_spark.queries.tokenizers import (
         bpe_encode_oracle_sql,
         bpe_encode_top_tokens,
     )
@@ -325,7 +325,7 @@ def test_merge_body_fuzz_vs_greedy_fold():
 
     import duckdb
 
-    from nyc_traffic_insight_spark.queries.textops import _bpe_merge_body
+    from nyc_traffic_insight_spark.queries.tokenizers import _bpe_merge_body
 
     rng = random.Random(23)
     rows = []

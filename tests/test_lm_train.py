@@ -22,7 +22,7 @@ from collections import Counter
 
 import pytest
 
-from nyc_traffic_insight_spark.queries.textops import (
+from nyc_traffic_insight_spark.queries.tokenizers import (
     _LM_TOPK,
     _LM_VOCAB,
     lm_oracle_sql,
@@ -287,7 +287,7 @@ def test_failed_chain_leaks_no_temp_views(spark, tmp_path):
     catalog views would pin their checkpointed frames for the session
     lifetime. Applies to all four BPE/LM builders via the shared
     try/finally shape; exercised on one of each family."""
-    from nyc_traffic_insight_spark.queries.textops import bpe_train_merges
+    from nyc_traffic_insight_spark.queries.tokenizers import bpe_train_merges
 
     empty = tmp_path / "no_tables"
     empty.mkdir()
