@@ -1,0 +1,267 @@
+"""SemDeDup preview (round 11): within-cluster cosine-threshold pruning.
+
+Three independent checks pin the UNREGISTERED dedup_semantic preview
+before its r12 promotion:
+
+1. a pure-Python reference (sequential-accumulation doubles, the exact
+   arithmetic both engines use) differentially fuzzed against the
+   DuckDB oracle text on random corpora;
+2. the same reference vs the SPARK frame (semdedup_frame) on a subset
+   of trials (Spark startup cost bounds the count);
+3. Spark vs DuckDB row-exact on the real testdata tables, driver-style
+   (the compare the r12 driver gate will run).
+
+Plus the keep-rule's algebraic properties (min id per cell always
+survives; threshold extremes; kept+pruned partitions the corpus).
+
+The reference computes dot products with a sequential left-to-right
+Python loop, NOT numpy.dot — numpy accumulates pairwise/SIMD and can
+differ in the last ulp, which is exactly the class of flap the
+engines' shared sequential accumulation avoids (textops._norm_dot).
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+import pandas as pd
+import pytest
+
+from nyc_traffic_insight_spark.queries.textops import (
+    _SEMDEDUP_THRESH,
+    dedup_semantic,
+    dedup_semantic_oracle_sql,
+    semdedup_frame,
+)
+from tests.conftest import SF_SMOKE
+from tests.oracle_utils import compare, duck_connect
+
+_DIM = 64  # the oracle text is generated for the embeddings schema
+
+
+def _r6(x: float) -> float:
+    """functions/rounding.r at scale 6 (floor-form, sign-restored)."""
+    mag = math.floor(abs(x) * 1e6 + 0.5) / 1e6
+    return -mag if x < 0 else mag
+
+
+def _seq_cos(a, b) -> float:
+    """Sequential-accumulation cosine — the engines' shared arithmetic."""
+    dot = 0.0
+    na = 0.0
+    nb = 0.0
+    for x, y in zip(a, b):
+        dot += float(x) * float(y)
+    for x in a:
+        na += float(x) * float(x)
+    for y in b:
+        nb += float(y) * float(y)
+    return dot / (math.sqrt(na) * math.sqrt(nb))
+
+
+def ref_semdedup(rows, thresh):
+    """Reference SemDeDup over [(vec_id, embedding, label), ...]:
+    label-mean centroids rounded floor-form 6dp, nearest-centroid
+    assignment (cos DESC, cell ASC), within-cell earlier-id witness."""
+    by_label: dict = {}
+    for _vid, emb, lab in rows:
+        by_label.setdefault(lab, []).append(emb)
+    cents = {}
+    for lab, vecs in by_label.items():
+        n = len(vecs)
+        cents[lab] = [
+            _r6(sum(float(v[i]) for v in vecs) / n) for i in range(len(vecs[0]))
+        ]
+    out = {}
+    assign = {}
+    for vid, emb, _lab in rows:
+        best = min(
+            ((-_seq_cos(emb, cv), cell) for cell, cv in cents.items())
+        )
+        assign[vid] = (best[1], emb)
+    for vid, (cell, emb) in assign.items():
+        dup_of = -1
+        for o_vid, (o_cell, o_emb) in assign.items():
+            if o_cell == cell and o_vid < vid and _seq_cos(o_emb, emb) > thresh:
+                dup_of = o_vid if dup_of == -1 else min(dup_of, o_vid)
+        out[vid] = (cell, dup_of == -1, dup_of)
+    return {
+        vid: {"cell": c, "is_kept": k, "dup_of": d}
+        for vid, (c, k, d) in out.items()
+    }
+
+
+def _random_corpus(rng, n, n_labels):
+    """Random embeddings table with planted near-duplicates so the
+    threshold actually fires (pure-random 64-dim cosines cluster near
+    0 and never cross 0.4)."""
+    rows = []
+    base = [
+        [rng.uniform(-1, 1) for _ in range(_DIM)] for _ in range(n_labels)
+    ]
+    for vid in range(n):
+        lab = rng.randrange(n_labels)
+        if rng.random() < 0.35 and rows:
+            # near-duplicate of an earlier row: same direction + noise
+            src = rng.choice(rows)[1]
+            emb = [v + rng.gauss(0, 0.05) for v in src]
+        else:
+            emb = [
+                base[lab][i] * 0.5 + rng.uniform(-1, 1) for i in range(_DIM)
+            ]
+        # float32-quantize like the parquet column so both engines and
+        # the reference see identical inputs
+        import struct
+
+        emb = [struct.unpack("f", struct.pack("f", v))[0] for v in emb]
+        rows.append((vid, emb, lab))
+    return rows
+
+
+def _duck_run(rows, thresh):
+    import duckdb
+
+    con = duckdb.connect()
+    df = pd.DataFrame(
+        {
+            "vec_id": [r[0] for r in rows],
+            "embedding": [[float(x) for x in r[1]] for r in rows],
+            "label": [r[2] for r in rows],
+        }
+    )
+    con.register("embeddings_pd", df)
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT CAST(vec_id AS BIGINT) AS vec_id,"
+        " CAST(embedding AS FLOAT[]) AS embedding,"
+        " CAST(label AS INTEGER) AS label FROM embeddings_pd"
+    )
+    return con.execute(dedup_semantic_oracle_sql(thresh=thresh)).fetchdf()
+
+
+def _assert_matches_ref(got: pd.DataFrame, ref: dict, label: str):
+    assert len(got) == len(ref), f"{label}: row count {len(got)} != {len(ref)}"
+    n_pruned = 0
+    for row in got.itertuples(index=False):
+        exp = ref[int(row.vec_id)]
+        assert int(row.cell) == exp["cell"], (label, row, exp)
+        assert bool(row.is_kept) == exp["is_kept"], (label, row, exp)
+        assert int(row.dup_of) == exp["dup_of"], (label, row, exp)
+        n_pruned += not exp["is_kept"]
+    return n_pruned
+
+
+def test_duckdb_oracle_matches_reference_fuzz():
+    """20-trial differential fuzz: oracle text vs the Python reference."""
+    total_pruned = 0
+    for trial in range(20):
+        rng = random.Random(1000 + trial)
+        rows = _random_corpus(rng, n=rng.randrange(20, 50), n_labels=4)
+        ref = ref_semdedup(rows, _SEMDEDUP_THRESH)
+        got = _duck_run(rows, _SEMDEDUP_THRESH)
+        total_pruned += _assert_matches_ref(got, ref, f"trial{trial}")
+    # the planted near-dups must actually exercise the prune branch
+    assert total_pruned > 20, f"fuzz too lax: only {total_pruned} prunes"
+
+
+def test_spark_frame_matches_reference(spark):
+    """Spark semdedup_frame vs the reference on 3 fuzz corpora, with
+    the centroid artifact computed by the reference rule."""
+    for trial in range(3):
+        rng = random.Random(2000 + trial)
+        rows = _random_corpus(rng, n=30, n_labels=3)
+        ref = ref_semdedup(rows, _SEMDEDUP_THRESH)
+        # reference-built centroids == what _ivf_centroids computes
+        by_label: dict = {}
+        for _vid, emb, lab in rows:
+            by_label.setdefault(lab, []).append(emb)
+        cells = sorted(
+            (
+                lab,
+                [
+                    _r6(sum(float(v[i]) for v in vecs) / len(vecs))
+                    for i in range(_DIM)
+                ],
+            )
+            for lab, vecs in by_label.items()
+        )
+        e = spark.createDataFrame(
+            [(vid, emb) for vid, emb, _ in rows],
+            "vec_id BIGINT, embedding ARRAY<FLOAT>",
+        )
+        got = semdedup_frame(e, cells, _SEMDEDUP_THRESH).toPandas()
+        _assert_matches_ref(got, ref, f"spark-trial{trial}")
+
+
+def test_spark_vs_duckdb_on_testdata(spark):
+    """Driver-style row-exact compare on the real embeddings table —
+    the exact check the r12 promotion's driver gate will run."""
+    spdf = dedup_semantic(spark, SF_SMOKE).toPandas()
+    con = duck_connect(SF_SMOKE)
+    odf = con.execute(dedup_semantic_oracle_sql()).fetchdf()
+    compare(spdf, odf, "dedup_semantic")
+    # preview sanity: the corpus partitions into kept + pruned, the
+    # threshold fires, and not everything is pruned
+    assert len(spdf) == 500
+    n_pruned = int((~spdf["is_kept"]).sum())
+    assert 0 < n_pruned < 100, n_pruned
+
+
+def test_min_id_per_cell_always_kept(spark):
+    """Algebraic keep-rule property: a cell's minimum vec_id can have
+    no earlier witness, so it must survive at ANY threshold."""
+    spdf = dedup_semantic(spark, SF_SMOKE, thresh=-2.0).toPandas()
+    mins = spdf.groupby("cell")["vec_id"].min()
+    kept_mins = spdf.set_index("vec_id").loc[mins.values, "is_kept"]
+    assert kept_mins.all()
+    # thresh=-2: cosine > -2 always holds, so ONLY the min per cell
+    # survives — the degenerate everything-is-a-dup corner
+    assert int(spdf["is_kept"].sum()) == spdf["cell"].nunique()
+    # and every pruned row's witness IS its cell's minimum id
+    pruned = spdf[~spdf["is_kept"]]
+    assert (
+        pruned["dup_of"].values == mins.loc[pruned["cell"]].values
+    ).all()
+
+
+def test_threshold_above_one_keeps_everything(spark):
+    """cosine ≤ 1 always, so thresh=1.01 prunes nothing."""
+    spdf = dedup_semantic(spark, SF_SMOKE, thresh=1.01).toPandas()
+    assert spdf["is_kept"].all()
+    assert (spdf["dup_of"] == -1).all()
+
+
+def test_identical_vectors_prune_to_min_id(spark):
+    """Planted exact duplicates: the min id survives, every copy is
+    pruned with dup_of = that min id."""
+    v = [0.5] * _DIM
+    w = [1.0 if i % 2 else -1.0 for i in range(_DIM)]
+    rows = [(7, v), (3, v), (11, v), (20, w)]
+    e = spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<FLOAT>")
+    cells = [(0, [0.1] * _DIM)]  # one cell: everything lands together
+    got = (
+        semdedup_frame(e, cells, 0.99)
+        .toPandas()
+        .set_index("vec_id")
+        .sort_index()
+    )
+    assert bool(got.loc[3, "is_kept"]) and got.loc[3, "dup_of"] == -1
+    for vid in (7, 11):
+        assert not bool(got.loc[vid, "is_kept"])
+        assert got.loc[vid, "dup_of"] == 3
+    # w is orthogonal-ish to v — cos(v, w) = 0 < 0.99 — so it survives
+    assert bool(got.loc[20, "is_kept"])
+
+
+def test_plan_is_bucketed_not_cartesian(spark):
+    """Scale-shape guard ahead of the r12 plan-audit row: assignment is
+    narrow (literal centroids), the pair join is an equi-join on cell —
+    no CartesianProduct, no per-row Python."""
+    plan = (
+        dedup_semantic(spark, SF_SMOKE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
