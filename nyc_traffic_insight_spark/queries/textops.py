@@ -764,6 +764,135 @@ def dedup_semantic_oracle_sql(
     """
 
 
+# ------------------- SSL-prototype filter (round-11 second preview)
+#
+# D4 (Tirumala et al. 2023, "D4: Improving LLM Pretraining via
+# Document De-Duplication and Diversification") runs TWO embedding
+# passes over the clustered corpus: SemDeDup (above) prunes
+# near-duplicate points, then "SSL Prototypes" (Sorscher et al. 2022)
+# prunes the points CLOSEST to their cluster centroid — the most
+# prototypical, least informative examples. This is that second pass,
+# on the same deterministic centroid artifact, so it also gets a FULL
+# value-hash oracle. Per-cell prune count is the floor-form tenth
+# floor(n_cell / 10.0) — floor, not ceil, so singleton cells keep
+# their vector; the count arithmetic is spelled identically in both
+# engines (the engine-portable floor(x/10.0) idiom).
+#
+# Scale shape: one narrow assignment pass (literal centroids, zero
+# shuffle), one groupBy(cell) for sizes (k-bounded result, broadcast
+# back), one window partitioned by cell — no pair join at all, so this
+# is strictly cheaper than the SemDeDup pass it follows.
+# UNREGISTERED round-11 preview; promotion sanctioned alongside
+# dedup_semantic for r12+.
+
+_PROTO_TENTH = 10.0  # prune floor(n_cell / 10) most-prototypical
+
+
+def proto_filter_frame(e: DataFrame, cells: list) -> DataFrame:
+    """Core prototype-filter pass over a (vec_id, embedding) frame
+    given the centroid artifact [(cell, cvec), ...]. Output:
+    (vec_id, cell, proto_cos, proto_rank, is_kept) — rank 1 is the
+    cell's most prototypical vector (ties by vec_id), and ranks
+    1..floor(n_cell/10) are pruned."""
+    from pyspark.sql import Window
+
+    cent_arr = F.array(
+        *[
+            F.struct(
+                F.lit(cell).alias("cell"),
+                F.array(*[F.lit(v) for v in vec]).alias("cvec"),
+            )
+            for cell, vec in cells
+        ]
+    )
+    scored = F.transform(
+        F.col("cells"),
+        lambda c: F.struct(
+            (-_norm_dot(F.col("embedding"), c["cvec"])).alias("negcos"),
+            c["cell"].alias("cell"),
+        ),
+    )
+    best = F.element_at(F.array_sort(scored), 1)
+    assign = e.withColumn("cells", cent_arr).select(
+        "vec_id",
+        best["cell"].cast("int").alias("cell"),
+        (-best["negcos"]).alias("cos_raw"),
+    )
+    sizes = assign.groupBy("cell").agg(F.count(F.lit(1)).alias("n_cell"))
+    w = Window.partitionBy("cell").orderBy(F.desc("cos_raw"), F.col("vec_id"))
+    return (
+        assign.withColumn("proto_rank", F.row_number().over(w))
+        .join(F.broadcast(sizes), "cell")
+        .select(
+            F.col("vec_id").cast("bigint").alias("vec_id"),
+            "cell",
+            _r("cos_raw", 4).alias("proto_cos"),
+            F.col("proto_rank").cast("int").alias("proto_rank"),
+            (
+                F.col("proto_rank")
+                > F.floor(F.col("n_cell") / F.lit(_PROTO_TENTH)).cast("long")
+            ).alias("is_kept"),
+        )
+    )
+
+
+def emb_prototypes_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SSL-prototype pruning over the embeddings table: within each
+    centroid cell, drop the floor(10%) of vectors closest to the
+    centroid. UNREGISTERED round-11 preview (promotion = one @register
+    with oracle=emb_prototypes_oracle_sql())."""
+    return proto_filter_frame(
+        _embs(spark, sf_dir), _ivf_centroids(spark, sf_dir)
+    )
+
+
+def emb_prototypes_oracle_sql(table: str = "embeddings") -> str:
+    """emb_prototypes_filter as one DuckDB text — the shared centroid
+    chain plus the per-cell prototypicality window."""
+    return f"""
+    WITH comp AS (
+      SELECT vec_id, label, i + 1 AS pos,
+             CAST(embedding[i + 1] AS DOUBLE) AS v
+      FROM {table}, (SELECT unnest(range(0, {_DIM})) AS i)
+    ),
+    cent AS (
+      SELECT label, pos, round(avg(v), 6) AS c
+      FROM comp GROUP BY 1, 2
+    ),
+    centroids AS (
+      SELECT label AS cell, list(c ORDER BY pos) AS cvec
+      FROM cent GROUP BY label
+    ),
+    assign AS (
+      SELECT vec_id, cell, cos_raw FROM (
+        SELECT e.vec_id, c.cell,
+               list_cosine_similarity(e.embedding::DOUBLE[], c.cvec)
+                 AS cos_raw,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cvec)
+                          DESC, c.cell) AS rn
+        FROM {table} e, centroids c
+      ) WHERE rn = 1
+    ),
+    sized AS (SELECT cell, count(*) AS n_cell FROM assign GROUP BY 1),
+    ranked AS (
+      SELECT vec_id, cell, cos_raw,
+             row_number() OVER (
+               PARTITION BY cell ORDER BY cos_raw DESC, vec_id)
+               AS proto_rank
+      FROM assign
+    )
+    SELECT CAST(r.vec_id AS BIGINT) AS vec_id,
+           CAST(r.cell AS INTEGER) AS cell,
+           round(r.cos_raw, 4) AS proto_cos,
+           CAST(r.proto_rank AS INTEGER) AS proto_rank,
+           (r.proto_rank >
+              CAST(floor(s.n_cell / {_PROTO_TENTH}) AS BIGINT)) AS is_kept
+    FROM ranked r JOIN sized s ON r.cell = s.cell
+    """
+
+
 @register(
     "sim_search_bruteforce_topk",
     survey="north-star: brute-force cosine top-k ANN baseline",
