@@ -175,3 +175,38 @@ def test_plan_is_window_not_pairjoin(spark):
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
     assert "SortMergeJoin" not in plan  # sizes join must broadcast
+
+
+def test_spark_output_is_input_order_insensitive(spark):
+    """Same corpus shuffled/repartitioned → identical row set (ranks,
+    kept flags, rounded cos) — partition-order independence of the
+    per-cell window and the size join."""
+    from pyspark.sql import functions as F
+
+    from nyc_traffic_insight_spark.queries.textops import (
+        _embs,
+        _ivf_centroids,
+    )
+
+    base = sorted(
+        map(
+            tuple,
+            emb_prototypes_filter(spark, SF_SMOKE)
+            .toPandas()
+            .itertuples(index=False),
+        )
+    )
+    shuffled = (
+        _embs(spark, SF_SMOKE)
+        .orderBy(F.md5(F.col("vec_id").cast("string")))
+        .repartition(7)
+    )
+    again = sorted(
+        map(
+            tuple,
+            proto_filter_frame(shuffled, _ivf_centroids(spark, SF_SMOKE))
+            .toPandas()
+            .itertuples(index=False),
+        )
+    )
+    assert base == again

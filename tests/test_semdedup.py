@@ -27,6 +27,7 @@ import random
 
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 
 from nyc_traffic_insight_spark.queries.textops import (
     _SEMDEDUP_THRESH,
@@ -265,3 +266,88 @@ def test_plan_is_bucketed_not_cartesian(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_keep_rule_monotone_under_higher_id_inserts():
+    """Keep-rule algebra (pure reference, which the engine checks above
+    tie to both engines): with a FIXED centroid set, adding a vector
+    with a HIGHER id can never change an earlier vector's cell,
+    kept-status, or witness — the witness relation only looks at
+    smaller ids. (Does not hold for the full pipeline, where a new
+    vector moves the label centroids; the frame-level contract is what
+    incremental ingestion would rely on.)"""
+    for trial in range(10):
+        rng = random.Random(5000 + trial)
+        rows = _random_corpus(rng, n=25, n_labels=3)
+        # fixed centroids from the label means of the BASE corpus
+        by_label: dict = {}
+        for _vid, emb, lab in rows:
+            by_label.setdefault(lab, []).append(emb)
+        cents = {
+            lab: [
+                _r6(sum(float(v[i]) for v in vecs) / len(vecs))
+                for i in range(_DIM)
+            ]
+            for lab, vecs in by_label.items()
+        }
+
+        def ref_fixed(rs):
+            assign = {}
+            for vid, emb, _lab in rs:
+                best = min(
+                    ((-_seq_cos(emb, cv), cell) for cell, cv in cents.items())
+                )
+                assign[vid] = (best[1], emb)
+            out = {}
+            for vid, (cell, emb) in assign.items():
+                dup = [
+                    o
+                    for o, (oc, oe) in assign.items()
+                    if oc == cell and o < vid
+                    and _seq_cos(oe, emb) > _SEMDEDUP_THRESH
+                ]
+                out[vid] = (cell, not dup, min(dup) if dup else -1)
+            return out
+
+        base = ref_fixed(rows)
+        extra = rows + [
+            (
+                1000 + j,
+                rng.choice(rows)[1],
+                rng.randrange(3),
+            )
+            for j in range(3)
+        ]
+        grown = ref_fixed(extra)
+        for vid, _emb, _lab in rows:
+            assert grown[vid] == base[vid], (trial, vid)
+
+
+def test_spark_output_is_input_order_insensitive(spark):
+    """The driver hash is order-insensitive but VALUE-exact: the same
+    corpus shuffled/repartitioned must produce the identical row set —
+    the property that would break if any per-row decision picked up
+    accumulation-order or partition-order dependence."""
+    e = dedup_semantic(spark, SF_SMOKE)
+    base = sorted(map(tuple, e.toPandas().itertuples(index=False)))
+    from nyc_traffic_insight_spark.queries.textops import (
+        _embs,
+        _ivf_centroids,
+    )
+
+    shuffled = (
+        _embs(spark, SF_SMOKE)
+        .orderBy(F.md5(F.col("vec_id").cast("string")))
+        .repartition(7)
+    )
+    again = sorted(
+        map(
+            tuple,
+            semdedup_frame(
+                shuffled, _ivf_centroids(spark, SF_SMOKE), _SEMDEDUP_THRESH
+            )
+            .toPandas()
+            .itertuples(index=False),
+        )
+    )
+    assert base == again
