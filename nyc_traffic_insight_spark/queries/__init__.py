@@ -155,6 +155,7 @@ def load_all() -> dict[str, QuerySpec]:
         scalars,
         textops,
         tokenizers,
+        embcurate,  # registers nothing until the r12 promotion
         streamingq,
         multimodalq,
         samplingq,

@@ -601,297 +601,6 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# ------------------------- SemDeDup (round-11 preview)
-#
-# dedup_embedding_cosine is the brute-force O(n²) recall baseline;
-# SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
-# web-scale through semantic deduplication") is the production shape
-# modern pretraining pipelines actually run: cluster the embeddings
-# with a coarse quantizer, then prune near-duplicates WITHIN each
-# cluster only — the pair cost drops from O(n²) to Σ|cell|², bounded
-# by construction when k scales with the corpus (the paper runs
-# k≈110k on LAION; here k=|labels|=10 at test SF). This preview
-# composes the two machines the catalog already trusts: the
-# deterministic label-derived centroid artifact of sim_search_ivf_topk
-# (per-component mean rounded 6dp — both engines hold bit-identical
-# centroids, so the FULL pipeline gets a value-hash oracle, no
-# contract-audit fallback needed) and dedup_embedding_cosine's
-# raw-double cosine-threshold compare (bit-identical sequential
-# accumulation, proven across rounds).
-#
-# Keep rule (deterministic, the paper keeps a random point per dup
-# group): a vector is PRUNED iff some SAME-CELL vector with a SMALLER
-# vec_id sits above the cosine threshold — so every cell's minimum id
-# always survives, ties cannot flap, and the pairwise rule needs no
-# iterative closure (unlike dedup_connected_components).
-#
-# Scale shape: assignment is the NARROW literal-centroid array_sort
-# (zero shuffle, zero broadcast jobs — the sim_search_ivf_topk r4
-# rework); the only corpus shuffles are the self-equi-join on cell
-# (the bucketing SemDeDup exists to create) and the per-vector witness
-# groupBy. UNREGISTERED round-11 preview; promotion (one @register
-# with oracle=dedup_semantic_oracle_sql()) sanctioned for r12.
-
-_SEMDEDUP_THRESH = 0.4  # same near-dup line as dedup_embedding_cosine
-
-
-def semdedup_frame(e: DataFrame, cells: list, thresh: float) -> DataFrame:
-    """Core SemDeDup pass over a (vec_id, embedding) frame given the
-    centroid index artifact [(cell, cvec), ...] (tested directly by
-    the numpy differential fuzz in tests/test_semdedup.py). Output:
-    (vec_id, cell, is_kept, dup_of) — one row per input vector,
-    dup_of = min same-cell earlier id above thresh, -1 when kept."""
-    def _assigned() -> DataFrame:
-        # Narrow assignment: score all k cells in-row, sort by
-        # (-cos, cell) — the exact tie-break the oracle's window spells
-        # as ORDER BY cos DESC, cell (negating a double is exact).
-        # Built FRESH per join side: higher-order-function lambda
-        # variables carry expression ids, and reusing one plan object
-        # on both sides of the self-join below makes Catalyst's branch
-        # dedup lose the inner lambda refs at bind time
-        # (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND on uncached inputs).
-        cent_arr = F.array(
-            *[
-                F.struct(
-                    F.lit(cell).alias("cell"),
-                    F.array(*[F.lit(v) for v in vec]).alias("cvec"),
-                )
-                for cell, vec in cells
-            ]
-        )
-        scored = F.transform(
-            F.col("cells"),
-            lambda c: F.struct(
-                (-_norm_dot(F.col("embedding"), c["cvec"])).alias("negcos"),
-                c["cell"].alias("cell"),
-            ),
-        )
-        return e.withColumn("cells", cent_arr).select(
-            "vec_id",
-            "embedding",
-            F.element_at(F.array_sort(scored), 1)["cell"]
-            .cast("int")
-            .alias("cell"),
-        )
-
-    assign = _assigned()
-    # Within-cell witness search: equi-join on cell (bucketed by
-    # construction), keep earlier-id pairs above the threshold, take
-    # the MINIMUM witness per pruned vector (deterministic dup_of).
-    a = _assigned().alias("a")
-    b = _assigned().alias("b")
-    wit = (
-        b.join(a, F.col("a.cell") == F.col("b.cell"))
-        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
-        .select(
-            F.col("b.vec_id").alias("vec_id"),
-            F.col("a.vec_id").alias("a_id"),
-            _norm_dot(F.col("a.embedding"), F.col("b.embedding")).alias(
-                "cos_raw"
-            ),
-        )
-        .filter(F.col("cos_raw") > F.lit(float(thresh)))
-        .groupBy("vec_id")
-        .agg(F.min("a_id").alias("dup_of_raw"))
-    )
-    return (
-        assign.join(wit, "vec_id", "left")
-        .select(
-            F.col("vec_id").cast("bigint").alias("vec_id"),
-            "cell",
-            F.col("dup_of_raw").isNull().alias("is_kept"),
-            F.coalesce(F.col("dup_of_raw"), F.lit(-1))
-            .cast("bigint")
-            .alias("dup_of"),
-        )
-    )
-
-
-def dedup_semantic(
-    spark: SparkSession, sf_dir: str, thresh: float = _SEMDEDUP_THRESH
-) -> DataFrame:
-    """SemDeDup over the embeddings table: cluster by the label-derived
-    centroid artifact, prune within-cluster cosine near-duplicates,
-    keep the minimum vec_id. UNREGISTERED round-11 preview (promotion
-    = one @register with oracle=dedup_semantic_oracle_sql())."""
-    return semdedup_frame(
-        _embs(spark, sf_dir), _ivf_centroids(spark, sf_dir), thresh
-    )
-
-
-def dedup_semantic_oracle_sql(
-    table: str = "embeddings", thresh: float = _SEMDEDUP_THRESH
-) -> str:
-    """dedup_semantic as one DuckDB text — the sim_search_ivf_topk
-    centroid/assignment chain plus the within-cell witness join."""
-    return f"""
-    WITH comp AS (
-      SELECT vec_id, label, i + 1 AS pos,
-             CAST(embedding[i + 1] AS DOUBLE) AS v
-      FROM {table}, (SELECT unnest(range(0, {_DIM})) AS i)
-    ),
-    cent AS (
-      SELECT label, pos, round(avg(v), 6) AS c
-      FROM comp GROUP BY 1, 2
-    ),
-    centroids AS (
-      SELECT label AS cell, list(c ORDER BY pos) AS cvec
-      FROM cent GROUP BY label
-    ),
-    assign AS (
-      SELECT vec_id, cell, embedding FROM (
-        SELECT e.vec_id, c.cell, e.embedding,
-               row_number() OVER (
-                 PARTITION BY e.vec_id
-                 ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cvec)
-                          DESC, c.cell) AS rn
-        FROM {table} e, centroids c
-      ) WHERE rn = 1
-    ),
-    wit AS (
-      SELECT b.vec_id, min(a.vec_id) AS dup_of_raw
-      FROM assign b JOIN assign a
-        ON a.cell = b.cell AND a.vec_id < b.vec_id
-      WHERE list_cosine_similarity(a.embedding::DOUBLE[],
-                                   b.embedding::DOUBLE[]) > {thresh}
-      GROUP BY b.vec_id
-    )
-    SELECT CAST(s.vec_id AS BIGINT) AS vec_id,
-           CAST(s.cell AS INTEGER) AS cell,
-           (w.vec_id IS NULL) AS is_kept,
-           CAST(coalesce(w.dup_of_raw, -1) AS BIGINT) AS dup_of
-    FROM assign s LEFT JOIN wit w ON s.vec_id = w.vec_id
-    """
-
-
-# ------------------- SSL-prototype filter (round-11 second preview)
-#
-# D4 (Tirumala et al. 2023, "D4: Improving LLM Pretraining via
-# Document De-Duplication and Diversification") runs TWO embedding
-# passes over the clustered corpus: SemDeDup (above) prunes
-# near-duplicate points, then "SSL Prototypes" (Sorscher et al. 2022)
-# prunes the points CLOSEST to their cluster centroid — the most
-# prototypical, least informative examples. This is that second pass,
-# on the same deterministic centroid artifact, so it also gets a FULL
-# value-hash oracle. Per-cell prune count is the floor-form tenth
-# floor(n_cell / 10.0) — floor, not ceil, so singleton cells keep
-# their vector; the count arithmetic is spelled identically in both
-# engines (the engine-portable floor(x/10.0) idiom).
-#
-# Scale shape: one narrow assignment pass (literal centroids, zero
-# shuffle), one groupBy(cell) for sizes (k-bounded result, broadcast
-# back), one window partitioned by cell — no pair join at all, so this
-# is strictly cheaper than the SemDeDup pass it follows.
-# UNREGISTERED round-11 preview; promotion sanctioned alongside
-# dedup_semantic for r12+.
-
-_PROTO_TENTH = 10.0  # prune floor(n_cell / 10) most-prototypical
-
-
-def proto_filter_frame(e: DataFrame, cells: list) -> DataFrame:
-    """Core prototype-filter pass over a (vec_id, embedding) frame
-    given the centroid artifact [(cell, cvec), ...]. Output:
-    (vec_id, cell, proto_cos, proto_rank, is_kept) — rank 1 is the
-    cell's most prototypical vector (ties by vec_id), and ranks
-    1..floor(n_cell/10) are pruned."""
-    from pyspark.sql import Window
-
-    cent_arr = F.array(
-        *[
-            F.struct(
-                F.lit(cell).alias("cell"),
-                F.array(*[F.lit(v) for v in vec]).alias("cvec"),
-            )
-            for cell, vec in cells
-        ]
-    )
-    scored = F.transform(
-        F.col("cells"),
-        lambda c: F.struct(
-            (-_norm_dot(F.col("embedding"), c["cvec"])).alias("negcos"),
-            c["cell"].alias("cell"),
-        ),
-    )
-    best = F.element_at(F.array_sort(scored), 1)
-    assign = e.withColumn("cells", cent_arr).select(
-        "vec_id",
-        best["cell"].cast("int").alias("cell"),
-        (-best["negcos"]).alias("cos_raw"),
-    )
-    sizes = assign.groupBy("cell").agg(F.count(F.lit(1)).alias("n_cell"))
-    w = Window.partitionBy("cell").orderBy(F.desc("cos_raw"), F.col("vec_id"))
-    return (
-        assign.withColumn("proto_rank", F.row_number().over(w))
-        .join(F.broadcast(sizes), "cell")
-        .select(
-            F.col("vec_id").cast("bigint").alias("vec_id"),
-            "cell",
-            _r("cos_raw", 4).alias("proto_cos"),
-            F.col("proto_rank").cast("int").alias("proto_rank"),
-            (
-                F.col("proto_rank")
-                > F.floor(F.col("n_cell") / F.lit(_PROTO_TENTH)).cast("long")
-            ).alias("is_kept"),
-        )
-    )
-
-
-def emb_prototypes_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SSL-prototype pruning over the embeddings table: within each
-    centroid cell, drop the floor(10%) of vectors closest to the
-    centroid. UNREGISTERED round-11 preview (promotion = one @register
-    with oracle=emb_prototypes_oracle_sql())."""
-    return proto_filter_frame(
-        _embs(spark, sf_dir), _ivf_centroids(spark, sf_dir)
-    )
-
-
-def emb_prototypes_oracle_sql(table: str = "embeddings") -> str:
-    """emb_prototypes_filter as one DuckDB text — the shared centroid
-    chain plus the per-cell prototypicality window."""
-    return f"""
-    WITH comp AS (
-      SELECT vec_id, label, i + 1 AS pos,
-             CAST(embedding[i + 1] AS DOUBLE) AS v
-      FROM {table}, (SELECT unnest(range(0, {_DIM})) AS i)
-    ),
-    cent AS (
-      SELECT label, pos, round(avg(v), 6) AS c
-      FROM comp GROUP BY 1, 2
-    ),
-    centroids AS (
-      SELECT label AS cell, list(c ORDER BY pos) AS cvec
-      FROM cent GROUP BY label
-    ),
-    assign AS (
-      SELECT vec_id, cell, cos_raw FROM (
-        SELECT e.vec_id, c.cell,
-               list_cosine_similarity(e.embedding::DOUBLE[], c.cvec)
-                 AS cos_raw,
-               row_number() OVER (
-                 PARTITION BY e.vec_id
-                 ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cvec)
-                          DESC, c.cell) AS rn
-        FROM {table} e, centroids c
-      ) WHERE rn = 1
-    ),
-    sized AS (SELECT cell, count(*) AS n_cell FROM assign GROUP BY 1),
-    ranked AS (
-      SELECT vec_id, cell, cos_raw,
-             row_number() OVER (
-               PARTITION BY cell ORDER BY cos_raw DESC, vec_id)
-               AS proto_rank
-      FROM assign
-    )
-    SELECT CAST(r.vec_id AS BIGINT) AS vec_id,
-           CAST(r.cell AS INTEGER) AS cell,
-           round(r.cos_raw, 4) AS proto_cos,
-           CAST(r.proto_rank AS INTEGER) AS proto_rank,
-           (r.proto_rank >
-              CAST(floor(s.n_cell / {_PROTO_TENTH}) AS BIGINT)) AS is_kept
-    FROM ranked r JOIN sized s ON r.cell = s.cell
-    """
-
 
 @register(
     "sim_search_bruteforce_topk",

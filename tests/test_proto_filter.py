@@ -15,7 +15,7 @@ import random
 
 import pandas as pd
 
-from nyc_traffic_insight_spark.queries.textops import (
+from nyc_traffic_insight_spark.queries.embcurate import (
     emb_prototypes_filter,
     emb_prototypes_oracle_sql,
     proto_filter_frame,

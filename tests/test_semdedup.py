@@ -29,7 +29,7 @@ import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
-from nyc_traffic_insight_spark.queries.textops import (
+from nyc_traffic_insight_spark.queries.embcurate import (
     _SEMDEDUP_THRESH,
     dedup_semantic,
     dedup_semantic_oracle_sql,
