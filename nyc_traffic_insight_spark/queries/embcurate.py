@@ -145,11 +145,13 @@ def dedup_semantic(
     )
 
 
-def dedup_semantic_oracle_sql(
-    table: str = "embeddings", thresh: float = _SEMDEDUP_THRESH
-) -> str:
-    """dedup_semantic as one DuckDB text — the sim_search_ivf_topk
-    centroid/assignment chain plus the within-cell witness join."""
+def _centroid_assign_cte(table: str) -> str:
+    """The shared centroid-build + nearest-cell assignment WITH-chain
+    every oracle in this module opens with (ONE text, three oracles —
+    the shared-fragment doctrine). `assign` carries vec_id, cell, the
+    raw embedding (for pair cosines) and cos_raw, the vector's cosine
+    to its OWN centroid (the prototypicality score — unchanged by any
+    downstream filtering, since the centroids are a fixed artifact)."""
     return f"""
     WITH comp AS (
       SELECT vec_id, label, i + 1 AS pos,
@@ -165,15 +167,22 @@ def dedup_semantic_oracle_sql(
       FROM cent GROUP BY label
     ),
     assign AS (
-      SELECT vec_id, cell, embedding FROM (
+      SELECT vec_id, cell, embedding, cos_raw FROM (
         SELECT e.vec_id, c.cell, e.embedding,
+               list_cosine_similarity(e.embedding::DOUBLE[], c.cvec)
+                 AS cos_raw,
                row_number() OVER (
                  PARTITION BY e.vec_id
                  ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cvec)
                           DESC, c.cell) AS rn
         FROM {table} e, centroids c
       ) WHERE rn = 1
-    ),
+    )"""
+
+
+def _semdedup_wit_cte(thresh: float) -> str:
+    """The within-cell earlier-id witness search over `assign`."""
+    return f"""
     wit AS (
       SELECT b.vec_id, min(a.vec_id) AS dup_of_raw
       FROM assign b JOIN assign a
@@ -181,13 +190,26 @@ def dedup_semantic_oracle_sql(
       WHERE list_cosine_similarity(a.embedding::DOUBLE[],
                                    b.embedding::DOUBLE[]) > {thresh}
       GROUP BY b.vec_id
-    )
+    )"""
+
+
+def dedup_semantic_oracle_sql(
+    table: str = "embeddings", thresh: float = _SEMDEDUP_THRESH
+) -> str:
+    """dedup_semantic as one DuckDB text — the shared centroid/assign
+    chain plus the within-cell witness join."""
+    return (
+        _centroid_assign_cte(table)
+        + ","
+        + _semdedup_wit_cte(thresh)
+        + """
     SELECT CAST(s.vec_id AS BIGINT) AS vec_id,
            CAST(s.cell AS INTEGER) AS cell,
            (w.vec_id IS NULL) AS is_kept,
            CAST(coalesce(w.dup_of_raw, -1) AS BIGINT) AS dup_of
     FROM assign s LEFT JOIN wit w ON s.vec_id = w.vec_id
     """
+    )
 
 
 # ------------------- SSL-prototype filter (round-11 second preview)
@@ -275,32 +297,9 @@ def emb_prototypes_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 def emb_prototypes_oracle_sql(table: str = "embeddings") -> str:
     """emb_prototypes_filter as one DuckDB text — the shared centroid
     chain plus the per-cell prototypicality window."""
-    return f"""
-    WITH comp AS (
-      SELECT vec_id, label, i + 1 AS pos,
-             CAST(embedding[i + 1] AS DOUBLE) AS v
-      FROM {table}, (SELECT unnest(range(0, {_DIM})) AS i)
-    ),
-    cent AS (
-      SELECT label, pos, round(avg(v), 6) AS c
-      FROM comp GROUP BY 1, 2
-    ),
-    centroids AS (
-      SELECT label AS cell, list(c ORDER BY pos) AS cvec
-      FROM cent GROUP BY label
-    ),
-    assign AS (
-      SELECT vec_id, cell, cos_raw FROM (
-        SELECT e.vec_id, c.cell,
-               list_cosine_similarity(e.embedding::DOUBLE[], c.cvec)
-                 AS cos_raw,
-               row_number() OVER (
-                 PARTITION BY e.vec_id
-                 ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cvec)
-                          DESC, c.cell) AS rn
-        FROM {table} e, centroids c
-      ) WHERE rn = 1
-    ),
+    return (
+        _centroid_assign_cte(table)
+        + f""",
     sized AS (SELECT cell, count(*) AS n_cell FROM assign GROUP BY 1),
     ranked AS (
       SELECT vec_id, cell, cos_raw,
@@ -317,4 +316,98 @@ def emb_prototypes_oracle_sql(table: str = "embeddings") -> str:
               CAST(floor(s.n_cell / {_PROTO_TENTH}) AS BIGINT)) AS is_kept
     FROM ranked r JOIN sized s ON r.cell = s.cell
     """
+    )
+
+
+# ------------- composed D4 pipeline (round-11 preview, third entry)
+#
+# The operator a user actually runs: SemDeDup prune, THEN the
+# SSL-prototype prune on the SURVIVORS — D4's two stages composed
+# end-to-end (the paper applies them in exactly this order; the
+# prototype pass's per-cell counts and ranks are over the deduped
+# set, so the composition is NOT the intersection of the two
+# standalone filters). One row per ORIGINAL vector with per-stage
+# verdicts, so downstream auditing can attribute every drop.
+#
+# The prototypicality score (cos to own centroid) is computed once in
+# the shared assignment — filtering survivors cannot change it because
+# the centroid artifact is fixed — so the composed oracle is the same
+# shared CTE chain with the witness CTE and the window re-scoped to
+# survivors. Scale shape: the union of the two stages' shapes, nothing
+# new (one pair equi-join on cell + one window on cell).
+
+
+def pipeline_d4_curation(
+    spark: SparkSession, sf_dir: str, thresh: float = _SEMDEDUP_THRESH
+) -> DataFrame:
+    """D4 end-to-end over the embeddings table. Output one row per
+    input vector: (vec_id, cell, semdedup_kept, proto_rank, is_kept) —
+    proto_rank is the rank AMONG SURVIVORS (-1 for semdedup-pruned
+    vectors), is_kept = survived both stages. UNREGISTERED round-11
+    preview (promotion = one @register with
+    oracle=d4_oracle_sql())."""
+    e = _embs(spark, sf_dir)
+    cells = _ivf_centroids(spark, sf_dir)
+    sd = semdedup_frame(e, cells, thresh)
+    survivors = e.join(
+        sd.filter(F.col("is_kept")).select("vec_id"), "vec_id"
+    )
+    pf = proto_filter_frame(survivors, cells).select(
+        "vec_id",
+        F.col("proto_rank").alias("pr"),
+        F.col("is_kept").alias("proto_kept"),
+    )
+    return (
+        sd.select(
+            "vec_id", "cell", F.col("is_kept").alias("semdedup_kept")
+        )
+        .join(pf, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cell",
+            "semdedup_kept",
+            F.coalesce(F.col("pr"), F.lit(-1)).cast("int").alias(
+                "proto_rank"
+            ),
+            F.coalesce(F.col("proto_kept"), F.lit(False)).alias("is_kept"),
+        )
+    )
+
+
+def d4_oracle_sql(
+    table: str = "embeddings", thresh: float = _SEMDEDUP_THRESH
+) -> str:
+    """pipeline_d4_curation as one DuckDB text — the shared chain, the
+    witness CTE, then the prototype window re-scoped to survivors."""
+    return (
+        _centroid_assign_cte(table)
+        + ","
+        + _semdedup_wit_cte(thresh)
+        + f""",
+    sd AS (
+      SELECT a.vec_id, a.cell, a.cos_raw,
+             (w.vec_id IS NULL) AS semdedup_kept
+      FROM assign a LEFT JOIN wit w ON a.vec_id = w.vec_id
+    ),
+    surv AS (SELECT * FROM sd WHERE semdedup_kept),
+    sized AS (SELECT cell, count(*) AS n_cell FROM surv GROUP BY 1),
+    ranked AS (
+      SELECT vec_id, cell,
+             row_number() OVER (
+               PARTITION BY cell ORDER BY cos_raw DESC, vec_id)
+               AS proto_rank
+      FROM surv
+    )
+    SELECT CAST(s.vec_id AS BIGINT) AS vec_id,
+           CAST(s.cell AS INTEGER) AS cell,
+           s.semdedup_kept,
+           CAST(coalesce(r.proto_rank, -1) AS INTEGER) AS proto_rank,
+           coalesce(r.proto_rank >
+                      CAST(floor(z.n_cell / {_PROTO_TENTH}) AS BIGINT),
+                    FALSE) AS is_kept
+    FROM sd s
+    LEFT JOIN ranked r ON s.vec_id = r.vec_id
+    LEFT JOIN sized z ON r.cell = z.cell
+    """
+    )
 
