@@ -715,10 +715,12 @@ def bpe_encode_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 # vocabulary cap breaks ties (count DESC, word ASC); Laplace add-1
 # keeps every probability a ratio of INTEGERS, so neg log-probs are
 # ln(bigint) - ln(bigint) — cross-engine to the last ulp — and the
-# only order-dependent accumulation (the per-doc mean) is rounded
-# floor-form at 4 decimals per the catalog convention (_lm_r4; the
-# arguments are strictly positive so the unsigned floor form is
-# exact).
+# per-doc mean is ORDER-FREE: each pair's neg log-prob is quantized
+# to integer 1e-6 ticks and summed as BIGINT (exact, associative;
+# ADVICE r11 — avg(double) would depend on partition order and could
+# flake the hash on a 4dp boundary), then one double division + exp +
+# the floor-form 4dp round (_lm_r4; all values strictly positive so
+# the unsigned floor form is exact).
 #
 # Scale shape: vocab and the bigram table are CAP-BOUNDED —
 # ≤ _LM_VOCAB + 1 context rows and ≤ (_LM_VOCAB + 1)² bigram rows no
@@ -829,11 +831,24 @@ def _lm_score_select(mpairs: str, bg: str, ctx: str, vsize: str) -> str:
     Inner joins are total by construction — the model was trained on
     this corpus, so every scored pair exists in it. Documents with
     fewer than two tokens have no bigrams and are (definitionally)
-    absent from the output."""
+    absent from the output.
+
+    The per-doc mean is ORDER-FREE by construction (ADVICE r11): each
+    pair's neg log-prob — already cross-engine exact, ln(bigint) -
+    ln(bigint) — is quantized to integer 1e-6 ticks (unsigned floor
+    form; the value is strictly positive) and the doc accumulates a
+    BIGINT tick sum, which is associative/commutative exactly, unlike
+    avg(double) whose result depends on partition order. The mean in
+    tick space is then one double division and exp, identical in both
+    engines because the integer inputs are identical. The 1e6 tick
+    (≲5e7 ticks/pair) keeps even a billion-bigram document well
+    inside BIGINT; the 1e-6 quantization error per pair is three
+    orders below the 4dp output rounding."""
+    ticks = f"CAST(floor(({_lm_neglogp(vsize)}) * 1e6 + 0.5) AS BIGINT)"
     return (
         "SELECT /*+ BROADCAST(b, c) */ "
         "m.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams, "
-        f"{_lm_r4('exp(avg(' + _lm_neglogp(vsize) + '))')} AS ppl "
+        f"{_lm_r4(f'exp(sum({ticks}) / (count(*) * 1e6))')} AS ppl "
         f"FROM {mpairs} m JOIN {bg} b ON m.w1 = b.w1 AND m.w2 = b.w2 "
         f"JOIN {ctx} c ON m.w1 = c.w1 "
         "GROUP BY m.doc_id"

@@ -87,11 +87,27 @@ def _lm_score_ref(texts, cap):
     for doc_id, toks in enumerate(mapped):
         if len(toks) < 2:
             continue
-        nlps = [
-            math.log(ctx[toks[i]] + vs) - math.log(bg[(toks[i], toks[i + 1])] + 1)
+        # integer-tick accumulation, matching _lm_score_select's
+        # order-free BIGINT sum (ADVICE r11): quantize each pair's neg
+        # log-prob to 1e-6 ticks, sum exactly, divide once
+        ticks = [
+            math.floor(
+                (
+                    math.log(ctx[toks[i]] + vs)
+                    - math.log(bg[(toks[i], toks[i + 1])] + 1)
+                )
+                * 1e6
+                + 0.5
+            )
             for i in range(len(toks) - 1)
         ]
-        out.append((doc_id, len(nlps), _r4(math.exp(sum(nlps) / len(nlps)))))
+        out.append(
+            (
+                doc_id,
+                len(ticks),
+                _r4(math.exp(sum(ticks) / (len(ticks) * 1e6))),
+            )
+        )
     return sorted(out)
 
 

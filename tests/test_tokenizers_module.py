@@ -29,8 +29,11 @@ PINS = {
     "lm_oracle_sql": (
         "79aea95cd798be7221da2367f0bb58ea05eeaaf1420e691e588284f3147052b8"
     ),
+    # updated round 12: _lm_score_select switched the per-doc mean to
+    # the order-free integer-tick sum (ADVICE r11) — deliberate change,
+    # new pin recorded in the same commit
     "lm_score_oracle_sql": (
-        "39ca14381848cee8bfb22fe7d422e728091b21ab802359f524bb001e68ff44b4"
+        "c64f1c9ecd0cce90964cab677e7737877358ecf4219d1e4c542cb9da1665f8e6"
     ),
 }
 
