@@ -100,28 +100,45 @@ def semdedup_frame(e: DataFrame, cells: list, thresh: float) -> DataFrame:
             .alias("cell"),
         )
 
-    assign = _assigned()
     # Within-cell witness search: equi-join on cell (bucketed by
     # construction), keep earlier-id pairs above the threshold, take
     # the MINIMUM witness per pruned vector (deterministic dup_of).
+    #
+    # TWO assignment passes, not three (ADVICE r11). The r11 preview
+    # self-joined on strictly-earlier ids (a < b) and then LEFT-joined
+    # a third assignment branch back on vec_id to restore the kept
+    # vectors. Admitting the SELF-pair (a <= b) instead guarantees
+    # every vector reaches the groupBy — its own row carries (vec_id,
+    # cell) — so the third corpus-wide assignment branch AND the final
+    # vec_id shuffle join disappear (plan probe: 3 → 2 in-memory
+    # assignment scans, 9 → 6 exchanges). The witness condition stays
+    # strict (a < b, cos > thresh) inside the aggregate; the n extra
+    # self-pair cosine evaluations are noise next to the Σ|cell|² pair
+    # term. The two sides must still be DISTINCT plan objects (the
+    # lambda bind-time workaround above).
     a = _assigned().alias("a")
     b = _assigned().alias("b")
-    wit = (
-        b.join(a, F.col("a.cell") == F.col("b.cell"))
-        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
-        .select(
-            F.col("b.vec_id").alias("vec_id"),
-            F.col("a.vec_id").alias("a_id"),
-            _norm_dot(F.col("a.embedding"), F.col("b.embedding")).alias(
-                "cos_raw"
-            ),
-        )
-        .filter(F.col("cos_raw") > F.lit(float(thresh)))
-        .groupBy("vec_id")
-        .agg(F.min("a_id").alias("dup_of_raw"))
-    )
     return (
-        assign.join(wit, "vec_id", "left")
+        b.join(
+            a,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.vec_id") <= F.col("b.vec_id")),
+        )
+        .groupBy(F.col("b.vec_id").alias("vec_id"), F.col("b.cell").alias("cell"))
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("a.vec_id") < F.col("b.vec_id"))
+                    & (
+                        _norm_dot(
+                            F.col("a.embedding"), F.col("b.embedding")
+                        )
+                        > F.lit(float(thresh))
+                    ),
+                    F.col("a.vec_id"),
+                )
+            ).alias("dup_of_raw")
+        )
         .select(
             F.col("vec_id").cast("bigint").alias("vec_id"),
             "cell",

@@ -145,8 +145,20 @@ def test_composition_equals_parts(spark):
         _ivf_centroids,
     )
 
-    d4 = pipeline_d4_curation(spark, SF_SMOKE).toPandas().set_index("vec_id")
-    sd = dedup_semantic(spark, SF_SMOKE).toPandas().set_index("vec_id")
+    # sort_index: the operators promise a SET of rows, not an order —
+    # the r12 semdedup restructure changed incidental output order
+    d4 = (
+        pipeline_d4_curation(spark, SF_SMOKE)
+        .toPandas()
+        .set_index("vec_id")
+        .sort_index()
+    )
+    sd = (
+        dedup_semantic(spark, SF_SMOKE)
+        .toPandas()
+        .set_index("vec_id")
+        .sort_index()
+    )
     assert (d4["semdedup_kept"] == sd["is_kept"]).all()
     assert (d4["cell"] == sd["cell"]).all()
     # is_kept ⇒ semdedup_kept, and stage-1 drops carry rank -1
