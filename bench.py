@@ -109,6 +109,16 @@ HEADLINE = [
     # like-for-like line; subtract these two against earlier rounds.
     "lm_train_bigram",
     "lm_score_perplexity",
+    # round 12: the three embedding-curation promotions (SemDeDup, the
+    # SSL-prototype filter, and the composed D4 pipeline) join the perf
+    # gate with their own byte anchors — SemDeDup guards the within-cell
+    # pair join (the Σ|cell|² term), the prototype filter the
+    # window-only pass, the composed pipeline the two chained. 36 -> 39
+    # queries; the standing like-for-like subsets in BASELINE.md are
+    # unchanged — subtract these three against earlier rounds.
+    "dedup_semantic",
+    "emb_prototypes_filter",
+    "pipeline_d4_curation",
 ]
 
 

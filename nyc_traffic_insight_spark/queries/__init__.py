@@ -57,86 +57,80 @@ def register(name: str, oracle: str | None = None, survey: str = ""):
     return deco
 
 
-# Registration-order rotation (VERDICT.md rounds 2-10). The driver's
+# Registration-order rotation (VERDICT.md rounds 2-11). The driver's
 # sf0.01 correctness gate walks REGISTRY front-to-back with a
-# ~50-query budget (CORRECTNESS_r04-r10 each carried exactly 50
-# rows). Round-11 ordering — VERDICT r10 #1/#2 (the r9 front carried
-# forward after the zero-turn round 10):
-#   1. the 5 r4-stale holdovers — the oldest evidence anywhere in the
-#      catalog (the r9 front placed them past slot 50; the r10
-#      rotation re-ran the r9 set verbatim, so they aged two more
-#      rounds without a check);
-#   2. the two bigram-LM promotions (lm_train_bigram +
-#      lm_score_perplexity) — the round's sanctioned registry
-#      additions, never driver-checked;
-#   3. the 47-query r5-stale tier (the F1-F7 filter block, U1/U2,
-#      O3/O4, the report_* tier, scan_jsonl_*, win_first_last /
-#      ntile / streaks / sessionize_batch, ...), registration order.
-# 5 + 2 + 47 = 54 fronted; the 50-slot budget clears the holdovers
-# and promotions and re-verifies 43 of the r5 tier; the 4-query
-# registration-order tail (scan_jsonl_roundtrip,
-# scan_jsonl_malformed_skip, sink_merge_upsert, qa_snapshot_diff)
-# rolls to r12 — all 54 are locally driver-replica-verified this
-# round regardless (NOTES.md). Everything else keeps standing r6+
-# evidence and registers last.
+# ~50-query budget (CORRECTNESS_r04-r11 each carried exactly 50
+# rows). Round-12 ordering — VERDICT r11 #1/#2:
+#   1. the 4-query r5-stale registration-order tail the r11 front
+#      predicted would roll here (scan_jsonl_roundtrip,
+#      scan_jsonl_malformed_skip, sink_merge_upsert,
+#      qa_snapshot_diff) — the oldest evidence left in the catalog;
+#   2. the three embedding-curation promotions (dedup_semantic,
+#      emb_prototypes_filter, pipeline_d4_curation) — the round's
+#      sanctioned registry additions, never driver-checked — plus
+#      lm_score_perplexity, whose oracle changed this round (the
+#      order-free tick-sum rework needs a fresh driver row);
+#   3. the 42-query r6-stale tier (the win_* analytics block, the
+#      sketch_hll trio's overlap/rolling forms, the behavioral
+#      report_*/qa_* tier, layout_*, scan_orc_roundtrip),
+#      registration order.
+# 4 + 4 + 42 = 50 fronted exactly; after this round no query's
+# latest driver evidence predates r7. Everything else keeps standing
+# r7+ evidence and registers last.
 _CHECK_FIRST = [
-    # 1. r4-stale holdovers (oldest evidence in the catalog)
-    "sketch_hll_by_group",
-    "qa_referential_integrity",
-    "text_perplexity_proxy",
-    "join_interval_overlap",
-    "agg_mode_by_group",
-    # 2. the r11 registry additions, never driver-checked
-    "lm_train_bigram",
-    "lm_score_perplexity",
-    # 3. r5-stale tier, registration order
-    "win_first_last",
-    "win_streaks",
-    "dim_scd2_build",
-    "report_shipping_priority",
-    "report_region_supplier_volume",
-    "report_returned_customers",
-    "dedup_substring_exact",
-    "emb_centroid_by_label",
-    "dedup_containment",
-    "text_tfidf_top_terms",
-    "stream_file_ingest",
-    "stream_stream_join",
-    "sketch_hll",
-    "join_bloom_prefilter",
-    "split_deterministic",
-    "layout_zorder_key",
-    "win_ntile_buckets",
-    "funnel_conversion",
-    "cohort_retention",
-    "agg_outlier_mad",
-    "qa_profile_table",
-    "agg_skew_kurtosis",
-    "agg_entropy_by_group",
-    "win_sessionize_batch",
-    "event_transition_matrix",
-    "report_market_share",
-    "agg_audience_overlap",
-    "report_rfm_scores",
-    "filter_dropna",
-    "fillna",
-    "filter_eq_composite",
-    "filter_bool_mask",
-    "filter_gt",
-    "filter_threshold_flag",
-    "filter_malformed_skip",
-    "union_all_shards",
-    "union_oversample",
-    "except_rows",
-    "intersect_rows",
-    "unpivot_measures",
-    "sort_time",
-    "limit_head",
-    "sample_shuffle",
+    # 1. r5-stale tail (oldest evidence in the catalog)
     "scan_jsonl_roundtrip",
     "scan_jsonl_malformed_skip",
     "sink_merge_upsert",
     "qa_snapshot_diff",
+    # 2. r12 registry additions + the reworked-oracle query
+    "dedup_semantic",
+    "emb_prototypes_filter",
+    "pipeline_d4_curation",
+    "lm_score_perplexity",
+    # 3. r6-stale tier, registration order
+    "win_ewma",
+    "time_spine_locf",
+    "win_anomaly_zscore",
+    "win_topn_per_key",
+    "win_pct_change",
+    "report_forecast_backtest",
+    "win_changepoint_cusum",
+    "win_autocorrelation",
+    "text_chunk_fixed",
+    "emb_pair_distance_audit",
+    "dedup_canonical_select",
+    "text_readability",
+    "text_oov_rate",
+    "stream_disorder_audit",
+    "win_sessionize_native",
+    "qa_rapid_repeat_audit",
+    "sketch_hll_overlap",
+    "agg_wau_exact",
+    "sketch_hll_rolling",
+    "event_attribution_last_touch",
+    "sample_negatives_per_user",
+    "report_copurchase_pairs",
+    "agg_gini_by_group",
+    "report_session_conversion",
+    "win_rank_change",
+    "agg_seasonality_profile",
+    "pipeline_user_features",
+    "agg_time_to_convert",
+    "qa_freshness_audit",
+    "report_revenue_bridge",
+    "pipeline_training_dataset",
+    "agg_auc_exact",
+    "agg_precision_recall_curve",
+    "agg_ks_statistic",
+    "agg_lift_by_decile",
+    "qa_expectations_report",
+    "pipeline_incremental_rollup",
+    "agg_chi_square_independence",
+    "agg_benford_audit",
+    "layout_compact_files",
+    "layout_partition_pruning",
+    "scan_orc_roundtrip",
 ]
 
 
@@ -155,7 +149,7 @@ def load_all() -> dict[str, QuerySpec]:
         scalars,
         textops,
         tokenizers,
-        embcurate,  # registers nothing until the r12 promotion
+        embcurate,  # D4 curation tier (registered since the r12 promotion)
         streamingq,
         multimodalq,
         samplingq,

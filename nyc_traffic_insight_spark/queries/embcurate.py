@@ -1,22 +1,25 @@
 """Catalog: embedding-curation operators (the D4 pipeline tier).
 
-Round-11 previews, split out of textops.py so the dedup/similarity
-module keeps its post-tokenizer-extraction size: `dedup_semantic`
-(SemDeDup, Abbas et al. 2023 — within-cluster cosine-threshold
-pruning) and `emb_prototypes_filter` (SSL Prototypes, Sorscher et al.
-2022 / D4, Tirumala et al. 2023 — prune the most-prototypical tenth
-per cluster). Both run on textops' deterministic label-derived
-centroid artifact, so both carry FULL value-hash DuckDB oracles; both
-are UNREGISTERED until the sanctioned r12 promotion (one @register
-each; this module is already imported by load_all so promotion is
-purely the decorators). Scale arguments: SCALE.md "Dedup / similarity
-/ sketches"; tests: tests/test_semdedup.py, tests/test_proto_filter.py.
+Built as round-11 previews, REGISTERED round 12 (the sanctioned
+promotion): `dedup_semantic` (SemDeDup, Abbas et al. 2023 —
+within-cluster cosine-threshold pruning), `emb_prototypes_filter`
+(SSL Prototypes, Sorscher et al. 2022 / D4, Tirumala et al. 2023 —
+prune the most-prototypical tenth per cluster), and the composed
+`pipeline_d4_curation` (SemDeDup, then the prototype prune re-scoped
+to the survivors — D4's two stages end-to-end). All three run on
+textops' deterministic label-derived centroid artifact, so all three
+carry FULL value-hash DuckDB oracles built from ONE shared
+centroid-assignment CTE fragment (the texts cannot drift). Scale
+arguments: SCALE.md "Dedup / similarity / sketches"; tests:
+tests/test_semdedup.py, test_proto_filter.py, test_d4_pipeline.py.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from nyc_traffic_insight_spark.queries import register
 
 from nyc_traffic_insight_spark.functions.rounding import r as _r
 from nyc_traffic_insight_spark.queries.textops import (
@@ -55,8 +58,8 @@ from nyc_traffic_insight_spark.queries.textops import (
 # (zero shuffle, zero broadcast jobs — the sim_search_ivf_topk r4
 # rework); the only corpus shuffles are the self-equi-join on cell
 # (the bucketing SemDeDup exists to create) and the per-vector witness
-# groupBy. UNREGISTERED round-11 preview; promotion (one @register
-# with oracle=dedup_semantic_oracle_sql()) sanctioned for r12.
+# groupBy. Built as a round-11 preview; registered (with
+# oracle=dedup_semantic_oracle_sql()) in the sanctioned r12 promotion.
 
 _SEMDEDUP_THRESH = 0.4  # same near-dup line as dedup_embedding_cosine
 
@@ -150,18 +153,6 @@ def semdedup_frame(e: DataFrame, cells: list, thresh: float) -> DataFrame:
     )
 
 
-def dedup_semantic(
-    spark: SparkSession, sf_dir: str, thresh: float = _SEMDEDUP_THRESH
-) -> DataFrame:
-    """SemDeDup over the embeddings table: cluster by the label-derived
-    centroid artifact, prune within-cluster cosine near-duplicates,
-    keep the minimum vec_id. UNREGISTERED round-11 preview (promotion
-    = one @register with oracle=dedup_semantic_oracle_sql())."""
-    return semdedup_frame(
-        _embs(spark, sf_dir), _ivf_centroids(spark, sf_dir), thresh
-    )
-
-
 def _centroid_assign_cte(table: str) -> str:
     """The shared centroid-build + nearest-cell assignment WITH-chain
     every oracle in this module opens with (ONE text, three oracles —
@@ -229,6 +220,28 @@ def dedup_semantic_oracle_sql(
     )
 
 
+@register(
+    "dedup_semantic",
+    survey="north-star embedding tier: SemDeDup (Abbas et al. 2023) — "
+    "semantic near-duplicate pruning WITHIN centroid cells only, the "
+    "production-scale shape modern pretraining pipelines run instead "
+    "of dedup_embedding_cosine's all-pairs baseline; pair cost "
+    "Σ|cell|², bounded when k scales with the corpus (the paper's "
+    "~110k clusters on LAION); deterministic min-vec_id keep rule",
+    oracle=dedup_semantic_oracle_sql(),
+)
+def dedup_semantic(
+    spark: SparkSession, sf_dir: str, thresh: float = _SEMDEDUP_THRESH
+) -> DataFrame:
+    """SemDeDup over the embeddings table: cluster by the label-derived
+    centroid artifact, prune within-cluster cosine near-duplicates,
+    keep the minimum vec_id. Round-11 preview promoted in round 12.
+    Output: (vec_id, cell, is_kept, dup_of)."""
+    return semdedup_frame(
+        _embs(spark, sf_dir), _ivf_centroids(spark, sf_dir), thresh
+    )
+
+
 # ------------------- SSL-prototype filter (round-11 second preview)
 #
 # D4 (Tirumala et al. 2023, "D4: Improving LLM Pretraining via
@@ -247,8 +260,8 @@ def dedup_semantic_oracle_sql(
 # shuffle), one groupBy(cell) for sizes (k-bounded result, broadcast
 # back), one window partitioned by cell — no pair join at all, so this
 # is strictly cheaper than the SemDeDup pass it follows.
-# UNREGISTERED round-11 preview; promotion sanctioned alongside
-# dedup_semantic for r12+.
+# Built as a round-11 preview; registered alongside dedup_semantic in
+# the sanctioned r12 promotion.
 
 _PROTO_TENTH = 10.0  # prune floor(n_cell / 10) most-prototypical
 
@@ -301,16 +314,6 @@ def proto_filter_frame(e: DataFrame, cells: list) -> DataFrame:
     )
 
 
-def emb_prototypes_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SSL-prototype pruning over the embeddings table: within each
-    centroid cell, drop the floor(10%) of vectors closest to the
-    centroid. UNREGISTERED round-11 preview (promotion = one @register
-    with oracle=emb_prototypes_oracle_sql())."""
-    return proto_filter_frame(
-        _embs(spark, sf_dir), _ivf_centroids(spark, sf_dir)
-    )
-
-
 def emb_prototypes_oracle_sql(table: str = "embeddings") -> str:
     """emb_prototypes_filter as one DuckDB text — the shared centroid
     chain plus the per-cell prototypicality window."""
@@ -336,6 +339,25 @@ def emb_prototypes_oracle_sql(table: str = "embeddings") -> str:
     )
 
 
+@register(
+    "emb_prototypes_filter",
+    survey="north-star embedding tier: SSL-prototype pruning (Sorscher "
+    "et al. 2022; D4's second stage) — drop the floor(10%) of vectors "
+    "closest to their own centroid, the most prototypical / least "
+    "informative examples; window-only shape (no pair term at all), "
+    "strictly cheaper than the SemDeDup pass it follows",
+    oracle=emb_prototypes_oracle_sql(),
+)
+def emb_prototypes_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SSL-prototype pruning over the embeddings table: within each
+    centroid cell, drop the floor(10%) of vectors closest to the
+    centroid. Round-11 preview promoted in round 12. Output:
+    (vec_id, cell, proto_cos, proto_rank, is_kept)."""
+    return proto_filter_frame(
+        _embs(spark, sf_dir), _ivf_centroids(spark, sf_dir)
+    )
+
+
 # ------------- composed D4 pipeline (round-11 preview, third entry)
 #
 # The operator a user actually runs: SemDeDup prune, THEN the
@@ -352,43 +374,6 @@ def emb_prototypes_oracle_sql(table: str = "embeddings") -> str:
 # shared CTE chain with the witness CTE and the window re-scoped to
 # survivors. Scale shape: the union of the two stages' shapes, nothing
 # new (one pair equi-join on cell + one window on cell).
-
-
-def pipeline_d4_curation(
-    spark: SparkSession, sf_dir: str, thresh: float = _SEMDEDUP_THRESH
-) -> DataFrame:
-    """D4 end-to-end over the embeddings table. Output one row per
-    input vector: (vec_id, cell, semdedup_kept, proto_rank, is_kept) —
-    proto_rank is the rank AMONG SURVIVORS (-1 for semdedup-pruned
-    vectors), is_kept = survived both stages. UNREGISTERED round-11
-    preview (promotion = one @register with
-    oracle=d4_oracle_sql())."""
-    e = _embs(spark, sf_dir)
-    cells = _ivf_centroids(spark, sf_dir)
-    sd = semdedup_frame(e, cells, thresh)
-    survivors = e.join(
-        sd.filter(F.col("is_kept")).select("vec_id"), "vec_id"
-    )
-    pf = proto_filter_frame(survivors, cells).select(
-        "vec_id",
-        F.col("proto_rank").alias("pr"),
-        F.col("is_kept").alias("proto_kept"),
-    )
-    return (
-        sd.select(
-            "vec_id", "cell", F.col("is_kept").alias("semdedup_kept")
-        )
-        .join(pf, "vec_id", "left")
-        .select(
-            "vec_id",
-            "cell",
-            "semdedup_kept",
-            F.coalesce(F.col("pr"), F.lit(-1)).cast("int").alias(
-                "proto_rank"
-            ),
-            F.coalesce(F.col("proto_kept"), F.lit(False)).alias("is_kept"),
-        )
-    )
 
 
 def d4_oracle_sql(
@@ -428,3 +413,50 @@ def d4_oracle_sql(
     """
     )
 
+
+
+@register(
+    "pipeline_d4_curation",
+    survey="north-star embedding tier: the composed D4 pipeline "
+    "(Tirumala et al. 2023) — SemDeDup prune, then the SSL-prototype "
+    "prune RE-SCOPED to the survivors (per-cell counts and ranks over "
+    "the deduped set, not an intersection of standalone filters); one "
+    "row per original vector with per-stage verdicts so every drop is "
+    "attributable; scale shape is the union of the two stages' shapes",
+    oracle=d4_oracle_sql(),
+)
+def pipeline_d4_curation(
+    spark: SparkSession, sf_dir: str, thresh: float = _SEMDEDUP_THRESH
+) -> DataFrame:
+    """D4 end-to-end over the embeddings table. Output one row per
+    input vector: (vec_id, cell, semdedup_kept, proto_rank, is_kept) —
+    proto_rank is the rank AMONG SURVIVORS (-1 for semdedup-pruned
+    vectors), is_kept = survived both stages. Round-11 preview
+    promoted in round 12 (registered below, after the oracle text is
+    defined)."""
+    e = _embs(spark, sf_dir)
+    cells = _ivf_centroids(spark, sf_dir)
+    sd = semdedup_frame(e, cells, thresh)
+    survivors = e.join(
+        sd.filter(F.col("is_kept")).select("vec_id"), "vec_id"
+    )
+    pf = proto_filter_frame(survivors, cells).select(
+        "vec_id",
+        F.col("proto_rank").alias("pr"),
+        F.col("is_kept").alias("proto_kept"),
+    )
+    return (
+        sd.select(
+            "vec_id", "cell", F.col("is_kept").alias("semdedup_kept")
+        )
+        .join(pf, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cell",
+            "semdedup_kept",
+            F.coalesce(F.col("pr"), F.lit(-1)).cast("int").alias(
+                "proto_rank"
+            ),
+            F.coalesce(F.col("proto_kept"), F.lit(False)).alias("is_kept"),
+        )
+    )

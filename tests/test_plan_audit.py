@@ -152,6 +152,16 @@ AUDITED = [
     # groupBys (model count; per-doc mean).
     "lm_train_bigram",
     "lm_score_perplexity",
+    # round 12 additions (the embedding-curation promotions). Probed
+    # plans (r12): zero flags on all three — SemDeDup's witness search
+    # is a shuffled equi-join on cell (2 in-memory assignment scans
+    # after the self-pair rework, no third branch, no final vec_id
+    # join), the prototype filter is window-only with a k-row
+    # broadcast of cell sizes, and the composed D4 pipeline is the
+    # union of the two shapes.
+    "dedup_semantic",
+    "emb_prototypes_filter",
+    "pipeline_d4_curation",
 ]
 
 # query -> flags it is ALLOWED to carry, with the reason pinned here.
