@@ -316,3 +316,34 @@ def test_failed_chain_leaks_no_temp_views(spark, tmp_path):
         if t.name.startswith("__lm") or t.name.startswith("__bpe")
     ]
     assert leaked == []
+
+
+def test_spark_matches_duckdb_on_testdata_cap_bound(spark):
+    """ADVICE r11 #4: at the fixture's ~31-word vocabulary the default
+    _LM_VOCAB=2000 cap never binds, so the registered queries'
+    <unk>-mapping joins are unexercised by the sf correctness gate.
+    This is the direct cross-ENGINE witness on the real documents
+    table with a cap small enough to bind hard (cap=8 → most tokens
+    unk-map), completing the tiny-cap coverage that previously ran
+    only against the Python reference."""
+    from tests.conftest import SF_SMOKE
+    from tests.oracle_utils import duck_connect
+
+    cap = 8
+    con = duck_connect(SF_SMOKE)  # keep the ref: GC closes the conn
+    got_t = [
+        (r["w1"], r["w2"], r["pair_cnt"], r["ctx_cnt"], r["neg_logp"])
+        for r in lm_train_bigram(spark, SF_SMOKE, cap=cap).collect()
+    ]
+    want_t = con.sql(lm_oracle_sql("documents", cap=cap)).fetchall()
+    assert got_t == want_t
+    # the bound cap actually bit: the model table contains <unk> rows
+    assert any(w1 == "<unk>" or w2 == "<unk>" for w1, w2, *_ in got_t)
+    got_s = sorted(
+        (r["doc_id"], r["n_bigrams"], r["ppl"])
+        for r in lm_score_perplexity(spark, SF_SMOKE, cap=cap).collect()
+    )
+    want_s = sorted(
+        con.sql(lm_score_oracle_sql("documents", cap=cap)).fetchall()
+    )
+    assert got_s == want_s
