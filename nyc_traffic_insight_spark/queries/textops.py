@@ -2036,6 +2036,119 @@ def shard_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------- context-window packing (round-12 preview)
+#
+# GPT-style "concat and chunk" sequence packing: the corpus token
+# stream — documents concatenated in GLOBAL doc_id order — is cut
+# every _CTX_LEN tokens, and each document reports the window span it
+# lands in ([first_window, last_window]; a doc whose interval crosses
+# a cut is split across windows, unlike shard_pack_greedy above,
+# which keeps docs whole). This is the packing audit a pretraining
+# data loader needs: which context windows hold which documents, and
+# how many boundary splits the layout incurs.
+#
+# Scale shape — the classic TWO-PHASE DISTRIBUTED PREFIX SUM that
+# shard_pack_greedy's docstring name-drops for the global variant,
+# implemented: (1) bucket docs by floor(doc_id / _PACK_BUCKET) and
+# sum tokens per bucket (map-side-combinable groupBy, corpus/B-sized
+# result); (2) exclusive-prefix the BUCKET table with a window (the
+# only global-order window, over corpus/B rows, never the corpus —
+# at 10^10 docs and B=8192 that is ~10^6 rows; recurse the bucketing
+# if that table itself ever outgrows one partition); (3) broadcast
+# the bucket offsets back and window WITHIN each bucket (bounded
+# B-row partitions). No corpus-sized single-partition exchange
+# anywhere. All arithmetic is integer (counts, floor-div) → full
+# value-hash oracle; the DuckDB text keeps the naive global-window
+# form (one engine's 500-row window is free; the decomposition is
+# the Spark-side scale story).
+#
+# UNREGISTERED round-12 preview; promotion (one @register with
+# oracle=pack_windows_oracle_sql()) targeted for r13 alongside a
+# HEADLINE + AUDITED entry.
+
+_CTX_LEN = 512  # tokens per packed context window
+_PACK_BUCKET = 1024  # docs per prefix-sum bucket (phase-1 fan-in)
+
+
+def pack_windows_frame(d: DataFrame, ctx_len: int, bucket: int) -> DataFrame:
+    """Core packing pass over a (doc_id, text) frame (tested directly
+    by the differential fuzz in tests/test_pack_windows.py). Output:
+    (doc_id, n_tok, tok_start, first_window, last_window, n_windows)
+    — one row per document, tok_start = exclusive prefix sum of
+    whitespace-token counts in doc_id order."""
+    from pyspark.sql import Window
+
+    toks = d.select(
+        "doc_id",
+        F.size(F.split(F.trim("text"), r"\s+")).alias("n_tok"),
+        F.floor(F.col("doc_id") / bucket).cast("bigint").alias("bkt"),
+    )
+    bsums = toks.groupBy("bkt").agg(F.sum("n_tok").alias("bsum"))
+    wb = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    boff = bsums.select(
+        "bkt", F.coalesce(F.sum("bsum").over(wb), F.lit(0)).alias("bkt_off")
+    )
+    ww = (
+        Window.partitionBy("bkt")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    start = F.col("bkt_off") + F.coalesce(F.sum("n_tok").over(ww), F.lit(0))
+    first = F.floor(F.col("tok_start") / ctx_len)
+    last = F.floor((F.col("tok_start") + F.col("n_tok") - 1) / ctx_len)
+    return (
+        toks.join(F.broadcast(boff), "bkt")
+        .withColumn("tok_start", start)
+        .select(
+            "doc_id",
+            F.col("n_tok").cast("bigint").alias("n_tok"),
+            F.col("tok_start").cast("bigint").alias("tok_start"),
+            first.cast("bigint").alias("first_window"),
+            last.cast("bigint").alias("last_window"),
+            (last - first + 1).cast("bigint").alias("n_windows"),
+        )
+    )
+
+
+def pack_context_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk packing audit over the documents table: global
+    doc_id-order token stream cut every _CTX_LEN whitespace tokens,
+    one row per doc with its window span. Round-12 preview (promotion
+    = one @register with oracle=pack_windows_oracle_sql())."""
+    return pack_windows_frame(_docs(spark, sf_dir), _CTX_LEN, _PACK_BUCKET)
+
+
+def pack_windows_oracle_sql(
+    table: str = "documents", ctx_len: int = _CTX_LEN
+) -> str:
+    """pack_context_windows as one DuckDB text — the naive global
+    window form (the two-phase decomposition is Spark-side layout,
+    not semantics; both produce the identical integer prefix)."""
+    return rf"""
+    WITH toks AS (
+      SELECT doc_id,
+             len(regexp_split_to_array(trim(text), '\s+')) AS n_tok
+      FROM {table}
+    ),
+    run AS (
+      SELECT doc_id, n_tok,
+             coalesce(sum(n_tok) OVER (ORDER BY doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING), 0) AS tok_start
+      FROM toks
+    )
+    SELECT doc_id,
+           CAST(n_tok AS BIGINT) AS n_tok,
+           CAST(tok_start AS BIGINT) AS tok_start,
+           CAST(tok_start // {ctx_len} AS BIGINT) AS first_window,
+           CAST((tok_start + n_tok - 1) // {ctx_len} AS BIGINT)
+             AS last_window,
+           CAST((tok_start + n_tok - 1) // {ctx_len}
+                - tok_start // {ctx_len} + 1 AS BIGINT) AS n_windows
+    FROM run
+    """
+
+
 # Temperature-based source mixing: up/down-weight sources so the mixture
 # follows share^alpha (alpha<1 flattens toward uniform — the multilingual
 # / domain-balancing trick). Deterministic: per-source keep-quota from
