@@ -1025,3 +1025,87 @@ def lm_score_perplexity(
     finally:
         _lm_drop_views(spark, v)
 
+
+
+# ---------------- CCNet head/middle/tail split (round-12 preview)
+#
+# The step CCNet actually FILTERS with (Wenzek et al. 2020 §4.3):
+# rank every document by its LM perplexity WITHIN ITS LANGUAGE and
+# cut the corpus into three equal buckets — head (lowest perplexity,
+# cleanest), middle, tail (usually discarded or down-sampled). This
+# completes the catalog's CCNet arc: lm_train_bigram (train) →
+# lm_score_perplexity (score) → lm_ppl_buckets (rank + split).
+#
+# Determinism: the per-doc ppl is already order-free (the r12
+# tick-sum rework) and 4dp-rounded, ties broken by doc_id, and
+# ntile(3) follows the SQL-standard fill (the first n mod 3 buckets
+# take the extra row) in both engines — so the bucket assignment is
+# a pure function of the corpus and hashes cross-engine.
+#
+# Scale shape: the scorer's shape (model broadcast + one per-doc
+# groupBy) plus ONE window partitioned by lang. A per-language ntile
+# sorts each language partition — exactly what CCNet does (their
+# per-language shards ARE this sort); at 100 TB with few giant
+# languages, swap the exact ntile for two approx_percentile cutpoints
+# per lang (computed in one groupBy pass and broadcast back) — same
+# bucket semantics at a tolerance, sort-free; the exact form below is
+# the oracle-matching reference. UNREGISTERED round-12 preview;
+# promotion (one @register with oracle=lm_buckets_oracle_sql())
+# targeted for r13.
+
+_PPL_BUCKETS = 3  # head / middle / tail
+_PPL_LABELS = "CASE ppl_bucket WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END"
+
+
+def _lm_buckets_select(scores: str, docs: str, nb: int) -> str:
+    """Shared final select: join the scored docs to their language and
+    ntile within lang by (ppl, doc_id)."""
+    return (
+        "SELECT doc_id, lang, ppl, CAST(ppl_bucket AS INTEGER) AS ppl_bucket, "
+        f"{_PPL_LABELS} AS bucket_label FROM ("
+        "SELECT s.doc_id, d.lang, s.ppl, "
+        f"ntile({nb}) OVER (PARTITION BY d.lang "
+        "ORDER BY s.ppl, s.doc_id) AS ppl_bucket "
+        f"FROM {scores} s JOIN {docs} d ON s.doc_id = d.doc_id) t"
+    )
+
+
+def lm_buckets_oracle_sql(
+    table: str = "documents", cap: int = _LM_VOCAB, nb: int = _PPL_BUCKETS
+) -> str:
+    """lm_ppl_buckets as one DuckDB text — the shared LM chain, the
+    scorer as a CTE, then the per-language ntile."""
+    return (
+        _lm_oracle_parts(table, cap)
+        + f", scores AS ({_lm_score_select('mpairs', 'bg', 'ctx', 'vsize')}) "
+        + _lm_buckets_select("scores", table, nb)
+    )
+
+
+def lm_ppl_buckets(
+    spark: SparkSession,
+    sf_dir: str,
+    cap: int = _LM_VOCAB,
+    nb: int = _PPL_BUCKETS,
+) -> DataFrame:
+    """CCNet-style corpus split: rank every scoreable document by its
+    bigram-LM perplexity within its language and ntile into head /
+    middle / tail. Round-12 preview (promotion = one @register with
+    oracle=lm_buckets_oracle_sql()). Output: (doc_id, lang, ppl,
+    ppl_bucket, bucket_label); docs with <2 tokens have no perplexity
+    and are absent (the scorer's contract)."""
+    v = f"__lm{next(_LM_SEQ)}"
+    try:
+        _lm_run_chain(spark, sf_dir, cap, v)
+        docs = _docs(spark, sf_dir)
+        docs.select("doc_id", "lang").createOrReplaceTempView(f"{v}_docs")
+        return spark.sql(
+            f"WITH mpairs AS ({_lm_mpairs_body(f'{v}_pairs', f'{v}_vocab')}), "
+            f"ctx AS ({_lm_ctx_body(f'{v}_bg')}), "
+            f"vsize AS ({_lm_vs_body(f'{v}_vocab')}), "
+            f"scores AS ({_lm_score_select('mpairs', f'{v}_bg', 'ctx', 'vsize')}) "
+            + _lm_buckets_select("scores", f"{v}_docs", nb)
+        )
+    finally:
+        _lm_drop_views(spark, v)
+        spark.catalog.dropTempView(f"{v}_docs")
