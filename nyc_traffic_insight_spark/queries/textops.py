@@ -2149,6 +2149,110 @@ def pack_windows_oracle_sql(
     """
 
 
+# The window-centric companion: one row PER CONTEXT WINDOW — what the
+# data loader actually reads. Each doc's span explodes to its covered
+# windows (sequence(first, last) — in-row, factor ≈ n_tok/L + 1) with
+# the token sub-range it contributes, then one map-side-combinable
+# groupBy(window). A window holds at most L+1 doc pieces, so the
+# aggregate is bounded per key — no skew, no collect. Same preview
+# discipline as pack_context_windows above (UNREGISTERED, r13
+# promotion with oracle=pack_manifest_oracle_sql()).
+
+
+def pack_manifest_frame(d: DataFrame, ctx_len: int, bucket: int) -> DataFrame:
+    """Per-window packing manifest over a (doc_id, text) frame.
+    Output: (window_id, n_docs, n_tokens, min_doc, max_doc,
+    starts_mid_doc, ends_mid_doc) — n_tokens = ctx_len except the
+    final window; starts/ends_mid_doc flag a document split across
+    the leading/trailing window edge."""
+    spans = pack_windows_frame(d, ctx_len, bucket)
+    piece = spans.select(
+        "doc_id",
+        "tok_start",
+        "n_tok",
+        F.explode(
+            F.sequence(F.col("first_window"), F.col("last_window"))
+        ).alias("window_id"),
+    )
+    wstart = F.col("window_id") * ctx_len
+    wend = wstart + ctx_len
+    piece_start = F.greatest(F.col("tok_start"), wstart)
+    piece_end = F.least(F.col("tok_start") + F.col("n_tok"), wend)
+    return (
+        piece.select(
+            "window_id",
+            "doc_id",
+            (piece_end - piece_start).alias("piece_len"),
+            (F.col("tok_start") < wstart).alias("enters_mid"),
+            (F.col("tok_start") + F.col("n_tok") > wend).alias("exits_mid"),
+        )
+        .groupBy("window_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("piece_len").cast("bigint").alias("n_tokens"),
+            F.min("doc_id").cast("bigint").alias("min_doc"),
+            F.max("doc_id").cast("bigint").alias("max_doc"),
+            F.max("enters_mid").alias("starts_mid_doc"),
+            F.max("exits_mid").alias("ends_mid_doc"),
+        )
+        .select(
+            F.col("window_id").cast("bigint").alias("window_id"),
+            "n_docs",
+            "n_tokens",
+            "min_doc",
+            "max_doc",
+            "starts_mid_doc",
+            "ends_mid_doc",
+        )
+    )
+
+
+def pack_window_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-centric packing manifest over the documents table: one
+    row per _CTX_LEN-token context window with its document pieces
+    summarized. Round-12 preview (promotion = one @register with
+    oracle=pack_manifest_oracle_sql())."""
+    return pack_manifest_frame(_docs(spark, sf_dir), _CTX_LEN, _PACK_BUCKET)
+
+
+def pack_manifest_oracle_sql(
+    table: str = "documents", ctx_len: int = _CTX_LEN
+) -> str:
+    """pack_window_manifest as one DuckDB text — the doc-span chain
+    plus generate_series explode and the per-window rollup."""
+    return rf"""
+    WITH toks AS (
+      SELECT doc_id,
+             len(regexp_split_to_array(trim(text), '\s+')) AS n_tok
+      FROM {table}
+    ),
+    run AS (
+      SELECT doc_id, n_tok,
+             CAST(coalesce(sum(n_tok) OVER (ORDER BY doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING), 0) AS BIGINT) AS tok_start
+      FROM toks
+    ),
+    piece AS (
+      SELECT r.doc_id, r.tok_start, r.n_tok, t.window_id
+      FROM run r, UNNEST(generate_series(r.tok_start // {ctx_len},
+                         (r.tok_start + r.n_tok - 1) // {ctx_len}))
+                    AS t(window_id)
+    )
+    SELECT CAST(window_id AS BIGINT) AS window_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(least(tok_start + n_tok, (window_id + 1) * {ctx_len})
+                    - greatest(tok_start, window_id * {ctx_len}))
+             AS BIGINT) AS n_tokens,
+           CAST(min(doc_id) AS BIGINT) AS min_doc,
+           CAST(max(doc_id) AS BIGINT) AS max_doc,
+           bool_or(tok_start < window_id * {ctx_len}) AS starts_mid_doc,
+           bool_or(tok_start + n_tok > (window_id + 1) * {ctx_len})
+             AS ends_mid_doc
+    FROM piece GROUP BY 1
+    """
+
+
 # Temperature-based source mixing: up/down-weight sources so the mixture
 # follows share^alpha (alpha<1 flattens toward uniform — the multilingual
 # / domain-balancing trick). Deterministic: per-source keep-quota from

@@ -28,6 +28,9 @@ from nyc_traffic_insight_spark.queries.textops import (
     _CTX_LEN,
     _PACK_BUCKET,
     pack_context_windows,
+    pack_manifest_frame,
+    pack_manifest_oracle_sql,
+    pack_window_manifest,
     pack_windows_frame,
     pack_windows_oracle_sql,
 )
@@ -159,3 +162,80 @@ def test_only_the_bucket_table_windows_globally(spark):
     df = pack_context_windows(spark, SF_SMOKE)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange SinglePartition") == 1, plan[:2000]
+
+
+# ---------------- pack_window_manifest (the window-centric companion)
+
+
+def _ref_manifest(texts, ctx_len):
+    """Reference per-window rollup from the doc-span reference."""
+    spans = _ref_pack(texts, ctx_len)
+    agg: dict = {}
+    for doc_id, n, start, first, last, _nw in spans:
+        for w in range(first, last + 1):
+            lo, hi = w * ctx_len, (w + 1) * ctx_len
+            plen = min(start + n, hi) - max(start, lo)
+            e = agg.setdefault(
+                w, [0, 0, doc_id, doc_id, False, False]
+            )
+            e[0] += 1
+            e[1] += plen
+            e[2] = min(e[2], doc_id)
+            e[3] = max(e[3], doc_id)
+            e[4] = e[4] or start < lo
+            e[5] = e[5] or start + n > hi
+    return sorted((w, *v) for w, v in agg.items())
+
+
+def test_manifest_oracle_matches_python_reference_fuzz():
+    import random
+
+    rng = random.Random(16)
+    for trial in range(10):
+        texts = _rand_texts(rng, rng.randint(1, 50))
+        ctx = rng.choice([4, 16, 64])
+        con = _duck_on(texts)
+        got = sorted(
+            con.sql(
+                pack_manifest_oracle_sql("docs", ctx_len=ctx)
+            ).fetchall()
+        )
+        assert got == _ref_manifest(texts, ctx), (trial, ctx)
+
+
+def test_manifest_spark_matches_python_reference(spark):
+    import random
+
+    rng = random.Random(17)
+    texts = _rand_texts(rng, 40)
+    e = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id BIGINT, text STRING"
+    )
+    got = sorted(
+        tuple(r) for r in pack_manifest_frame(e, 16, 7).collect()
+    )
+    assert got == _ref_manifest(texts, 16)
+
+
+def test_manifest_spark_matches_duckdb_on_testdata(spark):
+    spdf = pack_window_manifest(spark, SF_SMOKE).toPandas()
+    con = duck_connect(SF_SMOKE)
+    odf = con.execute(pack_manifest_oracle_sql()).fetchdf()
+    compare(spdf, odf, "pack_window_manifest")
+
+
+def test_manifest_fill_algebra(spark):
+    """Every window except the last is exactly full; window ids are
+    dense from 0; the doc- and window-views agree on total tokens."""
+    man = sorted(
+        (r["window_id"], r["n_tokens"], r["n_docs"])
+        for r in pack_window_manifest(spark, SF_SMOKE).collect()
+    )
+    ids = [w for w, _, _ in man]
+    assert ids == list(range(len(ids)))
+    for w, n_tokens, n_docs in man[:-1]:
+        assert n_tokens == _CTX_LEN, (w, n_tokens)
+        assert 1 <= n_docs <= _CTX_LEN + 1
+    assert 0 < man[-1][1] <= _CTX_LEN
+    spans = pack_context_windows(spark, SF_SMOKE).collect()
+    assert sum(r["n_tok"] for r in spans) == sum(t for _, t, _ in man)
