@@ -937,3 +937,144 @@ def sketch_hll_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.pow(F.lit(2.0), -F.col("max_rho"))),
         ).alias("wau_estimate"),
     )
+
+
+# ------------- UniMax language-budget allocation (round-12 preview)
+#
+# UniMax (Chung et al. 2023, "UniMax: Fairer and More Effective
+# Language Sampling for Large-Scale Multilingual Pretraining")
+# allocates a total token budget across languages by WATERFILLING
+# under a per-language epoch cap: low-resource languages take their
+# full capacity (n_tokens × epoch_cap), and whatever budget remains
+# is split EVENLY across the rest — the closed-form alternative to
+# temperature mixing (sample_temperature_mix) that never repeats a
+# language more than the cap.
+#
+# Exact closed form over the k-row language table, sorted by capacity
+# ascending (ties by lang): f(j) = cumsum_{j-1} + c_j·(k−j+1) is
+# non-decreasing, so the "takes full capacity" set is a PREFIX —
+# j* = max{j : f(j) ≤ B} — and every remaining language gets the same
+# water level t = (B − cumsum_{j*}) / (k − j*). The prefix test is
+# pure BIGINT arithmetic (no division), so both engines agree
+# exactly; t and the per-language epoch ratio are the only doubles,
+# rounded floor-form 4dp (strictly non-negative, the _lm_r4
+# spelling). Budget B = 3 × total_tokens (three corpus epochs, exact
+# BIGINT) under an epoch cap of 4 — at the fixture's language mix the
+# two smallest languages take full capacity and the rest share the
+# water level, so BOTH branches carry driver-gate weight.
+#
+# Scale shape: ONE corpus aggregate (per-lang token sums, map-side
+# combinable) collapses 100 TB to k rows; everything after — the
+# window, the prefix flags, the one-row budget/jstar joins — runs on
+# the language table (k ≈ dozens; the window's SinglePartition
+# exchange is the |langs|-bounded whitelisted shape). UNREGISTERED
+# round-12 preview; promotion (one @register with
+# oracle=unimax_oracle_sql()) targeted for r13.
+
+_UNIMAX_EPOCHS = 4  # per-language repeat cap
+_UNIMAX_BUDGET_X = 3  # token budget = this many corpus epochs
+
+
+def _unimax_r4(expr: str) -> str:
+    """Floor-form 4dp round for non-negative doubles (the _lm_r4
+    spelling; see tokenizers._lm_r4 for why the CAST is load-bearing
+    on the Spark side)."""
+    return f"CAST(floor(({expr}) * 10000.0 + 0.5) AS DOUBLE) / 10000.0"
+
+
+def unimax_alloc_sql(
+    lang_tokens: str, epoch_cap: int, budget_x: int = _UNIMAX_BUDGET_X
+) -> str:
+    """The shared waterfilling text both engines run over a
+    (lang, n_tok) relation. Output: one row per language —
+    (lang, n_tokens, capacity, is_full, alloc_tokens, epochs)."""
+    t_level = "(b.b - j.full_c) / (b.k - j.j)"
+    alloc = f"CASE WHEN f.takes_full THEN CAST(f.c AS DOUBLE) ELSE {t_level} END"
+    return f"""
+    WITH cap AS (
+      SELECT lang, CAST(n_tok AS BIGINT) AS n_tok,
+             CAST(n_tok * {epoch_cap} AS BIGINT) AS c
+      FROM {lang_tokens}
+    ),
+    tot AS (
+      SELECT CAST(sum(n_tok) * {budget_x} AS BIGINT) AS b,
+             CAST(count(*) AS BIGINT) AS k
+      FROM cap
+    ),
+    ord AS (
+      SELECT lang, n_tok, c,
+             CAST(row_number() OVER (ORDER BY c, lang) AS BIGINT) AS rn,
+             CAST(coalesce(sum(c) OVER (ORDER BY c, lang
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING), 0) AS BIGINT) AS cum_prev
+      FROM cap
+    ),
+    flags AS (
+      SELECT o.*, (o.cum_prev + o.c * (t.k - o.rn + 1) <= t.b) AS takes_full
+      FROM ord o CROSS JOIN tot t
+    ),
+    jstar AS (
+      SELECT CAST(coalesce(max(CASE WHEN takes_full THEN rn END), 0)
+               AS BIGINT) AS j,
+             CAST(coalesce(sum(CASE WHEN takes_full THEN c END), 0)
+               AS BIGINT) AS full_c
+      FROM flags
+    )
+    SELECT f.lang,
+           f.n_tok AS n_tokens,
+           f.c AS capacity,
+           f.takes_full AS is_full,
+           {_unimax_r4(alloc)} AS alloc_tokens,
+           {_unimax_r4(f"({alloc}) / f.n_tok")} AS epochs
+    FROM flags f CROSS JOIN jstar j CROSS JOIN tot b
+    """
+
+
+def unimax_oracle_sql(
+    table: str = "documents", epoch_cap: int = _UNIMAX_EPOCHS
+) -> str:
+    """sample_unimax_budget as one DuckDB text: per-lang whitespace
+    token sums (the established split-of-trimmed idiom), then the
+    shared waterfilling fragment."""
+    return (
+        r"""
+    WITH lang_tokens AS (
+      SELECT lang,
+             CAST(sum(len(regexp_split_to_array(trim(text), '\s+')))
+               AS BIGINT) AS n_tok
+      FROM """
+        + table
+        + """ GROUP BY 1
+    )
+    SELECT * FROM ("""
+        + unimax_alloc_sql("lang_tokens", epoch_cap)
+        + ") u"
+    )
+
+
+import itertools as _itertools
+
+_UNIMAX_SEQ = _itertools.count()  # per-call temp-view namespace
+
+
+def sample_unimax_budget(
+    spark: SparkSession, sf_dir: str, epoch_cap: int = _UNIMAX_EPOCHS
+) -> DataFrame:
+    """UniMax waterfilling over the documents corpus: per-language
+    token budget under an epoch cap — small languages take full
+    capacity, the rest split the remainder evenly. Round-12 preview
+    (promotion = one @register with oracle=unimax_oracle_sql()).
+    Output: (lang, n_tokens, capacity, is_full, alloc_tokens,
+    epochs)."""
+    d = load_table(spark, sf_dir, "documents")
+    lt = d.groupBy("lang").agg(
+        F.sum(F.size(F.split(F.trim("text"), r"\s+")))
+        .cast("bigint")
+        .alias("n_tok")
+    )
+    v = f"__unimax{next(_UNIMAX_SEQ)}"
+    lt.createOrReplaceTempView(v)
+    try:
+        return spark.sql(unimax_alloc_sql(v, epoch_cap))
+    finally:
+        spark.catalog.dropTempView(v)
