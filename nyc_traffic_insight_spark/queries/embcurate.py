@@ -64,12 +64,19 @@ from nyc_traffic_insight_spark.queries.textops import (
 _SEMDEDUP_THRESH = 0.4  # same near-dup line as dedup_embedding_cosine
 
 
-def semdedup_frame(e: DataFrame, cells: list, thresh: float) -> DataFrame:
+def semdedup_frame(
+    e: DataFrame, cells: list, thresh: float, with_cos: bool = False
+) -> DataFrame:
     """Core SemDeDup pass over a (vec_id, embedding) frame given the
     centroid index artifact [(cell, cvec), ...] (tested directly by
     the numpy differential fuzz in tests/test_semdedup.py). Output:
     (vec_id, cell, is_kept, dup_of) — one row per input vector,
-    dup_of = min same-cell earlier id above thresh, -1 when kept."""
+    dup_of = min same-cell earlier id above thresh, -1 when kept.
+    with_cos=True appends cos_raw, the vector's raw cosine to its own
+    centroid (the prototypicality score) — carried through the
+    groupBy as a key so the composed D4 pipeline can window over this
+    frame directly instead of re-running the assignment; the default
+    keeps dedup_semantic's shuffle rows 8 bytes narrower."""
     def _assigned() -> DataFrame:
         # Narrow assignment: score all k cells in-row, sort by
         # (-cos, cell) — the exact tie-break the oracle's window spells
@@ -95,13 +102,15 @@ def semdedup_frame(e: DataFrame, cells: list, thresh: float) -> DataFrame:
                 c["cell"].alias("cell"),
             ),
         )
-        return e.withColumn("cells", cent_arr).select(
-            "vec_id",
-            "embedding",
-            F.element_at(F.array_sort(scored), 1)["cell"]
-            .cast("int")
-            .alias("cell"),
-        )
+        best = F.element_at(F.array_sort(scored), 1)
+        out = [
+            F.col("vec_id"),
+            F.col("embedding"),
+            best["cell"].cast("int").alias("cell"),
+        ]
+        if with_cos:
+            out.append((-best["negcos"]).alias("own_cos"))
+        return e.withColumn("cells", cent_arr).select(*out)
 
     # Within-cell witness search: equi-join on cell (bucketed by
     # construction), keep earlier-id pairs above the threshold, take
@@ -121,13 +130,31 @@ def semdedup_frame(e: DataFrame, cells: list, thresh: float) -> DataFrame:
     # lambda bind-time workaround above).
     a = _assigned().alias("a")
     b = _assigned().alias("b")
+    keys = [
+        F.col("b.vec_id").alias("vec_id"),
+        F.col("b.cell").alias("cell"),
+    ]
+    if with_cos:
+        # constant per b-row, so grouping by it is free and keeps the
+        # aggregate a pure pass-through for the score
+        keys.append(F.col("b.own_cos").alias("cos_raw"))
+    out = [
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        F.col("cell"),
+        F.col("dup_of_raw").isNull().alias("is_kept"),
+        F.coalesce(F.col("dup_of_raw"), F.lit(-1))
+        .cast("bigint")
+        .alias("dup_of"),
+    ]
+    if with_cos:
+        out.append(F.col("cos_raw"))
     return (
         b.join(
             a,
             (F.col("a.cell") == F.col("b.cell"))
             & (F.col("a.vec_id") <= F.col("b.vec_id")),
         )
-        .groupBy(F.col("b.vec_id").alias("vec_id"), F.col("b.cell").alias("cell"))
+        .groupBy(*keys)
         .agg(
             F.min(
                 F.when(
@@ -142,14 +169,7 @@ def semdedup_frame(e: DataFrame, cells: list, thresh: float) -> DataFrame:
                 )
             ).alias("dup_of_raw")
         )
-        .select(
-            F.col("vec_id").cast("bigint").alias("vec_id"),
-            "cell",
-            F.col("dup_of_raw").isNull().alias("is_kept"),
-            F.coalesce(F.col("dup_of_raw"), F.lit(-1))
-            .cast("bigint")
-            .alias("dup_of"),
-        )
+        .select(*out)
     )
 
 
@@ -433,30 +453,42 @@ def pipeline_d4_curation(
     proto_rank is the rank AMONG SURVIVORS (-1 for semdedup-pruned
     vectors), is_kept = survived both stages. Round-11 preview
     promoted in round 12 (registered below, after the oracle text is
-    defined)."""
-    e = _embs(spark, sf_dir)
-    cells = _ivf_centroids(spark, sf_dir)
-    sd = semdedup_frame(e, cells, thresh)
-    survivors = e.join(
-        sd.filter(F.col("is_kept")).select("vec_id"), "vec_id"
+    defined).
+
+    FUSED (r12): the SemDeDup frame carries the prototypicality score
+    through its groupBy (with_cos=True — the centroids are a fixed
+    artifact, so filtering cannot change the score), and the survivor
+    ranks come from ONE window over that frame: ordering by
+    (is_kept DESC, cos_raw DESC, vec_id) puts the survivors first in
+    every cell, so their row_numbers 1..n_surv ARE the survivor-scoped
+    prototype ranks, and the survivor count is a windowed conditional
+    sum. The r11 preview's shape — a third assignment pass over the
+    re-joined raw table plus two vec_id joins — is gone; the composed
+    pipeline is now exactly the SemDeDup shape plus one window
+    (plan probe: 8 → 2 in-memory assignment scans, 29 → 7
+    exchanges)."""
+    from pyspark.sql import Window
+
+    sd = semdedup_frame(
+        _embs(spark, sf_dir),
+        _ivf_centroids(spark, sf_dir),
+        thresh,
+        with_cos=True,
     )
-    pf = proto_filter_frame(survivors, cells).select(
+    w = Window.partitionBy("cell").orderBy(
+        F.desc("is_kept"), F.desc("cos_raw"), F.col("vec_id")
+    )
+    wc = Window.partitionBy("cell")
+    rn = F.row_number().over(w)
+    n_surv = F.sum(F.col("is_kept").cast("long")).over(wc)
+    pr = F.when(F.col("is_kept"), rn).otherwise(F.lit(-1))
+    return sd.select(
         "vec_id",
-        F.col("proto_rank").alias("pr"),
-        F.col("is_kept").alias("proto_kept"),
-    )
-    return (
-        sd.select(
-            "vec_id", "cell", F.col("is_kept").alias("semdedup_kept")
-        )
-        .join(pf, "vec_id", "left")
-        .select(
-            "vec_id",
-            "cell",
-            "semdedup_kept",
-            F.coalesce(F.col("pr"), F.lit(-1)).cast("int").alias(
-                "proto_rank"
-            ),
-            F.coalesce(F.col("proto_kept"), F.lit(False)).alias("is_kept"),
-        )
+        "cell",
+        F.col("is_kept").alias("semdedup_kept"),
+        pr.cast("int").alias("proto_rank"),
+        (
+            F.col("is_kept")
+            & (rn > F.floor(n_surv / F.lit(_PROTO_TENTH)).cast("long"))
+        ).alias("is_kept"),
     )
