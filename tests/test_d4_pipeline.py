@@ -177,3 +177,15 @@ def test_composition_equals_parts(spark):
     sub = d4.loc[pf.index]
     assert (sub["proto_rank"] == pf["proto_rank"]).all()
     assert (sub["is_kept"] == pf["is_kept"]).all()
+
+
+def test_fused_plan_shape(spark):
+    """The r12 fusion contract: the composed pipeline is the SemDeDup
+    shape plus one window — two in-memory assignment scans (the two
+    witness-join sides) and no third branch or vec_id re-join. A
+    regression to the preview's composed shape (8 scans, 29
+    exchanges) fails here."""
+    df = pipeline_d4_curation(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("InMemoryTableScan") <= 2, plan[:2000]
+    assert plan.count("Exchange") <= 8, plan[:2000]
