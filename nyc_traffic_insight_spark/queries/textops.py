@@ -353,6 +353,28 @@ _SIG_SQL = (
 """
 )
 
+# LSH banding candidates as a shared fragment (r12 extraction, byte-
+# identical to the text previously inlined in dedup_minhash_lsh's
+# oracle): 8 minhashes → 4 bands of 2, a pair is a candidate iff it
+# collides in ANY band. Shared by dedup_minhash_lsh and the
+# qa_lsh_recall_audit preview so the two texts cannot drift.
+_LSH_CANDS_SQL = """,
+    candidates AS (
+      SELECT DISTINCT doc1, doc2 FROM (
+        SELECT a.doc_id AS doc1, b.doc_id AS doc2 FROM sig a JOIN sig b
+          ON a.h0 = b.h0 AND a.h1 = b.h1 AND a.doc_id < b.doc_id
+        UNION
+        SELECT a.doc_id, b.doc_id FROM sig a JOIN sig b
+          ON a.h2 = b.h2 AND a.h3 = b.h3 AND a.doc_id < b.doc_id
+        UNION
+        SELECT a.doc_id, b.doc_id FROM sig a JOIN sig b
+          ON a.h4 = b.h4 AND a.h5 = b.h5 AND a.doc_id < b.doc_id
+        UNION
+        SELECT a.doc_id, b.doc_id FROM sig a JOIN sig b
+          ON a.h6 = b.h6 AND a.h7 = b.h7 AND a.doc_id < b.doc_id
+      )
+    )"""
+
 
 @register(
     "dedup_minhash_sig",
@@ -415,22 +437,8 @@ def _lsh_candidate_pairs(ds: DataFrame) -> DataFrame:
     "dedup_minhash_lsh",
     survey="north-star: MinHash+LSH near-dup (band→bucket-join→verify)",
     oracle=_SIG_SQL
+    + _LSH_CANDS_SQL
     + """,
-    candidates AS (
-      SELECT DISTINCT doc1, doc2 FROM (
-        SELECT a.doc_id AS doc1, b.doc_id AS doc2 FROM sig a JOIN sig b
-          ON a.h0 = b.h0 AND a.h1 = b.h1 AND a.doc_id < b.doc_id
-        UNION
-        SELECT a.doc_id, b.doc_id FROM sig a JOIN sig b
-          ON a.h2 = b.h2 AND a.h3 = b.h3 AND a.doc_id < b.doc_id
-        UNION
-        SELECT a.doc_id, b.doc_id FROM sig a JOIN sig b
-          ON a.h4 = b.h4 AND a.h5 = b.h5 AND a.doc_id < b.doc_id
-        UNION
-        SELECT a.doc_id, b.doc_id FROM sig a JOIN sig b
-          ON a.h6 = b.h6 AND a.h7 = b.h7 AND a.doc_id < b.doc_id
-      )
-    ),
     cnt AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY 1),
     verified AS (
       SELECT c.doc1, c.doc2, count(*) AS common
@@ -480,6 +488,113 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(sb, "doc2")
         .select("doc1", "doc2", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= 0.5)
+    )
+
+
+# ------------- LSH recall audit (round-12 preview)
+#
+# The QA number a dedup team reads before trusting the b/r banding
+# parameters: of the TRUE near-dup pairs (exact shingle-Jaccard ≥ 0.5
+# — dedup_ngram_jaccard's output, exhaustive at this threshold
+# because any pair with jaccard > 0 shares a shingle), what fraction
+# does the LSH candidate stage surface (recall), and what fraction of
+# the candidate pairs survive the verify (candidate precision — the
+# measure of wasted verify work)? With r=2, b=4 the theoretical
+# candidate probability is 1-(1-j²)⁴; this operator MEASURES it on
+# the corpus. Both legs reuse the registered machines verbatim — the
+# truth leg is the ngram_jaccard pair join, the candidate leg is
+# _lsh_candidate_pairs / the shared _LSH_CANDS_SQL fragment — so the
+# audit cannot drift from the operators it audits.
+#
+# Scale shape: the union of its parts (shingle equi-join for truth,
+# band-bucket groupBy for candidates), then a pair-key full-outer
+# join and ONE one-row aggregate (the accounted single-partition
+# merge). All ratios are integer/integer — cross-engine exact —
+# rounded floor-form 4dp by convention. UNREGISTERED round-12
+# preview; promotion (one @register with
+# oracle=lsh_recall_oracle_sql()) targeted for r13.
+
+
+def qa_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measure the LSH banding stage against exact-Jaccard ground
+    truth. Round-12 preview (promotion = one @register with
+    oracle=lsh_recall_oracle_sql()). Output one row: (n_true_pairs,
+    n_lsh_candidates, n_hits, recall, candidate_precision)."""
+    truth = (
+        dedup_ngram_jaccard(spark, sf_dir)
+        .select("doc1", "doc2")
+        .withColumn("is_true", F.lit(True))
+    )
+    cands = _lsh_candidate_pairs(
+        _shingle_sets_persisted(spark, sf_dir)
+    ).withColumn("is_cand", F.lit(True))
+    m = truth.join(cands, ["doc1", "doc2"], "full_outer")
+    n_true = F.count("is_true")
+    n_cand = F.count("is_cand")
+    n_hits = F.count(F.when(F.col("is_true") & F.col("is_cand"), 1))
+    return m.agg(
+        n_true.cast("bigint").alias("n_true_pairs"),
+        n_cand.cast("bigint").alias("n_lsh_candidates"),
+        n_hits.cast("bigint").alias("n_hits"),
+        _r(
+            F.when(n_true == 0, F.lit(1.0)).otherwise(
+                n_hits.cast("double") / n_true
+            ),
+            4,
+        ).alias("recall"),
+        _r(
+            F.when(n_cand == 0, F.lit(1.0)).otherwise(
+                n_hits.cast("double") / n_cand
+            ),
+            4,
+        ).alias("candidate_precision"),
+    )
+
+
+def lsh_recall_oracle_sql() -> str:
+    """qa_lsh_recall_audit as one DuckDB text — the shared signature +
+    candidates fragments (which read the documents table, like every
+    oracle in this module) plus the ngram-truth CTE and one-row
+    counts."""
+
+    def r4(expr: str) -> str:
+        return f"CAST(floor(({expr}) * 10000.0 + 0.5) AS DOUBLE) / 10000.0"
+
+    return (
+        _SIG_SQL
+        + _LSH_CANDS_SQL
+        + """,
+    cnt AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY 1),
+    common AS (
+      SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS c
+      FROM shingles a JOIN shingles b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    truth AS (
+      SELECT doc1, doc2 FROM common
+      JOIN cnt ca ON ca.doc_id = doc1
+      JOIN cnt cb ON cb.doc_id = doc2
+      WHERE CAST(c AS DOUBLE) / (ca.n + cb.n - c) >= 0.5
+    ),
+    sizes AS (
+      SELECT (SELECT count(*) FROM truth) AS n_true,
+             (SELECT count(*) FROM candidates) AS n_cand,
+             (SELECT count(*) FROM truth t JOIN candidates c
+                ON t.doc1 = c.doc1 AND t.doc2 = c.doc2) AS n_hits
+    )
+    SELECT CAST(n_true AS BIGINT) AS n_true_pairs,
+           CAST(n_cand AS BIGINT) AS n_lsh_candidates,
+           CAST(n_hits AS BIGINT) AS n_hits,
+           """
+        + r4("CASE WHEN n_true = 0 THEN 1.0 "
+             "ELSE CAST(n_hits AS DOUBLE) / n_true END")
+        + """ AS recall,
+           """
+        + r4("CASE WHEN n_cand = 0 THEN 1.0 "
+             "ELSE CAST(n_hits AS DOUBLE) / n_cand END")
+        + """ AS candidate_precision
+    FROM sizes
+    """
     )
 
 
