@@ -85,3 +85,17 @@ def exact_avg(col: Column | str, dp: int = 2) -> Column:
         F.sum(F.round(c * m).cast("long")).cast("double")
         / (F.count(c) * m).cast("double")
     )
+
+
+def r4_sql(expr: str) -> str:
+    """``r`` at scale 4 as SQL TEXT for NON-NEGATIVE expressions — the
+    one engine-portable spelling, shared by every generated oracle
+    that rounds a strictly non-negative double (LM neg log-probs and
+    perplexities, UniMax allocations, audit ratios). The unsigned
+    floor form is exact only for x ≥ 0 (see the module docstring for
+    the signed case — use ``r`` / a CASE on sign there). The
+    ``CAST AS DOUBLE`` is load-bearing on the Spark side: Spark's
+    floor() returns BIGINT and parses the 10000.0 literal as DECIMAL,
+    so the uncast quotient comes back Decimal('0.6931000') and
+    hash-mismatches DuckDB's double."""
+    return f"CAST(floor(({expr}) * 10000.0 + 0.5) AS DOUBLE) / 10000.0"

@@ -976,10 +976,12 @@ _UNIMAX_BUDGET_X = 3  # token budget = this many corpus epochs
 
 
 def _unimax_r4(expr: str) -> str:
-    """Floor-form 4dp round for non-negative doubles (the _lm_r4
-    spelling; see tokenizers._lm_r4 for why the CAST is load-bearing
-    on the Spark side)."""
-    return f"CAST(floor(({expr}) * 10000.0 + 0.5) AS DOUBLE) / 10000.0"
+    """Floor-form 4dp round for the non-negative allocation values —
+    delegates to the one shared spelling in functions/rounding.r4_sql
+    (r12 hoist)."""
+    from nyc_traffic_insight_spark.functions.rounding import r4_sql
+
+    return r4_sql(expr)
 
 
 def unimax_alloc_sql(

@@ -49,6 +49,29 @@ _SHINGLES_SQL = """
     )
 """
 
+# Exact-Jaccard pair generation over `shingles`, split into the pair
+# CTEs and the thresholded select (r12 extraction, byte-identical to
+# the text previously inlined in dedup_ngram_jaccard's oracle).
+# Shared by dedup_ngram_jaccard and qa_lsh_recall_audit's truth leg —
+# one text, so the audit's definition of "true pair" cannot drift
+# from the baseline operator it measures against.
+_NGRAM_PAIRS_SQL = """,
+    cnt AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY 1),
+    common AS (
+      SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS c
+      FROM shingles a JOIN shingles b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )"""
+
+_NGRAM_JACCARD_SELECT = """
+    SELECT doc1, doc2,
+           CAST(c AS DOUBLE) / (ca.n + cb.n - c) AS jaccard
+    FROM common
+    JOIN cnt ca ON ca.doc_id = doc1
+    JOIN cnt cb ON cb.doc_id = doc2
+    WHERE CAST(c AS DOUBLE) / (ca.n + cb.n - c) >= 0.5
+    """
+
 
 def _materialize(df: DataFrame) -> DataFrame:
     """Truncate lineage for a loop-carried DataFrame.
@@ -241,21 +264,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_ngram_jaccard",
     survey="north-star: n-gram Jaccard near-dup (brute-force baseline)",
-    oracle=_SHINGLES_SQL
-    + """,
-    cnt AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY 1),
-    common AS (
-      SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS c
-      FROM shingles a JOIN shingles b ON a.s = b.s AND a.doc_id < b.doc_id
-      GROUP BY 1, 2
-    )
-    SELECT doc1, doc2,
-           CAST(c AS DOUBLE) / (ca.n + cb.n - c) AS jaccard
-    FROM common
-    JOIN cnt ca ON ca.doc_id = doc1
-    JOIN cnt cb ON cb.doc_id = doc2
-    WHERE CAST(c AS DOUBLE) / (ca.n + cb.n - c) >= 0.5
-    """,
+    oracle=_SHINGLES_SQL + _NGRAM_PAIRS_SQL + _NGRAM_JACCARD_SELECT,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact Jaccard over distinct 3-word shingles, pairs ≥ 0.5.
@@ -266,7 +275,16 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     This is the correctness baseline; dedup_minhash_lsh is the scale
     path (candidates from banding instead of the full shingle join).
     """
-    sh = _shingles(spark, sf_dir)
+    return _ngram_jaccard_pairs(_shingles(spark, sf_dir))
+
+
+def _ngram_jaccard_pairs(sh: DataFrame) -> DataFrame:
+    """The exact-Jaccard pair machine over exploded (doc_id, s) rows —
+    the DataFrame twin of _NGRAM_PAIRS_SQL/_NGRAM_JACCARD_SELECT.
+    Shared by dedup_ngram_jaccard (unpersisted _shingles) and
+    qa_lsh_recall_audit's truth leg (which feeds it the explode of the
+    ALREADY-persisted shingle sets its candidate leg materialized, so
+    the audit costs one shingle pipeline, not two)."""
     cnt = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -520,14 +538,16 @@ def qa_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     truth. Round-12 preview (promotion = one @register with
     oracle=lsh_recall_oracle_sql()). Output one row: (n_true_pairs,
     n_lsh_candidates, n_hits, recall, candidate_precision)."""
+    ds = _shingle_sets_persisted(spark, sf_dir)
+    # the truth leg feeds the SAME persisted shingle sets the candidate
+    # leg materializes (exploded back to rows — identical relation to
+    # _shingles, one shingle pipeline for the whole audit)
     truth = (
-        dedup_ngram_jaccard(spark, sf_dir)
+        _ngram_jaccard_pairs(ds.select("doc_id", F.explode("sh").alias("s")))
         .select("doc1", "doc2")
         .withColumn("is_true", F.lit(True))
     )
-    cands = _lsh_candidate_pairs(
-        _shingle_sets_persisted(spark, sf_dir)
-    ).withColumn("is_cand", F.lit(True))
+    cands = _lsh_candidate_pairs(ds).withColumn("is_cand", F.lit(True))
     m = truth.join(cands, ["doc1", "doc2"], "full_outer")
     n_true = F.count("is_true")
     n_cand = F.count("is_cand")
@@ -554,28 +574,18 @@ def qa_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 def lsh_recall_oracle_sql() -> str:
     """qa_lsh_recall_audit as one DuckDB text — the shared signature +
     candidates fragments (which read the documents table, like every
-    oracle in this module) plus the ngram-truth CTE and one-row
-    counts."""
-
-    def r4(expr: str) -> str:
-        return f"CAST(floor(({expr}) * 10000.0 + 0.5) AS DOUBLE) / 10000.0"
+    oracle in this module) plus the shared ngram-truth fragments
+    (_NGRAM_PAIRS_SQL / _NGRAM_JACCARD_SELECT, the exact texts
+    dedup_ngram_jaccard registers — wrapped as a CTE, extra jaccard
+    column unused) and one-row counts."""
+    from nyc_traffic_insight_spark.functions.rounding import r4_sql as r4
 
     return (
         _SIG_SQL
         + _LSH_CANDS_SQL
-        + """,
-    cnt AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY 1),
-    common AS (
-      SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS c
-      FROM shingles a JOIN shingles b ON a.s = b.s AND a.doc_id < b.doc_id
-      GROUP BY 1, 2
-    ),
-    truth AS (
-      SELECT doc1, doc2 FROM common
-      JOIN cnt ca ON ca.doc_id = doc1
-      JOIN cnt cb ON cb.doc_id = doc2
-      WHERE CAST(c AS DOUBLE) / (ca.n + cb.n - c) >= 0.5
-    ),
+        + _NGRAM_PAIRS_SQL
+        + f""",
+    truth AS ({_NGRAM_JACCARD_SELECT}),
     sizes AS (
       SELECT (SELECT count(*) FROM truth) AS n_true,
              (SELECT count(*) FROM candidates) AS n_cand,

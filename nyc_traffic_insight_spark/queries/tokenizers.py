@@ -738,14 +738,13 @@ _LM_TOPK = 100  # trainer output: top-K bigrams by count
 
 
 def _lm_r4(expr: str) -> str:
-    """Floor-form round-to-4dp as shared SQL text (the engine-portable
-    spelling of functions/rounding.r for STRICTLY POSITIVE values —
-    neg log-probs and perplexities; see that module's docstring for
-    why round() itself diverges across engines). The CAST AS DOUBLE is
-    load-bearing: Spark's floor() returns BIGINT and parses the
-    10000.0 literal as DECIMAL, so the uncast quotient comes back
-    Decimal('0.6931000') and hash-mismatches DuckDB's double."""
-    return f"CAST(floor(({expr}) * 10000.0 + 0.5) AS DOUBLE) / 10000.0"
+    """Floor-form round-to-4dp as shared SQL text for the strictly
+    positive LM values (neg log-probs, perplexities) — delegates to
+    the one shared spelling in functions/rounding.r4_sql (r12 hoist;
+    the exact text is load-bearing, see that docstring)."""
+    from nyc_traffic_insight_spark.functions.rounding import r4_sql
+
+    return r4_sql(expr)
 
 
 def _lm_vocab_body(toks: str, cap: int) -> str:
@@ -1054,7 +1053,19 @@ def lm_score_perplexity(
 # targeted for r13.
 
 _PPL_BUCKETS = 3  # head / middle / tail
-_PPL_LABELS = "CASE ppl_bucket WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END"
+
+
+def _ppl_label_case(nb: int) -> str:
+    """Bucket label as a function of the PARAMETRIC bucket count:
+    bucket 1 is always 'head', bucket nb always 'tail', everything
+    between 'middle' (at nb=1 the first branch wins — a single bucket
+    is all head; at nb=2 there is no middle). A hardcoded 3-way CASE
+    here would silently mislabel any nb≠3 run in BOTH engines at once
+    — invisible to the cross-engine compare (review r12)."""
+    return (
+        "CASE WHEN ppl_bucket = 1 THEN 'head' "
+        f"WHEN ppl_bucket = {nb} THEN 'tail' ELSE 'middle' END"
+    )
 
 
 def _lm_buckets_select(scores: str, docs: str, nb: int) -> str:
@@ -1062,7 +1073,7 @@ def _lm_buckets_select(scores: str, docs: str, nb: int) -> str:
     ntile within lang by (ppl, doc_id)."""
     return (
         "SELECT doc_id, lang, ppl, CAST(ppl_bucket AS INTEGER) AS ppl_bucket, "
-        f"{_PPL_LABELS} AS bucket_label FROM ("
+        f"{_ppl_label_case(nb)} AS bucket_label FROM ("
         "SELECT s.doc_id, d.lang, s.ppl, "
         f"ntile({nb}) OVER (PARTITION BY d.lang "
         "ORDER BY s.ppl, s.doc_id) AS ppl_bucket "

@@ -39,19 +39,19 @@ def _ref_buckets(texts, langs, cap, nb):
     for doc_id, _n, ppl in scores:
         by_lang.setdefault(langs[doc_id], []).append((ppl, doc_id))
     out = []
-    label = {1: "head", 2: "middle"}
     for lang, rows in by_lang.items():
         rows.sort()
         n = len(rows)
         base, extra = divmod(n, nb)
         idx = 0
         for b in range(1, nb + 1):
+            # parametric label rule (matches _ppl_label_case): bucket 1
+            # is head, bucket nb is tail, everything between middle
+            label = "head" if b == 1 else ("tail" if b == nb else "middle")
             size = base + (1 if b <= extra else 0)
             for _ in range(size):
                 ppl, doc_id = rows[idx]
-                out.append(
-                    (doc_id, lang, ppl, b, label.get(b, "tail"))
-                )
+                out.append((doc_id, lang, ppl, b, label))
                 idx += 1
     return sorted(out)
 
@@ -91,6 +91,15 @@ def test_oracle_matches_python_reference_fuzz():
         assert got == _ref_buckets(texts, langs, _TINY_CAP, _PPL_BUCKETS), (
             trial
         )
+        # non-default bucket counts keep labels consistent with the
+        # parametric rule (nb=2: head/tail only, no middle)
+        got2 = sorted(
+            con.sql(
+                lm_buckets_oracle_sql("docs", cap=_TINY_CAP, nb=2)
+            ).fetchall()
+        )
+        assert got2 == _ref_buckets(texts, langs, _TINY_CAP, 2), trial
+        assert not any(r[4] == "middle" for r in got2)
 
 
 def test_spark_matches_python_reference(spark, tmp_path):
