@@ -1080,3 +1080,101 @@ def sample_unimax_budget(
         return spark.sql(unimax_alloc_sql(v, epoch_cap))
     finally:
         spark.catalog.dropTempView(v)
+
+
+# The materialization half of the UniMax pair (round-12 preview,
+# second entry): turn the per-language epoch allocation into a
+# deterministic PER-DOCUMENT repeat count — every doc repeats
+# floor(epochs) times, plus one more for a deterministic
+# md5(doc_id)-fraction of docs equal to the fractional epoch part, so
+# per-language totals track alloc_tokens without any RNG state. This
+# is the plan a data loader executes; budget (above) is the decision,
+# apply (here) is the action — the same two-operator story as the
+# LM/BPE train→apply arcs.
+#
+# Determinism inventory: epochs is the 4dp-rounded double from the
+# shared waterfilling fragment (identical cross-engine); floor/frac
+# are exact on it; the coin is the full 32-bit md5 tail compared to
+# floor(frac · 2³²) — an integer threshold both engines compute from
+# the same double, compared against the same integer draw (_DRAW_SQL
+# at word width; no modulo-100 coarsening here because the epoch
+# fractions are 4dp-fine).
+#
+# Scale shape: the k-row allocation broadcasts onto the documents
+# scan — one narrow map pass, zero corpus shuffles. UNREGISTERED
+# round-12 preview; promotion alongside sample_unimax_budget.
+
+_DRAW32_SQL = "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 25, 8))::BIGINT"
+
+
+def _draw32(col: str = "doc_id") -> F.Column:
+    return F.conv(
+        F.substring(F.md5(F.col(col).cast("string")), 25, 8), 16, 10
+    ).cast("bigint")
+
+
+def unimax_apply_oracle_sql(
+    table: str = "documents",
+    epoch_cap: int = _UNIMAX_EPOCHS,
+    budget_x: int = _UNIMAX_BUDGET_X,
+) -> str:
+    """sample_unimax_apply as one DuckDB text: the budget oracle as a
+    CTE, broadcast-joined (semantically) onto the documents table."""
+    return (
+        r"""
+    WITH lang_tokens AS (
+      SELECT lang,
+             CAST(sum(len(regexp_split_to_array(trim(text), '\s+')))
+               AS BIGINT) AS n_tok
+      FROM """
+        + table
+        + f""" GROUP BY 1
+    ),
+    alloc AS ({unimax_alloc_sql("lang_tokens", epoch_cap, budget_x)}),
+    thr AS (
+      SELECT lang, epochs,
+             CAST(floor(epochs) AS BIGINT) AS whole,
+             CAST(floor((epochs - floor(epochs)) * 4294967296.0)
+               AS BIGINT) AS frac_thr
+      FROM alloc
+    )
+    SELECT d.doc_id, d.lang, t.epochs,
+           CAST(t.whole + CASE WHEN {_DRAW32_SQL} < t.frac_thr
+                               THEN 1 ELSE 0 END AS BIGINT) AS n_repeats
+    FROM {table} d JOIN thr t ON d.lang = t.lang
+    """
+    )
+
+
+def sample_unimax_apply(
+    spark: SparkSession,
+    sf_dir: str,
+    epoch_cap: int = _UNIMAX_EPOCHS,
+    budget_x: int = _UNIMAX_BUDGET_X,
+) -> DataFrame:
+    """Materialize the UniMax allocation: one row per document with
+    its deterministic repeat count under the per-language epoch
+    budget. Round-12 preview (promotion = one @register with
+    oracle=unimax_apply_oracle_sql()). Output: (doc_id, lang, epochs,
+    n_repeats)."""
+    alloc = sample_unimax_budget(spark, sf_dir, epoch_cap)
+    thr = alloc.select(
+        "lang",
+        "epochs",
+        F.floor("epochs").cast("bigint").alias("whole"),
+        F.floor((F.col("epochs") - F.floor("epochs")) * F.lit(4294967296.0))
+        .cast("bigint")
+        .alias("frac_thr"),
+    )
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return d.join(F.broadcast(thr), "lang").select(
+        "doc_id",
+        "lang",
+        "epochs",
+        (
+            F.col("whole")
+            + F.when(_draw32() < F.col("frac_thr"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_repeats"),
+    )

@@ -140,3 +140,100 @@ def test_allocation_algebra(spark):
         level = (budget - full_c) / n_unfull
         assert abs(full_c + level * n_unfull - budget) < 1e-6
         assert _r4(level) == next(iter(levels))
+
+
+# ----------------- sample_unimax_apply (the materialization half)
+
+
+def _md5_draw32(doc_id: int) -> int:
+    import hashlib
+
+    return int(
+        hashlib.md5(str(doc_id).encode()).hexdigest()[24:32], 16
+    )
+
+
+def _ref_apply(texts, langs, epoch_cap, budget_x):
+    """Reference: per-lang whitespace token sums -> waterfill ->
+    floor(epochs) + md5-coin on the fractional part."""
+    import re
+
+    lt: dict = {}
+    for t, lang in zip(texts, langs):
+        lt[lang] = lt.get(lang, 0) + len(re.split(r"\s+", t.strip()))
+    alloc = {
+        r[0]: r[5] for r in _ref_waterfill(list(lt.items()), epoch_cap, budget_x)
+    }  # lang -> epochs (r4)
+    out = []
+    for doc_id, lang in enumerate(langs):
+        e = alloc[lang]
+        whole = math.floor(e)
+        thr = math.floor((e - whole) * 4294967296.0)
+        out.append(
+            (doc_id, lang, e, whole + (1 if _md5_draw32(doc_id) < thr else 0))
+        )
+    return sorted(out)
+
+
+def _duck_docs(texts, langs):
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents(doc_id BIGINT, text VARCHAR, lang VARCHAR)"
+    )
+    con.executemany(
+        "INSERT INTO documents VALUES (?, ?, ?)",
+        [(i, t, langs[i]) for i, t in enumerate(texts)],
+    )
+    return con
+
+
+def test_apply_oracle_matches_python_reference_fuzz():
+    import random
+
+    from nyc_traffic_insight_spark.queries.samplingq import (
+        unimax_apply_oracle_sql,
+    )
+
+    rng = random.Random(19)
+    for trial in range(12):
+        n = rng.randint(2, 40)
+        texts = [
+            " ".join("w" for _ in range(rng.randint(1, 30)))
+            for _ in range(n)
+        ]
+        langs = [rng.choice(["en", "de", "fr"]) for _ in range(n)]
+        cap = rng.choice([2, 4])
+        bx = rng.choice([1, 3])
+        con = _duck_docs(texts, langs)
+        got = sorted(
+            con.sql(
+                unimax_apply_oracle_sql("documents", cap, bx)
+            ).fetchall()
+        )
+        assert got == _ref_apply(texts, langs, cap, bx), trial
+
+
+def test_apply_spark_matches_duckdb_on_testdata(spark):
+    from nyc_traffic_insight_spark.queries.samplingq import (
+        sample_unimax_apply,
+        unimax_apply_oracle_sql,
+    )
+
+    spdf = sample_unimax_apply(spark, SF_SMOKE).toPandas()
+    con = duck_connect(SF_SMOKE)
+    odf = con.execute(unimax_apply_oracle_sql()).fetchdf()
+    compare(spdf, odf, "sample_unimax_apply")
+    assert len(spdf) == 500
+    # repeat counts live in {floor(e), floor(e)+1}; full-capacity
+    # languages repeat exactly epoch_cap times
+    import numpy as np
+
+    whole = np.floor(spdf["epochs"])
+    assert ((spdf["n_repeats"] == whole) | (spdf["n_repeats"] == whole + 1)).all()
+    full = spdf[spdf["epochs"] == _UNIMAX_EPOCHS]
+    assert len(full) > 0 and (full["n_repeats"] == _UNIMAX_EPOCHS).all()
+    # the coin fires both ways somewhere on the fractional languages
+    fracs = spdf[spdf["epochs"] != np.floor(spdf["epochs"])]
+    assert set(fracs["n_repeats"] - np.floor(fracs["epochs"])) == {0.0, 1.0}
