@@ -18,6 +18,8 @@ max; the Bloom build side is tiny and the probe is a broadcast join.
 
 from __future__ import annotations
 
+import itertools as _itertools
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1053,8 +1055,6 @@ def unimax_oracle_sql(
         + ") u"
     )
 
-
-import itertools as _itertools
 
 _UNIMAX_SEQ = _itertools.count()  # per-call temp-view namespace
 
