@@ -1,0 +1,92 @@
+"""Driver-style verification of the UNREGISTERED previews.
+
+The registered catalog has tools/verify_rotation.py; this is the same
+compare for the current round's preview operators — the ones whose
+@register lands next round. Running it at the gate SF (sf0.01, plus
+sf0.1 for the order-dependence class) BEFORE promotion means the
+promotion commit is a decorator, never a debugging session.
+
+The PREVIEWS list is per-round by nature: entries move OUT when they
+are promoted (they then appear in verify_rotation's sweep) and new
+previews move IN. Keep it in sync with the NOTES.md preview log.
+
+Usage:  python tools/preview_gate.py [sf_dir ...]
+        (default: /root/testdata/sf0.01 /root/testdata/sf0.1)
+
+Exit status 1 if any preview FAILs, else 0.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from nyc_traffic_insight_spark.session import get_spark  # noqa: E402
+from tests.oracle_utils import compare, duck_connect  # noqa: E402
+
+
+def _previews():
+    """(name, builder, oracle_sql_text) for every round-12 preview."""
+    from nyc_traffic_insight_spark.queries.samplingq import (
+        sample_unimax_apply,
+        sample_unimax_budget,
+        unimax_apply_oracle_sql,
+        unimax_oracle_sql,
+    )
+    from nyc_traffic_insight_spark.queries.textops import (
+        lsh_recall_oracle_sql,
+        pack_context_windows,
+        pack_manifest_oracle_sql,
+        pack_window_manifest,
+        pack_windows_oracle_sql,
+        qa_lsh_recall_audit,
+    )
+    from nyc_traffic_insight_spark.queries.tokenizers import (
+        lm_buckets_oracle_sql,
+        lm_ppl_buckets,
+    )
+
+    return [
+        ("pack_context_windows", pack_context_windows, pack_windows_oracle_sql()),
+        ("pack_window_manifest", pack_window_manifest, pack_manifest_oracle_sql()),
+        ("lm_ppl_buckets", lm_ppl_buckets, lm_buckets_oracle_sql()),
+        ("sample_unimax_budget", sample_unimax_budget, unimax_oracle_sql()),
+        ("sample_unimax_apply", sample_unimax_apply, unimax_apply_oracle_sql()),
+        ("qa_lsh_recall_audit", qa_lsh_recall_audit, lsh_recall_oracle_sql()),
+    ]
+
+
+def main() -> int:
+    sf_dirs = sys.argv[1:] or [
+        "/root/testdata/sf0.01",
+        "/root/testdata/sf0.1",
+    ]
+    spark = get_spark(app_name="ntis-preview-gate")
+    spark.sparkContext.setLogLevel("ERROR")
+    n_fail = 0
+    for sf_dir in sf_dirs:
+        con = duck_connect(sf_dir)
+        tag = os.path.basename(os.path.normpath(sf_dir))
+        for name, builder, oracle in _previews():
+            t0 = time.time()
+            try:
+                spdf = builder(spark, sf_dir).toPandas()
+                odf = con.execute(oracle).fetchdf()
+                compare(spdf, odf, name)
+            except Exception as exc:  # noqa: BLE001 - report and continue
+                n_fail += 1
+                print(f"{tag} {name:26s} FAIL {str(exc)[:160]}")
+                continue
+            print(
+                f"{tag} {name:26s} PASS rows={len(spdf)}"
+                f" ({time.time() - t0:.2f}s)"
+            )
+    print(f"-- {n_fail} failed of {len(_previews()) * len(sf_dirs)}")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
