@@ -393,6 +393,29 @@ _LSH_CANDS_SQL = """,
       )
     )"""
 
+# Exact-Jaccard verify over `candidates`, split into the verify CTEs
+# and the thresholded select (r12 extraction, byte-identical to the
+# text previously inlined in dedup_minhash_lsh's oracle). Shared by
+# dedup_minhash_lsh and text_decontaminate_fuzzy — one verify text.
+_LSH_VERIFY_SQL = """,
+    cnt AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY 1),
+    verified AS (
+      SELECT c.doc1, c.doc2, count(*) AS common
+      FROM candidates c
+      JOIN shingles sa ON sa.doc_id = c.doc1
+      JOIN shingles sb ON sb.doc_id = c.doc2 AND sb.s = sa.s
+      GROUP BY 1, 2
+    )"""
+
+_LSH_JACCARD_SELECT = """
+    SELECT v.doc1, v.doc2,
+           CAST(v.common AS DOUBLE) / (ca.n + cb.n - v.common) AS jaccard
+    FROM verified v
+    JOIN cnt ca ON ca.doc_id = v.doc1
+    JOIN cnt cb ON cb.doc_id = v.doc2
+    WHERE CAST(v.common AS DOUBLE) / (ca.n + cb.n - v.common) >= 0.5
+    """
+
 
 @register(
     "dedup_minhash_sig",
@@ -454,24 +477,7 @@ def _lsh_candidate_pairs(ds: DataFrame) -> DataFrame:
 @register(
     "dedup_minhash_lsh",
     survey="north-star: MinHash+LSH near-dup (band→bucket-join→verify)",
-    oracle=_SIG_SQL
-    + _LSH_CANDS_SQL
-    + """,
-    cnt AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY 1),
-    verified AS (
-      SELECT c.doc1, c.doc2, count(*) AS common
-      FROM candidates c
-      JOIN shingles sa ON sa.doc_id = c.doc1
-      JOIN shingles sb ON sb.doc_id = c.doc2 AND sb.s = sa.s
-      GROUP BY 1, 2
-    )
-    SELECT v.doc1, v.doc2,
-           CAST(v.common AS DOUBLE) / (ca.n + cb.n - v.common) AS jaccard
-    FROM verified v
-    JOIN cnt ca ON ca.doc_id = v.doc1
-    JOIN cnt cb ON cb.doc_id = v.doc2
-    WHERE CAST(v.common AS DOUBLE) / (ca.n + cb.n - v.common) >= 0.5
-    """,
+    oracle=_SIG_SQL + _LSH_CANDS_SQL + _LSH_VERIFY_SQL + _LSH_JACCARD_SELECT,
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH banding: 8 minhashes → 4 bands of 2 → docs sharing
@@ -488,13 +494,18 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cache so repeated invocations reuse one persisted lineage instead
     # of accumulating blocks per call (ADVICE r2 #2).
     ds = _shingle_sets_persisted(spark, sf_dir)
-    cands = _lsh_candidate_pairs(ds)
+    return _lsh_verified_pairs(ds, _lsh_candidate_pairs(ds))
 
-    # Exact-Jaccard verify over the candidate pairs only: join each side
-    # to its per-doc shingle ARRAY (one row per doc, not one per
-    # shingle) and intersect JVM-side. Two equi-joins on doc_id + a
-    # narrow array_intersect — no exploded-shingle re-join, no
-    # per-pair groupBy.
+
+def _lsh_verified_pairs(ds: DataFrame, cands: DataFrame) -> DataFrame:
+    """Exact-Jaccard verify over candidate pairs — the DataFrame twin
+    of _LSH_VERIFY_SQL/_LSH_JACCARD_SELECT, shared by dedup_minhash_lsh
+    and text_decontaminate_fuzzy's train×eval filter.
+
+    Joins each side to its per-doc shingle ARRAY (one row per doc, not
+    one per shingle) and intersects JVM-side: two equi-joins on doc_id
+    + a narrow array_intersect — no exploded-shingle re-join, no
+    per-pair groupBy."""
     sa = ds.select(F.col("doc_id").alias("doc1"), F.col("sh").alias("sh1"))
     sb = ds.select(F.col("doc_id").alias("doc2"), F.col("sh").alias("sh2"))
     common = F.size(F.array_intersect("sh1", "sh2"))
@@ -2098,6 +2109,87 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count_distinct("s").alias("n_shared"))
         .filter(F.col("n_shared") >= 2)
         .select("doc_id", F.col("n_shared").cast("bigint").alias("n_shared"))
+    )
+
+
+# ------------- fuzzy decontamination (round-12 preview)
+#
+# The exact-n-gram filter above catches verbatim inclusions; modern
+# eval hygiene also drops NEAR-duplicates of eval documents (light
+# paraphrase, whitespace/punctuation drift — the contamination class
+# n-gram joins miss; the Llama/PaLM reports run fuzzy variants for
+# exactly this reason). This is that operator, built from the two
+# machines the catalog already trusts byte-for-byte: LSH banding
+# candidates (_LSH_CANDS_SQL / _lsh_candidate_pairs) restricted to
+# train×eval pairs, then the exact-Jaccard verify
+# (_LSH_VERIFY_SQL / _lsh_verified_pairs) at the same ≥ 0.5 line.
+# One row per FLAGGED training doc with its minimum-id eval witness
+# and that pair's jaccard (ratio of integers — exact hash).
+#
+# Scale shape: identical to dedup_minhash_lsh (banding equi-join +
+# candidates-only verify) with a post-banding xor filter — the eval
+# side needs no separate index, it rides the same signature pass.
+# UNREGISTERED round-12 preview; promotion (one @register with
+# oracle=decon_fuzzy_oracle_sql()) targeted for r13.
+
+
+def text_decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flag training docs that are MinHash-verified near-duplicates
+    (Jaccard ≥ 0.5) of some eval doc. Round-12 preview (promotion =
+    one @register with oracle=decon_fuzzy_oracle_sql()). Output:
+    (doc_id, eval_witness, jaccard) — witness = the smallest matching
+    eval doc_id, jaccard = that pair's exact score."""
+    from pyspark.sql import Window
+
+    ds = _shingle_sets_persisted(spark, sf_dir)
+    jac = _lsh_verified_pairs(ds, _lsh_candidate_pairs(ds))
+    e1 = F.col("doc1") % _DECON_EVAL_MOD == 0
+    e2 = F.col("doc2") % _DECON_EVAL_MOD == 0
+    split = (
+        jac.filter(e1 != e2)
+        .select(
+            F.when(e1, F.col("doc2")).otherwise(F.col("doc1")).alias("doc_id"),
+            F.when(e1, F.col("doc1")).otherwise(F.col("doc2")).alias("ev"),
+            "jaccard",
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy("ev")
+    return (
+        split.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            F.col("ev").cast("bigint").alias("eval_witness"),
+            "jaccard",
+        )
+    )
+
+
+def decon_fuzzy_oracle_sql() -> str:
+    """text_decontaminate_fuzzy as one DuckDB text — the shared
+    signature + candidates + verify fragments (the exact texts
+    dedup_minhash_lsh registers), an eval-xor split, and the
+    min-witness window."""
+    return (
+        _SIG_SQL
+        + _LSH_CANDS_SQL
+        + _LSH_VERIFY_SQL
+        + f""",
+    jac AS ({_LSH_JACCARD_SELECT}),
+    split AS (
+      SELECT CASE WHEN doc1 % {_DECON_EVAL_MOD} = 0 THEN doc2
+                  ELSE doc1 END AS doc_id,
+             CASE WHEN doc1 % {_DECON_EVAL_MOD} = 0 THEN doc1
+                  ELSE doc2 END AS ev,
+             jaccard
+      FROM jac
+      WHERE (doc1 % {_DECON_EVAL_MOD} = 0) <> (doc2 % {_DECON_EVAL_MOD} = 0)
+    )
+    SELECT doc_id, CAST(ev AS BIGINT) AS eval_witness, jaccard FROM (
+      SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY ev) AS rn
+      FROM split
+    ) WHERE rn = 1
+    """
     )
 
 

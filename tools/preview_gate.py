@@ -37,12 +37,14 @@ def _previews():
         unimax_oracle_sql,
     )
     from nyc_traffic_insight_spark.queries.textops import (
+        decon_fuzzy_oracle_sql,
         lsh_recall_oracle_sql,
         pack_context_windows,
         pack_manifest_oracle_sql,
         pack_window_manifest,
         pack_windows_oracle_sql,
         qa_lsh_recall_audit,
+        text_decontaminate_fuzzy,
     )
     from nyc_traffic_insight_spark.queries.tokenizers import (
         lm_buckets_oracle_sql,
@@ -56,6 +58,11 @@ def _previews():
         ("sample_unimax_budget", sample_unimax_budget, unimax_oracle_sql()),
         ("sample_unimax_apply", sample_unimax_apply, unimax_apply_oracle_sql()),
         ("qa_lsh_recall_audit", qa_lsh_recall_audit, lsh_recall_oracle_sql()),
+        (
+            "text_decontaminate_fuzzy",
+            text_decontaminate_fuzzy,
+            decon_fuzzy_oracle_sql(),
+        ),
     ]
 
 
