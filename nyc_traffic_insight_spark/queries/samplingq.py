@@ -23,7 +23,11 @@ import itertools as _itertools
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from nyc_traffic_insight_spark.functions.rounding import exact_sum, r as _r
+from nyc_traffic_insight_spark.functions.rounding import (
+    exact_sum,
+    r as _r,
+    r4_sql,
+)
 from nyc_traffic_insight_spark.queries import register
 from nyc_traffic_insight_spark.sources import load_table
 
@@ -977,13 +981,9 @@ _UNIMAX_EPOCHS = 4  # per-language repeat cap
 _UNIMAX_BUDGET_X = 3  # token budget = this many corpus epochs
 
 
-def _unimax_r4(expr: str) -> str:
-    """Floor-form 4dp round for the non-negative allocation values —
-    delegates to the one shared spelling in functions/rounding.r4_sql
-    (r12 hoist)."""
-    from nyc_traffic_insight_spark.functions.rounding import r4_sql
-
-    return r4_sql(expr)
+# floor-form 4dp SQL round for the non-negative allocation values —
+# the one shared spelling (r12 hoist; see functions/rounding.r4_sql)
+_unimax_r4 = r4_sql
 
 
 def unimax_alloc_sql(
@@ -1034,12 +1034,12 @@ def unimax_alloc_sql(
     """
 
 
-def unimax_oracle_sql(
-    table: str = "documents", epoch_cap: int = _UNIMAX_EPOCHS
-) -> str:
-    """sample_unimax_budget as one DuckDB text: per-lang whitespace
-    token sums (the established split-of-trimmed idiom), then the
-    shared waterfilling fragment."""
+def _lang_tokens_cte(table: str) -> str:
+    """Per-lang whitespace token sums (the established split-of-trimmed
+    idiom) as ONE shared CTE text — the Spark twin is the
+    F.sum(F.size(F.split(F.trim(...)))) aggregate in
+    sample_unimax_budget; both unimax oracles open with this fragment
+    so the budget and apply legs cannot count tokens differently."""
     return (
         r"""
     WITH lang_tokens AS (
@@ -1049,9 +1049,22 @@ def unimax_oracle_sql(
       FROM """
         + table
         + """ GROUP BY 1
+    )"""
     )
+
+
+def unimax_oracle_sql(
+    table: str = "documents",
+    epoch_cap: int = _UNIMAX_EPOCHS,
+    budget_x: int = _UNIMAX_BUDGET_X,
+) -> str:
+    """sample_unimax_budget as one DuckDB text: the shared lang_tokens
+    CTE, then the shared waterfilling fragment."""
+    return (
+        _lang_tokens_cte(table)
+        + """
     SELECT * FROM ("""
-        + unimax_alloc_sql("lang_tokens", epoch_cap)
+        + unimax_alloc_sql("lang_tokens", epoch_cap, budget_x)
         + ") u"
     )
 
@@ -1060,7 +1073,10 @@ _UNIMAX_SEQ = _itertools.count()  # per-call temp-view namespace
 
 
 def sample_unimax_budget(
-    spark: SparkSession, sf_dir: str, epoch_cap: int = _UNIMAX_EPOCHS
+    spark: SparkSession,
+    sf_dir: str,
+    epoch_cap: int = _UNIMAX_EPOCHS,
+    budget_x: int = _UNIMAX_BUDGET_X,
 ) -> DataFrame:
     """UniMax waterfilling over the documents corpus: per-language
     token budget under an epoch cap — small languages take full
@@ -1077,7 +1093,7 @@ def sample_unimax_budget(
     v = f"__unimax{next(_UNIMAX_SEQ)}"
     lt.createOrReplaceTempView(v)
     try:
-        return spark.sql(unimax_alloc_sql(v, epoch_cap))
+        return spark.sql(unimax_alloc_sql(v, epoch_cap, budget_x))
     finally:
         spark.catalog.dropTempView(v)
 
@@ -1118,18 +1134,12 @@ def unimax_apply_oracle_sql(
     epoch_cap: int = _UNIMAX_EPOCHS,
     budget_x: int = _UNIMAX_BUDGET_X,
 ) -> str:
-    """sample_unimax_apply as one DuckDB text: the budget oracle as a
-    CTE, broadcast-joined (semantically) onto the documents table."""
+    """sample_unimax_apply as one DuckDB text: the shared lang_tokens
+    CTE, the budget oracle as a CTE, broadcast-joined (semantically)
+    onto the documents table."""
     return (
-        r"""
-    WITH lang_tokens AS (
-      SELECT lang,
-             CAST(sum(len(regexp_split_to_array(trim(text), '\s+')))
-               AS BIGINT) AS n_tok
-      FROM """
-        + table
-        + f""" GROUP BY 1
-    ),
+        _lang_tokens_cte(table)
+        + f""",
     alloc AS ({unimax_alloc_sql("lang_tokens", epoch_cap, budget_x)}),
     thr AS (
       SELECT lang, epochs,
@@ -1157,7 +1167,7 @@ def sample_unimax_apply(
     budget. Round-12 preview (promotion = one @register with
     oracle=unimax_apply_oracle_sql()). Output: (doc_id, lang, epochs,
     n_repeats)."""
-    alloc = sample_unimax_budget(spark, sf_dir, epoch_cap)
+    alloc = sample_unimax_budget(spark, sf_dir, epoch_cap, budget_x)
     thr = alloc.select(
         "lang",
         "epochs",

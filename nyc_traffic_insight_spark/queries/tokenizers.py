@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from nyc_traffic_insight_spark.queries import register
-from nyc_traffic_insight_spark.functions.rounding import r as _r
+from nyc_traffic_insight_spark.functions.rounding import r as _r, r4_sql
 from nyc_traffic_insight_spark.queries.textops import _docs, _materialize
 
 
@@ -737,14 +737,11 @@ _LM_VOCAB = 2000  # vocabulary cap (top-V words; everything else <unk>)
 _LM_TOPK = 100  # trainer output: top-K bigrams by count
 
 
-def _lm_r4(expr: str) -> str:
-    """Floor-form round-to-4dp as shared SQL text for the strictly
-    positive LM values (neg log-probs, perplexities) — delegates to
-    the one shared spelling in functions/rounding.r4_sql (r12 hoist;
-    the exact text is load-bearing, see that docstring)."""
-    from nyc_traffic_insight_spark.functions.rounding import r4_sql
-
-    return r4_sql(expr)
+# Floor-form round-to-4dp as shared SQL text for the strictly
+# positive LM values (neg log-probs, perplexities) — the one shared
+# spelling (r12 hoist; the exact text is load-bearing, see
+# functions/rounding.r4_sql's docstring).
+_lm_r4 = r4_sql
 
 
 def _lm_vocab_body(toks: str, cap: int) -> str:

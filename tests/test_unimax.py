@@ -237,3 +237,23 @@ def test_apply_spark_matches_duckdb_on_testdata(spark):
     # the coin fires both ways somewhere on the fractional languages
     fracs = spdf[spdf["epochs"] != np.floor(spdf["epochs"])]
     assert set(fracs["n_repeats"] - np.floor(fracs["epochs"])) == {0.0, 1.0}
+
+
+def test_nondefault_budget_threads_through_spark(spark):
+    """Review r12: budget_x must reach the Spark-side allocation —
+    a dropped parameter would diverge from the oracle only on
+    non-default calls, invisible to the default-args gate. Run both
+    operators at budget_x=1 cross-engine."""
+    from nyc_traffic_insight_spark.queries.samplingq import (
+        sample_unimax_apply,
+        unimax_apply_oracle_sql,
+    )
+
+    con = duck_connect(SF_SMOKE)
+    spdf = sample_unimax_budget(spark, SF_SMOKE, budget_x=1).toPandas()
+    odf = con.execute(unimax_oracle_sql(budget_x=1)).fetchdf()
+    compare(spdf, odf, "sample_unimax_budget[bx=1]")
+    assert not spdf["is_full"].any()  # one corpus epoch under a 4-cap
+    spdf2 = sample_unimax_apply(spark, SF_SMOKE, budget_x=1).toPandas()
+    odf2 = con.execute(unimax_apply_oracle_sql(budget_x=1)).fetchdf()
+    compare(spdf2, odf2, "sample_unimax_apply[bx=1]")
