@@ -1034,23 +1034,27 @@ def unimax_alloc_sql(
     """
 
 
-def _lang_tokens_cte(table: str) -> str:
+def _lang_tokens_body(table: str) -> str:
     """Per-lang whitespace token sums (the established split-of-trimmed
-    idiom) as ONE shared CTE text — the Spark twin is the
+    idiom) as ONE shared SQL body — the Spark twin is the
     F.sum(F.size(F.split(F.trim(...)))) aggregate in
-    sample_unimax_budget; both unimax oracles open with this fragment
-    so the budget and apply legs cannot count tokens differently."""
+    sample_unimax_budget; every unimax oracle derives its lang_tokens
+    relation from this text so no two legs can count tokens
+    differently."""
     return (
-        r"""
-    WITH lang_tokens AS (
-      SELECT lang,
+        r"""SELECT lang,
              CAST(sum(len(regexp_split_to_array(trim(text), '\s+')))
                AS BIGINT) AS n_tok
       FROM """
         + table
-        + """ GROUP BY 1
-    )"""
+        + " GROUP BY 1"
     )
+
+
+def _lang_tokens_cte(table: str) -> str:
+    """The body above as an opening WITH-chain."""
+    return f"""
+    WITH lang_tokens AS ({_lang_tokens_body(table)})"""
 
 
 def unimax_oracle_sql(
@@ -1129,6 +1133,30 @@ def _draw32(col: str = "doc_id") -> F.Column:
     ).cast("bigint")
 
 
+def _unimax_thr_body(alloc_rel: str) -> str:
+    """Repeat-count thresholds from an allocation relation: the whole
+    epochs and the 32-bit integer coin threshold on the fractional
+    part — ONE shared text (and _unimax_thr_frame as the DataFrame
+    twin) for the apply operator and the composed corpus pipeline."""
+    return (
+        "SELECT lang, epochs, CAST(floor(epochs) AS BIGINT) AS whole, "
+        "CAST(floor((epochs - floor(epochs)) * 4294967296.0) AS BIGINT) "
+        f"AS frac_thr FROM {alloc_rel}"
+    )
+
+
+def _unimax_thr_frame(alloc: DataFrame) -> DataFrame:
+    """DataFrame twin of _unimax_thr_body."""
+    return alloc.select(
+        "lang",
+        "epochs",
+        F.floor("epochs").cast("bigint").alias("whole"),
+        F.floor((F.col("epochs") - F.floor("epochs")) * F.lit(4294967296.0))
+        .cast("bigint")
+        .alias("frac_thr"),
+    )
+
+
 def unimax_apply_oracle_sql(
     table: str = "documents",
     epoch_cap: int = _UNIMAX_EPOCHS,
@@ -1141,13 +1169,7 @@ def unimax_apply_oracle_sql(
         _lang_tokens_cte(table)
         + f""",
     alloc AS ({unimax_alloc_sql("lang_tokens", epoch_cap, budget_x)}),
-    thr AS (
-      SELECT lang, epochs,
-             CAST(floor(epochs) AS BIGINT) AS whole,
-             CAST(floor((epochs - floor(epochs)) * 4294967296.0)
-               AS BIGINT) AS frac_thr
-      FROM alloc
-    )
+    thr AS ({_unimax_thr_body("alloc")})
     SELECT d.doc_id, d.lang, t.epochs,
            CAST(t.whole + CASE WHEN {_DRAW32_SQL} < t.frac_thr
                                THEN 1 ELSE 0 END AS BIGINT) AS n_repeats
@@ -1168,14 +1190,7 @@ def sample_unimax_apply(
     oracle=unimax_apply_oracle_sql()). Output: (doc_id, lang, epochs,
     n_repeats)."""
     alloc = sample_unimax_budget(spark, sf_dir, epoch_cap, budget_x)
-    thr = alloc.select(
-        "lang",
-        "epochs",
-        F.floor("epochs").cast("bigint").alias("whole"),
-        F.floor((F.col("epochs") - F.floor("epochs")) * F.lit(4294967296.0))
-        .cast("bigint")
-        .alias("frac_thr"),
-    )
+    thr = _unimax_thr_frame(alloc)
     d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
     return d.join(F.broadcast(thr), "lang").select(
         "doc_id",
@@ -1187,4 +1202,158 @@ def sample_unimax_apply(
         )
         .cast("bigint")
         .alias("n_repeats"),
+    )
+
+
+# ------- composed UniMax corpus pipeline (round-12 preview, capstone)
+#
+# The text-domain sibling of pipeline_d4_curation's composition story:
+# exact dedup (keep the min-id copy per content hash), drop the eval
+# slice and its MinHash-verified near-duplicates (the fuzzy
+# decontamination machine), then allocate the UniMax budget over the
+# SURVIVORS — per-language token sums, capacities, and water level
+# re-scoped to the curated corpus, NOT the raw one (dropping a
+# language's duplicates changes every language's allocation, so the
+# composition is not a join of the standalone outputs). One row per
+# ORIGINAL document with per-stage verdicts and the final repeat
+# count (0 for dropped docs), so every decision is attributable.
+#
+# Every leg is a byte-shared fragment of the operator it composes:
+# the content-hash keep rule is dedup_exact's md5/min convention, the
+# contamination CTE chain is _SIG_SQL/_LSH_CANDS_SQL/_LSH_VERIFY_SQL/
+# _LSH_JACCARD_SELECT, the token counting is _lang_tokens_body, the
+# allocation is unimax_alloc_sql, the repeat arithmetic is
+# _unimax_thr_body. Scale shape: the union of its parts — one md5
+# shuffle, the banding equi-join, one survivor aggregate to k rows,
+# one k-row broadcast back. UNREGISTERED round-12 preview; promotion
+# (one @register with oracle=unimax_corpus_oracle_sql()) targeted
+# for r13 alongside the other seven.
+
+
+def pipeline_unimax_corpus(
+    spark: SparkSession,
+    sf_dir: str,
+    epoch_cap: int = _UNIMAX_EPOCHS,
+    budget_x: int = _UNIMAX_BUDGET_X,
+) -> DataFrame:
+    """Curate-then-allocate end-to-end: exact dedup + eval/fuzzy-decon
+    drop, then UniMax repeats under the survivor-scoped allocation.
+    Round-12 preview (promotion = one @register with
+    oracle=unimax_corpus_oracle_sql()). Output one row per input doc:
+    (doc_id, lang, is_canonical, is_eval, is_contaminated,
+    n_repeats)."""
+    from nyc_traffic_insight_spark.queries.textops import (
+        _DECON_EVAL_MOD,
+        text_decontaminate_fuzzy,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    wcanon = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    con = (
+        text_decontaminate_fuzzy(spark, sf_dir)
+        .select("doc_id")
+        .withColumn("con_flag", F.lit(True))
+    )
+    flags = (
+        d.withColumn("is_canonical", F.row_number().over(wcanon) == 1)
+        .withColumn("is_eval", F.col("doc_id") % _DECON_EVAL_MOD == 0)
+        .join(con, "doc_id", "left")
+        .withColumn(
+            "is_contaminated", F.coalesce(F.col("con_flag"), F.lit(False))
+        )
+        .withColumn(
+            "survives",
+            F.col("is_canonical")
+            & ~F.col("is_eval")
+            & ~F.col("is_contaminated"),
+        )
+    )
+    surv = flags.filter("survives")
+    lt = surv.groupBy("lang").agg(
+        F.sum(F.size(F.split(F.trim("text"), r"\s+")))
+        .cast("bigint")
+        .alias("n_tok")
+    )
+    v = f"__unimax{next(_UNIMAX_SEQ)}"
+    lt.createOrReplaceTempView(v)
+    try:
+        thr = _unimax_thr_frame(
+            spark.sql(unimax_alloc_sql(v, epoch_cap, budget_x))
+        )
+        return flags.join(F.broadcast(thr), "lang", "left").select(
+            "doc_id",
+            "lang",
+            "is_canonical",
+            "is_eval",
+            "is_contaminated",
+            F.when(
+                F.col("survives"),
+                F.col("whole")
+                + F.when(_draw32() < F.col("frac_thr"), 1).otherwise(0),
+            )
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("n_repeats"),
+        )
+    finally:
+        spark.catalog.dropTempView(v)
+
+
+def unimax_corpus_oracle_sql(
+    table: str = "documents",
+    epoch_cap: int = _UNIMAX_EPOCHS,
+    budget_x: int = _UNIMAX_BUDGET_X,
+) -> str:
+    """pipeline_unimax_corpus as one DuckDB text, assembled entirely
+    from the composed operators' own shared fragments."""
+    from nyc_traffic_insight_spark.queries.textops import (
+        _DECON_EVAL_MOD,
+        _LSH_CANDS_SQL,
+        _LSH_JACCARD_SELECT,
+        _LSH_VERIFY_SQL,
+        _SIG_SQL,
+    )
+
+    m = _DECON_EVAL_MOD
+    return (
+        _SIG_SQL
+        + _LSH_CANDS_SQL
+        + _LSH_VERIFY_SQL
+        + f""",
+    jac AS ({_LSH_JACCARD_SELECT}),
+    contaminated AS (
+      SELECT DISTINCT CASE WHEN doc1 % {m} = 0 THEN doc2
+                           ELSE doc1 END AS doc_id
+      FROM jac WHERE (doc1 % {m} = 0) <> (doc2 % {m} = 0)
+    ),
+    doc_flags AS (
+      -- named doc_flags, not flags: unimax_alloc_sql's nested chain
+      -- defines its own `flags`, and DuckDB resolves the nested name
+      -- first — an outer CTE also called flags would bind circularly
+      -- through surv -> flags -> ord -> cap -> lang_tokens -> surv
+      SELECT d.doc_id, d.lang, d.text,
+             (row_number() OVER (PARTITION BY md5(d.text)
+                                 ORDER BY d.doc_id) = 1) AS is_canonical,
+             (d.doc_id % {m} = 0) AS is_eval,
+             (c.doc_id IS NOT NULL) AS is_contaminated
+      FROM {table} d LEFT JOIN contaminated c ON d.doc_id = c.doc_id
+    ),
+    surv AS (
+      SELECT * FROM doc_flags
+      WHERE is_canonical AND NOT is_eval AND NOT is_contaminated
+    ),
+    lang_tokens AS ({_lang_tokens_body("surv")}),
+    alloc AS ({unimax_alloc_sql("lang_tokens", epoch_cap, budget_x)}),
+    thr AS ({_unimax_thr_body("alloc")})
+    SELECT f.doc_id, f.lang, f.is_canonical, f.is_eval,
+           f.is_contaminated,
+           CAST(CASE WHEN f.is_canonical AND NOT f.is_eval
+                          AND NOT f.is_contaminated
+                     THEN t.whole + CASE WHEN {_DRAW32_SQL} < t.frac_thr
+                                         THEN 1 ELSE 0 END
+                     ELSE 0 END AS BIGINT) AS n_repeats
+    FROM doc_flags f LEFT JOIN thr t ON f.lang = t.lang
+    """
     )

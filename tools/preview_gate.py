@@ -31,9 +31,11 @@ from tests.oracle_utils import compare, duck_connect  # noqa: E402
 def _previews():
     """(name, builder, oracle_sql_text) for every round-12 preview."""
     from nyc_traffic_insight_spark.queries.samplingq import (
+        pipeline_unimax_corpus,
         sample_unimax_apply,
         sample_unimax_budget,
         unimax_apply_oracle_sql,
+        unimax_corpus_oracle_sql,
         unimax_oracle_sql,
     )
     from nyc_traffic_insight_spark.queries.textops import (
@@ -62,6 +64,11 @@ def _previews():
             "text_decontaminate_fuzzy",
             text_decontaminate_fuzzy,
             decon_fuzzy_oracle_sql(),
+        ),
+        (
+            "pipeline_unimax_corpus",
+            pipeline_unimax_corpus,
+            unimax_corpus_oracle_sql(),
         ),
     ]
 
