@@ -1076,6 +1076,33 @@ def unimax_oracle_sql(
 _UNIMAX_SEQ = _itertools.count()  # per-call temp-view namespace
 
 
+def _lang_tokens_frame(d: DataFrame) -> DataFrame:
+    """DataFrame twin of _lang_tokens_body over a (lang, text) frame —
+    ONE Spark spelling of the token count, shared by the budget
+    operator (raw corpus) and the composed pipeline (survivors)."""
+    return d.groupBy("lang").agg(
+        F.sum(F.size(F.split(F.trim("text"), r"\s+")))
+        .cast("bigint")
+        .alias("n_tok")
+    )
+
+
+def _alloc_frame(
+    spark: SparkSession, lt: DataFrame, epoch_cap: int, budget_x: int
+) -> DataFrame:
+    """Run the shared waterfilling SQL over a (lang, n_tok) frame via
+    a per-call temp view (finally-dropped) — the one Spark entry point
+    to unimax_alloc_sql."""
+    v = f"__unimax{next(_UNIMAX_SEQ)}"
+    lt.createOrReplaceTempView(v)
+    try:
+        # the alloc table is k rows; collect-free materialization via
+        # toDF keeps it lazy, and callers broadcast or return it
+        return spark.sql(unimax_alloc_sql(v, epoch_cap, budget_x))
+    finally:
+        spark.catalog.dropTempView(v)
+
+
 def sample_unimax_budget(
     spark: SparkSession,
     sf_dir: str,
@@ -1089,17 +1116,9 @@ def sample_unimax_budget(
     Output: (lang, n_tokens, capacity, is_full, alloc_tokens,
     epochs)."""
     d = load_table(spark, sf_dir, "documents")
-    lt = d.groupBy("lang").agg(
-        F.sum(F.size(F.split(F.trim("text"), r"\s+")))
-        .cast("bigint")
-        .alias("n_tok")
+    return _alloc_frame(
+        spark, _lang_tokens_frame(d), epoch_cap, budget_x
     )
-    v = f"__unimax{next(_UNIMAX_SEQ)}"
-    lt.createOrReplaceTempView(v)
-    try:
-        return spark.sql(unimax_alloc_sql(v, epoch_cap, budget_x))
-    finally:
-        spark.catalog.dropTempView(v)
 
 
 # The materialization half of the UniMax pair (round-12 preview,
@@ -1256,8 +1275,20 @@ def pipeline_unimax_corpus(
         .select("doc_id")
         .withColumn("con_flag", F.lit(True))
     )
+    # Fold the token count INTO the flag pass and materialize the
+    # NARROW result (6 int/bool columns, no text) before fanning out:
+    # the flags lineage — md5 window + the fuzzy-decon LSH verify —
+    # feeds both the k-row allocation aggregate and the final join,
+    # and without the checkpoint each branch would recompute the
+    # whole curation plan (review r12; the sketch_hll_rolling
+    # localCheckpoint precedent above).
     flags = (
-        d.withColumn("is_canonical", F.row_number().over(wcanon) == 1)
+        d.select(
+            "doc_id",
+            "lang",
+            F.size(F.split(F.trim("text"), r"\s+")).alias("n_tok"),
+            (F.row_number().over(wcanon) == 1).alias("is_canonical"),
+        )
         .withColumn("is_eval", F.col("doc_id") % _DECON_EVAL_MOD == 0)
         .join(con, "doc_id", "left")
         .withColumn(
@@ -1269,45 +1300,42 @@ def pipeline_unimax_corpus(
             & ~F.col("is_eval")
             & ~F.col("is_contaminated"),
         )
+        .drop("con_flag")
+        .localCheckpoint()
     )
-    surv = flags.filter("survives")
-    lt = surv.groupBy("lang").agg(
-        F.sum(F.size(F.split(F.trim("text"), r"\s+")))
+    lt = (
+        flags.filter("survives")
+        .groupBy("lang")
+        .agg(F.sum("n_tok").cast("bigint").alias("n_tok"))
+    )
+    thr = _unimax_thr_frame(_alloc_frame(spark, lt, epoch_cap, budget_x))
+    return flags.join(F.broadcast(thr), "lang", "left").select(
+        "doc_id",
+        "lang",
+        "is_canonical",
+        "is_eval",
+        "is_contaminated",
+        F.when(
+            F.col("survives"),
+            F.col("whole")
+            + F.when(_draw32() < F.col("frac_thr"), 1).otherwise(0),
+        )
+        .otherwise(F.lit(0))
         .cast("bigint")
-        .alias("n_tok")
+        .alias("n_repeats"),
     )
-    v = f"__unimax{next(_UNIMAX_SEQ)}"
-    lt.createOrReplaceTempView(v)
-    try:
-        thr = _unimax_thr_frame(
-            spark.sql(unimax_alloc_sql(v, epoch_cap, budget_x))
-        )
-        return flags.join(F.broadcast(thr), "lang", "left").select(
-            "doc_id",
-            "lang",
-            "is_canonical",
-            "is_eval",
-            "is_contaminated",
-            F.when(
-                F.col("survives"),
-                F.col("whole")
-                + F.when(_draw32() < F.col("frac_thr"), 1).otherwise(0),
-            )
-            .otherwise(F.lit(0))
-            .cast("bigint")
-            .alias("n_repeats"),
-        )
-    finally:
-        spark.catalog.dropTempView(v)
 
 
 def unimax_corpus_oracle_sql(
-    table: str = "documents",
     epoch_cap: int = _UNIMAX_EPOCHS,
     budget_x: int = _UNIMAX_BUDGET_X,
 ) -> str:
     """pipeline_unimax_corpus as one DuckDB text, assembled entirely
-    from the composed operators' own shared fragments."""
+    from the composed operators' own shared fragments. No table
+    parameter (review r12): the contamination chain's _SIG_SQL reads
+    the documents table by construction, so a parameterized doc_flags
+    leg would silently mix two corpora — the oracle is documents-only,
+    like every composed text in textops."""
     from nyc_traffic_insight_spark.queries.textops import (
         _DECON_EVAL_MOD,
         _LSH_CANDS_SQL,
@@ -1338,7 +1366,7 @@ def unimax_corpus_oracle_sql(
                                  ORDER BY d.doc_id) = 1) AS is_canonical,
              (d.doc_id % {m} = 0) AS is_eval,
              (c.doc_id IS NOT NULL) AS is_contaminated
-      FROM {table} d LEFT JOIN contaminated c ON d.doc_id = c.doc_id
+      FROM documents d LEFT JOIN contaminated c ON d.doc_id = c.doc_id
     ),
     surv AS (
       SELECT * FROM doc_flags
