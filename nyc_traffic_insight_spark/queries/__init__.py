@@ -57,80 +57,75 @@ def register(name: str, oracle: str | None = None, survey: str = ""):
     return deco
 
 
-# Registration-order rotation (VERDICT.md rounds 2-11). The driver's
+# Registration-order rotation (VERDICT.md rounds 2-12). The driver's
 # sf0.01 correctness gate walks REGISTRY front-to-back with a
-# ~50-query budget (CORRECTNESS_r04-r11 each carried exactly 50
-# rows). Round-12 ordering — VERDICT r11 #1/#2:
-#   1. the 4-query r5-stale registration-order tail the r11 front
-#      predicted would roll here (scan_jsonl_roundtrip,
-#      scan_jsonl_malformed_skip, sink_merge_upsert,
-#      qa_snapshot_diff) — the oldest evidence left in the catalog;
-#   2. the three embedding-curation promotions (dedup_semantic,
-#      emb_prototypes_filter, pipeline_d4_curation) — the round's
-#      sanctioned registry additions, never driver-checked — plus
-#      lm_score_perplexity, whose oracle changed this round (the
-#      order-free tick-sum rework needs a fresh driver row);
-#   3. the 42-query r6-stale tier (the win_* analytics block, the
-#      sketch_hll trio's overlap/rolling forms, the behavioral
-#      report_*/qa_* tier, layout_*, scan_orc_roundtrip),
-#      registration order.
-# 4 + 4 + 42 = 50 fronted exactly; after this round no query's
-# latest driver evidence predates r7. Everything else keeps standing
-# r7+ evidence and registers last.
+# ~50-query budget (CORRECTNESS_r04-r12 each carried exactly 50
+# rows). Round-13 ordering — VERDICT r12 #1/#2 (the precomputed
+# "final form" front from NOTES.md):
+#   1. the EIGHT r12-preview promotions (never driver-checked; each
+#      pre-verified cross-engine at sf0.01 AND sf0.1 via
+#      tools/preview_gate.py, 16/16 PASS at r12 close);
+#   2. the 42 oldest queries of the 46-query r7-stale tier,
+#      registration order (win_roll_mean_24 ... agg_cumulative_users).
+# 8 + 42 = 50 fronted exactly; the 4-query r7 registration-order
+# tail (report_pareto_deciles, flagship_volume_features,
+# split_random, layout_bucketed_join) rolls to r14 — flagship keeps
+# every-round smoke evidence via entry() regardless. After this
+# round the staleness floor moves to r8. Everything else keeps
+# standing r8+ evidence and registers last.
 _CHECK_FIRST = [
-    # 1. r5-stale tail (oldest evidence in the catalog)
-    "scan_jsonl_roundtrip",
-    "scan_jsonl_malformed_skip",
-    "sink_merge_upsert",
-    "qa_snapshot_diff",
-    # 2. r12 registry additions + the reworked-oracle query
-    "dedup_semantic",
-    "emb_prototypes_filter",
-    "pipeline_d4_curation",
-    "lm_score_perplexity",
-    # 3. r6-stale tier, registration order
-    "win_ewma",
-    "time_spine_locf",
-    "win_anomaly_zscore",
-    "win_topn_per_key",
-    "win_pct_change",
-    "report_forecast_backtest",
-    "win_changepoint_cusum",
-    "win_autocorrelation",
-    "text_chunk_fixed",
-    "emb_pair_distance_audit",
-    "dedup_canonical_select",
-    "text_readability",
-    "text_oov_rate",
-    "stream_disorder_audit",
-    "win_sessionize_native",
-    "qa_rapid_repeat_audit",
-    "sketch_hll_overlap",
-    "agg_wau_exact",
-    "sketch_hll_rolling",
-    "event_attribution_last_touch",
-    "sample_negatives_per_user",
-    "report_copurchase_pairs",
-    "agg_gini_by_group",
-    "report_session_conversion",
-    "win_rank_change",
-    "agg_seasonality_profile",
-    "pipeline_user_features",
-    "agg_time_to_convert",
-    "qa_freshness_audit",
-    "report_revenue_bridge",
-    "pipeline_training_dataset",
-    "agg_auc_exact",
-    "agg_precision_recall_curve",
-    "agg_ks_statistic",
-    "agg_lift_by_decile",
-    "qa_expectations_report",
-    "pipeline_incremental_rollup",
-    "agg_chi_square_independence",
-    "agg_benford_audit",
-    "layout_compact_files",
-    "layout_partition_pruning",
-    "scan_orc_roundtrip",
+    # 1. r12-preview promotions (never driver-checked)
+    "pack_context_windows",
+    "pack_window_manifest",
+    "qa_lsh_recall_audit",
+    "text_decontaminate_fuzzy",
+    "lm_ppl_buckets",
+    "sample_unimax_budget",
+    "sample_unimax_apply",
+    "pipeline_unimax_corpus",
+    # 2. r7-stale tier, registration order (42 oldest of 46)
+    "win_roll_mean_24",
+    "win_range_time",
+    "win_seasonal_decompose",
+    "join_star_broadcast",
+    "join_anti",
+    "join_semi",
+    "join_outer",
+    "join_nearest_spatial",
+    "join_salted_skew",
+    "join_asof",
+    "join_asof_nearest",
+    "join_range_binned",
+    "join_fuzzy_key",
+    "join_scd2_pointintime",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_sig",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
+    "sim_search_bruteforce_topk",
+    "sim_search_topk_vectorized",
+    "ml_kmeans",
+    "sim_search_ivf_kmeans",
+    "dedup_connected_components",
+    "emb_covariance_matrix",
+    "emb_pca_project",
+    "text_bpe_pair_counts",
+    "pipeline_http_to_parquet",
+    "ml_segmented_model",
+    "ml_permutation_importance",
+    "ml_inference_single_row",
+    "ml_segmented_router",
+    "agg_approx_count_distinct",
+    "sketch_tdigest",
+    "sketch_qdigest",
+    "agg_bootstrap_ci",
+    "report_ab_test",
+    "win_max_drawdown",
+    "report_cohort_ltv",
+    "graph_pagerank_topk",
+    "agg_cumulative_users",
 ]
 
 

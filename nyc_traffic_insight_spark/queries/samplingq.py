@@ -973,9 +973,8 @@ def sketch_hll_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
 # combinable) collapses 100 TB to k rows; everything after — the
 # window, the prefix flags, the one-row budget/jstar joins — runs on
 # the language table (k ≈ dozens; the window's SinglePartition
-# exchange is the |langs|-bounded whitelisted shape). UNREGISTERED
-# round-12 preview; promotion (one @register with
-# oracle=unimax_oracle_sql()) targeted for r13.
+# exchange is the |langs|-bounded whitelisted shape). Registered r13
+# (r12 preview).
 
 _UNIMAX_EPOCHS = 4  # per-language repeat cap
 _UNIMAX_BUDGET_X = 3  # token budget = this many corpus epochs
@@ -992,7 +991,12 @@ def unimax_alloc_sql(
     """The shared waterfilling text both engines run over a
     (lang, n_tok) relation. Output: one row per language —
     (lang, n_tokens, capacity, is_full, alloc_tokens, epochs)."""
-    t_level = "(b.b - j.full_c) / (b.k - j.j)"
+    # NULLIF guards the everyone-takes-full edge (j* = k, reachable
+    # whenever budget_x >= epoch_cap): there the CASE full-branch
+    # covers every row, but a branch-eager or ANSI-mode engine would
+    # still evaluate the divisor (ADVICE r12) — make the unused value
+    # NULL, not a division by zero.
+    t_level = "(b.b - j.full_c) / NULLIF(b.k - j.j, 0)"
     alloc = f"CASE WHEN f.takes_full THEN CAST(f.c AS DOUBLE) ELSE {t_level} END"
     return f"""
     WITH cap AS (
@@ -1103,6 +1107,12 @@ def _alloc_frame(
         spark.catalog.dropTempView(v)
 
 
+@register(
+    "sample_unimax_budget",
+    oracle=unimax_oracle_sql(),
+    survey="north-star: UniMax language-budget waterfilling "
+    "(closed-form epoch-capped allocation, Chung et al. 2023)",
+)
 def sample_unimax_budget(
     spark: SparkSession,
     sf_dir: str,
@@ -1111,10 +1121,9 @@ def sample_unimax_budget(
 ) -> DataFrame:
     """UniMax waterfilling over the documents corpus: per-language
     token budget under an epoch cap — small languages take full
-    capacity, the rest split the remainder evenly. Round-12 preview
-    (promotion = one @register with oracle=unimax_oracle_sql()).
-    Output: (lang, n_tokens, capacity, is_full, alloc_tokens,
-    epochs)."""
+    capacity, the rest split the remainder evenly (registered r13;
+    r12 preview). Output: (lang, n_tokens, capacity, is_full,
+    alloc_tokens, epochs)."""
     d = load_table(spark, sf_dir, "documents")
     return _alloc_frame(
         spark, _lang_tokens_frame(d), epoch_cap, budget_x
@@ -1140,8 +1149,8 @@ def sample_unimax_budget(
 # fractions are 4dp-fine).
 #
 # Scale shape: the k-row allocation broadcasts onto the documents
-# scan — one narrow map pass, zero corpus shuffles. UNREGISTERED
-# round-12 preview; promotion alongside sample_unimax_budget.
+# scan — one narrow map pass, zero corpus shuffles. Registered r13
+# alongside sample_unimax_budget.
 
 _DRAW32_SQL = "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 25, 8))::BIGINT"
 
@@ -1197,6 +1206,12 @@ def unimax_apply_oracle_sql(
     )
 
 
+@register(
+    "sample_unimax_apply",
+    oracle=unimax_apply_oracle_sql(),
+    survey="north-star: UniMax budget materialization "
+    "(deterministic per-document repeat counts, zero corpus shuffles)",
+)
 def sample_unimax_apply(
     spark: SparkSession,
     sf_dir: str,
@@ -1205,9 +1220,8 @@ def sample_unimax_apply(
 ) -> DataFrame:
     """Materialize the UniMax allocation: one row per document with
     its deterministic repeat count under the per-language epoch
-    budget. Round-12 preview (promotion = one @register with
-    oracle=unimax_apply_oracle_sql()). Output: (doc_id, lang, epochs,
-    n_repeats)."""
+    budget (registered r13; r12 preview). Output: (doc_id, lang,
+    epochs, n_repeats)."""
     alloc = sample_unimax_budget(spark, sf_dir, epoch_cap, budget_x)
     thr = _unimax_thr_frame(alloc)
     d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
@@ -1244,9 +1258,8 @@ def sample_unimax_apply(
 # allocation is unimax_alloc_sql, the repeat arithmetic is
 # _unimax_thr_body. Scale shape: the union of its parts — one md5
 # shuffle, the banding equi-join, one survivor aggregate to k rows,
-# one k-row broadcast back. UNREGISTERED round-12 preview; promotion
-# (one @register with oracle=unimax_corpus_oracle_sql()) targeted
-# for r13 alongside the other seven.
+# one k-row broadcast back. Registered r13 (register call after
+# unimax_corpus_oracle_sql below).
 
 
 def pipeline_unimax_corpus(
@@ -1256,9 +1269,8 @@ def pipeline_unimax_corpus(
     budget_x: int = _UNIMAX_BUDGET_X,
 ) -> DataFrame:
     """Curate-then-allocate end-to-end: exact dedup + eval/fuzzy-decon
-    drop, then UniMax repeats under the survivor-scoped allocation.
-    Round-12 preview (promotion = one @register with
-    oracle=unimax_corpus_oracle_sql()). Output one row per input doc:
+    drop, then UniMax repeats under the survivor-scoped allocation
+    (registered r13; r12 preview). Output one row per input doc:
     (doc_id, lang, is_canonical, is_eval, is_contaminated,
     n_repeats)."""
     from nyc_traffic_insight_spark.queries.textops import (
@@ -1385,3 +1397,14 @@ def unimax_corpus_oracle_sql(
     FROM doc_flags f LEFT JOIN thr t ON f.lang = t.lang
     """
     )
+
+
+# r13 promotion of the r12 preview (VERDICT r12 #1) — the capstone
+# composition registers last of the eight.
+register(
+    "pipeline_unimax_corpus",
+    oracle=unimax_corpus_oracle_sql(),
+    survey="north-star: composed pretraining-corpus pipeline "
+    "(exact dedup -> eval + fuzzy decontamination -> survivor-scoped "
+    "UniMax repeats)",
+)(pipeline_unimax_corpus)

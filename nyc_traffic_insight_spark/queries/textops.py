@@ -539,16 +539,16 @@ def _lsh_verified_pairs(ds: DataFrame, cands: DataFrame) -> DataFrame:
 # band-bucket groupBy for candidates), then a pair-key full-outer
 # join and ONE one-row aggregate (the accounted single-partition
 # merge). All ratios are integer/integer — cross-engine exact —
-# rounded floor-form 4dp by convention. UNREGISTERED round-12
-# preview; promotion (one @register with
-# oracle=lsh_recall_oracle_sql()) targeted for r13.
+# rounded floor-form 4dp by convention. Registered r13 (the register
+# call follows lsh_recall_oracle_sql below, which the builder
+# precedes in the file).
 
 
 def qa_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Measure the LSH banding stage against exact-Jaccard ground
-    truth. Round-12 preview (promotion = one @register with
-    oracle=lsh_recall_oracle_sql()). Output one row: (n_true_pairs,
-    n_lsh_candidates, n_hits, recall, candidate_precision)."""
+    truth (registered r13; r12 preview). Output one row:
+    (n_true_pairs, n_lsh_candidates, n_hits, recall,
+    candidate_precision)."""
     ds = _shingle_sets_persisted(spark, sf_dir)
     # the truth leg feeds the SAME persisted shingle sets the candidate
     # leg materializes (exploded back to rows — identical relation to
@@ -617,6 +617,16 @@ def lsh_recall_oracle_sql() -> str:
     FROM sizes
     """
     )
+
+
+# r13 promotion of the r12 preview (VERDICT r12 #1) — the register
+# call sits after the oracle text it captures.
+register(
+    "qa_lsh_recall_audit",
+    oracle=lsh_recall_oracle_sql(),
+    survey="north-star: LSH banding recall/candidate-precision audit "
+    "vs exact shingle-Jaccard truth",
+)(qa_lsh_recall_audit)
 
 
 _SIMHASH_BITS = 16
@@ -2129,16 +2139,15 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Scale shape: identical to dedup_minhash_lsh (banding equi-join +
 # candidates-only verify) with a post-banding xor filter — the eval
 # side needs no separate index, it rides the same signature pass.
-# UNREGISTERED round-12 preview; promotion (one @register with
-# oracle=decon_fuzzy_oracle_sql()) targeted for r13.
+# Registered r13 (the register call follows decon_fuzzy_oracle_sql
+# below).
 
 
 def text_decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flag training docs that are MinHash-verified near-duplicates
-    (Jaccard ≥ 0.5) of some eval doc. Round-12 preview (promotion =
-    one @register with oracle=decon_fuzzy_oracle_sql()). Output:
-    (doc_id, eval_witness, jaccard) — witness = the smallest matching
-    eval doc_id, jaccard = that pair's exact score."""
+    (Jaccard ≥ 0.5) of some eval doc (registered r13; r12 preview).
+    Output: (doc_id, eval_witness, jaccard) — witness = the smallest
+    matching eval doc_id, jaccard = that pair's exact score."""
     from pyspark.sql import Window
 
     ds = _shingle_sets_persisted(spark, sf_dir)
@@ -2191,6 +2200,15 @@ def decon_fuzzy_oracle_sql() -> str:
     ) WHERE rn = 1
     """
     )
+
+
+# r13 promotion of the r12 preview (VERDICT r12 #1).
+register(
+    "text_decontaminate_fuzzy",
+    oracle=decon_fuzzy_oracle_sql(),
+    survey="north-star: fuzzy eval-set decontamination "
+    "(MinHash-verified near-dup contamination, jaccard >= 0.5)",
+)(text_decontaminate_fuzzy)
 
 
 _PACK_BUDGET = 256  # whitespace tokens per shard
@@ -2279,9 +2297,8 @@ def shard_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
 # form (one engine's 500-row window is free; the decomposition is
 # the Spark-side scale story).
 #
-# UNREGISTERED round-12 preview; promotion (one @register with
-# oracle=pack_windows_oracle_sql()) targeted for r13 alongside a
-# HEADLINE + AUDITED entry.
+# Registered r13 (the register call follows pack_windows_oracle_sql
+# below), with HEADLINE + AUDITED entries alongside.
 
 _CTX_LEN = 512  # tokens per packed context window
 _PACK_BUCKET = 1024  # docs per prefix-sum bucket (phase-1 fan-in)
@@ -2330,8 +2347,8 @@ def pack_windows_frame(d: DataFrame, ctx_len: int, bucket: int) -> DataFrame:
 def pack_context_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concat-and-chunk packing audit over the documents table: global
     doc_id-order token stream cut every _CTX_LEN whitespace tokens,
-    one row per doc with its window span. Round-12 preview (promotion
-    = one @register with oracle=pack_windows_oracle_sql())."""
+    one row per doc with its window span (registered r13; r12
+    preview)."""
     return pack_windows_frame(_docs(spark, sf_dir), _CTX_LEN, _PACK_BUCKET)
 
 
@@ -2366,14 +2383,23 @@ def pack_windows_oracle_sql(
     """
 
 
+# r13 promotion of the r12 preview (VERDICT r12 #1).
+register(
+    "pack_context_windows",
+    oracle=pack_windows_oracle_sql(),
+    survey="north-star: GPT-style concat-and-chunk context packing "
+    "(two-phase distributed prefix sum, one row per doc)",
+)(pack_context_windows)
+
+
 # The window-centric companion: one row PER CONTEXT WINDOW — what the
 # data loader actually reads. Each doc's span explodes to its covered
 # windows (sequence(first, last) — in-row, factor ≈ n_tok/L + 1) with
 # the token sub-range it contributes, then one map-side-combinable
 # groupBy(window). A window holds at most L+1 doc pieces, so the
-# aggregate is bounded per key — no skew, no collect. Same preview
-# discipline as pack_context_windows above (UNREGISTERED, r13
-# promotion with oracle=pack_manifest_oracle_sql()).
+# aggregate is bounded per key — no skew, no collect. Registered r13
+# alongside pack_context_windows above (register call after
+# pack_manifest_oracle_sql below).
 
 
 def pack_manifest_frame(d: DataFrame, ctx_len: int, bucket: int) -> DataFrame:
@@ -2427,8 +2453,7 @@ def pack_manifest_frame(d: DataFrame, ctx_len: int, bucket: int) -> DataFrame:
 def pack_window_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window-centric packing manifest over the documents table: one
     row per _CTX_LEN-token context window with its document pieces
-    summarized. Round-12 preview (promotion = one @register with
-    oracle=pack_manifest_oracle_sql())."""
+    summarized (registered r13; r12 preview)."""
     return pack_manifest_frame(_docs(spark, sf_dir), _CTX_LEN, _PACK_BUCKET)
 
 
@@ -2468,6 +2493,15 @@ def pack_manifest_oracle_sql(
              AS ends_mid_doc
     FROM piece GROUP BY 1
     """
+
+
+# r13 promotion of the r12 preview (VERDICT r12 #1).
+register(
+    "pack_window_manifest",
+    oracle=pack_manifest_oracle_sql(),
+    survey="north-star: per-context-window packing manifest "
+    "(one row per window: pieces, fill, mid-doc edge flags)",
+)(pack_window_manifest)
 
 
 # Temperature-based source mixing: up/down-weight sources so the mixture

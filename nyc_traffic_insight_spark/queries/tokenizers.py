@@ -838,8 +838,15 @@ def _lm_score_select(mpairs: str, bg: str, ctx: str, vsize: str) -> str:
     tick space is then one double division and exp, identical in both
     engines because the integer inputs are identical. The 1e6 tick
     (≲5e7 ticks/pair) keeps even a billion-bigram document well
-    inside BIGINT; the 1e-6 quantization error per pair is three
-    orders below the 4dp output rounding."""
+    inside BIGINT. Accuracy note (ADVICE r12): the ≤0.5e-6 mean-tick
+    error propagates through exp() as a RELATIVE ppl error of
+    ppl · 5e-7 — for perplexities near the vocab-size ceiling (~2e3)
+    that is ~1e-3 absolute, an order ABOVE the 1e-4 output
+    granularity. The invariant here is cross-engine EXACTNESS (both
+    engines quantize the identical neg log-probs to the identical
+    ticks), not absolute fidelity of the 4th decimal to the
+    unquantized mean; use 1e9 ticks if that fidelity is ever
+    needed."""
     ticks = f"CAST(floor(({_lm_neglogp(vsize)}) * 1e6 + 0.5) AS BIGINT)"
     return (
         "SELECT /*+ BROADCAST(b, c) */ "
@@ -1045,9 +1052,7 @@ def lm_score_perplexity(
 # languages, swap the exact ntile for two approx_percentile cutpoints
 # per lang (computed in one groupBy pass and broadcast back) — same
 # bucket semantics at a tolerance, sort-free; the exact form below is
-# the oracle-matching reference. UNREGISTERED round-12 preview;
-# promotion (one @register with oracle=lm_buckets_oracle_sql())
-# targeted for r13.
+# the oracle-matching reference. Registered r13 (r12 preview).
 
 _PPL_BUCKETS = 3  # head / middle / tail
 
@@ -1090,6 +1095,12 @@ def lm_buckets_oracle_sql(
     )
 
 
+@register(
+    "lm_ppl_buckets",
+    oracle=lm_buckets_oracle_sql(),
+    survey="north-star: CCNet head/middle/tail corpus split "
+    "(per-language perplexity ntile over the bigram-LM scores)",
+)
 def lm_ppl_buckets(
     spark: SparkSession,
     sf_dir: str,
@@ -1098,10 +1109,9 @@ def lm_ppl_buckets(
 ) -> DataFrame:
     """CCNet-style corpus split: rank every scoreable document by its
     bigram-LM perplexity within its language and ntile into head /
-    middle / tail. Round-12 preview (promotion = one @register with
-    oracle=lm_buckets_oracle_sql()). Output: (doc_id, lang, ppl,
-    ppl_bucket, bucket_label); docs with <2 tokens have no perplexity
-    and are absent (the scorer's contract)."""
+    middle / tail (registered r13; r12 preview). Output: (doc_id,
+    lang, ppl, ppl_bucket, bucket_label); docs with <2 tokens have no
+    perplexity and are absent (the scorer's contract)."""
     v = f"__lm{next(_LM_SEQ)}"
     try:
         _lm_run_chain(spark, sf_dir, cap, v)

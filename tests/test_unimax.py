@@ -105,6 +105,27 @@ def test_budget_exceeds_capacity_everyone_full():
     assert all(r[4] == float(r[2]) for r in got)
 
 
+def test_budget_exceeds_capacity_everyone_full_spark(spark):
+    """ADVICE r12: the everyone-full branch through the SPARK engine
+    too — the shared fragment's water-level division is guarded by
+    NULLIF, so an ANSI-mode or branch-eager evaluation of the unused
+    else-branch cannot surface a divide-by-zero. Cross-engine exact
+    on the same synthetic language table."""
+    from nyc_traffic_insight_spark.queries.samplingq import _alloc_frame
+
+    rows = [("aa", 10), ("bb", 1000), ("cc", 7)]
+    lt = spark.createDataFrame(rows, "lang string, n_tok long")
+    spdf = (
+        _alloc_frame(spark, lt, 2, 2).toPandas().sort_values("lang")
+    )
+    assert spdf["is_full"].all()
+    assert (spdf["alloc_tokens"] == spdf["capacity"].astype(float)).all()
+    assert (spdf["epochs"] == 2.0).all()
+    con = _duck_langs(rows)
+    odf = con.sql(unimax_alloc_sql("lt", 2, budget_x=2)).fetchdf()
+    compare(spdf, odf, "unimax_alloc[everyone_full]")
+
+
 def test_spark_matches_duckdb_on_testdata(spark):
     """Driver-style row-exact compare on the real documents table —
     the exact check the r13 promotion's driver gate will run."""

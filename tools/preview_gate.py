@@ -29,48 +29,14 @@ from tests.oracle_utils import compare, duck_connect  # noqa: E402
 
 
 def _previews():
-    """(name, builder, oracle_sql_text) for every round-12 preview."""
-    from nyc_traffic_insight_spark.queries.samplingq import (
-        pipeline_unimax_corpus,
-        sample_unimax_apply,
-        sample_unimax_budget,
-        unimax_apply_oracle_sql,
-        unimax_corpus_oracle_sql,
-        unimax_oracle_sql,
-    )
-    from nyc_traffic_insight_spark.queries.textops import (
-        decon_fuzzy_oracle_sql,
-        lsh_recall_oracle_sql,
-        pack_context_windows,
-        pack_manifest_oracle_sql,
-        pack_window_manifest,
-        pack_windows_oracle_sql,
-        qa_lsh_recall_audit,
-        text_decontaminate_fuzzy,
-    )
-    from nyc_traffic_insight_spark.queries.tokenizers import (
-        lm_buckets_oracle_sql,
-        lm_ppl_buckets,
-    )
-
-    return [
-        ("pack_context_windows", pack_context_windows, pack_windows_oracle_sql()),
-        ("pack_window_manifest", pack_window_manifest, pack_manifest_oracle_sql()),
-        ("lm_ppl_buckets", lm_ppl_buckets, lm_buckets_oracle_sql()),
-        ("sample_unimax_budget", sample_unimax_budget, unimax_oracle_sql()),
-        ("sample_unimax_apply", sample_unimax_apply, unimax_apply_oracle_sql()),
-        ("qa_lsh_recall_audit", qa_lsh_recall_audit, lsh_recall_oracle_sql()),
-        (
-            "text_decontaminate_fuzzy",
-            text_decontaminate_fuzzy,
-            decon_fuzzy_oracle_sql(),
-        ),
-        (
-            "pipeline_unimax_corpus",
-            pipeline_unimax_corpus,
-            unimax_corpus_oracle_sql(),
-        ),
-    ]
+    """(name, builder, oracle_sql_text) for every current-round
+    preview. The full round-12 set (pack_context_windows,
+    pack_window_manifest, lm_ppl_buckets, sample_unimax_budget,
+    sample_unimax_apply, qa_lsh_recall_audit,
+    text_decontaminate_fuzzy, pipeline_unimax_corpus) was promoted to
+    registered entries in r13 (16/16 PASS here first) and now rides
+    tools/verify_rotation.py like the rest of the catalog."""
+    return []
 
 
 def main() -> int:
@@ -82,22 +48,28 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
     n_fail = 0
     for sf_dir in sf_dirs:
+        # closed at the end of the per-sf loop — a multi-SF run was
+        # accumulating file handles + DuckDB memory for the process
+        # lifetime (ADVICE r12)
         con = duck_connect(sf_dir)
-        tag = os.path.basename(os.path.normpath(sf_dir))
-        for name, builder, oracle in _previews():
-            t0 = time.time()
-            try:
-                spdf = builder(spark, sf_dir).toPandas()
-                odf = con.execute(oracle).fetchdf()
-                compare(spdf, odf, name)
-            except Exception as exc:  # noqa: BLE001 - report and continue
-                n_fail += 1
-                print(f"{tag} {name:26s} FAIL {str(exc)[:160]}")
-                continue
-            print(
-                f"{tag} {name:26s} PASS rows={len(spdf)}"
-                f" ({time.time() - t0:.2f}s)"
-            )
+        try:
+            tag = os.path.basename(os.path.normpath(sf_dir))
+            for name, builder, oracle in _previews():
+                t0 = time.time()
+                try:
+                    spdf = builder(spark, sf_dir).toPandas()
+                    odf = con.execute(oracle).fetchdf()
+                    compare(spdf, odf, name)
+                except Exception as exc:  # noqa: BLE001 - report and continue
+                    n_fail += 1
+                    print(f"{tag} {name:26s} FAIL {str(exc)[:160]}")
+                    continue
+                print(
+                    f"{tag} {name:26s} PASS rows={len(spdf)}"
+                    f" ({time.time() - t0:.2f}s)"
+                )
+        finally:
+            con.close()
     print(f"-- {n_fail} failed of {len(_previews()) * len(sf_dirs)}")
     return 1 if n_fail else 0
 
