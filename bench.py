@@ -119,6 +119,17 @@ HEADLINE = [
     "dedup_semantic",
     "emb_prototypes_filter",
     "pipeline_d4_curation",
+    # round 13: two of the eight preview promotions join the perf gate
+    # with their own byte anchors — the composed UniMax corpus pipeline
+    # (three chained machines: exact dedup, fuzzy decontamination,
+    # survivor-scoped waterfilling — the round's most expensive new
+    # entry) and the concat-and-chunk packer (guards the two-phase
+    # prefix-sum contract: the SinglePartition exchange must stay on
+    # the corpus/B bucket table). 39 -> 41 queries; the standing
+    # like-for-like subsets in BASELINE.md are unchanged — subtract
+    # these two against earlier rounds.
+    "pipeline_unimax_corpus",
+    "pack_context_windows",
 ]
 
 

@@ -8,6 +8,15 @@ either a documented brute-force baseline, a broadcast join against a
 tiny (k≤10 or 1-row) dimension, or a final one-row aggregate merge — the
 whitelist below says which; anything NEW showing a flag fails the test
 so plan regressions surface at test time, not in the bench.
+
+Since r13 this gates the ENTIRE registry (VERDICT r12 #3): AUDITED is
+derived from load_all(), so a query cannot register without entering
+the audit. The full sweep builds every plan at the smoke SF (~2.5 min
+wall in one process — the build-time-job builders, BPE/LM/MLlib, are
+the bulk); tools/plan_audit.py remains the standalone per-round tool.
+The LEGACY_AUDITED list below is kept only as the historical record of
+the pre-r13 CI subset (and so HEADLINE membership checks read
+naturally); it is not what parametrizes the test.
 """
 
 from __future__ import annotations
@@ -17,10 +26,12 @@ import pytest
 from nyc_traffic_insight_spark.queries import load_all
 from tests.conftest import SF_SMOKE
 
-# bench headline set + the operators added in round 4: the queries whose
-# plans are performance-graded. (Full-registry audit is run manually per
-# round — some builders execute jobs at build time, too slow for CI.)
-AUDITED = [
+# Full registry: every registered query is plan-audited (r13).
+AUDITED = sorted(load_all().keys())
+
+# The pre-r13 CI subset (bench headline + per-round additions),
+# retained as documentation of audit history only.
+LEGACY_AUDITED = [
     "flagship_volume_features",
     "join_traffic_weather_boro",
     "join_traffic_weather_time",
@@ -242,6 +253,58 @@ ALLOWED = {
     # the corpus
     "lm_train_bigram": {"single_partition"},
     "lm_score_perplexity": {"single_partition"},
+    # --- r13: the full-registry extension (VERDICT r12 #3). The 11
+    # queries below were audit-flagged but sat outside the old CI
+    # subset; each flag is the same accounted bounded shape class.
+    # one-row global wide-aggregate merges (partials shrink map-side;
+    # the single partition sees |partitions| partial rows)
+    "agg_null_counts": {"single_partition"},
+    "agg_corr_matrix": {"single_partition"},
+    "ols_closed_form": {"single_partition"},
+    "sketch_hll": {"single_partition"},
+    "text_perplexity_proxy": {"single_partition", "bnlj"},
+    # three one-row edge-count merges (one per FK edge audited)
+    "qa_referential_integrity": {"single_partition"},
+    # global window over the single pre-aggregated daily series —
+    # inherent to the reference W7 semantics (one series, one order)
+    "win_lag_series": {"single_partition"},
+    # one-row min/max domain row broadcast onto the fact scan (BNLJ
+    # against a 1-row literal); the bin rollup itself distributes
+    "sketch_histogram": {"single_partition", "bnlj"},
+    # digest audit: exact-quantile rank lookups join the ≤|quantiles|
+    # boundary rows (BNLJ vs 1-row counts) + the final one-row
+    # accuracy-contract merge
+    "sketch_tdigest": {"single_partition", "bnlj"},
+    # labeled brute-force baseline: corpus × broadcast query vectors
+    # (the scale path is sim_search_ivf_topk / _lsh_buckets)
+    "dedup_embedding_cosine": {"bnlj"},
+    # k≤10-row centroid dim broadcast under a nested-loop argmin; the
+    # flag appears only on a cold cache (the centroid frame is a
+    # literal-cached artifact), so allow it either way
+    "sim_search_ivf_kmeans": {"bnlj"},
+    # --- r13 promotions (flag inventory recorded in NOTES.md r12).
+    # two-phase distributed prefix sum: the ONE SinglePartition
+    # exchange is the exclusive prefix over the corpus/B bucket
+    # table, never the corpus (plan contract pinned in
+    # tests/test_pack_windows.py)
+    "pack_context_windows": {"single_partition"},
+    "pack_window_manifest": {"single_partition"},
+    # one-row recall/precision aggregate merge on top of the two
+    # audited machines' own (flag-free) shapes
+    "qa_lsh_recall_audit": {"single_partition"},
+    # waterfilling runs entirely on the k-row language table after
+    # ONE map-side-combinable corpus groupBy: the window + one-row
+    # budget/jstar cross-joins are |langs|-bounded by construction
+    "sample_unimax_budget": {"single_partition", "bnlj"},
+    "sample_unimax_apply": {"single_partition", "bnlj"},
+    # same accounted vsize one-row count as lm_score_perplexity; the
+    # flag only appears when the LM chain's views are not yet
+    # materialized at plan time
+    "lm_ppl_buckets": {"single_partition"},
+    # composes the budget's k-row machine after the curation legs;
+    # same bounded shapes (flag-free on a cold audit, but the alloc
+    # fragment may render when temp-view state differs)
+    "pipeline_unimax_corpus": {"single_partition", "bnlj"},
 }
 
 
