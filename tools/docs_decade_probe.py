@@ -50,8 +50,7 @@ from nyc_traffic_insight_spark.queries import load_all  # noqa: E402
 from nyc_traffic_insight_spark.session import get_spark  # noqa: E402
 
 SF_BASE = "/root/testdata/sf0.1"
-REPLICAS = 10
-ID_OFFSET = 100_000  # > max sf0.1 doc_id; keeps replica ids disjoint
+ID_OFFSET = 1_000_000  # > max sf0.1 doc_id; keeps replica ids disjoint
 QUERIES = ["bpe_encode_top_tokens", "pipeline_unimax_corpus"]
 
 
@@ -63,14 +62,15 @@ def _scratch(tag: str) -> str:
     return root
 
 
-def build_corpus(spark, variant: str) -> str:
-    """Write a 10×-replicated documents.parquet; return its sf_dir."""
-    out = _scratch(variant)
+def build_corpus(spark, variant: str, replicas: int) -> str:
+    """Write a replicas×-replicated documents.parquet; return its
+    sf_dir."""
+    out = _scratch(f"{variant}{replicas}")
     dst = os.path.join(out, "documents.parquet")
     if os.path.exists(dst):
         return out
     base = spark.read.parquet(os.path.join(SF_BASE, "documents.parquet"))
-    reps = spark.range(REPLICAS).withColumnRenamed("id", "k")
+    reps = spark.range(replicas).withColumnRenamed("id", "k")
     rep = base.crossJoin(F.broadcast(reps)).withColumn(
         "doc_id", F.col("doc_id") + F.col("k") * ID_OFFSET
     )
@@ -138,21 +138,45 @@ def main() -> int:
     ap.add_argument("--reps", type=int, default=3)
     args = ap.parse_args()
 
-    spark = get_spark(app_name="docs-decade-probe")
+    spark = get_spark(
+        app_name="docs-decade-probe",
+        extra_conf={"spark.ui.enabled": "true"},  # byte readout needs the REST API
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
-    corpora = {
-        "sf0.01 (500 docs)": "/root/testdata/sf0.01",
-        "sf0.1 (5k docs)": SF_BASE,
-        "ident 10x (50k docs, dup-heavy, const vocab)": build_corpus(
-            spark, "ident"
-        ),
-        "salted 10x (50k docs, vocab ~10x)": build_corpus(spark, "salted"),
+    # BPE at 50k docs is floor-bound (the 10-iteration chain's fixed
+    # scheduling cost dominates), so its probe runs TWO more decades —
+    # 50k and 500k docs with vocab growing alongside (salted) — to
+    # surface the data-dependent term. The corpus pipeline stays at
+    # one extra decade: its dup-heavy variant grows banding candidate
+    # pairs ~replicas² per duplicate group, and 100 replicas of the
+    # SAME text is a degenerate corpus, not a bigger one.
+    corpora: dict[str, dict[str, str]] = {
+        "bpe_encode_top_tokens": {
+            "sf0.01 (500 docs)": "/root/testdata/sf0.01",
+            "sf0.1 (5k docs)": SF_BASE,
+            "salted 10x (50k docs, vocab ~10x)": build_corpus(
+                spark, "salted", 10
+            ),
+            "salted 100x (500k docs, vocab ~100x)": build_corpus(
+                spark, "salted", 100
+            ),
+        },
+        "pipeline_unimax_corpus": {
+            "sf0.01 (500 docs)": "/root/testdata/sf0.01",
+            "sf0.1 (5k docs)": SF_BASE,
+            "ident 10x (50k docs, dup-heavy, const vocab)": build_corpus(
+                spark, "ident", 10
+            ),
+            "salted 10x (50k docs, near-dup-free)": build_corpus(
+                spark, "salted", 10
+            ),
+        },
     }
     results: dict = {}
     for q in QUERIES:
         results[q] = {}
-        for tag, sf_dir in corpora.items():
+        for tag, sf_dir in corpora[q].items():
             r = time_query(spark, q, sf_dir, args.reps)
             results[q][tag] = r
             print(f"{q:28s} {tag:46s} wall={r['wall_s']:8.3f}s "
