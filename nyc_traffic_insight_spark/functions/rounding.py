@@ -99,3 +99,11 @@ def r4_sql(expr: str) -> str:
     so the uncast quotient comes back Decimal('0.6931000') and
     hash-mismatches DuckDB's double."""
     return f"CAST(floor(({expr}) * 10000.0 + 0.5) AS DOUBLE) / 10000.0"
+
+
+def r6_sql(expr: str) -> str:
+    """``r`` at scale 6 as SQL TEXT for NON-NEGATIVE expressions — the
+    6dp sibling of ``r4_sql`` (same unsigned floor form, same
+    load-bearing CAST; used by the ratio-emitting text operators whose
+    Spark side rounds with ``_r(x, 6)``)."""
+    return f"CAST(floor(({expr}) * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0"

@@ -1408,3 +1408,106 @@ register(
     "(exact dedup -> eval + fuzzy decontamination -> survivor-scoped "
     "UniMax repeats)",
 )(pipeline_unimax_corpus)
+
+
+# ------------- epoch-shuffle loader order (round-13 preview)
+#
+# The LAST deterministic step before tokens hit the trainer: a fresh
+# global shuffle of the corpus every epoch, reproducible across
+# restarts (the Megatron/NeMo data-loader contract — epoch e's order
+# is a pure function of (corpus, e), no RNG state to checkpoint). The
+# order is rank-of-hash: position(doc, e) = rank of md5(e || ':' ||
+# doc_id) within the epoch. A naive rank is a GLOBAL row_number — the
+# single-partition window this catalog bans on corpus-sized input —
+# so the Spark side computes it with the SAME two-phase decomposition
+# pack_context_windows established: bucket every doc by its hash's
+# first two hex digits (256 ordered buckets), count per (epoch,
+# bucket) — one map-side-combinable groupBy — exclusive-prefix the
+# 256-row-per-epoch bucket table (window partitioned BY EPOCH, never
+# global), broadcast the offsets back, and rank WITHIN (epoch,
+# bucket) partitions (~n/256 rows each). Because the bucket is a
+# PREFIX of the hash, (bucket, hash) order equals hash order, and the
+# composed rank equals the oracle's flat row_number exactly.
+#
+# Scale shape: one groupBy to 256·E rows, one bounded window, one
+# broadcast join, one within-bucket window — no corpus-sized global
+# sort anywhere; at 10^10 docs each bucket partition holds ~4·10^7
+# rows, and the bucket width (2 hex digits here) widens with the
+# corpus the same way _PACK_BUCKET recurses. UNREGISTERED round-13
+# preview; promotion (one @register with
+# oracle=epoch_shuffle_oracle_sql()) targeted for r14.
+
+_SHUFFLE_EPOCHS = 2  # epochs emitted by the registered form
+
+
+def epoch_shuffle_frame(
+    d: DataFrame, epochs: int, spark: SparkSession
+) -> DataFrame:
+    """Two-phase epoch-shuffle rank over a (doc_id) frame. Output:
+    (epoch, doc_id, pos) — pos is the 0-based position of the doc in
+    epoch's deterministic order, a permutation of [0, n) per epoch."""
+    e = F.broadcast(
+        spark.range(epochs).select(F.col("id").cast("bigint").alias("epoch"))
+    )
+    h = F.md5(
+        F.concat_ws(
+            ":", F.col("epoch").cast("string"), F.col("doc_id").cast("string")
+        )
+    )
+    hashed = (
+        d.select("doc_id")
+        .crossJoin(e)
+        .select("epoch", "doc_id", h.alias("h"))
+        .withColumn("bkt", F.substring("h", 1, 2))
+    )
+    bcounts = hashed.groupBy("epoch", "bkt").agg(
+        F.count(F.lit(1)).cast("bigint").alias("bn")
+    )
+    wb = (
+        Window.partitionBy("epoch")
+        .orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    boff = bcounts.select(
+        "epoch",
+        "bkt",
+        F.coalesce(F.sum("bn").over(wb), F.lit(0)).alias("off"),
+    )
+    win = Window.partitionBy("epoch", "bkt").orderBy("h", "doc_id")
+    return (
+        hashed.join(F.broadcast(boff), ["epoch", "bkt"])
+        .withColumn("rn", F.row_number().over(win).cast("bigint"))
+        .select(
+            "epoch",
+            "doc_id",
+            (F.col("off") + F.col("rn") - 1).cast("bigint").alias("pos"),
+        )
+    )
+
+
+def sample_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-epoch corpus shuffle over the documents
+    table: (epoch, doc_id, pos) for _SHUFFLE_EPOCHS epochs, pos a
+    permutation of [0, n) per epoch. Round-13 preview (promotion =
+    one @register with oracle=epoch_shuffle_oracle_sql())."""
+    d = load_table(spark, sf_dir, "documents")
+    return epoch_shuffle_frame(d, _SHUFFLE_EPOCHS, spark)
+
+
+def epoch_shuffle_oracle_sql(
+    table: str = "documents", epochs: int = _SHUFFLE_EPOCHS
+) -> str:
+    """sample_epoch_shuffle as one DuckDB text — the naive flat
+    row_number form (one engine's 1000-row window is free; the
+    two-phase decomposition is the Spark-side scale layout, provably
+    rank-equal because the bucket is a hash prefix)."""
+    return f"""
+    SELECT e.epoch, d.doc_id,
+           CAST(row_number() OVER (
+                  PARTITION BY e.epoch
+                  ORDER BY md5(CAST(e.epoch AS VARCHAR) || ':' ||
+                               CAST(d.doc_id AS VARCHAR)), d.doc_id)
+                - 1 AS BIGINT) AS pos
+    FROM {table} d,
+         (SELECT unnest(range(0, {epochs})) AS epoch) e
+    """

@@ -1067,6 +1067,146 @@ def sim_search_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------- IVF index-quality audit (round-13 preview)
+#
+# The qa_lsh_recall_audit story applied to the OTHER ANN family: the
+# numbers an index team reads before trusting an IVF layout — per-cell
+# occupancy and its share of the corpus (imbalance = hot cells that
+# serve most probes), and the cosine-to-own-centroid distribution
+# (quantization quality: a cell whose members barely resemble its
+# centroid routes probes badly). Reuses sim_search_ivf_topk's exact
+# machinery: the once-per-(app, sf_dir) literal centroid artifact and
+# the narrow array_sort assignment — the audit cannot drift from the
+# index it audits.
+#
+# Determinism: occupancy is integer; the per-cell mean cosine
+# accumulates ORDER-FREE via the lm_score tick pattern (each cosine —
+# already a deterministic sequential fold over identical doubles in
+# both engines — quantizes to integer 1e-6 ticks; the BIGINT tick sum
+# is commutative; one division + 4dp round at the end); min/max are
+# order-free by definition. share is n/total with total a window over
+# the k-row cell table.
+#
+# Scale shape: one narrow assignment pass (zero shuffles — the
+# centroid table is a literal), one map-side-combinable groupBy(cell)
+# to k rows, one k-row window. The window's SinglePartition is the
+# |cells|-bounded accounted shape. UNREGISTERED round-13 preview;
+# promotion (one @register with oracle=ivf_audit_oracle_sql())
+# targeted for r14.
+
+
+def qa_ivf_index_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index-quality audit over the embeddings table: one row per
+    cell — occupancy, corpus share, and the cosine-to-own-centroid
+    spread. Round-13 preview (promotion = one @register with
+    oracle=ivf_audit_oracle_sql()). Output: (cell, n_vectors, share,
+    mean_cos, min_cos, max_cos)."""
+    from pyspark.sql import Window
+
+    e = _embs(spark, sf_dir)
+    cells = _ivf_centroids(spark, sf_dir)
+    cent_arr = F.array(
+        *[
+            F.struct(
+                F.lit(cell).alias("cell"),
+                F.array(*[F.lit(v) for v in vec]).alias("cvec"),
+            )
+            for cell, vec in cells
+        ]
+    )
+    scored = F.array_sort(
+        F.transform(
+            F.col("cells"),
+            lambda c: F.struct(
+                (-_norm_dot(F.col("embedding"), c["cvec"])).alias("negcos"),
+                c["cell"].alias("cell"),
+            ),
+        )
+    )
+    best = F.element_at(scored, 1)
+    assign = e.withColumn("cells", cent_arr).select(
+        best["cell"].alias("cell"),
+        (-best["negcos"]).alias("cos_own"),
+    )
+    ticks = F.floor(F.col("cos_own") * 1e6 + 0.5).cast("long")
+    per_cell = assign.groupBy("cell").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+        F.sum(ticks).alias("tick_sum"),
+        F.min("cos_own").alias("min_raw"),
+        F.max("cos_own").alias("max_raw"),
+    )
+    wall = Window.partitionBy()
+    return per_cell.select(
+        "cell",
+        "n_vectors",
+        _r(
+            F.col("n_vectors").cast("double")
+            / F.sum("n_vectors").over(wall),
+            6,
+        ).alias("share"),
+        _r(
+            F.col("tick_sum").cast("double")
+            / (F.col("n_vectors") * F.lit(1000000.0)),
+            4,
+        ).alias("mean_cos"),
+        _r("min_raw", 4).alias("min_cos"),
+        _r("max_raw", 4).alias("max_cos"),
+    )
+
+
+def ivf_audit_oracle_sql(dim: int = _DIM) -> str:
+    """qa_ivf_index_audit as one DuckDB text — the centroid CTEs
+    sim_search_ivf_topk registers (identical spellings), then the
+    per-cell rollup with the tick-sum mean. Output rounding uses
+    DuckDB's native round() — the Spark side's _r replicates it
+    sign-exactly (cosines can in principle go negative), the same
+    convention as the IVF top-k's cosine column."""
+    return f"""
+    WITH comp AS (
+      SELECT vec_id, label, i + 1 AS pos,
+             CAST(embedding[i + 1] AS DOUBLE) AS v
+      FROM embeddings, (SELECT unnest(range(0, {dim})) AS i)
+    ),
+    cent AS (
+      SELECT label, pos, round(avg(v), 6) AS c
+      FROM comp GROUP BY 1, 2
+    ),
+    centroids AS (
+      SELECT label AS cell, list(c ORDER BY pos) AS cvec
+      FROM cent GROUP BY label
+    ),
+    assign AS (
+      SELECT cell, cos_own FROM (
+        SELECT c.cell,
+               list_cosine_similarity(e.embedding::DOUBLE[], c.cvec)
+                 AS cos_own,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY list_cosine_similarity(e.embedding::DOUBLE[],
+                                                 c.cvec) DESC, c.cell) AS rn
+        FROM embeddings e, centroids c
+      ) WHERE rn = 1
+    ),
+    per_cell AS (
+      SELECT cell,
+             CAST(count(*) AS BIGINT) AS n_vectors,
+             CAST(sum(CAST(floor(cos_own * 1e6 + 0.5) AS BIGINT)) AS BIGINT)
+               AS tick_sum,
+             min(cos_own) AS min_raw,
+             max(cos_own) AS max_raw
+      FROM assign GROUP BY 1
+    )
+    SELECT cell, n_vectors,
+           round(CAST(n_vectors AS DOUBLE) / sum(n_vectors) OVER (), 6)
+             AS share,
+           round(CAST(tick_sum AS DOUBLE) / (n_vectors * 1000000.0), 4)
+             AS mean_cos,
+           round(min_raw, 4) AS min_cos,
+           round(max_raw, 4) AS max_cos
+    FROM per_cell
+    """
+
+
 # ---------------------------------------------------------- text analysis
 
 _STOPWORDS = ["the", "a", "of", "to", "and", "is", "in", "that", "it", "on"]
@@ -1158,6 +1298,125 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         _r(n_chars / n_tok, 6).alias("mean_token_len"),
         _r(quality, 6).alias("quality_score"),
     )
+
+
+# ------------- Gopher quality rules (round-13 preview)
+#
+# The rule-based document gate of Rae et al. 2021 (Gopher, Appendix
+# A1.1), the filter family MassiveText/RefinedWeb/FineWeb all run
+# BEFORE any learned quality model: hard bounds on word count and
+# mean word length, a minimum fraction of words containing an
+# alphabetic character, and a minimum stop-word hit count. Each rule
+# is emitted as its own boolean next to the measured feature (the
+# operations team reads WHICH rule fired, not just the verdict), plus
+# the conjunction keep flag. Thresholds are the paper's shape scaled
+# to this fixture's 10–99-word documents (the paper's 50..100k word
+# bound becomes 20..80 so both branches of every rule carry corpus
+# weight; the alpha rule is vacuous-true on the all-alpha synthetic
+# text and priced at zero — kept because the OPERATOR must ship it).
+#
+# Determinism: counts are integers; the two ratios are single
+# divisions of identical BIGINTs (no accumulation order), rounded
+# floor-form 6dp, and every boolean compares the ROUNDED value (the
+# NOTES r5 rule: derive comparisons from already-rounded columns).
+# Scale shape: pure map over the documents scan — zero shuffles, no
+# UDF, everything inside whole-stage codegen. UNREGISTERED round-13
+# preview; promotion (one @register with
+# oracle=gopher_rules_oracle_sql()) targeted for r14.
+
+_GOPHER_MIN_WORDS = 20
+_GOPHER_MAX_WORDS = 80
+_GOPHER_MIN_MEAN_LEN = 3.0
+_GOPHER_MAX_MEAN_LEN = 10.0
+_GOPHER_MIN_ALPHA_RATIO = 0.8
+_GOPHER_MIN_STOPWORDS = 2
+
+
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rule document gate: per-rule booleans + keep flag over
+    the documents table. Round-13 preview (promotion = one @register
+    with oracle=gopher_rules_oracle_sql()). Output: (doc_id, n_words,
+    mean_word_len, alpha_word_ratio, n_stop, ok_word_count,
+    ok_mean_word_len, ok_alpha_ratio, ok_stopwords, keep)."""
+    d = _docs(spark, sf_dir)
+    toks = F.split(F.trim("text"), r"\s+")
+    low_toks = F.split(F.lower("text"), r"\s+")
+    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
+    n_words = F.size(toks).cast("bigint")
+    n_alpha = F.size(
+        F.filter(toks, lambda w: w.rlike("[a-zA-Z]"))
+    ).cast("bigint")
+    n_stop = F.size(
+        F.filter(low_toks, lambda t: F.array_contains(stop_arr, t))
+    ).cast("bigint")
+    # total word characters via whitespace strip — robust to any run
+    # of separators, same spelling both engines
+    n_wchars = F.length(F.regexp_replace("text", r"\s", "")).cast("bigint")
+    mean_len = _r(n_wchars.cast("double") / n_words, 6)
+    alpha_ratio = _r(n_alpha.cast("double") / n_words, 6)
+    ok_wc = (n_words >= _GOPHER_MIN_WORDS) & (n_words <= _GOPHER_MAX_WORDS)
+    ok_ml = (mean_len >= _GOPHER_MIN_MEAN_LEN) & (
+        mean_len <= _GOPHER_MAX_MEAN_LEN
+    )
+    ok_ar = alpha_ratio >= _GOPHER_MIN_ALPHA_RATIO
+    ok_sw = n_stop >= _GOPHER_MIN_STOPWORDS
+    return d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        mean_len.alias("mean_word_len"),
+        alpha_ratio.alias("alpha_word_ratio"),
+        n_stop.alias("n_stop"),
+        ok_wc.alias("ok_word_count"),
+        ok_ml.alias("ok_mean_word_len"),
+        ok_ar.alias("ok_alpha_ratio"),
+        ok_sw.alias("ok_stopwords"),
+        (ok_wc & ok_ml & ok_ar & ok_sw).alias("keep"),
+    )
+
+
+def gopher_rules_oracle_sql(table: str = "documents") -> str:
+    """text_gopher_rules as one DuckDB text — identical feature
+    spellings, booleans compared on the rounded ratios."""
+    from nyc_traffic_insight_spark.functions.rounding import r6_sql
+
+    mean_len = r6_sql(
+        "CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE)"
+        " / len(regexp_split_to_array(trim(text), '\\s+'))"
+    )
+    alpha_ratio = r6_sql(
+        "CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),"
+        " w -> regexp_matches(w, '[a-zA-Z]'))) AS DOUBLE)"
+        " / len(regexp_split_to_array(trim(text), '\\s+'))"
+    )
+    return rf"""
+    WITH feats AS (
+      SELECT doc_id,
+             CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+               AS n_words,
+             {mean_len} AS mean_word_len,
+             {alpha_ratio} AS alpha_word_ratio,
+             CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                      t -> list_contains({_STOPWORDS!r}, t))) AS BIGINT)
+               AS n_stop
+      FROM {table}
+    )
+    SELECT doc_id, n_words, mean_word_len, alpha_word_ratio, n_stop,
+           (n_words >= {_GOPHER_MIN_WORDS}
+            AND n_words <= {_GOPHER_MAX_WORDS}) AS ok_word_count,
+           (mean_word_len >= {_GOPHER_MIN_MEAN_LEN}
+            AND mean_word_len <= {_GOPHER_MAX_MEAN_LEN})
+             AS ok_mean_word_len,
+           (alpha_word_ratio >= {_GOPHER_MIN_ALPHA_RATIO})
+             AS ok_alpha_ratio,
+           (n_stop >= {_GOPHER_MIN_STOPWORDS}) AS ok_stopwords,
+           (n_words >= {_GOPHER_MIN_WORDS}
+            AND n_words <= {_GOPHER_MAX_WORDS}
+            AND mean_word_len >= {_GOPHER_MIN_MEAN_LEN}
+            AND mean_word_len <= {_GOPHER_MAX_MEAN_LEN}
+            AND alpha_word_ratio >= {_GOPHER_MIN_ALPHA_RATIO}
+            AND n_stop >= {_GOPHER_MIN_STOPWORDS}) AS keep
+    FROM feats
+    """
 
 
 # language marker words; the vote is the operator under test (the corpus

@@ -1127,3 +1127,106 @@ def lm_ppl_buckets(
     finally:
         _lm_drop_views(spark, v)
         spark.catalog.dropTempView(f"{v}_docs")
+
+
+# ---------------- Kneser-Ney bigram trainer (round-13 preview)
+#
+# The smoothing upgrade every n-gram LM stack eventually ships:
+# interpolated Kneser-Ney (Kneser & Ney 1995; the KenLM default that
+# CCNet's filtering models actually use) replaces Laplace add-1 with
+# absolute discounting plus a CONTINUATION-count backoff —
+#
+#   P_kn(w2|w1) = (c(w1,w2) − d)/c(w1)
+#               + d · N1+(w1,·)/c(w1) · N1+(·,w2)/N1+(·,·)
+#
+# with d = 0.75 (exact in binary, so the discounted numerator is an
+# exact double). Every quantity is an integer aggregate of the SAME
+# (cap+1)²-bounded bigram table the Laplace trainer builds — forward
+# fan-out N1+(w1,·), backward fan-in N1+(·,w2), distinct-bigram total
+# N1+(·,·) — so the whole KN computation runs on model-table-sized
+# relations after the one corpus pass the shared chain already pays.
+# P_kn sums to exactly 1 over the vocabulary per context (the
+# discount mass d·N1+(w1,·) is exactly the mass the continuation term
+# redistributes) — pinned as a test invariant.
+#
+# Determinism: all inputs BIGINT; the formula is one shared SQL text,
+# so both engines evaluate the identical parse tree over identical
+# integers; rounded floor-form 4dp (strictly positive). Scale shape:
+# the corpus pass is the chain's (shared with lm_train_bigram); the
+# KN joins/aggregates are all cap-bounded, with the one-row N1+(·,·)
+# total the accounted single-partition merge (the vsize shape).
+# UNREGISTERED round-13 preview; promotion (one @register with
+# oracle=lm_kn_oracle_sql()) targeted for r14.
+
+_KN_DISCOUNT = "0.75"  # exact in binary: 2^-1 + 2^-2
+
+
+def _lm_kn_parts(bg: str) -> str:
+    """The three continuation-count relations over a bigram table —
+    ONE shared text for both engines."""
+    return (
+        f"n1f AS (SELECT w1, CAST(count(*) AS BIGINT) AS fanout "
+        f"FROM {bg} GROUP BY 1), "
+        f"n1b AS (SELECT w2, CAST(count(*) AS BIGINT) AS fanin "
+        f"FROM {bg} GROUP BY 1), "
+        f"nall AS (SELECT CAST(count(*) AS BIGINT) AS n FROM {bg})"
+    )
+
+
+def _lm_kn_select(bg: str, ctx: str, topk: int) -> str:
+    """KN trainer output: top-K bigrams by count with the discounted
+    + continuation-interpolated probability. Ties by (w1, w2); the
+    BROADCAST hints ride the cap-bounded model tables (DuckDB ignores
+    them, same convention as the Laplace trainer)."""
+    d = _KN_DISCOUNT
+    pkn = (
+        f"(b.pair_cnt - {d}) / c.ctx_cnt"
+        f" + {d} * f.fanout / c.ctx_cnt * i.fanin / a.n"
+    )
+    return (
+        "SELECT /*+ BROADCAST(c, f, i, a) */ "
+        "b.w1, b.w2, b.pair_cnt, c.ctx_cnt, f.fanout, i.fanin, "
+        f"{_lm_r4(pkn)} AS pkn "
+        f"FROM {bg} b "
+        f"JOIN {ctx} c ON b.w1 = c.w1 "
+        f"JOIN n1f f ON b.w1 = f.w1 "
+        f"JOIN n1b i ON b.w2 = i.w2 "
+        f"CROSS JOIN nall a "
+        f"ORDER BY b.pair_cnt DESC, b.w1, b.w2 LIMIT {topk}"
+    )
+
+
+def lm_kn_oracle_sql(
+    table: str = "documents", cap: int = _LM_VOCAB, topk: int = _LM_TOPK
+) -> str:
+    """lm_train_kneser_ney as one DuckDB text — the shared LM chain
+    plus the shared KN fragments."""
+    return (
+        _lm_oracle_parts(table, cap)
+        + f", {_lm_kn_parts('bg')} "
+        + _lm_kn_select("bg", "ctx", topk)
+    )
+
+
+def lm_train_kneser_ney(
+    spark: SparkSession,
+    sf_dir: str,
+    cap: int = _LM_VOCAB,
+    topk: int = _LM_TOPK,
+) -> DataFrame:
+    """Train an interpolated Kneser-Ney bigram LM on the documents
+    corpus and emit the top-K bigrams with counts, continuation
+    counts, and P_kn. Round-13 preview (promotion = one @register
+    with oracle=lm_kn_oracle_sql()). Output: (w1, w2, pair_cnt,
+    ctx_cnt, fanout, fanin, pkn)."""
+    v = f"__lm{next(_LM_SEQ)}"
+    try:
+        _lm_run_chain(spark, sf_dir, cap, v)
+        return spark.sql(
+            f"WITH ctx AS ({_lm_ctx_body(f'{v}_bg')}), "
+            + _lm_kn_parts(f"{v}_bg")
+            + " "
+            + _lm_kn_select(f"{v}_bg", "ctx", topk)
+        )
+    finally:
+        _lm_drop_views(spark, v)

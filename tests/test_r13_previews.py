@@ -1,0 +1,244 @@
+"""Round-13 previews: epoch shuffle, Gopher rules, KN trainer, IVF audit.
+
+Four UNREGISTERED previews targeted for r14 promotion, each pinned
+here before its @register lands (the r12 preview discipline):
+
+- ``sample_epoch_shuffle``: deterministic per-epoch loader order via
+  the two-phase hash-rank decomposition. Pinned: the composed rank is
+  a PERMUTATION per epoch, equals the oracle's flat row_number
+  (driver-style), epochs genuinely reorder, and the plan carries ZERO
+  SinglePartition exchanges (the scale claim — the only window
+  partitions by (epoch, bucket)).
+- ``text_gopher_rules``: the Rae et al. 2021 rule gate. Pinned:
+  driver-style cross-engine equality, Python-reference fuzz of the
+  oracle on adversarial synthetic docs, and rule-branch liveness on
+  the fixture (a gate whose rules never fire is vacuous).
+- ``lm_train_kneser_ney``: interpolated KN bigram LM. Pinned:
+  driver-style cross-engine equality and the textbook invariant that
+  P_kn sums to exactly 1 over the vocabulary per context (discount
+  mass == redistributed continuation mass) — checked in DuckDB over
+  the full (untruncated) model via the same shared fragments.
+- ``qa_ivf_index_audit``: IVF occupancy/quantization audit. Pinned:
+  driver-style cross-engine equality and reconciliation against the
+  index it audits (occupancies sum to the corpus, shares to ~1,
+  min <= mean <= max per cell).
+"""
+
+from __future__ import annotations
+
+import math
+import random
+import re
+
+import pytest
+
+from tests.conftest import SF_SMOKE
+from tests.oracle_utils import compare, duck_connect
+
+
+# ----------------------------------------------------- epoch shuffle
+
+
+def test_epoch_shuffle_matches_oracle(spark):
+    from nyc_traffic_insight_spark.queries.samplingq import (
+        epoch_shuffle_oracle_sql,
+        sample_epoch_shuffle,
+    )
+
+    spdf = sample_epoch_shuffle(spark, SF_SMOKE).toPandas()
+    odf = duck_connect(SF_SMOKE).execute(epoch_shuffle_oracle_sql()).fetchdf()
+    compare(spdf, odf, "sample_epoch_shuffle")
+
+
+def test_epoch_shuffle_is_permutation_and_reorders(spark):
+    from nyc_traffic_insight_spark.queries.samplingq import (
+        sample_epoch_shuffle,
+    )
+
+    pdf = sample_epoch_shuffle(spark, SF_SMOKE).toPandas()
+    n = pdf["doc_id"].nunique()
+    orders = {}
+    for e, grp in pdf.groupby("epoch"):
+        assert sorted(grp["pos"]) == list(range(n)), "pos not a permutation"
+        orders[e] = list(grp.sort_values("pos")["doc_id"])
+    assert len(orders) == 2
+    # a shuffle that never reorders is the identity — epochs must differ
+    assert orders[0] != orders[1]
+    # and neither epoch is doc_id order (rank-of-hash, not identity)
+    assert orders[0] != sorted(orders[0])
+
+
+def test_epoch_shuffle_plan_has_no_global_window(spark):
+    """The scale claim: the rank is computed WITHOUT a corpus-sized
+    single-partition window — only (epoch, bucket) partitions and the
+    per-epoch 256-row bucket prefix. The 2-row epoch-range broadcast
+    plans as BNLJ (the accounted tiny-side shape)."""
+    from nyc_traffic_insight_spark.queries.samplingq import (
+        sample_epoch_shuffle,
+    )
+
+    plan = (
+        sample_epoch_shuffle(spark, SF_SMOKE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange SinglePartition" not in plan
+    assert "CartesianProduct" not in plan
+
+
+# ----------------------------------------------------- Gopher rules
+
+
+def _gopher_ref(texts):
+    """Independent Python reference of the rule gate."""
+    from nyc_traffic_insight_spark.queries.textops import (
+        _GOPHER_MAX_MEAN_LEN,
+        _GOPHER_MAX_WORDS,
+        _GOPHER_MIN_ALPHA_RATIO,
+        _GOPHER_MIN_MEAN_LEN,
+        _GOPHER_MIN_STOPWORDS,
+        _GOPHER_MIN_WORDS,
+        _STOPWORDS,
+    )
+
+    def r6(x):
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    out = []
+    for doc_id, text in enumerate(texts):
+        words = re.split(r"\s+", text.strip())
+        low = re.split(r"\s+", text.lower())
+        n = len(words)
+        n_alpha = sum(1 for w in words if re.search("[a-zA-Z]", w))
+        n_stop = sum(1 for w in low if w in _STOPWORDS)
+        wchars = len(re.sub(r"\s", "", text))
+        ml, ar = r6(wchars / n), r6(n_alpha / n)
+        ok_wc = _GOPHER_MIN_WORDS <= n <= _GOPHER_MAX_WORDS
+        ok_ml = _GOPHER_MIN_MEAN_LEN <= ml <= _GOPHER_MAX_MEAN_LEN
+        ok_ar = ar >= _GOPHER_MIN_ALPHA_RATIO
+        ok_sw = n_stop >= _GOPHER_MIN_STOPWORDS
+        out.append(
+            (doc_id, n, ml, ar, n_stop, ok_wc, ok_ml, ok_ar, ok_sw,
+             ok_wc and ok_ml and ok_ar and ok_sw)
+        )
+    return out
+
+
+def test_gopher_oracle_matches_python_reference_fuzz():
+    """Adversarial synthetic docs through the DuckDB oracle vs the
+    independent reference: numeric tokens (alpha rule), stopword-free
+    docs, boundary word counts, long words (mean-len rule)."""
+    import duckdb
+
+    from nyc_traffic_insight_spark.queries.textops import (
+        gopher_rules_oracle_sql,
+    )
+
+    rng = random.Random(31)
+    vocab = ["the", "a", "zz", "97", "wordwordword", "x", "of", "##"]
+    texts = []
+    for _ in range(60):
+        n = rng.choice([1, 5, 19, 20, 21, 79, 80, 81, 99])
+        texts.append(" ".join(rng.choice(vocab) for _ in range(n)))
+    con = duckdb.connect()
+    con.execute("CREATE TABLE docs(doc_id BIGINT, text VARCHAR)")
+    con.executemany(
+        "INSERT INTO docs VALUES (?, ?)", list(enumerate(texts))
+    )
+    got = sorted(con.sql(gopher_rules_oracle_sql("docs")).fetchall())
+    assert got == _gopher_ref(texts)
+
+
+def test_gopher_rules_match_oracle_and_rules_are_live(spark):
+    from nyc_traffic_insight_spark.queries.textops import (
+        gopher_rules_oracle_sql,
+        text_gopher_rules,
+    )
+
+    spdf = text_gopher_rules(spark, SF_SMOKE).toPandas()
+    odf = duck_connect(SF_SMOKE).execute(gopher_rules_oracle_sql()).fetchdf()
+    compare(spdf, odf, "text_gopher_rules")
+    # the gate must actually gate on this fixture
+    assert set(spdf["keep"]) == {True, False}
+    assert set(spdf["ok_word_count"]) == {True, False}
+    assert set(spdf["ok_stopwords"]) == {True, False}
+
+
+# ----------------------------------------------------- Kneser-Ney LM
+
+
+def test_kn_trainer_matches_oracle(spark):
+    from nyc_traffic_insight_spark.queries.tokenizers import (
+        lm_kn_oracle_sql,
+        lm_train_kneser_ney,
+    )
+
+    spdf = lm_train_kneser_ney(spark, SF_SMOKE).toPandas()
+    odf = duck_connect(SF_SMOKE).execute(lm_kn_oracle_sql()).fetchdf()
+    compare(spdf, odf, "lm_train_kneser_ney")
+    assert len(spdf) == 100
+    # discounted probabilities are probabilities
+    assert (spdf["pkn"] > 0).all() and (spdf["pkn"] < 1).all()
+
+
+def test_kn_mass_sums_to_one_per_context():
+    """Interpolated KN's defining identity: for every context w1,
+    sum over the vocabulary of P_kn(w2|w1) == 1 — the discount mass
+    d*N1+(w1,.) is exactly what the continuation term redistributes.
+    Checked in DuckDB over the FULL (untruncated) model assembled from
+    the same shared fragments the operator registers."""
+    from nyc_traffic_insight_spark.queries.tokenizers import (
+        _KN_DISCOUNT,
+        _lm_kn_parts,
+        _lm_oracle_parts,
+    )
+
+    d = _KN_DISCOUNT
+    sql = (
+        _lm_oracle_parts("documents", 2000)
+        + f", {_lm_kn_parts('bg')} "
+        + f"""
+        , seen AS (
+          SELECT b.w1,
+                 sum((b.pair_cnt - {d}) / c.ctx_cnt) AS seen_mass,
+                 any_value(c.ctx_cnt) AS ctx_cnt,
+                 any_value(f.fanout) AS fanout
+          FROM bg b JOIN ctx c ON b.w1 = c.w1 JOIN n1f f ON b.w1 = f.w1
+          GROUP BY 1
+        )
+        SELECT s.w1,
+               s.seen_mass + {d} * s.fanout / s.ctx_cnt
+                 * (SELECT sum(fanin) FROM n1b)
+                 / (SELECT n FROM nall) AS total_mass
+        FROM seen s
+        """
+    )
+    rows = duck_connect(SF_SMOKE).execute(sql).fetchall()
+    assert rows, "empty model"
+    for w1, mass in rows:
+        assert abs(mass - 1.0) < 1e-9, (w1, mass)
+
+
+# ----------------------------------------------------- IVF index audit
+
+
+def test_ivf_audit_matches_oracle_and_reconciles(spark):
+    import duckdb
+
+    from nyc_traffic_insight_spark.queries.textops import (
+        ivf_audit_oracle_sql,
+        qa_ivf_index_audit,
+    )
+
+    spdf = qa_ivf_index_audit(spark, SF_SMOKE).toPandas()
+    odf = duck_connect(SF_SMOKE).execute(ivf_audit_oracle_sql()).fetchdf()
+    compare(spdf, odf, "qa_ivf_index_audit")
+    n_emb = duckdb.connect().execute(
+        f"SELECT count(*) FROM read_parquet('{SF_SMOKE}/embeddings.parquet')"
+    ).fetchone()[0]
+    assert int(spdf["n_vectors"].sum()) == n_emb
+    k = len(spdf)
+    assert abs(spdf["share"].sum() - 1.0) <= k * 1e-6  # r6 rounding slack
+    assert (spdf["min_cos"] <= spdf["mean_cos"]).all()
+    assert (spdf["mean_cos"] <= spdf["max_cos"]).all()

@@ -35,8 +35,29 @@ def _previews():
     sample_unimax_apply, qa_lsh_recall_audit,
     text_decontaminate_fuzzy, pipeline_unimax_corpus) was promoted to
     registered entries in r13 (16/16 PASS here first) and now rides
-    tools/verify_rotation.py like the rest of the catalog."""
-    return []
+    tools/verify_rotation.py like the rest of the catalog. Current
+    list: the round-13 previews (r14 promotions)."""
+    from nyc_traffic_insight_spark.queries.samplingq import (
+        epoch_shuffle_oracle_sql,
+        sample_epoch_shuffle,
+    )
+    from nyc_traffic_insight_spark.queries.textops import (
+        gopher_rules_oracle_sql,
+        ivf_audit_oracle_sql,
+        qa_ivf_index_audit,
+        text_gopher_rules,
+    )
+    from nyc_traffic_insight_spark.queries.tokenizers import (
+        lm_kn_oracle_sql,
+        lm_train_kneser_ney,
+    )
+
+    return [
+        ("sample_epoch_shuffle", sample_epoch_shuffle, epoch_shuffle_oracle_sql()),
+        ("text_gopher_rules", text_gopher_rules, gopher_rules_oracle_sql()),
+        ("lm_train_kneser_ney", lm_train_kneser_ney, lm_kn_oracle_sql()),
+        ("qa_ivf_index_audit", qa_ivf_index_audit, ivf_audit_oracle_sql()),
+    ]
 
 
 def main() -> int:
