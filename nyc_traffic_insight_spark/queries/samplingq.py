@@ -1511,3 +1511,116 @@ def epoch_shuffle_oracle_sql(
     FROM {table} d,
          (SELECT unnest(range(0, {epochs})) AS epoch) e
     """
+
+
+# ------------- stride source-interleave schedule (round-13 preview)
+#
+# The mixture SCHEDULER between allocation and loading: UniMax (and
+# temperature mixing) decide HOW MUCH of each source to train on;
+# this decides WHEN — a deterministic global order in which each
+# source appears at a steady rate (stride scheduling / the Bresenham
+# interleave every streaming data loader implements), so a batch
+# window at any training step sees the mixture's proportions instead
+# of a source-sorted run. Doc i of source s (1-based within-source
+# rank) gets key (2i−1)/(2·n_s); the global order is by key, ties by
+# (source, i). The position is computed in CLOSED FORM — for each
+# other source t, the count of its docs with a smaller key is
+# floor(((2i−1)·n_t + n_s − 1)/(2·n_s)), an exact integer expression
+# (own source contributes i−1 through the same formula), plus a ≤1
+# per-source tie adjustment — fuzz-verified against the naive
+# sort-by-key reference over 300 random mixtures
+# (tests/test_r13_previews.py).
+#
+# Scale shape: one within-source rank window (partitioned by source —
+# the shard_pack_greedy shape), one k-row counts broadcast, then a
+# NARROW in-row fold over the k sources — no global sort, no
+# corpus-sized single-partition window, zero extra shuffles.
+# Exactness bound: the fold's floor-division runs in doubles, exact
+# while (2i−1)·n_t < 2^53 (~7·10^7 docs per source pair); past that,
+# spell the division in DECIMAL(38,0) — same upgrade path as
+# exact_sum's int64 headroom note. The DuckDB oracle runs the SAME
+# closed form with native integer division. UNREGISTERED round-13
+# preview; promotion (one @register with
+# oracle=interleave_oracle_sql()) targeted for r14.
+
+
+def sample_interleave_stride(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stride-interleaved mixture order over the
+    documents table. Round-13 preview (promotion = one @register with
+    oracle=interleave_oracle_sql()). Output: (doc_id, source,
+    src_rank, pos) — pos a permutation of [0, n), each source paced
+    evenly through it."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    counts = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    cs = counts.agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("source").alias("t"), F.col("n")))
+        ).alias("cs")
+    )
+    w = Window.partitionBy("source").orderBy("doc_id")
+    ranked = (
+        d.withColumn("i", F.row_number().over(w).cast("bigint"))
+        .crossJoin(F.broadcast(cs))
+    )
+    k2 = 2 * F.col("i") - 1  # the doc's odd numerator
+    n_s = F.filter(
+        F.col("cs"), lambda x: x["t"] == F.col("source")
+    )[0]["n"]
+
+    def term(x):
+        q = k2 * x["n"]
+        less = F.floor((q + n_s - 1) / (2 * n_s)).cast("long")
+        m = F.floor(q / n_s).cast("long")
+        tie = (
+            F.when(
+                (x["t"] < F.col("source"))
+                & (q % n_s == 0)
+                & (m % 2 == 1)
+                & (m <= 2 * x["n"] - 1),
+                F.lit(1),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+        )
+        return less + tie
+
+    pos = F.aggregate(
+        F.col("cs"), F.lit(0).cast("long"), lambda acc, x: acc + term(x)
+    )
+    return ranked.select(
+        "doc_id",
+        "source",
+        F.col("i").alias("src_rank"),
+        pos.cast("bigint").alias("pos"),
+    )
+
+
+def interleave_oracle_sql(table: str = "documents") -> str:
+    """sample_interleave_stride as one DuckDB text — the same closed
+    form with native integer division (exact at any scale)."""
+    return f"""
+    WITH counts AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n FROM {table} GROUP BY 1
+    ),
+    ranked AS (
+      SELECT d.doc_id, d.source, c.n AS n_s,
+             CAST(row_number() OVER (PARTITION BY d.source
+                                     ORDER BY d.doc_id) AS BIGINT) AS i
+      FROM {table} d JOIN counts c ON c.source = d.source
+    ),
+    terms AS (
+      SELECT r.doc_id, r.source, r.i,
+             ((2 * r.i - 1) * t.n + r.n_s - 1) // (2 * r.n_s)
+             + CASE WHEN t.source < r.source
+                         AND ((2 * r.i - 1) * t.n) % r.n_s = 0
+                         AND (((2 * r.i - 1) * t.n) // r.n_s) % 2 = 1
+                         AND ((2 * r.i - 1) * t.n) // r.n_s <= 2 * t.n - 1
+                    THEN 1 ELSE 0 END AS term
+      FROM ranked r CROSS JOIN counts t
+    )
+    SELECT doc_id, source, CAST(i AS BIGINT) AS src_rank,
+           CAST(sum(term) AS BIGINT) AS pos
+    FROM terms GROUP BY 1, 2, 3
+    """

@@ -242,3 +242,83 @@ def test_ivf_audit_matches_oracle_and_reconciles(spark):
     assert abs(spdf["share"].sum() - 1.0) <= k * 1e-6  # r6 rounding slack
     assert (spdf["min_cos"] <= spdf["mean_cos"]).all()
     assert (spdf["mean_cos"] <= spdf["max_cos"]).all()
+
+
+# ------------------------------------------------ stride interleave
+
+
+def _interleave_ref(counts: dict) -> dict:
+    """Naive sort-by-key reference: key(i,s) = (2i-1)/(2 n_s), ties by
+    (source, i). Returns {(source, i): pos}."""
+    docs = [(s, i) for s, n in counts.items() for i in range(1, n + 1)]
+    docs.sort(key=lambda d: ((2 * d[1] - 1) / (2 * counts[d[0]]), d[0], d[1]))
+    return {d: p for p, d in enumerate(docs)}
+
+
+def test_interleave_oracle_matches_sort_reference_fuzz():
+    """The closed form (what BOTH engines run) vs the naive sort-by-key
+    reference on random mixtures — the algebra is verified, not
+    copied."""
+    import duckdb
+
+    from nyc_traffic_insight_spark.queries.samplingq import (
+        interleave_oracle_sql,
+    )
+
+    rng = random.Random(41)
+    for trial in range(30):
+        k = rng.randint(1, 5)
+        counts = {f"s{j}": rng.randint(1, 12) for j in range(k)}
+        rows, doc_id = [], 0
+        for s, n in counts.items():
+            for _ in range(n):
+                rows.append((doc_id, s))
+                doc_id += 1
+        con = duckdb.connect()
+        con.execute("CREATE TABLE docs(doc_id BIGINT, source VARCHAR)")
+        con.executemany("INSERT INTO docs VALUES (?, ?)", rows)
+        got = {
+            (s, i): p
+            for _, s, i, p in con.sql(
+                interleave_oracle_sql("docs")
+            ).fetchall()
+        }
+        assert got == _interleave_ref(counts), (trial, counts)
+
+
+def test_interleave_matches_oracle_and_paces_sources(spark):
+    from nyc_traffic_insight_spark.queries.samplingq import (
+        interleave_oracle_sql,
+        sample_interleave_stride,
+    )
+
+    spdf = sample_interleave_stride(spark, SF_SMOKE).toPandas()
+    odf = duck_connect(SF_SMOKE).execute(interleave_oracle_sql()).fetchdf()
+    compare(spdf, odf, "sample_interleave_stride")
+    n = len(spdf)
+    assert sorted(spdf["pos"]) == list(range(n))  # permutation
+    # pacing: within any contiguous window of the schedule, each
+    # source's share tracks its corpus share (the whole point vs a
+    # source-sorted order) — check the first half
+    half = spdf[spdf["pos"] < n // 2]["source"].value_counts()
+    full = spdf["source"].value_counts()
+    for s in full.index:
+        assert abs(half.get(s, 0) / (n // 2) - full[s] / n) < 0.02, s
+
+
+def test_interleave_plan_is_narrow(spark):
+    """One source-partition rank window + a one-row broadcast fold —
+    the only SinglePartition is the k-row counts collect_list merge,
+    and the BNLJ is the one-row array broadcast (accounted shapes)."""
+    from nyc_traffic_insight_spark.queries.samplingq import (
+        sample_interleave_stride,
+    )
+
+    plan = (
+        sample_interleave_stride(spark, SF_SMOKE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange SinglePartition") <= 1
+    assert "CartesianProduct" not in plan

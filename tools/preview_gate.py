@@ -39,7 +39,9 @@ def _previews():
     list: the round-13 previews (r14 promotions)."""
     from nyc_traffic_insight_spark.queries.samplingq import (
         epoch_shuffle_oracle_sql,
+        interleave_oracle_sql,
         sample_epoch_shuffle,
+        sample_interleave_stride,
     )
     from nyc_traffic_insight_spark.queries.textops import (
         gopher_rules_oracle_sql,
@@ -54,6 +56,7 @@ def _previews():
 
     return [
         ("sample_epoch_shuffle", sample_epoch_shuffle, epoch_shuffle_oracle_sql()),
+        ("sample_interleave_stride", sample_interleave_stride, interleave_oracle_sql()),
         ("text_gopher_rules", text_gopher_rules, gopher_rules_oracle_sql()),
         ("lm_train_kneser_ney", lm_train_kneser_ney, lm_kn_oracle_sql()),
         ("qa_ivf_index_audit", qa_ivf_index_audit, ivf_audit_oracle_sql()),
