@@ -629,6 +629,188 @@ register(
 )(qa_lsh_recall_audit)
 
 
+# ------------- banding-geometry sweep (round-13 preview)
+#
+# The recall audit above grades ONE banding geometry; this sweeps the
+# grid — the tuning run that picks (b, r) for a corpus. Motivated by
+# a measured finding (SCALE.md "Second-decade probe", r13): on a
+# corpus whose RANDOM pairs have non-negligible Jaccard, r=2 banding
+# collides at ~j̄² per band and the candidate volume grows ~n²·j̄² —
+# the lever is rows-per-band, and this operator measures exactly how
+# much recall each extra row costs. All three geometries share the
+# SAME 8-minhash signatures (b·r = 8): (8,1) maximal recall /
+# maximal candidates, (4,2) the production geometry (its row equals
+# qa_lsh_recall_audit's numbers, test-pinned), (2,4) the sparse
+# setting the probe recommends for dense corpora.
+#
+# Scale shape: one signature pass (shared, persisted shingles), one
+# truth pass (the exact machinery, checkpointed — at 100 TB the truth
+# leg is run on a SAMPLE; the sweep's estimates are ratios, so a
+# uniform pair sample is unbiased), then per geometry a band-bucket
+# groupBy + in-bucket pair expansion and a one-row aggregate merge
+# (the accounted SinglePartition shape, ×3). UNREGISTERED round-13
+# preview; promotion (one @register with
+# oracle=lsh_sweep_oracle_sql()) targeted for r14.
+
+_SWEEP_GEOMS = [(8, 1), (4, 2), (2, 4)]  # (bands, rows_per_band); b·r = 8
+
+
+def _lsh_cands_geom(sig: DataFrame, b: int, r: int) -> DataFrame:
+    """Candidate pairs at banding geometry (b, r) over an 8-hash
+    signature frame — the parametric form of _lsh_candidate_pairs'
+    fixed (4, 2) expansion (same groupBy + in-bucket pair idiom)."""
+    bands_long = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(band).alias("band"),
+                        F.array(
+                            *[F.col(f"h{band * r + j}") for j in range(r)]
+                        ).alias("key"),
+                    )
+                    for band in range(b)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.key")
+    members = (
+        bands_long.groupBy("band", "key")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    pair_expr = F.flatten(
+        F.transform(
+            "ids",
+            lambda x, i: F.transform(
+                F.slice("ids", i + 2, F.size("ids")),
+                lambda y: F.struct(x.alias("doc1"), y.alias("doc2")),
+            ),
+        )
+    )
+    return (
+        members.select(F.explode(pair_expr).alias("p"))
+        .select(F.col("p.doc1").alias("doc1"), F.col("p.doc2").alias("doc2"))
+        .distinct()
+    )
+
+
+def qa_lsh_banding_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall / candidate-precision of every banding geometry over the
+    same signatures and truth. Round-13 preview (promotion = one
+    @register with oracle=lsh_sweep_oracle_sql()). Output: one row per
+    geometry — (n_bands, rows_per_band, n_true_pairs,
+    n_lsh_candidates, n_hits, recall, candidate_precision)."""
+    ds = _shingle_sets_persisted(spark, sf_dir)
+    sig = _sig_from_shingles(
+        ds.select("doc_id", F.explode("sh").alias("s"))
+    )
+    # truth feeds all |_SWEEP_GEOMS| one-row aggregates — materialize
+    # the narrow pair list once (the pipeline_unimax_corpus
+    # checkpoint rationale)
+    truth = (
+        _ngram_jaccard_pairs(ds.select("doc_id", F.explode("sh").alias("s")))
+        .select("doc1", "doc2")
+        .withColumn("is_true", F.lit(True))
+        .localCheckpoint()
+    )
+    rows = []
+    for b, r in _SWEEP_GEOMS:
+        cands = _lsh_cands_geom(sig, b, r).withColumn("is_cand", F.lit(True))
+        m = truth.join(cands, ["doc1", "doc2"], "full_outer")
+        n_true = F.count("is_true")
+        n_cand = F.count("is_cand")
+        n_hits = F.count(F.when(F.col("is_true") & F.col("is_cand"), 1))
+        rows.append(
+            m.agg(
+                F.lit(b).cast("int").alias("n_bands"),
+                F.lit(r).cast("int").alias("rows_per_band"),
+                n_true.cast("bigint").alias("n_true_pairs"),
+                n_cand.cast("bigint").alias("n_lsh_candidates"),
+                n_hits.cast("bigint").alias("n_hits"),
+                _r(
+                    F.when(n_true == 0, F.lit(1.0)).otherwise(
+                        n_hits.cast("double") / n_true
+                    ),
+                    4,
+                ).alias("recall"),
+                _r(
+                    F.when(n_cand == 0, F.lit(1.0)).otherwise(
+                        n_hits.cast("double") / n_cand
+                    ),
+                    4,
+                ).alias("candidate_precision"),
+            )
+        )
+    out = rows[0]
+    for extra in rows[1:]:
+        out = out.unionAll(extra)
+    return out
+
+
+def _lsh_cands_geom_sql(name: str, b: int, r: int) -> str:
+    """The (b, r) banding candidates as a DuckDB CTE — the parametric
+    form of _LSH_CANDS_SQL's fixed (4, 2) text."""
+    unions = "\n        UNION\n".join(
+        "        SELECT a.doc_id AS doc1, b.doc_id AS doc2 FROM sig a "
+        "JOIN sig b\n          ON "
+        + " AND ".join(
+            f"a.h{band * r + j} = b.h{band * r + j}" for j in range(r)
+        )
+        + " AND a.doc_id < b.doc_id"
+        for band in range(b)
+    )
+    return f""",
+    {name} AS (
+      SELECT DISTINCT doc1, doc2 FROM (
+{unions}
+      )
+    )"""
+
+
+def lsh_sweep_oracle_sql() -> str:
+    """qa_lsh_banding_sweep as one DuckDB text — shared signature +
+    ngram-truth fragments, one parametric candidates CTE per geometry,
+    a one-row count select per geometry UNION ALLed."""
+    from nyc_traffic_insight_spark.functions.rounding import r4_sql as r4
+
+    cte = _SIG_SQL + _NGRAM_PAIRS_SQL + f""",
+    truth AS ({_NGRAM_JACCARD_SELECT})"""
+    selects = []
+    for b, r in _SWEEP_GEOMS:
+        name = f"cands_{b}_{r}"
+        cte += _lsh_cands_geom_sql(name, b, r)
+        selects.append(
+            f"""
+    SELECT CAST({b} AS INTEGER) AS n_bands,
+           CAST({r} AS INTEGER) AS rows_per_band,
+           CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_true_pairs,
+           CAST((SELECT count(*) FROM {name}) AS BIGINT)
+             AS n_lsh_candidates,
+           CAST((SELECT count(*) FROM truth t JOIN {name} c
+                   ON t.doc1 = c.doc1 AND t.doc2 = c.doc2) AS BIGINT)
+             AS n_hits,
+           """
+            + r4(
+                f"CASE WHEN (SELECT count(*) FROM truth) = 0 THEN 1.0 "
+                f"ELSE CAST((SELECT count(*) FROM truth t JOIN {name} c "
+                f"ON t.doc1 = c.doc1 AND t.doc2 = c.doc2) AS DOUBLE) "
+                f"/ (SELECT count(*) FROM truth) END"
+            )
+            + """ AS recall,
+           """
+            + r4(
+                f"CASE WHEN (SELECT count(*) FROM {name}) = 0 THEN 1.0 "
+                f"ELSE CAST((SELECT count(*) FROM truth t JOIN {name} c "
+                f"ON t.doc1 = c.doc1 AND t.doc2 = c.doc2) AS DOUBLE) "
+                f"/ (SELECT count(*) FROM {name}) END"
+            )
+            + " AS candidate_precision"
+        )
+    return cte + "\n    UNION ALL".join(selects)
+
+
 _SIMHASH_BITS = 16
 
 

@@ -1158,7 +1158,13 @@ def lm_ppl_buckets(
 # UNREGISTERED round-13 preview; promotion (one @register with
 # oracle=lm_kn_oracle_sql()) targeted for r14.
 
-_KN_DISCOUNT = "0.75"  # exact in binary: 2^-1 + 2^-2
+# The discount, exact in binary (2^-1 + 2^-2). The CAST is
+# load-bearing on the Spark side (the r4_sql lesson): Spark parses a
+# bare 0.75 literal as DECIMAL(3,2), silently pulling the whole P_kn
+# expression into HALF_UP decimal arithmetic whose rounding diverges
+# from DuckDB's double math — caught as a 1-tick ppl flip when the
+# KN scorer's tick sum first ran cross-engine.
+_KN_DISCOUNT = "CAST(0.75 AS DOUBLE)"
 
 
 def _lm_kn_parts(bg: str) -> str:
@@ -1227,6 +1233,89 @@ def lm_train_kneser_ney(
             + _lm_kn_parts(f"{v}_bg")
             + " "
             + _lm_kn_select(f"{v}_bg", "ctx", topk)
+        )
+    finally:
+        _lm_drop_views(spark, v)
+
+
+# ---------------- Kneser-Ney scorer (round-13 preview, pair of the
+# KN trainer above — the same train→score arc as the Laplace pair)
+#
+# Per-document perplexity under the KN model trained on the corpus
+# itself. Inner joins are total by construction (the model was
+# trained on this corpus, so every scored pair exists in the bigram
+# table — the lm_score_perplexity argument verbatim), which also
+# means the backoff-only branch for UNSEEN pairs never fires here:
+# scoring held-out text would need it (and a fanin=0 continuation
+# floors at probability 0 — the standard reason held-out KN scoring
+# interpolates with a unigram floor). Determinism: p_kn is one shared
+# expression over BIGINTs (identical doubles both engines), -ln of it
+# quantizes to integer 1e-6 ticks, the per-doc mean is the order-free
+# BIGINT tick sum (the ADVICE-r11 rework's pattern, applied from
+# birth). Scale shape: the scorer's (model broadcast + one per-doc
+# groupBy) with the KN continuation tables riding the same broadcast.
+# UNREGISTERED round-13 preview; promotion (one @register with
+# oracle=lm_kn_score_oracle_sql()) targeted for r14.
+
+
+def _lm_kn_neglogp() -> str:
+    """-ln P_kn(w2|w1) over the joined (m, b, c, f, i, a) aliases —
+    ONE shared text (note: >= 0; == 0 only in the degenerate
+    single-continuation corpus where P_kn == 1)."""
+    d = _KN_DISCOUNT
+    return (
+        f"-ln((b.pair_cnt - {d}) / c.ctx_cnt"
+        f" + {d} * f.fanout / c.ctx_cnt * i.fanin / a.n)"
+    )
+
+
+def _lm_kn_score_select(mpairs: str, bg: str, ctx: str) -> str:
+    """Per-document KN perplexity: exp of the tick-sum mean of the
+    pairwise -ln P_kn."""
+    ticks = f"CAST(floor(({_lm_kn_neglogp()}) * 1e6 + 0.5) AS BIGINT)"
+    return (
+        "SELECT /*+ BROADCAST(b, c, f, i, a) */ "
+        "m.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams, "
+        f"{_lm_r4(f'exp(sum({ticks}) / (count(*) * 1e6))')} AS ppl_kn "
+        f"FROM {mpairs} m "
+        f"JOIN {bg} b ON m.w1 = b.w1 AND m.w2 = b.w2 "
+        f"JOIN {ctx} c ON m.w1 = c.w1 "
+        f"JOIN n1f f ON m.w1 = f.w1 "
+        f"JOIN n1b i ON m.w2 = i.w2 "
+        f"CROSS JOIN nall a "
+        "GROUP BY m.doc_id"
+    )
+
+
+def lm_kn_score_oracle_sql(
+    table: str = "documents", cap: int = _LM_VOCAB
+) -> str:
+    """lm_score_kneser_ney as one DuckDB text — the shared chain, the
+    shared KN continuation fragments, the shared scorer select."""
+    return (
+        _lm_oracle_parts(table, cap)
+        + f", {_lm_kn_parts('bg')} "
+        + _lm_kn_score_select("mpairs", "bg", "ctx")
+    )
+
+
+def lm_score_kneser_ney(
+    spark: SparkSession, sf_dir: str, cap: int = _LM_VOCAB
+) -> DataFrame:
+    """Score every document's perplexity under the KN bigram model
+    trained on the corpus itself (train + apply self-contained, the
+    KN sibling of lm_score_perplexity). Round-13 preview (promotion =
+    one @register with oracle=lm_kn_score_oracle_sql()). Output:
+    (doc_id, n_bigrams, ppl_kn); docs with <2 tokens are absent."""
+    v = f"__lm{next(_LM_SEQ)}"
+    try:
+        _lm_run_chain(spark, sf_dir, cap, v)
+        return spark.sql(
+            f"WITH mpairs AS ({_lm_mpairs_body(f'{v}_pairs', f'{v}_vocab')}), "
+            f"ctx AS ({_lm_ctx_body(f'{v}_bg')}), "
+            + _lm_kn_parts(f"{v}_bg")
+            + " "
+            + _lm_kn_score_select("mpairs", f"{v}_bg", "ctx")
         )
     finally:
         _lm_drop_views(spark, v)

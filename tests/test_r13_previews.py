@@ -322,3 +322,57 @@ def test_interleave_plan_is_narrow(spark):
     )
     assert plan.count("Exchange SinglePartition") <= 1
     assert "CartesianProduct" not in plan
+
+
+# ------------------------------------------------ KN scorer
+
+
+def test_kn_scorer_matches_oracle_and_covers_same_docs(spark):
+    """Cross-engine equality, plus consistency with the Laplace
+    scorer: both score exactly the docs with >=2 (unk-mapped) tokens,
+    so the doc sets must be identical."""
+    from nyc_traffic_insight_spark.queries.tokenizers import (
+        lm_kn_score_oracle_sql,
+        lm_score_kneser_ney,
+        lm_score_perplexity,
+    )
+
+    spdf = lm_score_kneser_ney(spark, SF_SMOKE).toPandas()
+    odf = duck_connect(SF_SMOKE).execute(lm_kn_score_oracle_sql()).fetchdf()
+    compare(spdf, odf, "lm_score_kneser_ney")
+    assert (spdf["ppl_kn"] >= 1.0).all()  # exp of a mean of -ln(p<=1)
+    lap = lm_score_perplexity(spark, SF_SMOKE).toPandas()
+    assert set(spdf["doc_id"]) == set(lap["doc_id"])
+    # KN's discounting redistributes mass to frequent continuations,
+    # so the two scorers genuinely differ (not a re-spelling)
+    merged = spdf.merge(lap, on="doc_id")
+    assert (merged["ppl_kn"] != merged["ppl"]).any()
+
+
+# ------------------------------------------------ banding sweep
+
+
+def test_lsh_sweep_matches_oracle_and_tradeoff_is_monotone(spark):
+    """Cross-engine equality; the production-geometry row equals the
+    standalone recall audit; and the tuning story holds: fewer rows
+    per band -> more candidates and recall never decreases."""
+    from nyc_traffic_insight_spark.queries.textops import (
+        lsh_sweep_oracle_sql,
+        qa_lsh_banding_sweep,
+        qa_lsh_recall_audit,
+    )
+
+    spdf = qa_lsh_banding_sweep(spark, SF_SMOKE).toPandas()
+    odf = duck_connect(SF_SMOKE).execute(lsh_sweep_oracle_sql()).fetchdf()
+    compare(spdf, odf, "qa_lsh_banding_sweep")
+    assert len(spdf) == 3
+    audit = qa_lsh_recall_audit(spark, SF_SMOKE).toPandas().iloc[0]
+    prod = spdf[spdf["rows_per_band"] == 2].iloc[0]
+    for col in ["n_true_pairs", "n_lsh_candidates", "n_hits",
+                "recall", "candidate_precision"]:
+        assert prod[col] == audit[col], col
+    by_r = spdf.sort_values("rows_per_band")
+    cands = list(by_r["n_lsh_candidates"])
+    recalls = list(by_r["recall"])
+    assert cands == sorted(cands, reverse=True)  # more rows, fewer cands
+    assert recalls == sorted(recalls, reverse=True)  # and recall only drops

@@ -46,11 +46,15 @@ def _previews():
     from nyc_traffic_insight_spark.queries.textops import (
         gopher_rules_oracle_sql,
         ivf_audit_oracle_sql,
+        lsh_sweep_oracle_sql,
         qa_ivf_index_audit,
+        qa_lsh_banding_sweep,
         text_gopher_rules,
     )
     from nyc_traffic_insight_spark.queries.tokenizers import (
         lm_kn_oracle_sql,
+        lm_kn_score_oracle_sql,
+        lm_score_kneser_ney,
         lm_train_kneser_ney,
     )
 
@@ -59,7 +63,9 @@ def _previews():
         ("sample_interleave_stride", sample_interleave_stride, interleave_oracle_sql()),
         ("text_gopher_rules", text_gopher_rules, gopher_rules_oracle_sql()),
         ("lm_train_kneser_ney", lm_train_kneser_ney, lm_kn_oracle_sql()),
+        ("lm_score_kneser_ney", lm_score_kneser_ney, lm_kn_score_oracle_sql()),
         ("qa_ivf_index_audit", qa_ivf_index_audit, ivf_audit_oracle_sql()),
+        ("qa_lsh_banding_sweep", qa_lsh_banding_sweep, lsh_sweep_oracle_sql()),
     ]
 
 
