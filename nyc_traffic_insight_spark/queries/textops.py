@@ -703,9 +703,14 @@ def qa_lsh_banding_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     geometry — (n_bands, rows_per_band, n_true_pairs,
     n_lsh_candidates, n_hits, recall, candidate_precision)."""
     ds = _shingle_sets_persisted(spark, sf_dir)
+    # the signature frame feeds every geometry branch of the final
+    # union; materialize it (9 narrow columns) or each branch carries
+    # its own copy of the md5 + 8-way-min aggregation — exchange
+    # reuse across union branches is not guaranteed under AQE
+    # (review r13; same rationale as truth below)
     sig = _sig_from_shingles(
         ds.select("doc_id", F.explode("sh").alias("s"))
-    )
+    ).localCheckpoint()
     # truth feeds all |_SWEEP_GEOMS| one-row aggregates — materialize
     # the narrow pair list once (the pipeline_unimax_corpus
     # checkpoint rationale)
@@ -776,37 +781,41 @@ def lsh_sweep_oracle_sql() -> str:
     from nyc_traffic_insight_spark.functions.rounding import r4_sql as r4
 
     cte = _SIG_SQL + _NGRAM_PAIRS_SQL + f""",
-    truth AS ({_NGRAM_JACCARD_SELECT})"""
+    truth AS MATERIALIZED ({_NGRAM_JACCARD_SELECT})"""
     selects = []
     for b, r in _SWEEP_GEOMS:
         name = f"cands_{b}_{r}"
         cte += _lsh_cands_geom_sql(name, b, r)
+        # the truth x candidates join is hoisted into one sizes CTE
+        # per geometry (the lsh_recall_oracle_sql pattern) instead of
+        # being respelled in n_hits + both ratio CASEs — DuckDB is
+        # not guaranteed to CSE scalar subqueries (review r13)
+        cte += f""",
+    sizes_{name} AS (
+      SELECT (SELECT count(*) FROM truth) AS n_true,
+             (SELECT count(*) FROM {name}) AS n_cand,
+             (SELECT count(*) FROM truth t JOIN {name} c
+                ON t.doc1 = c.doc1 AND t.doc2 = c.doc2) AS n_hits
+    )"""
         selects.append(
             f"""
     SELECT CAST({b} AS INTEGER) AS n_bands,
            CAST({r} AS INTEGER) AS rows_per_band,
-           CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_true_pairs,
-           CAST((SELECT count(*) FROM {name}) AS BIGINT)
-             AS n_lsh_candidates,
-           CAST((SELECT count(*) FROM truth t JOIN {name} c
-                   ON t.doc1 = c.doc1 AND t.doc2 = c.doc2) AS BIGINT)
-             AS n_hits,
+           CAST(n_true AS BIGINT) AS n_true_pairs,
+           CAST(n_cand AS BIGINT) AS n_lsh_candidates,
+           CAST(n_hits AS BIGINT) AS n_hits,
            """
             + r4(
-                f"CASE WHEN (SELECT count(*) FROM truth) = 0 THEN 1.0 "
-                f"ELSE CAST((SELECT count(*) FROM truth t JOIN {name} c "
-                f"ON t.doc1 = c.doc1 AND t.doc2 = c.doc2) AS DOUBLE) "
-                f"/ (SELECT count(*) FROM truth) END"
+                "CASE WHEN n_true = 0 THEN 1.0 "
+                "ELSE CAST(n_hits AS DOUBLE) / n_true END"
             )
             + """ AS recall,
            """
             + r4(
-                f"CASE WHEN (SELECT count(*) FROM {name}) = 0 THEN 1.0 "
-                f"ELSE CAST((SELECT count(*) FROM truth t JOIN {name} c "
-                f"ON t.doc1 = c.doc1 AND t.doc2 = c.doc2) AS DOUBLE) "
-                f"/ (SELECT count(*) FROM {name}) END"
+                "CASE WHEN n_cand = 0 THEN 1.0 "
+                "ELSE CAST(n_hits AS DOUBLE) / n_cand END"
             )
-            + " AS candidate_precision"
+            + f" AS candidate_precision\n    FROM sizes_{name}"
         )
     return cte + "\n    UNION ALL".join(selects)
 
@@ -1310,12 +1319,18 @@ def qa_ivf_index_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         best["cell"].alias("cell"),
         (-best["negcos"]).alias("cos_own"),
     )
+    # min/max are taken over the SAME tick space as the mean (the
+    # quantization is monotone, so min(tick) == tick(min)) — deriving
+    # them from the raw doubles instead can break min <= mean <= max
+    # when a cell extremum sits within 5e-7 of a 4dp half boundary
+    # (review r13): mean would round from the tick while the extremum
+    # rounds from the raw value, landing on opposite sides.
     ticks = F.floor(F.col("cos_own") * 1e6 + 0.5).cast("long")
     per_cell = assign.groupBy("cell").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
         F.sum(ticks).alias("tick_sum"),
-        F.min("cos_own").alias("min_raw"),
-        F.max("cos_own").alias("max_raw"),
+        F.min(ticks).alias("min_tick"),
+        F.max(ticks).alias("max_tick"),
     )
     wall = Window.partitionBy()
     return per_cell.select(
@@ -1331,8 +1346,12 @@ def qa_ivf_index_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("n_vectors") * F.lit(1000000.0)),
             4,
         ).alias("mean_cos"),
-        _r("min_raw", 4).alias("min_cos"),
-        _r("max_raw", 4).alias("max_cos"),
+        _r(F.col("min_tick").cast("double") / F.lit(1000000.0), 4).alias(
+            "min_cos"
+        ),
+        _r(F.col("max_tick").cast("double") / F.lit(1000000.0), 4).alias(
+            "max_cos"
+        ),
     )
 
 
@@ -1374,8 +1393,8 @@ def ivf_audit_oracle_sql(dim: int = _DIM) -> str:
              CAST(count(*) AS BIGINT) AS n_vectors,
              CAST(sum(CAST(floor(cos_own * 1e6 + 0.5) AS BIGINT)) AS BIGINT)
                AS tick_sum,
-             min(cos_own) AS min_raw,
-             max(cos_own) AS max_raw
+             min(CAST(floor(cos_own * 1e6 + 0.5) AS BIGINT)) AS min_tick,
+             max(CAST(floor(cos_own * 1e6 + 0.5) AS BIGINT)) AS max_tick
       FROM assign GROUP BY 1
     )
     SELECT cell, n_vectors,
@@ -1383,8 +1402,8 @@ def ivf_audit_oracle_sql(dim: int = _DIM) -> str:
              AS share,
            round(CAST(tick_sum AS DOUBLE) / (n_vectors * 1000000.0), 4)
              AS mean_cos,
-           round(min_raw, 4) AS min_cos,
-           round(max_raw, 4) AS max_cos
+           round(CAST(min_tick AS DOUBLE) / 1000000.0, 4) AS min_cos,
+           round(CAST(max_tick AS DOUBLE) / 1000000.0, 4) AS max_cos
     FROM per_cell
     """
 

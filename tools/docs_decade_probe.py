@@ -15,7 +15,8 @@ This tool REPLICATES the sf0.1 documents table 10× (judge-sanctioned:
 "replicated testdata is fine") into scratch parquet dirs, giving a
 50,000-doc corpus = 100× the driver's sf0.01 gate, in two variants:
 
-- ``ident``: texts copied verbatim, doc_ids offset by 100000·k. This
+- ``ident``: texts copied verbatim, doc_ids offset by ID_OFFSET·k
+  (1,000,000 — see the constant's disjointness note). This
   is the DUP-HEAVY worst case for the corpus pipeline (duplicate
   density jumps to 90%, so the exact-dedup and banding legs carry the
   growth) and the vocab-CONSTANT case for BPE (the favorable axis).
@@ -99,18 +100,24 @@ def build_corpus(spark, variant: str, replicas: int) -> str:
 
 def _executor_shuffle_bytes(spark) -> int:
     """Lifetime-cumulative executor shuffle-write bytes via the status
-    REST API (the bench.py convention — noise-free)."""
+    REST API (the bench.py convention — noise-free, best-effort with a
+    timeout like bench._exec_totals: a stalled or erroring UI endpoint
+    degrades the probe to wall-only instead of hanging/aborting it
+    after the expensive corpus builds)."""
     import urllib.request
 
     ui = spark.sparkContext.uiWebUrl
     if not ui:
         return -1
     app_id = spark.sparkContext.applicationId
-    with urllib.request.urlopen(
-        f"{ui}/api/v1/applications/{app_id}/executors"
-    ) as r:
-        execs = json.load(r)
-    return sum(e.get("totalShuffleWrite", 0) for e in execs)
+    try:
+        with urllib.request.urlopen(
+            f"{ui}/api/v1/applications/{app_id}/executors", timeout=5
+        ) as r:
+            execs = json.load(r)
+        return sum(e.get("totalShuffleWrite", 0) for e in execs)
+    except Exception:  # noqa: BLE001 - metrics are best-effort
+        return -1
 
 
 def time_query(spark, name: str, sf_dir: str, reps: int) -> dict:
