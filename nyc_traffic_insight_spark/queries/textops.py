@@ -1533,13 +1533,9 @@ _GOPHER_MIN_ALPHA_RATIO = 0.8
 _GOPHER_MIN_STOPWORDS = 2
 
 
-def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gopher-rule document gate: per-rule booleans + keep flag over
-    the documents table. Round-13 preview (promotion = one @register
-    with oracle=gopher_rules_oracle_sql()). Output: (doc_id, n_words,
-    mean_word_len, alpha_word_ratio, n_stop, ok_word_count,
-    ok_mean_word_len, ok_alpha_ratio, ok_stopwords, keep)."""
-    d = _docs(spark, sf_dir)
+def gopher_rules_frame(d: DataFrame) -> DataFrame:
+    """The rule gate over any (doc_id, text) frame — shared by
+    text_gopher_rules and the composed pipeline_pretrain_order."""
     toks = F.split(F.trim("text"), r"\s+")
     low_toks = F.split(F.lower("text"), r"\s+")
     stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
@@ -1573,6 +1569,15 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         ok_sw.alias("ok_stopwords"),
         (ok_wc & ok_ml & ok_ar & ok_sw).alias("keep"),
     )
+
+
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rule document gate: per-rule booleans + keep flag over
+    the documents table. Round-13 preview (promotion = one @register
+    with oracle=gopher_rules_oracle_sql()). Output: (doc_id, n_words,
+    mean_word_len, alpha_word_ratio, n_stop, ok_word_count,
+    ok_mean_word_len, ok_alpha_ratio, ok_stopwords, keep)."""
+    return gopher_rules_frame(_docs(spark, sf_dir))
 
 
 def gopher_rules_oracle_sql(table: str = "documents") -> str:
@@ -2962,6 +2967,101 @@ register(
     survey="north-star: per-context-window packing manifest "
     "(one row per window: pieces, fill, mid-doc edge flags)",
 )(pack_window_manifest)
+
+
+# ------------- composed loader-order pipeline (round-13 preview)
+#
+# The loader-facing capstone that chains three of this round's
+# machines END TO END: Gopher-rule filtering → context-window packing
+# RE-SCOPED to the survivors (the token prefix runs over the filtered
+# corpus, NOT the raw one — dropping a doc shifts every later window
+# boundary, so a join of the standalone outputs would be wrong; the
+# pipeline_unimax_corpus re-scoping argument verbatim) → a
+# deterministic per-epoch shuffle of the WINDOWS (what the trainer
+# actually consumes — shuffling docs would split attention spans
+# mid-window). One row per (epoch, window): its shuffled position and
+# the manifest stats a loader prefetches by.
+#
+# Every leg is the shared machinery of the operator it composes:
+# gopher_rules_frame / the gopher oracle text wrapped as a CTE,
+# pack_manifest_frame / pack_manifest_oracle_sql over the survivor
+# view, epoch_shuffle_frame / epoch_shuffle_oracle_sql over the
+# window ids. Scale shape: the union of its parts — the rule gate is
+# a pure map, packing is the two-phase prefix sum, the shuffle is the
+# two-phase hash rank; the manifest (corpus_tokens/L rows) is
+# localCheckpointed once because it feeds both the shuffle and the
+# final stats join. UNREGISTERED round-13 preview; promotion (one
+# @register with oracle=pretrain_order_oracle_sql()) targeted for
+# r14.
+
+_ORDER_EPOCHS = 2
+
+
+def pipeline_pretrain_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter → pack → shuffle, end to end: Gopher-gated documents
+    packed into _CTX_LEN-token windows (prefix re-scoped to the
+    survivors), windows ordered by the deterministic per-epoch
+    shuffle. Round-13 preview (promotion = one @register with
+    oracle=pretrain_order_oracle_sql()). Output: (epoch, window_id,
+    pos, n_docs, n_tokens)."""
+    from nyc_traffic_insight_spark.queries.samplingq import (
+        epoch_shuffle_frame,
+    )
+
+    d = _docs(spark, sf_dir)
+    surv = gopher_rules_frame(d).filter("keep").select("doc_id")
+    surv_docs = d.join(surv, "doc_id").select("doc_id", "text")
+    wins = pack_manifest_frame(
+        surv_docs, _CTX_LEN, _PACK_BUCKET
+    ).localCheckpoint()
+    shuf = epoch_shuffle_frame(
+        wins.select(F.col("window_id").alias("doc_id")),
+        _ORDER_EPOCHS,
+        spark,
+    )
+    return shuf.join(
+        wins, shuf["doc_id"] == wins["window_id"]
+    ).select(
+        "epoch",
+        "window_id",
+        "pos",
+        "n_docs",
+        "n_tokens",
+    )
+
+
+def pretrain_order_oracle_sql() -> str:
+    """pipeline_pretrain_order as one DuckDB text — the composed
+    operators' own oracle texts nested as CTEs (gopher gate verbatim,
+    the manifest oracle over the survivor view, the shuffle oracle
+    over the window ids). Inner WITH-chains are legal CTE bodies in
+    DuckDB; outer names (gop/surv_docs/wins/wid) avoid the inner
+    chains' names (toks/run/piece) — the pipeline_unimax_corpus
+    nested-name lesson."""
+    return f"""
+    WITH gop AS ({gopher_rules_oracle_sql("documents")}),
+    surv_docs AS (
+      SELECT d.doc_id, d.text
+      FROM documents d JOIN gop g ON g.doc_id = d.doc_id AND g.keep
+    ),
+    wins AS ({pack_manifest_oracle_sql("surv_docs")}),
+    wid AS (SELECT window_id AS doc_id FROM wins),
+    shuf AS ({epoch_shuffle_oracle_import()("wid")})
+    SELECT s.epoch, s.doc_id AS window_id, s.pos, w.n_docs, w.n_tokens
+    FROM shuf s JOIN wins w ON w.window_id = s.doc_id
+    """
+
+
+def epoch_shuffle_oracle_import():
+    """Late import of samplingq's shuffle oracle builder (textops must
+    not import samplingq at module load — samplingq already imports
+    textops fragments at call time; keeping both lazy avoids the
+    cycle)."""
+    from nyc_traffic_insight_spark.queries.samplingq import (
+        epoch_shuffle_oracle_sql,
+    )
+
+    return epoch_shuffle_oracle_sql
 
 
 # Temperature-based source mixing: up/down-weight sources so the mixture

@@ -376,3 +376,70 @@ def test_lsh_sweep_matches_oracle_and_tradeoff_is_monotone(spark):
     recalls = list(by_r["recall"])
     assert cands == sorted(cands, reverse=True)  # more rows, fewer cands
     assert recalls == sorted(recalls, reverse=True)  # and recall only drops
+
+
+def test_interleave_tie_heavy_through_spark(spark):
+    """Equal source counts make EVERY rank tie across sources (key
+    (2i-1)/(2n) identical for all of them) — the committed fuzz covers
+    this path on DuckDB only; this drives the SPARK closed form + tie
+    adjustment on the same synthetic frame and cross-checks both
+    engines and the naive reference."""
+    import duckdb
+
+    from nyc_traffic_insight_spark.queries.samplingq import (
+        interleave_oracle_sql,
+    )
+
+    rows = [(i, f"s{i % 3}") for i in range(24)]  # 3 sources x 8 docs
+    sdf = spark.createDataFrame(rows, "doc_id long, source string")
+    # run the builder's logic on the synthetic frame via a temp view +
+    # the oracle text on a DuckDB twin, then compare to the reference
+    import nyc_traffic_insight_spark.queries.samplingq as sq
+
+    orig = sq.load_table
+    try:
+        sq.load_table = lambda _s, _d, _t: sdf
+        spdf = sq.sample_interleave_stride(spark, "unused").toPandas()
+    finally:
+        sq.load_table = orig
+    con = duckdb.connect()
+    con.execute("CREATE TABLE docs(doc_id BIGINT, source VARCHAR)")
+    con.executemany("INSERT INTO docs VALUES (?, ?)", rows)
+    odf = con.sql(interleave_oracle_sql("docs")).fetchdf()
+    compare(spdf, odf, "interleave[tie-heavy]")
+    # against the naive reference too: with equal counts the order is
+    # round-robin by source name — s0, s1, s2, s0, s1, s2, ...
+    by_pos = spdf.sort_values("pos")["source"].tolist()
+    assert by_pos == ["s0", "s1", "s2"] * 8
+
+
+# ------------------------------------------------ pretrain-order capstone
+
+
+def test_pretrain_order_matches_oracle_and_is_rescoped(spark):
+    """Cross-engine equality, plus the re-scoping pin: the packing
+    prefix runs over the GOPHER SURVIVORS, so total packed tokens
+    equal the survivors' token count (not the corpus's), the window
+    count shrinks accordingly, and per epoch the positions are a
+    permutation of the windows."""
+    from nyc_traffic_insight_spark.queries.textops import (
+        pack_window_manifest,
+        pipeline_pretrain_order,
+        pretrain_order_oracle_sql,
+        text_gopher_rules,
+    )
+
+    spdf = pipeline_pretrain_order(spark, SF_SMOKE).toPandas()
+    odf = duck_connect(SF_SMOKE).execute(pretrain_order_oracle_sql()).fetchdf()
+    compare(spdf, odf, "pipeline_pretrain_order")
+    e0 = spdf[spdf["epoch"] == 0]
+    n_win = len(e0)
+    for _, grp in spdf.groupby("epoch"):
+        assert sorted(grp["pos"]) == list(range(n_win))
+    # token conservation over survivors
+    gop = text_gopher_rules(spark, SF_SMOKE).toPandas()
+    surv_tokens = int(gop.loc[gop["keep"], "n_words"].sum())
+    assert int(e0["n_tokens"].sum()) == surv_tokens
+    # and the re-scope genuinely changes the layout vs raw packing
+    raw = pack_window_manifest(spark, SF_SMOKE).toPandas()
+    assert len(raw) > n_win

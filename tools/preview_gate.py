@@ -47,6 +47,8 @@ def _previews():
         gopher_rules_oracle_sql,
         ivf_audit_oracle_sql,
         lsh_sweep_oracle_sql,
+        pipeline_pretrain_order,
+        pretrain_order_oracle_sql,
         qa_ivf_index_audit,
         qa_lsh_banding_sweep,
         text_gopher_rules,
@@ -66,6 +68,11 @@ def _previews():
         ("lm_score_kneser_ney", lm_score_kneser_ney, lm_kn_score_oracle_sql()),
         ("qa_ivf_index_audit", qa_ivf_index_audit, ivf_audit_oracle_sql()),
         ("qa_lsh_banding_sweep", qa_lsh_banding_sweep, lsh_sweep_oracle_sql()),
+        (
+            "pipeline_pretrain_order",
+            pipeline_pretrain_order,
+            pretrain_order_oracle_sql(),
+        ),
     ]
 
 
