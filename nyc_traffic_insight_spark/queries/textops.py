@@ -820,6 +820,321 @@ def lsh_sweep_oracle_sql() -> str:
     return cte + "\n    UNION ALL".join(selects)
 
 
+# ------------- corpus-health QA trio (round-13 previews)
+#
+# The three one-row numbers every corpus card reports, each computed
+# from machinery the catalog already trusts:
+#
+# - duplicate-n-gram rate (Gopher table A1 / RefinedWeb's "% of
+#   duplicated n-grams"): of ALL trigram occurrences in the corpus,
+#   the fraction whose trigram occurs more than once. Note this needs
+#   OCCURRENCES, not the per-doc DISTINCT sets the shingle fragments
+#   build — a separate non-distinct explode (same construction minus
+#   array_distinct / DISTINCT).
+# - contamination rate (the model-card headline): the fraction of the
+#   eval slice's distinct n-grams that appear anywhere in the train
+#   slice, plus the doc-level rate (eval docs with >=1 shared n-gram).
+#   Same eval-xor split (_DECON_EVAL_MOD) as the decontamination
+#   operators.
+# - Zipf slope (corpus-health power law): OLS of ln(freq) on ln(rank)
+#   over the top-V vocabulary. Order-free by the tick pattern — ln
+#   values quantize to integer 1e-6 ticks, and every OLS input
+#   (Σx, Σy, Σxy, Σx², Σy², n) is a BIGINT sum of tick products, so
+#   partition layout cannot move the regression.
+#
+# Scale shapes: dup-rate is one map-side-combinable trigram groupBy +
+# a one-row merge; contamination broadcasts the (benchmark-suite-
+# sized) eval n-gram set onto the train scan (the text_decontaminate
+# shape) + one-row counts; zipf's ranked-vocab window runs over the
+# top-V survivors of a distributed TakeOrdered (the vocab_top_ngrams
+# lesson), never the full vocabulary. UNREGISTERED round-13 previews;
+# promotion targeted for r14.
+
+_ZIPF_TOPV = 1000
+_ZIPF_SEQ = _itertools.count()  # per-call temp-view namespace
+
+
+def _ngram_occurrences(d: DataFrame) -> DataFrame:
+    """ALL trigram occurrences (non-distinct) over a (doc_id, text)
+    frame — the _shingle_sets construction minus the dedup."""
+    w = F.split(F.lower("text"), r"\s+")
+    n = F.greatest(F.size(w) - 2, F.lit(0))
+    sh = F.zip_with(
+        F.zip_with(
+            F.slice(w, 1, n),
+            F.slice(w, 2, n),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        ),
+        F.slice(w, 3, n),
+        lambda ab, c: F.concat(ab, F.lit(" "), c),
+    )
+    return d.select("doc_id", F.explode(sh).alias("s"))
+
+
+# the occurrence chain as SQL — _SHINGLES_SQL minus the DISTINCT
+_NGRAM_OCC_SQL = """
+    WITH __words AS (
+      SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS w
+      FROM documents
+    ),
+    __idx AS (
+      SELECT doc_id, w, unnest(range(1, greatest(len(w) - 1, 1))) AS i
+      FROM __words
+    ),
+    occ AS (
+      SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+      FROM __idx
+    )
+"""
+
+
+def text_dup_ngram_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-trigram rate over the documents corpus (the Gopher /
+    RefinedWeb repetition metric). Round-13 preview (promotion = one
+    @register with oracle=dup_ngram_oracle_sql()). Output one row:
+    (n_occurrences, n_dup_occurrences, dup_rate, n_distinct,
+    n_repeated_distinct)."""
+    counts = (
+        _ngram_occurrences(_docs(spark, sf_dir))
+        .groupBy("s")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n_occ = F.sum("c")
+    n_dup = F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0))
+    return counts.agg(
+        n_occ.cast("bigint").alias("n_occurrences"),
+        n_dup.cast("bigint").alias("n_dup_occurrences"),
+        _r(n_dup.cast("double") / n_occ, 6).alias("dup_rate"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+        F.count(F.when(F.col("c") > 1, 1))
+        .cast("bigint")
+        .alias("n_repeated_distinct"),
+    )
+
+
+def dup_ngram_oracle_sql() -> str:
+    """text_dup_ngram_rate as one DuckDB text."""
+    from nyc_traffic_insight_spark.functions.rounding import r6_sql
+
+    return (
+        _NGRAM_OCC_SQL
+        + f""",
+    counts AS (SELECT s, count(*) AS c FROM occ GROUP BY 1)
+    SELECT CAST(sum(c) AS BIGINT) AS n_occurrences,
+           CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT)
+             AS n_dup_occurrences,
+           {r6_sql("CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE)"
+                    " / sum(c)")} AS dup_rate,
+           CAST(count(*) AS BIGINT) AS n_distinct,
+           CAST(count(CASE WHEN c > 1 THEN 1 END) AS BIGINT)
+             AS n_repeated_distinct
+    FROM counts
+    """
+    )
+
+
+def qa_contamination_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level contamination headline: the share of the eval
+    slice's distinct trigrams present anywhere in the train slice,
+    and the share of eval docs with at least one shared trigram.
+    Round-13 preview (promotion = one @register with
+    oracle=contamination_rate_oracle_sql()). Output one row:
+    (n_eval_ngrams, n_contaminated_ngrams, ngram_rate, n_eval_docs,
+    n_eval_docs_hit, doc_rate)."""
+    sh = _shingle_sets_persisted(spark, sf_dir).select(
+        "doc_id", F.explode("sh").alias("s")
+    )
+    is_eval = F.col("doc_id") % _DECON_EVAL_MOD == 0
+    eval_sh = sh.filter(is_eval)
+    eval_set = eval_sh.select("s").distinct()
+    # hit n-grams: eval set ∩ train set, computed on the TRAIN scan
+    # with the eval set broadcast (the text_decontaminate shape)
+    hit = (
+        sh.filter(~is_eval)
+        .select("s")
+        .join(F.broadcast(eval_set), "s", "left_semi")
+        .distinct()
+        .withColumn("is_hit", F.lit(True))
+        .localCheckpoint()  # feeds the n-gram count AND the doc join
+    )
+    # four one-row aggregates crossJoined — fully engine-side and
+    # lazy (the qa_freshness_audit one-row-constant shape); each
+    # crossJoin side is exactly one row, the accounted BNLJ class
+    out = (
+        eval_set.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_eval_ngrams")
+        )
+        .crossJoin(
+            hit.agg(
+                F.count(F.lit(1))
+                .cast("bigint")
+                .alias("n_contaminated_ngrams")
+            )
+        )
+        .crossJoin(
+            _docs(spark, sf_dir)
+            .filter(is_eval)
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_eval_docs"))
+        )
+        .crossJoin(
+            eval_sh.join(F.broadcast(hit.select("s")), "s", "left_semi")
+            .select("doc_id")
+            .distinct()
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_eval_docs_hit")
+            )
+        )
+    )
+    return out.select(
+        "n_eval_ngrams",
+        "n_contaminated_ngrams",
+        _r(
+            F.col("n_contaminated_ngrams").cast("double")
+            / F.col("n_eval_ngrams"),
+            6,
+        ).alias("ngram_rate"),
+        "n_eval_docs",
+        "n_eval_docs_hit",
+        _r(
+            F.col("n_eval_docs_hit").cast("double") / F.col("n_eval_docs"),
+            6,
+        ).alias("doc_rate"),
+    )
+
+
+def contamination_rate_oracle_sql() -> str:
+    """qa_contamination_rate as one DuckDB text — the shared shingle
+    chain, an eval/train split, set intersection, one-row counts."""
+    from nyc_traffic_insight_spark.functions.rounding import r6_sql
+
+    m = _DECON_EVAL_MOD
+    return (
+        _SHINGLES_SQL
+        + f""",
+    eval_set AS (
+      SELECT DISTINCT s FROM shingles WHERE doc_id % {m} = 0
+    ),
+    hit AS (
+      SELECT DISTINCT t.s FROM shingles t JOIN eval_set e ON e.s = t.s
+      WHERE t.doc_id % {m} <> 0
+    ),
+    sizes AS (
+      SELECT (SELECT count(*) FROM eval_set) AS n_eval,
+             (SELECT count(*) FROM hit) AS n_hit,
+             (SELECT count(*) FROM documents WHERE doc_id % {m} = 0)
+               AS n_edocs,
+             (SELECT count(DISTINCT sh.doc_id) FROM shingles sh
+              JOIN hit h ON h.s = sh.s
+              WHERE sh.doc_id % {m} = 0) AS n_edocs_hit
+    )
+    SELECT CAST(n_eval AS BIGINT) AS n_eval_ngrams,
+           CAST(n_hit AS BIGINT) AS n_contaminated_ngrams,
+           {r6_sql("CAST(n_hit AS DOUBLE) / n_eval")} AS ngram_rate,
+           CAST(n_edocs AS BIGINT) AS n_eval_docs,
+           CAST(n_edocs_hit AS BIGINT) AS n_eval_docs_hit,
+           {r6_sql("CAST(n_edocs_hit AS DOUBLE) / n_edocs")} AS doc_rate
+    FROM sizes
+    """
+    )
+
+
+def _zipf_select(sums: str) -> str:
+    """OLS readout from the one-row tick-sum relation (n, sx, sy,
+    sxy, sxx, syy) — ONE shared text for both engines. The 1e6 tick
+    scale cancels in slope and r² (both are ratios of same-degree
+    tick polynomials); the intercept divides one residual scale
+    back out."""
+    from nyc_traffic_insight_spark.functions.rounding import r4_sql
+
+    num = "(n * sxy - sx * sy)"
+    denx = "(n * sxx - sx * sx)"
+    deny = "(n * syy - sy * sy)"
+    slope = f"CAST({num} AS DOUBLE) / {denx}"
+    return (
+        f"SELECT CAST(n AS BIGINT) AS n_vocab, "
+        + r4_sql(f"-({slope})")
+        + " AS neg_slope, "
+        + r4_sql(
+            f"(sy - ({slope}) * sx) / (n * 1000000.0)"
+        )
+        + " AS intercept, "
+        + r4_sql(
+            f"CAST({num} AS DOUBLE) * {num} / ({denx} * CAST({deny} AS DOUBLE))"
+        )
+        + f" AS r2 FROM {sums}"
+    )
+
+
+def qa_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf power-law fit over the top-V vocabulary: OLS of ln(freq)
+    on ln(rank), reported as (n_vocab, neg_slope, intercept, r2) —
+    neg_slope ≈ 1 is the healthy-corpus reading. Round-13 preview
+    (promotion = one @register with oracle=zipf_oracle_sql())."""
+    from pyspark.sql import Window
+
+    words = _docs(spark, sf_dir).select(
+        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("w")
+    )
+    wf = (
+        words.filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    order = [F.desc("c"), F.col("w")]
+    top = wf.orderBy(*order).limit(_ZIPF_TOPV)
+    rk = F.row_number().over(Window.orderBy(*order)).cast("bigint")
+    xt = F.floor(F.log(rk.cast("double")) * 1e6 + 0.5).cast("long")
+    yt = F.floor(F.log(F.col("c").cast("double")) * 1e6 + 0.5).cast("long")
+    sums = top.select(xt.alias("xt"), yt.alias("yt")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("xt").alias("sx"),
+        F.sum("yt").alias("sy"),
+        F.sum(F.col("xt") * F.col("yt")).alias("sxy"),
+        F.sum(F.col("xt") * F.col("xt")).alias("sxx"),
+        F.sum(F.col("yt") * F.col("yt")).alias("syy"),
+    )
+    v = f"__zipf{next(_ZIPF_SEQ)}"
+    sums.createOrReplaceTempView(v)
+    try:
+        return spark.sql(_zipf_select(v))
+    finally:
+        spark.catalog.dropTempView(v)
+
+
+def zipf_oracle_sql(table: str = "documents", topv: int = _ZIPF_TOPV) -> str:
+    """qa_zipf_slope as one DuckDB text — ranked vocab, identical
+    ln-tick quantization, the shared OLS readout."""
+    return rf"""
+    WITH words AS (
+      SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS w
+      FROM {table}
+    ),
+    wf AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS c
+      FROM words WHERE w <> '' GROUP BY 1
+    ),
+    ranked AS (
+      SELECT c, row_number() OVER (ORDER BY c DESC, w) AS rk
+      FROM wf ORDER BY c DESC, w LIMIT {topv}
+    ),
+    ticks AS (
+      SELECT CAST(floor(ln(CAST(rk AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS xt,
+             CAST(floor(ln(CAST(c AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS yt
+      FROM ranked
+    ),
+    sums AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(xt) AS BIGINT) AS sx,
+             CAST(sum(yt) AS BIGINT) AS sy,
+             CAST(sum(xt * yt) AS BIGINT) AS sxy,
+             CAST(sum(xt * xt) AS BIGINT) AS sxx,
+             CAST(sum(yt * yt) AS BIGINT) AS syy
+      FROM ticks
+    )
+    {_zipf_select("sums")}
+    """
+
+
 _SIMHASH_BITS = 16
 
 

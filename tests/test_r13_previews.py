@@ -443,3 +443,85 @@ def test_pretrain_order_matches_oracle_and_is_rescoped(spark):
     # and the re-scope genuinely changes the layout vs raw packing
     raw = pack_window_manifest(spark, SF_SMOKE).toPandas()
     assert len(raw) > n_win
+
+
+# ------------------------------------------------ corpus-health trio
+
+
+def _duck_documents(texts):
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany(
+        "INSERT INTO documents VALUES (?, ?)", list(enumerate(texts))
+    )
+    return con
+
+
+def test_dup_ngram_rate_matches_oracle_and_reference(spark):
+    from nyc_traffic_insight_spark.queries.textops import (
+        dup_ngram_oracle_sql,
+        text_dup_ngram_rate,
+    )
+
+    spdf = text_dup_ngram_rate(spark, SF_SMOKE).toPandas()
+    odf = duck_connect(SF_SMOKE).execute(dup_ngram_oracle_sql()).fetchdf()
+    compare(spdf, odf, "text_dup_ngram_rate")
+    row = spdf.iloc[0]
+    assert 0 <= row["n_dup_occurrences"] <= row["n_occurrences"]
+    assert row["n_repeated_distinct"] <= row["n_distinct"]
+    # Python reference on a corpus with a known repetition structure:
+    # 'a b c d' contributes trigrams (a b c), (b c d); repeating the
+    # doc makes every occurrence a duplicate
+    texts = ["a b c d", "a b c d", "x y z"]
+    con = _duck_documents(texts)  # keep the connection referenced
+    got = con.sql(dup_ngram_oracle_sql()).fetchone()
+    # occurrences: 2+2+1 = 5; dups: the four from the repeated doc
+    assert got[0] == 5 and got[1] == 4 and got[3] == 3 and got[4] == 2
+
+
+def test_contamination_rate_matches_oracle_and_bounds(spark):
+    from nyc_traffic_insight_spark.queries.textops import (
+        contamination_rate_oracle_sql,
+        qa_contamination_rate,
+    )
+
+    spdf = qa_contamination_rate(spark, SF_SMOKE).toPandas()
+    odf = duck_connect(SF_SMOKE).execute(
+        contamination_rate_oracle_sql()
+    ).fetchdf()
+    compare(spdf, odf, "qa_contamination_rate")
+    row = spdf.iloc[0]
+    assert 0 <= row["n_contaminated_ngrams"] <= row["n_eval_ngrams"]
+    assert 0 <= row["n_eval_docs_hit"] <= row["n_eval_docs"]
+
+
+def test_zipf_slope_recovers_a_known_power_law(spark):
+    """A corpus constructed with exact Zipf counts (word_i appears
+    floor(3000/i) times) must fit neg_slope ~ 1 with high r² — and the
+    real fixture must NOT (its ~31-word vocabulary is near-uniform),
+    so the metric genuinely discriminates."""
+    from nyc_traffic_insight_spark.queries.textops import (
+        qa_zipf_slope,
+        zipf_oracle_sql,
+    )
+
+    texts = [" ".join([f"w{i:03d}"] * (3000 // i)) for i in range(1, 41)]
+    con = _duck_documents(texts)  # keep the connection referenced
+    got = con.sql(zipf_oracle_sql()).fetchdf().iloc[0]
+    assert 0.9 <= got["neg_slope"] <= 1.1, got
+    assert got["r2"] > 0.98, got
+    real = qa_zipf_slope(spark, SF_SMOKE).toPandas().iloc[0]
+    assert real["r2"] < 0.5  # the synthetic fixture is not Zipfian
+
+
+def test_zipf_matches_oracle(spark):
+    from nyc_traffic_insight_spark.queries.textops import (
+        qa_zipf_slope,
+        zipf_oracle_sql,
+    )
+
+    spdf = qa_zipf_slope(spark, SF_SMOKE).toPandas()
+    odf = duck_connect(SF_SMOKE).execute(zipf_oracle_sql()).fetchdf()
+    compare(spdf, odf, "qa_zipf_slope")

@@ -44,14 +44,20 @@ def _previews():
         sample_interleave_stride,
     )
     from nyc_traffic_insight_spark.queries.textops import (
+        contamination_rate_oracle_sql,
+        dup_ngram_oracle_sql,
         gopher_rules_oracle_sql,
         ivf_audit_oracle_sql,
         lsh_sweep_oracle_sql,
         pipeline_pretrain_order,
         pretrain_order_oracle_sql,
+        qa_contamination_rate,
         qa_ivf_index_audit,
         qa_lsh_banding_sweep,
+        qa_zipf_slope,
+        text_dup_ngram_rate,
         text_gopher_rules,
+        zipf_oracle_sql,
     )
     from nyc_traffic_insight_spark.queries.tokenizers import (
         lm_kn_oracle_sql,
@@ -73,6 +79,13 @@ def _previews():
             pipeline_pretrain_order,
             pretrain_order_oracle_sql(),
         ),
+        ("text_dup_ngram_rate", text_dup_ngram_rate, dup_ngram_oracle_sql()),
+        (
+            "qa_contamination_rate",
+            qa_contamination_rate,
+            contamination_rate_oracle_sql(),
+        ),
+        ("qa_zipf_slope", qa_zipf_slope, zipf_oracle_sql()),
     ]
 
 
