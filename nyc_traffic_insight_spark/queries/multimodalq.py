@@ -148,3 +148,153 @@ def mm_asset_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_ms"),
         )
     )
+
+
+# ------------- perceptual-hash asset dedup (round-13 preview)
+#
+# The multimodal sibling of the text tier's MinHash dedup: image/audio
+# near-duplicates are found by a short perceptual hash (pHash) and a
+# banded Hamming-distance join — the LAION-style asset-dedup layout.
+# The HASH here derives from the same deterministic fake decoder as
+# mm_extract_features (bit p = high bit of sha256 digest byte p), so
+# the full pipeline is value-oracled; a real deployment swaps in a
+# real pHash (64-256 bits) behind the same mapInPandas seam and
+# everything downstream — banding, bucket join, popcount verify — is
+# unchanged.
+#
+# Banding: 32 hash bits → 4 bands of 8 bits; by pigeonhole two hashes
+# within Hamming distance d <= 3 agree on at least one full band
+# (d errors can spoil at most d of the 4 bands), so recall at the
+# d <= 2 output threshold is GUARANTEED, not probabilistic. Candidate
+# pairs come from groupBy(band, byte) + in-bucket pair expansion (the
+# LSH idiom — no self-join), then one integer XOR + bit_count verify.
+# Honest fixture note: sha-derived 32-bit hashes are uniform, so at
+# this corpus size random pairs land within d <= 2 with probability
+# ~1.2e-7 — the sf0.001/sf0.01 gate rows are true empty-vs-empty
+# matches (the text_decontaminate_fuzzy precedent), and the live
+# branch is exercised by the synthetic-duplicate test. Real pHashes
+# cluster near-dups far inside d <= 2 while the 2^32 space keeps
+# random buckets sparse; the docstring-of-record for bucket math at
+# 100 TB is the band width — 8 bits × 4 here, 16 bits × 4 for a
+# 64-bit production hash.
+# UNREGISTERED round-13 preview; promotion (one @register with
+# oracle=phash_oracle_sql()) targeted for r14.
+
+_PHASH_BITS = 32
+_PHASH_BANDS = 4
+_PHASH_MAXD = 2
+
+
+def _phash_col() -> F.Column:
+    """32-bit perceptual hash from the sha256 hex of the payload —
+    bit p = high bit of digest byte p (the fake decoder's bytes)."""
+    hexd = F.sha2(F.col("payload"), 256)
+    bits = [
+        F.when(
+            F.conv(F.substring(hexd, 2 * p + 1, 2), 16, 10).cast("int")
+            >= 128,
+            F.lit(1 << p).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+        for p in range(_PHASH_BITS)
+    ]
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+def mm_dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate asset pairs by banded perceptual-hash Hamming
+    join. Round-13 preview (promotion = one @register with
+    oracle=phash_oracle_sql()). Output: (asset1, asset2, hamming)
+    with hamming <= _PHASH_MAXD, asset1 < asset2."""
+    hashed = _assets(spark, sf_dir).select(
+        "asset_id", _phash_col().alias("ph")
+    )
+    bands = hashed.select(
+        "asset_id",
+        "ph",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("band"),
+                        F.shiftright("ph", 8 * k)
+                        .bitwiseAND(F.lit(255))
+                        .alias("byte"),
+                    )
+                    for k in range(_PHASH_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("asset_id", "ph", "bb.band", "bb.byte")
+    members = (
+        bands.groupBy("band", "byte")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("asset_id", "ph"))
+            ).alias("ids")
+        )
+        .filter(F.size("ids") >= 2)
+    )
+    pair_expr = F.flatten(
+        F.transform(
+            "ids",
+            lambda x, i: F.transform(
+                F.slice("ids", i + 2, F.size("ids")),
+                lambda y: F.struct(
+                    x["asset_id"].alias("asset1"),
+                    y["asset_id"].alias("asset2"),
+                    x["ph"].alias("ph1"),
+                    y["ph"].alias("ph2"),
+                ),
+            ),
+        )
+    )
+    cands = (
+        members.select(F.explode(pair_expr).alias("p"))
+        .select("p.asset1", "p.asset2", "p.ph1", "p.ph2")
+        .distinct()
+    )
+    hamming = F.bit_count(
+        F.col("ph1").bitwiseXOR(F.col("ph2"))
+    ).cast("int")
+    return (
+        cands.select("asset1", "asset2", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= _PHASH_MAXD)
+    )
+
+
+def phash_oracle_sql(table: str = "documents") -> str:
+    """mm_dedup_phash as one DuckDB text — identical hash derivation
+    (high bit of each sha256 digest byte), a band self-join (the one
+    engine's n is small), and the same XOR popcount verify."""
+    bit_terms = " + ".join(
+        f"(CASE WHEN ('0x' || substr(hex, {2 * p + 1}, 2))::INT >= 128 "
+        f"THEN {1 << p}::BIGINT ELSE 0 END)"
+        for p in range(_PHASH_BITS)
+    )
+    band_joins = "\n        UNION\n".join(
+        "        SELECT a.asset_id AS asset1, b.asset_id AS asset2,"
+        " a.ph AS ph1, b.ph AS ph2 FROM hashed a JOIN hashed b\n"
+        f"          ON ((a.ph >> {8 * k}) & 255) = ((b.ph >> {8 * k}) & 255)"
+        " AND a.asset_id < b.asset_id"
+        for k in range(_PHASH_BANDS)
+    )
+    return f"""
+    WITH src AS (
+      SELECT doc_id AS asset_id, sha256(text) AS hex
+      FROM {table} WHERE text IS NOT NULL
+    ),
+    hashed AS (
+      SELECT asset_id, ({bit_terms}) AS ph FROM src
+    ),
+    cands AS (
+      SELECT DISTINCT asset1, asset2, ph1, ph2 FROM (
+{band_joins}
+      )
+    )
+    SELECT asset1, asset2,
+           CAST(bit_count(xor(ph1, ph2)) AS INTEGER) AS hamming
+    FROM cands WHERE bit_count(xor(ph1, ph2)) <= {_PHASH_MAXD}
+    """

@@ -525,3 +525,60 @@ def test_zipf_matches_oracle(spark):
     spdf = qa_zipf_slope(spark, SF_SMOKE).toPandas()
     odf = duck_connect(SF_SMOKE).execute(zipf_oracle_sql()).fetchdf()
     compare(spdf, odf, "qa_zipf_slope")
+
+
+# ------------------------------------------------ pHash asset dedup
+
+
+def test_phash_dedup_matches_oracle(spark):
+    from nyc_traffic_insight_spark.queries.multimodalq import (
+        mm_dedup_phash,
+        phash_oracle_sql,
+    )
+
+    spdf = mm_dedup_phash(spark, SF_SMOKE).toPandas()
+    odf = duck_connect(SF_SMOKE).execute(phash_oracle_sql()).fetchdf()
+    compare(spdf, odf, "mm_dedup_phash")
+    # honest gate note: sha-derived 32-bit hashes are uniform, so the
+    # smoke fixture (no exact-dup texts) yields a true empty match
+    assert (spdf["hamming"] <= 2).all() if len(spdf) else True
+
+
+def test_phash_dedup_finds_synthetic_duplicates(spark):
+    """The live branch: k copies of a payload must surface as C(k,2)
+    hamming-0 pairs in BOTH engines (exact dups are the only pairs the
+    sha-stub decoder can place at distance 0 — a real pHash clusters
+    near-dups too, behind the same seam)."""
+    import duckdb
+
+    import nyc_traffic_insight_spark.queries.multimodalq as mm
+    from nyc_traffic_insight_spark.queries.multimodalq import (
+        phash_oracle_sql,
+    )
+
+    texts = [(0, "alpha beta gamma", 16), (1, "alpha beta gamma", 16),
+             (2, "alpha beta gamma", 16), (3, "delta epsilon", 13),
+             (4, "zeta eta theta iota", 19)]
+    sdf = spark.createDataFrame(
+        texts, "doc_id long, text string, n_chars long"
+    )
+    # multimodalq binds _docs at import time (from textops import
+    # _docs), so the patch must land on mm's own name, not textops'
+    orig = mm._docs
+    try:
+        mm._docs = lambda _s, _d: sdf
+        spdf = mm.mm_dedup_phash(spark, "unused").toPandas()
+    finally:
+        mm._docs = orig
+    con = duckdb.connect()
+    con.execute("CREATE TABLE docs(doc_id BIGINT, text VARCHAR)")
+    con.executemany(
+        "INSERT INTO docs VALUES (?, ?)", [(i, t) for i, t, _ in texts]
+    )
+    odf = con.sql(phash_oracle_sql("docs")).fetchdf()
+    compare(spdf, odf, "mm_dedup_phash[synthetic]")
+    zeros = spdf[spdf["hamming"] == 0]
+    assert len(zeros) == 3  # C(3,2) pairs among the triplicate
+    assert set(map(tuple, zeros[["asset1", "asset2"]].values)) == {
+        (0, 1), (0, 2), (1, 2)
+    }

@@ -59,6 +59,10 @@ def _previews():
         text_gopher_rules,
         zipf_oracle_sql,
     )
+    from nyc_traffic_insight_spark.queries.multimodalq import (
+        mm_dedup_phash,
+        phash_oracle_sql,
+    )
     from nyc_traffic_insight_spark.queries.tokenizers import (
         lm_kn_oracle_sql,
         lm_kn_score_oracle_sql,
@@ -86,6 +90,7 @@ def _previews():
             contamination_rate_oracle_sql(),
         ),
         ("qa_zipf_slope", qa_zipf_slope, zipf_oracle_sql()),
+        ("mm_dedup_phash", mm_dedup_phash, phash_oracle_sql()),
     ]
 
 
