@@ -87,23 +87,30 @@ def exact_avg(col: Column | str, dp: int = 2) -> Column:
     )
 
 
+def rn_sql(expr: str, dp: int) -> str:
+    """``r`` at scale dp as SQL TEXT for NON-NEGATIVE expressions —
+    the one engine-portable spelling, shared by every generated
+    oracle that rounds a strictly non-negative double (LM neg
+    log-probs and perplexities, UniMax allocations, audit ratios).
+    The unsigned floor form is exact only for x ≥ 0 (see the module
+    docstring for the signed case — use ``r`` / a CASE on sign
+    there). The ``CAST AS DOUBLE`` is load-bearing on the Spark side:
+    Spark's floor() returns BIGINT and parses the scale literal as
+    DECIMAL, so the uncast quotient comes back
+    Decimal('0.6931000') and hash-mismatches DuckDB's double."""
+    m = f"{10 ** dp}.0"
+    return f"CAST(floor(({expr}) * {m} + 0.5) AS DOUBLE) / {m}"
+
+
 def r4_sql(expr: str) -> str:
-    """``r`` at scale 4 as SQL TEXT for NON-NEGATIVE expressions — the
-    one engine-portable spelling, shared by every generated oracle
-    that rounds a strictly non-negative double (LM neg log-probs and
-    perplexities, UniMax allocations, audit ratios). The unsigned
-    floor form is exact only for x ≥ 0 (see the module docstring for
-    the signed case — use ``r`` / a CASE on sign there). The
-    ``CAST AS DOUBLE`` is load-bearing on the Spark side: Spark's
-    floor() returns BIGINT and parses the 10000.0 literal as DECIMAL,
-    so the uncast quotient comes back Decimal('0.6931000') and
-    hash-mismatches DuckDB's double."""
-    return f"CAST(floor(({expr}) * 10000.0 + 0.5) AS DOUBLE) / 10000.0"
+    """``rn_sql`` at the catalog's standard 4dp scale. Kept as a named
+    function (not a partial) because dozens of oracle texts import it
+    by name; the emitted text is byte-identical to the pre-r13
+    hand-spelled form (pinned by tests/test_rounding_props.py)."""
+    return rn_sql(expr, 4)
 
 
 def r6_sql(expr: str) -> str:
-    """``r`` at scale 6 as SQL TEXT for NON-NEGATIVE expressions — the
-    6dp sibling of ``r4_sql`` (same unsigned floor form, same
-    load-bearing CAST; used by the ratio-emitting text operators whose
-    Spark side rounds with ``_r(x, 6)``)."""
-    return f"CAST(floor(({expr}) * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0"
+    """``rn_sql`` at the 6dp scale the ratio-emitting text operators
+    round with (their Spark side uses ``_r(x, 6)``)."""
+    return rn_sql(expr, 6)

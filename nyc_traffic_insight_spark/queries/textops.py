@@ -658,7 +658,19 @@ _SWEEP_GEOMS = [(8, 1), (4, 2), (2, 4)]  # (bands, rows_per_band); b·r = 8
 def _lsh_cands_geom(sig: DataFrame, b: int, r: int) -> DataFrame:
     """Candidate pairs at banding geometry (b, r) over an 8-hash
     signature frame — the parametric form of _lsh_candidate_pairs'
-    fixed (4, 2) expansion (same groupBy + in-bucket pair idiom)."""
+    fixed (4, 2) expansion (same groupBy + in-bucket pair idiom).
+
+    DELIBERATELY not consolidated with the fixed form (review r13):
+    _lsh_candidate_pairs groups on scalar (ha, hb) keys while this
+    groups on an array key, and rewriting the registered
+    dedup_minhash_lsh through this helper would change its shuffle
+    byte anchor (845,500, byte-stable since r7) for zero semantic
+    gain. Drift protection is the sweep test instead:
+    test_lsh_sweep_matches_oracle_and_tradeoff_is_monotone pins this
+    helper's (4, 2) output EQUAL to qa_lsh_recall_audit's (which runs
+    the fixed form), so the two implementations cannot diverge
+    silently. Apply any future expansion-idiom change in both places
+    (and in _LSH_CANDS_SQL / _lsh_cands_geom_sql, their SQL twins)."""
     bands_long = sig.select(
         "doc_id",
         F.explode(
@@ -1042,26 +1054,39 @@ def _zipf_select(sums: str) -> str:
     """OLS readout from the one-row tick-sum relation (n, sx, sy,
     sxy, sxx, syy) — ONE shared text for both engines. The 1e6 tick
     scale cancels in slope and r² (both are ratios of same-degree
-    tick polynomials); the intercept divides one residual scale
-    back out."""
+    tick polynomials); the intercept divides one residual scale back
+    out.
+
+    Every product runs in DOUBLE via the __dn..__dyy projection
+    (review r13): with top-V = 1000 the integer cross terms overflow
+    BIGINT (sx ≈ 5.9e9 → sx·sx ≈ 3.5e19 > 2^63; reproduced as a
+    DuckDB Out-of-Range on a 1200-word corpus the 31-word fixture
+    never reaches). The BIGINT→DOUBLE casts are deterministic
+    (nearest-even of identical integers in both engines), and the
+    ratios after them are single IEEE expressions of the shared
+    text. The SUMS themselves stay exact BIGINT up to top-V ≈ 5·10^4
+    (Σyt² headroom); past that, spell the sums DECIMAL(38,0)."""
     from nyc_traffic_insight_spark.functions.rounding import r4_sql
 
-    num = "(n * sxy - sx * sy)"
-    denx = "(n * sxx - sx * sx)"
-    deny = "(n * syy - sy * sy)"
-    slope = f"CAST({num} AS DOUBLE) / {denx}"
+    num = "(__dn * __dxy - __dx * __dy)"
+    denx = "(__dn * __dxx - __dx * __dx)"
+    deny = "(__dn * __dyy - __dy * __dy)"
+    slope = f"{num} / {denx}"
+    proj = (
+        "SELECT CAST(n AS BIGINT) AS n, "
+        "CAST(n AS DOUBLE) AS __dn, CAST(sx AS DOUBLE) AS __dx, "
+        "CAST(sy AS DOUBLE) AS __dy, CAST(sxy AS DOUBLE) AS __dxy, "
+        "CAST(sxx AS DOUBLE) AS __dxx, CAST(syy AS DOUBLE) AS __dyy "
+        f"FROM {sums}"
+    )
     return (
-        f"SELECT CAST(n AS BIGINT) AS n_vocab, "
+        "SELECT n AS n_vocab, "
         + r4_sql(f"-({slope})")
         + " AS neg_slope, "
-        + r4_sql(
-            f"(sy - ({slope}) * sx) / (n * 1000000.0)"
-        )
+        + r4_sql(f"(__dy - ({slope}) * __dx) / (__dn * 1000000.0)")
         + " AS intercept, "
-        + r4_sql(
-            f"CAST({num} AS DOUBLE) * {num} / ({denx} * CAST({deny} AS DOUBLE))"
-        )
-        + f" AS r2 FROM {sums}"
+        + r4_sql(f"{num} * {num} / ({denx} * {deny})")
+        + f" AS r2 FROM ({proj}) __d"
     )
 
 
@@ -3349,10 +3374,12 @@ def pretrain_order_oracle_sql() -> str:
     """pipeline_pretrain_order as one DuckDB text — the composed
     operators' own oracle texts nested as CTEs (gopher gate verbatim,
     the manifest oracle over the survivor view, the shuffle oracle
-    over the window ids). Inner WITH-chains are legal CTE bodies in
-    DuckDB; outer names (gop/surv_docs/wins/wid) avoid the inner
-    chains' names (toks/run/piece) — the pipeline_unimax_corpus
-    nested-name lesson."""
+    over the window ids — epochs passed EXPLICITLY as _ORDER_EPOCHS so
+    the oracle cannot silently couple to samplingq's unrelated
+    _SHUFFLE_EPOCHS default, review r13). Inner WITH-chains are legal
+    CTE bodies in DuckDB; outer names (gop/surv_docs/wins/wid) avoid
+    the inner chains' names (toks/run/piece) — the
+    pipeline_unimax_corpus nested-name lesson."""
     return f"""
     WITH gop AS ({gopher_rules_oracle_sql("documents")}),
     surv_docs AS (
@@ -3361,7 +3388,7 @@ def pretrain_order_oracle_sql() -> str:
     ),
     wins AS ({pack_manifest_oracle_sql("surv_docs")}),
     wid AS (SELECT window_id AS doc_id FROM wins),
-    shuf AS ({epoch_shuffle_oracle_import()("wid")})
+    shuf AS ({epoch_shuffle_oracle_import()("wid", _ORDER_EPOCHS)})
     SELECT s.epoch, s.doc_id AS window_id, s.pos, w.n_docs, w.n_tokens
     FROM shuf s JOIN wins w ON w.window_id = s.doc_id
     """

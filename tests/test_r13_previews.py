@@ -266,7 +266,7 @@ def test_interleave_oracle_matches_sort_reference_fuzz():
     )
 
     rng = random.Random(41)
-    for trial in range(30):
+    for trial in range(300):
         k = rng.randint(1, 5)
         counts = {f"s{j}": rng.randint(1, 12) for j in range(k)}
         rows, doc_id = [], 0
@@ -512,6 +512,16 @@ def test_zipf_slope_recovers_a_known_power_law(spark):
     got = con.sql(zipf_oracle_sql()).fetchdf().iloc[0]
     assert 0.9 <= got["neg_slope"] <= 1.1, got
     assert got["r2"] > 0.98, got
+    # and at a FULL top-V=1000 vocabulary (review r13): the original
+    # integer readout overflowed INT64 at ~1000 ranked words
+    # (sx*sx ~ 3.5e19); the DOUBLE-projected form must fit the same
+    # law over 1500 distinct words without erroring
+    big = _duck_documents(
+        [" ".join([f"w{i:05d}"] * (1 + 3000 // (i + 1))) for i in range(1500)]
+    )
+    wide = big.sql(zipf_oracle_sql()).fetchdf().iloc[0]
+    assert wide["n_vocab"] == 1000
+    assert 0.9 <= wide["neg_slope"] <= 1.1 and wide["r2"] > 0.98, wide
     real = qa_zipf_slope(spark, SF_SMOKE).toPandas().iloc[0]
     assert real["r2"] < 0.5  # the synthetic fixture is not Zipfian
 

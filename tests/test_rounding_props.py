@@ -151,3 +151,25 @@ def test_exact_wsum_matches_duckdb_window_spelling_and_decimal_truth(spark):
             continue
         true = sum(Decimal(int(c)) for c in cents[lo:i]) / 100
         assert Decimal(repr(got[i])) == true, i
+
+
+def test_rn_sql_emits_the_pinned_legacy_texts():
+    """r4_sql's emitted text is load-bearing across dozens of
+    registered oracle strings (sha-verified fragments reference it);
+    the r13 rn_sql consolidation must stay byte-identical to the
+    pre-r13 hand-spelled forms."""
+    from nyc_traffic_insight_spark.functions.rounding import (
+        r4_sql,
+        r6_sql,
+        rn_sql,
+    )
+
+    assert (
+        r4_sql("x + y")
+        == "CAST(floor((x + y) * 10000.0 + 0.5) AS DOUBLE) / 10000.0"
+    )
+    assert (
+        r6_sql("z")
+        == "CAST(floor((z) * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0"
+    )
+    assert rn_sql("q", 2) == "CAST(floor((q) * 100.0 + 0.5) AS DOUBLE) / 100.0"

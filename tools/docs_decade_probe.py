@@ -103,7 +103,12 @@ def _executor_shuffle_bytes(spark) -> int:
     REST API (the bench.py convention — noise-free, best-effort with a
     timeout like bench._exec_totals: a stalled or erroring UI endpoint
     degrades the probe to wall-only instead of hanging/aborting it
-    after the expensive corpus builds)."""
+    after the expensive corpus builds). Deliberately NOT a reuse of
+    bench._exec_totals: that helper returns 0 on failure (bench deltas
+    then read 0, fine for its gate), while this probe must distinguish
+    "endpoint unreadable" (-1 sentinel, row reported wall-only) from
+    "genuinely zero shuffle" — a map-only probe cell reading 0 is a
+    real result here."""
     import urllib.request
 
     ui = spark.sparkContext.uiWebUrl
@@ -133,10 +138,14 @@ def time_query(spark, name: str, sf_dir: str, reps: int) -> dict:
         ).save()
         walls.append(time.time() - t0)
     b1 = _executor_shuffle_bytes(spark)
+    # BOTH endpoints must have read successfully: with b0 == -1 and a
+    # live b1 the naive delta reports the executor's lifetime total as
+    # a per-rep figure (review r13)
+    ok = b0 >= 0 and b1 >= 0
     return {
         "wall_s": round(statistics.median(walls), 3),
         "spread": [round(min(walls), 3), round(max(walls), 3)],
-        "shuffle_bytes_per_rep": (b1 - b0) // reps if b1 >= 0 else -1,
+        "shuffle_bytes_per_rep": (b1 - b0) // reps if ok else -1,
     }
 
 
