@@ -130,6 +130,17 @@ HEADLINE = [
     # these two against earlier rounds.
     "pipeline_unimax_corpus",
     "pack_context_windows",
+    # round 13 second wave: two of the twelve in-round preview
+    # promotions join the perf gate with their own byte anchors — the
+    # loader-order capstone (filter -> pack -> per-epoch shuffle,
+    # three chained machines, the wave's most expensive entry) and
+    # the Kneser-Ney corpus scoring pass (model broadcast + per-doc
+    # tick-sum groupBy — the KN twin of lm_score_perplexity's
+    # anchored shape). 41 -> 43 queries; the standing like-for-like
+    # subsets in BASELINE.md are unchanged — subtract these two
+    # against earlier rounds.
+    "pipeline_pretrain_order",
+    "lm_score_kneser_ney",
 ]
 
 

@@ -60,19 +60,26 @@ def register(name: str, oracle: str | None = None, survey: str = ""):
 # Registration-order rotation (VERDICT.md rounds 2-12). The driver's
 # sf0.01 correctness gate walks REGISTRY front-to-back with a
 # ~50-query budget (CORRECTNESS_r04-r12 each carried exactly 50
-# rows). Round-13 ordering — VERDICT r12 #1/#2 (the precomputed
-# "final form" front from NOTES.md):
+# rows). Round-13 ordering — VERDICT r12 #1/#2, revised mid-round
+# when the TWELVE r13 previews were promoted inside r13 instead of
+# waiting for r14 (never-driver-checked promotions outrank stale
+# refresh — the r12 verdict's own ranking):
 #   1. the EIGHT r12-preview promotions (never driver-checked; each
 #      pre-verified cross-engine at sf0.01 AND sf0.1 via
 #      tools/preview_gate.py, 16/16 PASS at r12 close);
-#   2. the 42 oldest queries of the 46-query r7-stale tier,
-#      registration order (win_roll_mean_24 ... agg_cumulative_users).
-# 8 + 42 = 50 fronted exactly; the 4-query r7 registration-order
-# tail (report_pareto_deciles, flagship_volume_features,
-# split_random, layout_bucketed_join) rolls to r14 — flagship keeps
-# every-round smoke evidence via entry() regardless. After this
-# round the staleness floor moves to r8. Everything else keeps
-# standing r8+ evidence and registers last.
+#   2. the TWELVE r13-preview promotions (never driver-checked;
+#      pre-verified the same way, 24/24 PASS, plus the adversarial
+#      local[8]/7-partition session sweep);
+#   3. the 30 oldest queries of the 46-query r7-stale tier,
+#      registration order (win_roll_mean_24 ... ml_segmented_model).
+# 8 + 12 + 30 = 50 fronted exactly; the 12-query r7-stale remainder
+# (ml_permutation_importance ... agg_cumulative_users) and the
+# 4-query r7 registration-order tail (report_pareto_deciles,
+# flagship_volume_features, split_random, layout_bucketed_join) roll
+# to r14 — flagship keeps every-round smoke evidence via entry()
+# regardless. After this round the staleness floor for everything
+# outside those 16 moves to r8. Everything else keeps standing r8+
+# evidence and registers last.
 _CHECK_FIRST = [
     # 1. r12-preview promotions (never driver-checked)
     "pack_context_windows",
@@ -83,7 +90,20 @@ _CHECK_FIRST = [
     "sample_unimax_budget",
     "sample_unimax_apply",
     "pipeline_unimax_corpus",
-    # 2. r7-stale tier, registration order (42 oldest of 46)
+    # 2. r13-preview promotions (never driver-checked)
+    "sample_epoch_shuffle",
+    "sample_interleave_stride",
+    "text_gopher_rules",
+    "lm_train_kneser_ney",
+    "lm_score_kneser_ney",
+    "qa_ivf_index_audit",
+    "qa_lsh_banding_sweep",
+    "pipeline_pretrain_order",
+    "text_dup_ngram_rate",
+    "qa_contamination_rate",
+    "qa_zipf_slope",
+    "mm_dedup_phash",
+    # 3. r7-stale tier, registration order (30 oldest of 46)
     "win_roll_mean_24",
     "win_range_time",
     "win_seasonal_decompose",
@@ -114,18 +134,6 @@ _CHECK_FIRST = [
     "text_bpe_pair_counts",
     "pipeline_http_to_parquet",
     "ml_segmented_model",
-    "ml_permutation_importance",
-    "ml_inference_single_row",
-    "ml_segmented_router",
-    "agg_approx_count_distinct",
-    "sketch_tdigest",
-    "sketch_qdigest",
-    "agg_bootstrap_ci",
-    "report_ab_test",
-    "win_max_drawdown",
-    "report_cohort_ltv",
-    "graph_pagerank_topk",
-    "agg_cumulative_users",
 ]
 
 

@@ -177,8 +177,7 @@ def mm_asset_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # random buckets sparse; the docstring-of-record for bucket math at
 # 100 TB is the band width — 8 bits × 4 here, 16 bits × 4 for a
 # 64-bit production hash.
-# UNREGISTERED round-13 preview; promotion (one @register with
-# oracle=phash_oracle_sql()) targeted for r14.
+# Registered r13 (the register call follows phash_oracle_sql below).
 
 _PHASH_BITS = 32
 _PHASH_BANDS = 4
@@ -205,9 +204,8 @@ def _phash_col() -> F.Column:
 
 def mm_dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate asset pairs by banded perceptual-hash Hamming
-    join. Round-13 preview (promotion = one @register with
-    oracle=phash_oracle_sql()). Output: (asset1, asset2, hamming)
-    with hamming <= _PHASH_MAXD, asset1 < asset2."""
+    join (registered r13; r13 preview). Output: (asset1, asset2,
+    hamming) with hamming <= _PHASH_MAXD, asset1 < asset2."""
     hashed = _assets(spark, sf_dir).select(
         "asset_id", _phash_col().alias("ph")
     )
@@ -298,3 +296,12 @@ def phash_oracle_sql(table: str = "documents") -> str:
            CAST(bit_count(xor(ph1, ph2)) AS INTEGER) AS hamming
     FROM cands WHERE bit_count(xor(ph1, ph2)) <= {_PHASH_MAXD}
     """
+
+
+# r13 promotion of the r13 preview — register call after the oracle.
+register(
+    "mm_dedup_phash",
+    oracle=phash_oracle_sql(),
+    survey="north-star: multimodal asset near-dedup by banded "
+    "perceptual-hash Hamming join (guaranteed recall at d<=2)",
+)(mm_dedup_phash)

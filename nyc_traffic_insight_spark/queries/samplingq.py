@@ -1433,9 +1433,8 @@ register(
 # broadcast join, one within-bucket window — no corpus-sized global
 # sort anywhere; at 10^10 docs each bucket partition holds ~4·10^7
 # rows, and the bucket width (2 hex digits here) widens with the
-# corpus the same way _PACK_BUCKET recurses. UNREGISTERED round-13
-# preview; promotion (one @register with
-# oracle=epoch_shuffle_oracle_sql()) targeted for r14.
+# corpus the same way _PACK_BUCKET recurses. Registered r13 (the
+# register call follows epoch_shuffle_oracle_sql below).
 
 _SHUFFLE_EPOCHS = 2  # epochs emitted by the registered form
 
@@ -1488,8 +1487,7 @@ def epoch_shuffle_frame(
 def sample_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic per-epoch corpus shuffle over the documents
     table: (epoch, doc_id, pos) for _SHUFFLE_EPOCHS epochs, pos a
-    permutation of [0, n) per epoch. Round-13 preview (promotion =
-    one @register with oracle=epoch_shuffle_oracle_sql())."""
+    permutation of [0, n) per epoch (registered r13; r13 preview)."""
     d = load_table(spark, sf_dir, "documents")
     return epoch_shuffle_frame(d, _SHUFFLE_EPOCHS, spark)
 
@@ -1511,6 +1509,17 @@ def epoch_shuffle_oracle_sql(
     FROM {table} d,
          (SELECT unnest(range(0, {epochs})) AS epoch) e
     """
+
+
+# r13 promotion of the r13 preview (gate-verified 2-SF before the
+# decorator landed) — the register call sits after the oracle text it
+# captures.
+register(
+    "sample_epoch_shuffle",
+    oracle=epoch_shuffle_oracle_sql(),
+    survey="north-star: deterministic per-epoch loader shuffle "
+    "(two-phase hash-bucket rank, no global sort)",
+)(sample_epoch_shuffle)
 
 
 # ------------- stride source-interleave schedule (round-13 preview)
@@ -1539,17 +1548,15 @@ def epoch_shuffle_oracle_sql(
 # while (2i−1)·n_t < 2^53 (~7·10^7 docs per source pair); past that,
 # spell the division in DECIMAL(38,0) — same upgrade path as
 # exact_sum's int64 headroom note. The DuckDB oracle runs the SAME
-# closed form with native integer division. UNREGISTERED round-13
-# preview; promotion (one @register with
-# oracle=interleave_oracle_sql()) targeted for r14.
+# closed form with native integer division. Registered r13 (the
+# register call follows interleave_oracle_sql below).
 
 
 def sample_interleave_stride(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stride-interleaved mixture order over the
-    documents table. Round-13 preview (promotion = one @register with
-    oracle=interleave_oracle_sql()). Output: (doc_id, source,
-    src_rank, pos) — pos a permutation of [0, n), each source paced
-    evenly through it."""
+    documents table (registered r13; r13 preview). Output: (doc_id,
+    source, src_rank, pos) — pos a permutation of [0, n), each source
+    paced evenly through it."""
     d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
     counts = d.groupBy("source").agg(
         F.count(F.lit(1)).cast("bigint").alias("n")
@@ -1624,3 +1631,12 @@ def interleave_oracle_sql(table: str = "documents") -> str:
            CAST(sum(term) AS BIGINT) AS pos
     FROM terms GROUP BY 1, 2, 3
     """
+
+
+# r13 promotion of the r13 preview — register call after the oracle.
+register(
+    "sample_interleave_stride",
+    oracle=interleave_oracle_sql(),
+    survey="north-star: stride/Bresenham source-interleave mixture "
+    "schedule (closed-form position, no global sort)",
+)(sample_interleave_stride)

@@ -648,9 +648,8 @@ register(
 # leg is run on a SAMPLE; the sweep's estimates are ratios, so a
 # uniform pair sample is unbiased), then per geometry a band-bucket
 # groupBy + in-bucket pair expansion and a one-row aggregate merge
-# (the accounted SinglePartition shape, ×3). UNREGISTERED round-13
-# preview; promotion (one @register with
-# oracle=lsh_sweep_oracle_sql()) targeted for r14.
+# (the accounted SinglePartition shape, ×3). Registered r13 (the
+# register call follows lsh_sweep_oracle_sql below).
 
 _SWEEP_GEOMS = [(8, 1), (4, 2), (2, 4)]  # (bands, rows_per_band); b·r = 8
 
@@ -710,9 +709,8 @@ def _lsh_cands_geom(sig: DataFrame, b: int, r: int) -> DataFrame:
 
 def qa_lsh_banding_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall / candidate-precision of every banding geometry over the
-    same signatures and truth. Round-13 preview (promotion = one
-    @register with oracle=lsh_sweep_oracle_sql()). Output: one row per
-    geometry — (n_bands, rows_per_band, n_true_pairs,
+    same signatures and truth (registered r13; r13 preview). Output:
+    one row per geometry — (n_bands, rows_per_band, n_true_pairs,
     n_lsh_candidates, n_hits, recall, candidate_precision)."""
     ds = _shingle_sets_persisted(spark, sf_dir)
     # the signature frame feeds every geometry branch of the final
@@ -832,6 +830,15 @@ def lsh_sweep_oracle_sql() -> str:
     return cte + "\n    UNION ALL".join(selects)
 
 
+# r13 promotion of the r13 preview — register call after the oracle.
+register(
+    "qa_lsh_banding_sweep",
+    oracle=lsh_sweep_oracle_sql(),
+    survey="north-star: LSH banding-geometry tuning sweep "
+    "(recall/precision per (b,r) over shared signatures)",
+)(qa_lsh_banding_sweep)
+
+
 # ------------- corpus-health QA trio (round-13 previews)
 #
 # The three one-row numbers every corpus card reports, each computed
@@ -859,8 +866,8 @@ def lsh_sweep_oracle_sql() -> str:
 # sized) eval n-gram set onto the train scan (the text_decontaminate
 # shape) + one-row counts; zipf's ranked-vocab window runs over the
 # top-V survivors of a distributed TakeOrdered (the vocab_top_ngrams
-# lesson), never the full vocabulary. UNREGISTERED round-13 previews;
-# promotion targeted for r14.
+# lesson), never the full vocabulary. All three registered r13 (each
+# register call follows the oracle it captures).
 
 _ZIPF_TOPV = 1000
 _ZIPF_SEQ = _itertools.count()  # per-call temp-view namespace
@@ -902,10 +909,9 @@ _NGRAM_OCC_SQL = """
 
 def text_dup_ngram_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-trigram rate over the documents corpus (the Gopher /
-    RefinedWeb repetition metric). Round-13 preview (promotion = one
-    @register with oracle=dup_ngram_oracle_sql()). Output one row:
-    (n_occurrences, n_dup_occurrences, dup_rate, n_distinct,
-    n_repeated_distinct)."""
+    RefinedWeb repetition metric; registered r13, r13 preview).
+    Output one row: (n_occurrences, n_dup_occurrences, dup_rate,
+    n_distinct, n_repeated_distinct)."""
     counts = (
         _ngram_occurrences(_docs(spark, sf_dir))
         .groupBy("s")
@@ -945,14 +951,22 @@ def dup_ngram_oracle_sql() -> str:
     )
 
 
+# r13 promotion of the r13 preview — register call after the oracle.
+register(
+    "text_dup_ngram_rate",
+    oracle=dup_ngram_oracle_sql(),
+    survey="north-star: duplicate-n-gram rate corpus-health metric "
+    "(Gopher/RefinedWeb repetition share)",
+)(text_dup_ngram_rate)
+
+
 def qa_contamination_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level contamination headline: the share of the eval
     slice's distinct trigrams present anywhere in the train slice,
-    and the share of eval docs with at least one shared trigram.
-    Round-13 preview (promotion = one @register with
-    oracle=contamination_rate_oracle_sql()). Output one row:
-    (n_eval_ngrams, n_contaminated_ngrams, ngram_rate, n_eval_docs,
-    n_eval_docs_hit, doc_rate)."""
+    and the share of eval docs with at least one shared trigram
+    (registered r13; r13 preview). Output one row: (n_eval_ngrams,
+    n_contaminated_ngrams, ngram_rate, n_eval_docs, n_eval_docs_hit,
+    doc_rate)."""
     sh = _shingle_sets_persisted(spark, sf_dir).select(
         "doc_id", F.explode("sh").alias("s")
     )
@@ -1050,6 +1064,12 @@ def contamination_rate_oracle_sql() -> str:
     )
 
 
+# qa_contamination_rate's register call lives next to the
+# _DECON_EVAL_MOD constant its oracle text interpolates (defined in
+# the decontamination section below — an eager call here would hit
+# the name before module evaluation reaches it).
+
+
 def _zipf_select(sums: str) -> str:
     """OLS readout from the one-row tick-sum relation (n, sx, sy,
     sxy, sxx, syy) — ONE shared text for both engines. The 1e6 tick
@@ -1093,8 +1113,8 @@ def _zipf_select(sums: str) -> str:
 def qa_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zipf power-law fit over the top-V vocabulary: OLS of ln(freq)
     on ln(rank), reported as (n_vocab, neg_slope, intercept, r2) —
-    neg_slope ≈ 1 is the healthy-corpus reading. Round-13 preview
-    (promotion = one @register with oracle=zipf_oracle_sql())."""
+    neg_slope ≈ 1 is the healthy-corpus reading (registered r13;
+    r13 preview)."""
     from pyspark.sql import Window
 
     words = _docs(spark, sf_dir).select(
@@ -1158,6 +1178,15 @@ def zipf_oracle_sql(table: str = "documents", topv: int = _ZIPF_TOPV) -> str:
     )
     {_zipf_select("sums")}
     """
+
+
+# r13 promotion of the r13 preview — register call after the oracle.
+register(
+    "qa_zipf_slope",
+    oracle=zipf_oracle_sql(),
+    survey="north-star: Zipf power-law corpus-health fit "
+    "(order-free tick-sum OLS over the top-V vocabulary)",
+)(qa_zipf_slope)
 
 
 _SIMHASH_BITS = 16
@@ -1621,17 +1650,15 @@ def sim_search_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Scale shape: one narrow assignment pass (zero shuffles — the
 # centroid table is a literal), one map-side-combinable groupBy(cell)
 # to k rows, one k-row window. The window's SinglePartition is the
-# |cells|-bounded accounted shape. UNREGISTERED round-13 preview;
-# promotion (one @register with oracle=ivf_audit_oracle_sql())
-# targeted for r14.
+# |cells|-bounded accounted shape. Registered r13 (the register call
+# follows ivf_audit_oracle_sql below).
 
 
 def qa_ivf_index_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF index-quality audit over the embeddings table: one row per
     cell — occupancy, corpus share, and the cosine-to-own-centroid
-    spread. Round-13 preview (promotion = one @register with
-    oracle=ivf_audit_oracle_sql()). Output: (cell, n_vectors, share,
-    mean_cos, min_cos, max_cos)."""
+    spread (registered r13; r13 preview). Output: (cell, n_vectors,
+    share, mean_cos, min_cos, max_cos)."""
     from pyspark.sql import Window
 
     e = _embs(spark, sf_dir)
@@ -1748,6 +1775,15 @@ def ivf_audit_oracle_sql(dim: int = _DIM) -> str:
     """
 
 
+# r13 promotion of the r13 preview — register call after the oracle.
+register(
+    "qa_ivf_index_audit",
+    oracle=ivf_audit_oracle_sql(),
+    survey="north-star: IVF index-quality audit (per-cell occupancy, "
+    "share, cosine-to-own-centroid spread)",
+)(qa_ivf_index_audit)
+
+
 # ---------------------------------------------------------- text analysis
 
 _STOPWORDS = ["the", "a", "of", "to", "and", "is", "in", "that", "it", "on"]
@@ -1861,9 +1897,8 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 # floor-form 6dp, and every boolean compares the ROUNDED value (the
 # NOTES r5 rule: derive comparisons from already-rounded columns).
 # Scale shape: pure map over the documents scan — zero shuffles, no
-# UDF, everything inside whole-stage codegen. UNREGISTERED round-13
-# preview; promotion (one @register with
-# oracle=gopher_rules_oracle_sql()) targeted for r14.
+# UDF, everything inside whole-stage codegen. Registered r13 (the
+# register call follows gopher_rules_oracle_sql below).
 
 _GOPHER_MIN_WORDS = 20
 _GOPHER_MAX_WORDS = 80
@@ -1913,10 +1948,10 @@ def gopher_rules_frame(d: DataFrame) -> DataFrame:
 
 def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-rule document gate: per-rule booleans + keep flag over
-    the documents table. Round-13 preview (promotion = one @register
-    with oracle=gopher_rules_oracle_sql()). Output: (doc_id, n_words,
-    mean_word_len, alpha_word_ratio, n_stop, ok_word_count,
-    ok_mean_word_len, ok_alpha_ratio, ok_stopwords, keep)."""
+    the documents table (registered r13; r13 preview). Output:
+    (doc_id, n_words, mean_word_len, alpha_word_ratio, n_stop,
+    ok_word_count, ok_mean_word_len, ok_alpha_ratio, ok_stopwords,
+    keep)."""
     return gopher_rules_frame(_docs(spark, sf_dir))
 
 
@@ -1963,6 +1998,15 @@ def gopher_rules_oracle_sql(table: str = "documents") -> str:
             AND n_stop >= {_GOPHER_MIN_STOPWORDS}) AS keep
     FROM feats
     """
+
+
+# r13 promotion of the r13 preview — register call after the oracle.
+register(
+    "text_gopher_rules",
+    oracle=gopher_rules_oracle_sql(),
+    survey="north-star: Gopher (Rae et al. 2021, A1.1) quality-rule "
+    "document gate (pure map, zero shuffles)",
+)(text_gopher_rules)
 
 
 # language marker words; the vote is the operator under test (the corpus
@@ -2883,6 +2927,19 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DECON_EVAL_MOD = 97
 
 
+# r13 promotion of the r13 corpus-health preview. The builder and
+# oracle live in the corpus-health trio section above; the register
+# call sits here because the oracle text interpolates
+# _DECON_EVAL_MOD, which module evaluation only reaches at this
+# point.
+register(
+    "qa_contamination_rate",
+    oracle=contamination_rate_oracle_sql(),
+    survey="north-star: corpus-level eval-contamination rate "
+    "(n-gram-level + doc-level, model-card headline)",
+)(qa_contamination_rate)
+
+
 @register(
     "text_decontaminate",
     survey="north-star: train/eval n-gram decontamination (overlap join "
@@ -3330,9 +3387,8 @@ register(
 # a pure map, packing is the two-phase prefix sum, the shuffle is the
 # two-phase hash rank; the manifest (corpus_tokens/L rows) is
 # localCheckpointed once because it feeds both the shuffle and the
-# final stats join. UNREGISTERED round-13 preview; promotion (one
-# @register with oracle=pretrain_order_oracle_sql()) targeted for
-# r14.
+# final stats join. Registered r13 (the register call follows the
+# oracle and its late-import helper below).
 
 _ORDER_EPOCHS = 2
 
@@ -3341,8 +3397,7 @@ def pipeline_pretrain_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Filter → pack → shuffle, end to end: Gopher-gated documents
     packed into _CTX_LEN-token windows (prefix re-scoped to the
     survivors), windows ordered by the deterministic per-epoch
-    shuffle. Round-13 preview (promotion = one @register with
-    oracle=pretrain_order_oracle_sql()). Output: (epoch, window_id,
+    shuffle (registered r13; r13 preview). Output: (epoch, window_id,
     pos, n_docs, n_tokens)."""
     from nyc_traffic_insight_spark.queries.samplingq import (
         epoch_shuffle_frame,
@@ -3404,6 +3459,19 @@ def epoch_shuffle_oracle_import():
     )
 
     return epoch_shuffle_oracle_sql
+
+
+# r13 promotion of the r13 preview. Building the oracle here imports
+# samplingq mid-textops-import, which is safe: samplingq reaches back
+# into textops only inside function bodies (no module-level import),
+# so there is no load cycle — load_all() just fills samplingq's
+# registry entries a moment earlier than its own import line.
+register(
+    "pipeline_pretrain_order",
+    oracle=pretrain_order_oracle_sql(),
+    survey="north-star: loader-order capstone — Gopher filter → "
+    "context packing re-scoped to survivors → per-epoch shuffle",
+)(pipeline_pretrain_order)
 
 
 # Temperature-based source mixing: up/down-weight sources so the mixture

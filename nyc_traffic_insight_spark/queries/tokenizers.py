@@ -1155,8 +1155,7 @@ def lm_ppl_buckets(
 # the corpus pass is the chain's (shared with lm_train_bigram); the
 # KN joins/aggregates are all cap-bounded, with the one-row N1+(·,·)
 # total the accounted single-partition merge (the vsize shape).
-# UNREGISTERED round-13 preview; promotion (one @register with
-# oracle=lm_kn_oracle_sql()) targeted for r14.
+# Registered r13 (the register call follows the builder below).
 
 # The discount, exact in binary (2^-1 + 2^-2). The CAST is
 # load-bearing on the Spark side (the r4_sql lesson): Spark parses a
@@ -1222,9 +1221,8 @@ def lm_train_kneser_ney(
 ) -> DataFrame:
     """Train an interpolated Kneser-Ney bigram LM on the documents
     corpus and emit the top-K bigrams with counts, continuation
-    counts, and P_kn. Round-13 preview (promotion = one @register
-    with oracle=lm_kn_oracle_sql()). Output: (w1, w2, pair_cnt,
-    ctx_cnt, fanout, fanin, pkn)."""
+    counts, and P_kn (registered r13; r13 preview). Output: (w1, w2,
+    pair_cnt, ctx_cnt, fanout, fanin, pkn)."""
     v = f"__lm{next(_LM_SEQ)}"
     try:
         _lm_run_chain(spark, sf_dir, cap, v)
@@ -1236,6 +1234,16 @@ def lm_train_kneser_ney(
         )
     finally:
         _lm_drop_views(spark, v)
+
+
+# r13 promotion of the r13 preview — register call after the builder
+# (this module defines oracles before builders, unlike textops).
+register(
+    "lm_train_kneser_ney",
+    oracle=lm_kn_oracle_sql(),
+    survey="north-star: interpolated Kneser-Ney bigram LM trainer "
+    "(continuation counts over the shared LM chain)",
+)(lm_train_kneser_ney)
 
 
 # ---------------- Kneser-Ney scorer (round-13 preview, pair of the
@@ -1254,8 +1262,7 @@ def lm_train_kneser_ney(
 # BIGINT tick sum (the ADVICE-r11 rework's pattern, applied from
 # birth). Scale shape: the scorer's (model broadcast + one per-doc
 # groupBy) with the KN continuation tables riding the same broadcast.
-# UNREGISTERED round-13 preview; promotion (one @register with
-# oracle=lm_kn_score_oracle_sql()) targeted for r14.
+# Registered r13 (the register call follows the builder below).
 
 
 def _lm_kn_neglogp() -> str:
@@ -1304,9 +1311,9 @@ def lm_score_kneser_ney(
 ) -> DataFrame:
     """Score every document's perplexity under the KN bigram model
     trained on the corpus itself (train + apply self-contained, the
-    KN sibling of lm_score_perplexity). Round-13 preview (promotion =
-    one @register with oracle=lm_kn_score_oracle_sql()). Output:
-    (doc_id, n_bigrams, ppl_kn); docs with <2 tokens are absent."""
+    KN sibling of lm_score_perplexity; registered r13, r13 preview).
+    Output: (doc_id, n_bigrams, ppl_kn); docs with <2 tokens are
+    absent."""
     v = f"__lm{next(_LM_SEQ)}"
     try:
         _lm_run_chain(spark, sf_dir, cap, v)
@@ -1319,3 +1326,12 @@ def lm_score_kneser_ney(
         )
     finally:
         _lm_drop_views(spark, v)
+
+
+# r13 promotion of the r13 preview — register call after the builder.
+register(
+    "lm_score_kneser_ney",
+    oracle=lm_kn_score_oracle_sql(),
+    survey="north-star: per-document Kneser-Ney perplexity scoring "
+    "(order-free tick-sum mean, model broadcast)",
+)(lm_score_kneser_ney)

@@ -305,6 +305,36 @@ ALLOWED = {
     # same bounded shapes (flag-free on a cold audit, but the alloc
     # fragment may render when temp-view state differs)
     "pipeline_unimax_corpus": {"single_partition", "bnlj"},
+    # --- r13 second-wave promotions (the twelve r13 previews; flag
+    # inventory probed at promotion time, matching the NOTES.md
+    # preview log). text_gopher_rules, qa_zipf_slope and
+    # mm_dedup_phash probed flag-free and carry no row.
+    # BNLJ against the 2-row broadcast epoch range; the shuffle's
+    # prefix window is per-epoch over the 256-row bucket table
+    "sample_epoch_shuffle": {"bnlj"},
+    # the k-row per-source counts fold: one collect_list merge
+    # (SinglePartition over |sources| rows) + the one-row counts
+    # array broadcast onto the ranked corpus
+    "sample_interleave_stride": {"single_partition", "bnlj"},
+    # the LM pair's accounted shapes: one-row vsize/nall scalar
+    # merges + the nall one-row cross join riding the cap-bounded
+    # model broadcast
+    "lm_train_kneser_ney": {"single_partition", "bnlj"},
+    "lm_score_kneser_ney": {"single_partition", "bnlj"},
+    # k-row per-cell share window (|cells| = |labels| rows)
+    "qa_ivf_index_audit": {"single_partition"},
+    # one one-row recall/precision aggregate merge per banding
+    # geometry (×3, each over already-collapsed pair counts)
+    "qa_lsh_banding_sweep": {"single_partition"},
+    # the epoch-shuffle leg's 2-row epoch-range BNLJ (the packing
+    # prefix's SinglePartition collapses into the composed plan's
+    # bucket-table exchange)
+    "pipeline_pretrain_order": {"bnlj"},
+    # one-row corpus-rate merge over the collapsed trigram counts
+    "text_dup_ngram_rate": {"single_partition"},
+    # four one-row aggregates crossJoined (the qa_freshness_audit
+    # one-row-constant shape), each side exactly one row
+    "qa_contamination_rate": {"single_partition", "bnlj"},
 }
 
 

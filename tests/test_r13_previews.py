@@ -1,7 +1,8 @@
 """Round-13 previews: epoch shuffle, Gopher rules, KN trainer, IVF audit.
 
-Four UNREGISTERED previews targeted for r14 promotion, each pinned
-here before its @register lands (the r12 preview discipline):
+Four of the round-13 previews, each pinned here BEFORE its @register
+landed (the r12 preview discipline; all four were then registered
+later in r13 with the rest of the twelve-preview wave):
 
 - ``sample_epoch_shuffle``: deterministic per-epoch loader order via
   the two-phase hash-rank decomposition. Pinned: the composed rank is

@@ -34,64 +34,16 @@ def _previews():
     pack_window_manifest, lm_ppl_buckets, sample_unimax_budget,
     sample_unimax_apply, qa_lsh_recall_audit,
     text_decontaminate_fuzzy, pipeline_unimax_corpus) was promoted to
-    registered entries in r13 (16/16 PASS here first) and now rides
-    tools/verify_rotation.py like the rest of the catalog. Current
-    list: the round-13 previews (r14 promotions)."""
-    from nyc_traffic_insight_spark.queries.samplingq import (
-        epoch_shuffle_oracle_sql,
-        interleave_oracle_sql,
-        sample_epoch_shuffle,
-        sample_interleave_stride,
-    )
-    from nyc_traffic_insight_spark.queries.textops import (
-        contamination_rate_oracle_sql,
-        dup_ngram_oracle_sql,
-        gopher_rules_oracle_sql,
-        ivf_audit_oracle_sql,
-        lsh_sweep_oracle_sql,
-        pipeline_pretrain_order,
-        pretrain_order_oracle_sql,
-        qa_contamination_rate,
-        qa_ivf_index_audit,
-        qa_lsh_banding_sweep,
-        qa_zipf_slope,
-        text_dup_ngram_rate,
-        text_gopher_rules,
-        zipf_oracle_sql,
-    )
-    from nyc_traffic_insight_spark.queries.multimodalq import (
-        mm_dedup_phash,
-        phash_oracle_sql,
-    )
-    from nyc_traffic_insight_spark.queries.tokenizers import (
-        lm_kn_oracle_sql,
-        lm_kn_score_oracle_sql,
-        lm_score_kneser_ney,
-        lm_train_kneser_ney,
-    )
-
-    return [
-        ("sample_epoch_shuffle", sample_epoch_shuffle, epoch_shuffle_oracle_sql()),
-        ("sample_interleave_stride", sample_interleave_stride, interleave_oracle_sql()),
-        ("text_gopher_rules", text_gopher_rules, gopher_rules_oracle_sql()),
-        ("lm_train_kneser_ney", lm_train_kneser_ney, lm_kn_oracle_sql()),
-        ("lm_score_kneser_ney", lm_score_kneser_ney, lm_kn_score_oracle_sql()),
-        ("qa_ivf_index_audit", qa_ivf_index_audit, ivf_audit_oracle_sql()),
-        ("qa_lsh_banding_sweep", qa_lsh_banding_sweep, lsh_sweep_oracle_sql()),
-        (
-            "pipeline_pretrain_order",
-            pipeline_pretrain_order,
-            pretrain_order_oracle_sql(),
-        ),
-        ("text_dup_ngram_rate", text_dup_ngram_rate, dup_ngram_oracle_sql()),
-        (
-            "qa_contamination_rate",
-            qa_contamination_rate,
-            contamination_rate_oracle_sql(),
-        ),
-        ("qa_zipf_slope", qa_zipf_slope, zipf_oracle_sql()),
-        ("mm_dedup_phash", mm_dedup_phash, phash_oracle_sql()),
-    ]
+    registered entries in r13 (16/16 PASS here first), and the full
+    round-13 set (sample_epoch_shuffle, sample_interleave_stride,
+    text_gopher_rules, lm_train_kneser_ney, lm_score_kneser_ney,
+    qa_ivf_index_audit, qa_lsh_banding_sweep, pipeline_pretrain_order,
+    text_dup_ngram_rate, qa_contamination_rate, qa_zipf_slope,
+    mm_dedup_phash) followed later the same round (24/24 PASS here
+    first) — all twenty now ride tools/verify_rotation.py like the
+    rest of the catalog. The list is EMPTY until the next preview
+    lands; keep it in sync with the NOTES.md preview log."""
+    return []
 
 
 def main() -> int:
