@@ -1784,6 +1784,232 @@ register(
 )(qa_ivf_index_audit)
 
 
+# ------------- product quantization (round-13 late previews)
+#
+# The missing piece between IVF and a production 100 TB vector index:
+# IVF-PQ (Jégou, Douze, Schmid 2011 — "Product Quantization for
+# Nearest Neighbor Search"). Vectors are split into M=4 subspaces of
+# dim/M=16 components; each subspace has its own small codebook and a
+# vector is stored as M one-byte codes — a 64-float embedding becomes
+# 4 bytes plus the coarse cell id, the compression that lets the
+# inverted lists of a trillion-vector index live in RAM. Here the
+# per-subspace codebooks are SLICES of the IVF coarse-centroid
+# artifact (_ivf_centroids — k=10 codes per subspace): deterministic,
+# already 6dp-pinned cross-engine, and exactly the "shared coarse
+# structure" shortcut a synthetic-label corpus affords; a real
+# deployment swaps in per-subspace k-means codebooks behind the same
+# literal-artifact seam (the documented sim_search_ivf_topk scale
+# path).
+#
+# Determinism is INTEGER, not float: component values and codebook
+# entries are both quantized to 1e-6 ticks (floor-form on identical
+# doubles — the lm_score pattern), so every subspace distance is a
+# BIGINT sum of squared tick differences — exact, order-free, and
+# identical in both engines by construction; ties break by code id.
+# Tick headroom: components ∈ [-0.6, 0.6] ⇒ per-component diff² ≤
+# ~1.4e12, ×16 components ≤ ~2.3e13 per distance — far inside BIGINT,
+# and the audit's per-(subspace, code) distortion sums stay ≤ ~1e17
+# even at 10^4 vectors per code.
+#
+# Scale shape: `emb_pq_codes` (the index-build data path) is a PURE
+# MAP — the codebook rides the plan as a literal, every (vector,
+# subspace) assignment is a narrow array fold, and the long output is
+# an in-row posexplode: ZERO exchanges of any kind (test-pinned).
+# `qa_pq_distortion` (the index-QA path) adds exactly one
+# map-side-combinable groupBy to M·k rows. UNREGISTERED round-13
+# late previews; promotion (one @register each with the oracles
+# below) targeted for r14.
+
+_PQ_M = 4
+_PQ_SUB = _DIM // _PQ_M
+
+
+def _pq_codebooks(spark: SparkSession, sf_dir: str) -> list:
+    """Per-subspace integer-tick codebooks sliced from the IVF
+    centroid artifact: codebooks[m] = sorted [(code, [tick]*_PQ_SUB)].
+    Tick = floor(c*1e6 + 0.5) computed in Python doubles — the
+    IDENTICAL IEEE expression the oracle runs in SQL, so the embedded
+    literals match the oracle's recomputation bit-for-bit."""
+    import math
+
+    cells = _ivf_centroids(spark, sf_dir)
+    return [
+        [
+            (
+                cell,
+                [
+                    int(math.floor(v * 1e6 + 0.5))
+                    for v in vec[m * _PQ_SUB : (m + 1) * _PQ_SUB]
+                ],
+            )
+            for cell, vec in cells
+        ]
+        for m in range(_PQ_M)
+    ]
+
+
+def _pq_assign_frame(e: DataFrame, codebooks: list) -> DataFrame:
+    """PQ code assignment over a (vec_id, embedding) frame: one row
+    per (vec_id, subspace) — (vec_id, subspace, code, d2_ticks),
+    d2_ticks the squared tick-space distance to the chosen code.
+    Narrow end to end: zero exchanges."""
+
+    def ticks_of(col):
+        return F.transform(
+            col,
+            lambda v: F.floor(v.cast("double") * 1e6 + F.lit(0.5)).cast(
+                "long"
+            ),
+        )
+
+    per_sub = []
+    for m, codes in enumerate(codebooks):
+        tx = ticks_of(F.slice("embedding", m * _PQ_SUB + 1, _PQ_SUB))
+        scored = F.array(
+            *[
+                F.struct(
+                    F.aggregate(
+                        F.zip_with(
+                            tx,
+                            F.array(*[F.lit(t) for t in tick_vec]),
+                            lambda a, b: (a - b) * (a - b),
+                        ),
+                        F.lit(0).cast("long"),
+                        lambda acc, v: acc + v,
+                    ).alias("d2"),
+                    F.lit(code).alias("code"),
+                )
+                for code, tick_vec in codes
+            ]
+        )
+        # array_sort on (d2, code) structs = min by distance, ties by
+        # code id — the oracle's ORDER BY d2, code
+        best = F.element_at(F.array_sort(scored), 1)
+        per_sub.append(
+            F.struct(
+                F.lit(m).alias("subspace"),
+                best["code"].alias("code"),
+                best["d2"].alias("d2_ticks"),
+            )
+        )
+    return e.select(
+        "vec_id", F.explode(F.array(*per_sub)).alias("s")
+    ).select(
+        "vec_id",
+        F.col("s.subspace").cast("int").alias("subspace"),
+        F.col("s.code").cast("int").alias("code"),
+        F.col("s.d2_ticks").cast("bigint").alias("d2_ticks"),
+    )
+
+
+def emb_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization code assignment over the embeddings table
+    (the IVF-PQ index-build data path). Round-13 late preview
+    (promotion = one @register with oracle=pq_codes_oracle_sql()).
+    Output: (vec_id, subspace, code, d2_ticks) — M rows per vector."""
+    return _pq_assign_frame(
+        _embs(spark, sf_dir), _pq_codebooks(spark, sf_dir)
+    )
+
+
+# the tick-space assignment chain as one shared SQL text: centroids
+# recomputed exactly as the IVF oracles spell them, subspace =
+# (pos-1)//_PQ_SUB, distances as BIGINT tick sums
+def _pq_assign_sql(dim: int = _DIM, sub: int = _PQ_SUB) -> str:
+    return f"""
+    WITH comp AS (
+      SELECT vec_id, label, i + 1 AS pos,
+             CAST(embedding[i + 1] AS DOUBLE) AS v
+      FROM embeddings, (SELECT unnest(range(0, {dim})) AS i)
+    ),
+    cent AS (
+      SELECT label AS code, pos, round(avg(v), 6) AS c
+      FROM comp GROUP BY 1, 2
+    ),
+    tx AS (
+      SELECT vec_id, pos,
+             CAST((pos - 1) // {sub} AS INTEGER) AS subspace,
+             CAST(floor(v * 1e6 + 0.5) AS BIGINT) AS t
+      FROM comp
+    ),
+    tc AS (
+      SELECT code, pos, CAST(floor(c * 1e6 + 0.5) AS BIGINT) AS t
+      FROM cent
+    ),
+    d2 AS (
+      SELECT x.vec_id, x.subspace, c.code,
+             CAST(sum((x.t - c.t) * (x.t - c.t)) AS BIGINT) AS d2
+      FROM tx x JOIN tc c ON c.pos = x.pos
+      GROUP BY 1, 2, 3
+    ),
+    best AS (
+      SELECT vec_id, subspace, code, d2,
+             row_number() OVER (PARTITION BY vec_id, subspace
+                                ORDER BY d2, code) AS rn
+      FROM d2
+    ),
+    assign AS (
+      SELECT vec_id, subspace, CAST(code AS INTEGER) AS code,
+             d2 AS d2_ticks
+      FROM best WHERE rn = 1
+    )
+    """
+
+
+def pq_codes_oracle_sql() -> str:
+    """emb_pq_codes as one DuckDB text — the shared assignment chain,
+    read out whole."""
+    return (
+        _pq_assign_sql()
+        + "SELECT vec_id, subspace, code, d2_ticks FROM assign"
+    )
+
+
+def qa_pq_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ codebook-quality audit: one row per (subspace, code) —
+    occupancy and the mean/max squared quantization distance in
+    original units (ticks² / 1e12). Round-13 late preview (promotion
+    = one @register with oracle=pq_distortion_oracle_sql()). Output:
+    (subspace, code, n_vectors, mean_sqdist, max_sqdist)."""
+    codes = _pq_assign_frame(
+        _embs(spark, sf_dir), _pq_codebooks(spark, sf_dir)
+    )
+    g = codes.groupBy("subspace", "code").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+        F.sum("d2_ticks").cast("bigint").alias("sum_d2"),
+        F.max("d2_ticks").cast("bigint").alias("max_d2"),
+    )
+    return g.select(
+        "subspace",
+        "code",
+        "n_vectors",
+        _r(
+            F.col("sum_d2").cast("double")
+            / (F.col("n_vectors").cast("double") * 1e12),
+            6,
+        ).alias("mean_sqdist"),
+        _r(F.col("max_d2").cast("double") / 1e12, 6).alias("max_sqdist"),
+    )
+
+
+def pq_distortion_oracle_sql() -> str:
+    """qa_pq_distortion as one DuckDB text — the shared assignment
+    chain plus one rollup."""
+    from nyc_traffic_insight_spark.functions.rounding import r6_sql
+
+    return (
+        _pq_assign_sql()
+        + f"""
+    SELECT subspace, code,
+           CAST(count(*) AS BIGINT) AS n_vectors,
+           {r6_sql("CAST(sum(d2_ticks) AS DOUBLE) / (count(*) * 1e12)")}
+             AS mean_sqdist,
+           {r6_sql("CAST(max(d2_ticks) AS DOUBLE) / 1e12")} AS max_sqdist
+    FROM assign GROUP BY 1, 2
+    """
+    )
+
+
 # ---------------------------------------------------------- text analysis
 
 _STOPWORDS = ["the", "a", "of", "to", "and", "is", "in", "that", "it", "on"]

@@ -1,0 +1,155 @@
+"""Product-quantization previews: code assignment + distortion audit.
+
+Round-13 late previews (r14 promotions), pinned BEFORE their
+@register lands (the r12 preview discipline):
+
+- ``emb_pq_codes``: per-(vector, subspace) nearest-code assignment in
+  integer tick space. Pinned: driver-style cross-engine equality, a
+  synthetic-codebook unit test (a vector placed ON a code gets that
+  code at distance 0; an equidistant vector breaks the tie toward the
+  lower code id), the M-rows-per-vector shape, and the plan contract
+  that the operator adds ZERO exchanges above the cached embeddings
+  relation (it is a pure map — the 100 TB index-build claim).
+- ``qa_pq_distortion``: per-(subspace, code) occupancy + mean/max
+  squared quantization error. Pinned: driver-style cross-engine
+  equality and the reconciliation that occupancies sum to
+  M × |embeddings| with every subspace present.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_SMOKE
+from tests.oracle_utils import compare, duck_connect
+
+
+@pytest.fixture(scope="module")
+def duck_smoke():
+    con = duck_connect(SF_SMOKE)
+    yield con
+    con.close()
+
+
+def test_pq_codes_match_oracle(spark, duck_smoke):
+    from nyc_traffic_insight_spark.queries.textops import (
+        emb_pq_codes,
+        pq_codes_oracle_sql,
+    )
+
+    spdf = emb_pq_codes(spark, SF_SMOKE).toPandas()
+    odf = duck_smoke.execute(pq_codes_oracle_sql()).fetchdf()
+    compare(spdf, odf, "emb_pq_codes")
+
+
+def test_pq_distortion_matches_oracle(spark, duck_smoke):
+    from nyc_traffic_insight_spark.queries.textops import (
+        pq_distortion_oracle_sql,
+        qa_pq_distortion,
+    )
+
+    spdf = qa_pq_distortion(spark, SF_SMOKE).toPandas()
+    odf = duck_smoke.execute(pq_distortion_oracle_sql()).fetchdf()
+    compare(spdf, odf, "qa_pq_distortion")
+
+
+def test_pq_shape_m_rows_per_vector(spark):
+    from nyc_traffic_insight_spark.queries.textops import (
+        _PQ_M,
+        emb_pq_codes,
+    )
+
+    df = emb_pq_codes(spark, SF_SMOKE).toPandas()
+    per_vec = df.groupby("vec_id").size()
+    assert (per_vec == _PQ_M).all(), "every vector gets exactly M codes"
+    assert sorted(df["subspace"].unique()) == list(range(_PQ_M))
+
+
+def test_pq_occupancy_reconciles(spark):
+    from nyc_traffic_insight_spark.queries.textops import (
+        _PQ_M,
+        qa_pq_distortion,
+    )
+    from nyc_traffic_insight_spark.queries.textops import _embs
+
+    n = _embs(spark, SF_SMOKE).count()
+    df = qa_pq_distortion(spark, SF_SMOKE).toPandas()
+    assert int(df["n_vectors"].sum()) == _PQ_M * n
+    # every subspace is present, and per-subspace occupancy sums to n
+    by_sub = df.groupby("subspace")["n_vectors"].sum()
+    assert sorted(by_sub.index) == list(range(_PQ_M))
+    assert (by_sub == n).all()
+    # the codebook is actually discriminating at the smoke SF: more
+    # than one code in use per subspace (an all-in-one-code PQ would
+    # be vacuous)
+    codes_used = df.groupby("subspace")["code"].nunique()
+    assert (codes_used >= 2).all()
+
+
+def test_pq_synthetic_codebook_exact_and_tiebreak(spark):
+    """A vector equal to a code lands on it with d2 == 0; a vector
+    equidistant between two codes takes the LOWER code id (the
+    documented tie rule, ORDER BY d2, code)."""
+    from nyc_traffic_insight_spark.queries.textops import (
+        _PQ_M,
+        _PQ_SUB,
+        _pq_assign_frame,
+    )
+
+    dim = _PQ_M * _PQ_SUB
+    # code 0 = all zeros, code 1 = all 2e-6 (ticks 0 and 2): a vector
+    # of all 1e-6 (tick 1) is equidistant — must choose code 0
+    cb = [
+        [(0, [0] * _PQ_SUB), (1, [2] * _PQ_SUB)] for _ in range(_PQ_M)
+    ]
+    rows = [
+        (0, [0.0] * dim),  # exactly code 0 in every subspace
+        (1, [2e-6] * dim),  # exactly code 1 in every subspace
+        (2, [1e-6] * dim),  # equidistant -> code 0 by tie rule
+    ]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = _pq_assign_frame(e, cb).toPandas().sort_values(
+        ["vec_id", "subspace"]
+    )
+    v0 = out[out.vec_id == 0]
+    assert (v0.code == 0).all() and (v0.d2_ticks == 0).all()
+    v1 = out[out.vec_id == 1]
+    assert (v1.code == 1).all() and (v1.d2_ticks == 0).all()
+    v2 = out[out.vec_id == 2]
+    assert (v2.code == 0).all() and (v2.d2_ticks == _PQ_SUB).all()
+
+
+def test_pq_codes_plan_is_a_pure_map(spark):
+    """The assignment operator adds NO exchange of any kind: the plan
+    above the cached embeddings relation is scan -> project ->
+    generate. (The cached _embs child renders its own REPARTITION
+    exchanges inside InMemoryRelation — the test_doc_claims gotcha —
+    so the contract is pinned on the operator's own segment.)"""
+    from nyc_traffic_insight_spark.queries.textops import emb_pq_codes
+
+    plan = (
+        emb_pq_codes(spark, SF_SMOKE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    own = plan.split("InMemoryTableScan")[0]
+    assert "Exchange" not in own, f"pure-map contract broken:\n{own}"
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pq_distortion_plan_one_group_exchange(spark):
+    """The audit adds exactly ONE hash exchange (the map-side
+    combinable (subspace, code) groupBy) and no SinglePartition."""
+    from nyc_traffic_insight_spark.queries.textops import qa_pq_distortion
+
+    plan = (
+        qa_pq_distortion(spark, SF_SMOKE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    own = plan.split("InMemoryTableScan")[0]
+    assert own.count("Exchange") == 1, f"expected 1 exchange:\n{own}"
+    assert "Exchange SinglePartition" not in own

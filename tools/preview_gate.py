@@ -41,9 +41,20 @@ def _previews():
     text_dup_ngram_rate, qa_contamination_rate, qa_zipf_slope,
     mm_dedup_phash) followed later the same round (24/24 PASS here
     first) — all twenty now ride tools/verify_rotation.py like the
-    rest of the catalog. The list is EMPTY until the next preview
-    lands; keep it in sync with the NOTES.md preview log."""
-    return []
+    rest of the catalog. Current list: the round-13 LATE previews
+    (r14 promotions); keep it in sync with the NOTES.md preview
+    log."""
+    from nyc_traffic_insight_spark.queries.textops import (
+        emb_pq_codes,
+        pq_codes_oracle_sql,
+        pq_distortion_oracle_sql,
+        qa_pq_distortion,
+    )
+
+    return [
+        ("emb_pq_codes", emb_pq_codes, pq_codes_oracle_sql()),
+        ("qa_pq_distortion", qa_pq_distortion, pq_distortion_oracle_sql()),
+    ]
 
 
 def main() -> int:
