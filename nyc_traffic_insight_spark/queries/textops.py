@@ -839,6 +839,161 @@ register(
 )(qa_lsh_banding_sweep)
 
 
+# ------------- dedup retention curve (round-13 late preview)
+#
+# The number a data-budget owner reads before choosing a dedup
+# threshold: how much corpus survives at Jaccard ≥ 0.5 / 0.7 / 0.9?
+# (Lee et al. 2022 "Deduplicating Training Data Makes Language Models
+# Better" reports exactly this sweep.) EXACT at every threshold — the
+# pair leg is the exhaustive shingle self-join (any pair with J > 0
+# shares a shingle, so no banding-recall caveat applies), the same
+# _NGRAM_PAIRS_SQL machinery as dedup_ngram_jaccard, and each
+# threshold test is the INTEGER cross-multiplication 10·c ≥
+# t₁₀·(n₁+n₂−c) — no float anywhere. Removal uses the catalog's
+# standing min-id keep rule at the PAIR level: a doc is removed at
+# threshold t iff it has a partner with a smaller id (i.e. appears as
+# doc2 in any passing pair) — the dedup_canonical_select convention.
+#
+# Scale shape: the pair join is the registered ngram-jaccard
+# baseline's (the scale path swaps in the banding candidates — at
+# thresholds ≥ 0.5 and (4,2) banding the measured recall is
+# qa_lsh_recall_audit's number); the threshold fan-out is an IN-ROW
+# array filter + explode (≤3 extra rows per pair, narrow); the
+# rollup is one groupBy to 3 rows + the accounted one-row corpus
+# count. UNREGISTERED round-13 late preview; promotion (one
+# @register with oracle=dedup_retention_oracle_sql()) targeted for
+# r14.
+
+_RETENTION_T10 = [5, 7, 9]  # Jaccard thresholds ×10
+
+
+def qa_dedup_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus retention after pair-rule dedup at each Jaccard
+    threshold. Round-13 late preview (promotion = one @register with
+    oracle=dedup_retention_oracle_sql()). Output: one row per
+    threshold — (threshold_x10, n_pairs, n_docs_removed, n_docs,
+    retention_rate)."""
+    sh = _shingle_sets_persisted(spark, sf_dir).select(
+        "doc_id", F.explode("sh").alias("s")
+    )
+    nd = _docs(spark, sf_dir).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    return _retention_frame(spark, sh, nd)
+
+
+def _retention_frame(
+    spark: SparkSession, sh: DataFrame, nd: DataFrame
+) -> DataFrame:
+    """The retention machine over an exploded (doc_id, s) shingle
+    frame and a one-row (n_docs) frame — factored so the synthetic
+    threshold-separation test can feed controlled-Jaccard corpora."""
+    # the _ngram_jaccard_pairs joins with the integer triple kept
+    # (that machine emits the jaccard double and pre-filters at 0.5;
+    # this one needs (c, n1, n2) for the exact integer threshold
+    # tests — same join graph, deliberately not consolidated so the
+    # registered baseline's plan stays untouched)
+    cnt = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2")
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    ca, cb = cnt.alias("ca"), cnt.alias("cb")
+    pc = (
+        common.join(ca, F.col("doc1") == F.col("ca.doc_id"))
+        .join(cb, F.col("doc2") == F.col("cb.doc_id"))
+        .select("doc1", "doc2", "c", F.col("ca.n").alias("n1"), F.col("cb.n").alias("n2"))
+    )
+    # in-row threshold fan-out: each pair explodes to the thresholds
+    # it passes (10c >= t*(n1+n2-c), pure integers)
+    union_sz = F.col("n1") + F.col("n2") - F.col("c")
+    passing = pc.select(
+        "doc1",
+        "doc2",
+        F.explode(
+            F.filter(
+                F.array(*[F.lit(t) for t in _RETENTION_T10]),
+                lambda t: F.col("c") * 10 >= t * union_sz,
+            )
+        ).alias("threshold_x10"),
+    )
+    stats = passing.groupBy("threshold_x10").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.count_distinct("doc2").cast("bigint").alias("n_docs_removed"),
+    )
+    thr = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(t) for t in _RETENTION_T10])
+        ).alias("threshold_x10")
+    )
+    out = (
+        thr.join(stats, "threshold_x10", "left")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "threshold_x10",
+            F.coalesce("n_pairs", F.lit(0)).cast("bigint").alias("n_pairs"),
+            F.coalesce("n_docs_removed", F.lit(0))
+            .cast("bigint")
+            .alias("n_docs_removed"),
+            "n_docs",
+            _r(
+                (
+                    F.col("n_docs")
+                    - F.coalesce("n_docs_removed", F.lit(0))
+                ).cast("double")
+                / F.col("n_docs"),
+                6,
+            ).alias("retention_rate"),
+        )
+    )
+    return out
+
+
+def dedup_retention_oracle_sql() -> str:
+    """qa_dedup_retention as one DuckDB text — the shared shingle +
+    pair fragments, integer threshold tests, a 3-row rollup."""
+    from nyc_traffic_insight_spark.functions.rounding import r6_sql
+
+    t10 = ", ".join(str(t) for t in _RETENTION_T10)
+    return (
+        _SHINGLES_SQL
+        + _NGRAM_PAIRS_SQL
+        + f""",
+    thr AS (SELECT unnest([{t10}]) AS threshold_x10),
+    passing AS (
+      SELECT t.threshold_x10, c.doc1, c.doc2
+      FROM common c
+      JOIN cnt ca ON ca.doc_id = c.doc1
+      JOIN cnt cb ON cb.doc_id = c.doc2
+      JOIN thr t ON 10 * c.c >= t.threshold_x10 * (ca.n + cb.n - c.c)
+    ),
+    stats AS (
+      SELECT threshold_x10,
+             CAST(count(*) AS BIGINT) AS n_pairs,
+             CAST(count(DISTINCT doc2) AS BIGINT) AS n_docs_removed
+      FROM passing GROUP BY 1
+    ),
+    nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents)
+    SELECT t.threshold_x10,
+           CAST(coalesce(s.n_pairs, 0) AS BIGINT) AS n_pairs,
+           CAST(coalesce(s.n_docs_removed, 0) AS BIGINT) AS n_docs_removed,
+           nd.n_docs,
+           {r6_sql("CAST(nd.n_docs - coalesce(s.n_docs_removed, 0)"
+                   " AS DOUBLE) / nd.n_docs")} AS retention_rate
+    FROM thr t LEFT JOIN stats s ON s.threshold_x10 = t.threshold_x10
+    CROSS JOIN nd
+    """
+    )
+
+
 # ------------- corpus-health QA trio (round-13 previews)
 #
 # The three one-row numbers every corpus card reports, each computed

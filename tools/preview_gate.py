@@ -45,15 +45,18 @@ def _previews():
     (r14 promotions); keep it in sync with the NOTES.md preview
     log."""
     from nyc_traffic_insight_spark.queries.textops import (
+        dedup_retention_oracle_sql,
         emb_pq_codes,
         pq_codes_oracle_sql,
         pq_distortion_oracle_sql,
+        qa_dedup_retention,
         qa_pq_distortion,
     )
 
     return [
         ("emb_pq_codes", emb_pq_codes, pq_codes_oracle_sql()),
         ("qa_pq_distortion", qa_pq_distortion, pq_distortion_oracle_sql()),
+        ("qa_dedup_retention", qa_dedup_retention, dedup_retention_oracle_sql()),
     ]
 
 
