@@ -945,6 +945,279 @@ def sketch_hll_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------- epoch-shuffle loader order (round-13 preview)
+#
+# PLACEMENT CONSTRAINT: this section must stay ABOVE the UniMax
+# corpus pipeline's register call. That call builds its oracle by
+# importing textops, whose own module body registers
+# pipeline_pretrain_order by importing THIS module's
+# epoch_shuffle_oracle_sql back — so whichever of the two modules is
+# imported first, the shuffle oracle must already be defined when
+# samplingq's first textops-importing register executes (caught by
+# an import-samplingq-first smoke after the r13 promotions; load_all
+# masks it by always importing textops first).
+#
+# The LAST deterministic step before tokens hit the trainer: a fresh
+# global shuffle of the corpus every epoch, reproducible across
+# restarts (the Megatron/NeMo data-loader contract — epoch e's order
+# is a pure function of (corpus, e), no RNG state to checkpoint). The
+# order is rank-of-hash: position(doc, e) = rank of md5(e || ':' ||
+# doc_id) within the epoch. A naive rank is a GLOBAL row_number — the
+# single-partition window this catalog bans on corpus-sized input —
+# so the Spark side computes it with the SAME two-phase decomposition
+# pack_context_windows established: bucket every doc by its hash's
+# first two hex digits (256 ordered buckets), count per (epoch,
+# bucket) — one map-side-combinable groupBy — exclusive-prefix the
+# 256-row-per-epoch bucket table (window partitioned BY EPOCH, never
+# global), broadcast the offsets back, and rank WITHIN (epoch,
+# bucket) partitions (~n/256 rows each). Because the bucket is a
+# PREFIX of the hash, (bucket, hash) order equals hash order, and the
+# composed rank equals the oracle's flat row_number exactly.
+#
+# Scale shape: one groupBy to 256·E rows, one bounded window, one
+# broadcast join, one within-bucket window — no corpus-sized global
+# sort anywhere; at 10^10 docs each bucket partition holds ~4·10^7
+# rows, and the bucket width (2 hex digits here) widens with the
+# corpus the same way _PACK_BUCKET recurses. Registered r13 (the
+# register call follows epoch_shuffle_oracle_sql below).
+
+_SHUFFLE_EPOCHS = 2  # epochs emitted by the registered form
+
+
+def epoch_shuffle_frame(
+    d: DataFrame, epochs: int, spark: SparkSession
+) -> DataFrame:
+    """Two-phase epoch-shuffle rank over a (doc_id) frame. Output:
+    (epoch, doc_id, pos) — pos is the 0-based position of the doc in
+    epoch's deterministic order, a permutation of [0, n) per epoch."""
+    e = F.broadcast(
+        spark.range(epochs).select(F.col("id").cast("bigint").alias("epoch"))
+    )
+    h = F.md5(
+        F.concat_ws(
+            ":", F.col("epoch").cast("string"), F.col("doc_id").cast("string")
+        )
+    )
+    hashed = (
+        d.select("doc_id")
+        .crossJoin(e)
+        .select("epoch", "doc_id", h.alias("h"))
+        .withColumn("bkt", F.substring("h", 1, 2))
+    )
+    bcounts = hashed.groupBy("epoch", "bkt").agg(
+        F.count(F.lit(1)).cast("bigint").alias("bn")
+    )
+    wb = (
+        Window.partitionBy("epoch")
+        .orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    boff = bcounts.select(
+        "epoch",
+        "bkt",
+        F.coalesce(F.sum("bn").over(wb), F.lit(0)).alias("off"),
+    )
+    win = Window.partitionBy("epoch", "bkt").orderBy("h", "doc_id")
+    return (
+        hashed.join(F.broadcast(boff), ["epoch", "bkt"])
+        .withColumn("rn", F.row_number().over(win).cast("bigint"))
+        .select(
+            "epoch",
+            "doc_id",
+            (F.col("off") + F.col("rn") - 1).cast("bigint").alias("pos"),
+        )
+    )
+
+
+def sample_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-epoch corpus shuffle over the documents
+    table: (epoch, doc_id, pos) for _SHUFFLE_EPOCHS epochs, pos a
+    permutation of [0, n) per epoch (registered r13; r13 preview)."""
+    d = load_table(spark, sf_dir, "documents")
+    return epoch_shuffle_frame(d, _SHUFFLE_EPOCHS, spark)
+
+
+def epoch_shuffle_oracle_sql(
+    table: str = "documents", epochs: int = _SHUFFLE_EPOCHS
+) -> str:
+    """sample_epoch_shuffle as one DuckDB text — the naive flat
+    row_number form (one engine's 1000-row window is free; the
+    two-phase decomposition is the Spark-side scale layout, provably
+    rank-equal because the bucket is a hash prefix)."""
+    return f"""
+    SELECT e.epoch, d.doc_id,
+           CAST(row_number() OVER (
+                  PARTITION BY e.epoch
+                  ORDER BY md5(CAST(e.epoch AS VARCHAR) || ':' ||
+                               CAST(d.doc_id AS VARCHAR)), d.doc_id)
+                - 1 AS BIGINT) AS pos
+    FROM {table} d,
+         (SELECT unnest(range(0, {epochs})) AS epoch) e
+    """
+
+
+# r13 promotion of the r13 preview (gate-verified 2-SF before the
+# decorator landed) — the register call sits after the oracle text it
+# captures.
+register(
+    "sample_epoch_shuffle",
+    oracle=epoch_shuffle_oracle_sql(),
+    survey="north-star: deterministic per-epoch loader shuffle "
+    "(two-phase hash-bucket rank, no global sort)",
+)(sample_epoch_shuffle)
+
+
+# ------------- length-curriculum loader order (round-13 late preview)
+#
+# Curriculum learning's loader-side contract: epoch 0 presents the
+# corpus easy-first (here short-to-long — the length curriculum of
+# Shortformer/Li et al.; any per-doc difficulty score slots into the
+# same bin expression), later epochs use the standard deterministic
+# shuffle so the model sees an unbiased mixture once warmed up. The
+# order is the epoch-shuffle machine with a COMPOSITE sort key:
+# sort_bin = (epoch == 0 ? length_bin : 0) major, md5(epoch:doc_id)
+# minor. The two-phase decomposition generalizes unchanged — bucket
+# = (sort_bin, 2-hex hash prefix), per-epoch exclusive prefix over
+# the ≤ E·8·256-row bucket table ordered by (sort_bin, bkt), rank
+# within (epoch, sort_bin, bkt) — and rank-equality to the flat
+# row_number again holds STRUCTURALLY because (sort_bin, prefix(h))
+# order is a prefix of (sort_bin, h) order. The length bin is a pure
+# map (least(n_words // 8, 7)): fixed closed-form thresholds, NOT a
+# corpus ntile — a global quantile bucketing would be a full sort at
+# 100 TB (the report_rfm_scores shape is only accounted for
+# dimension-bounded tables); fixed bins keep the curriculum
+# embarrassingly parallel, and a production run calibrates the
+# thresholds once from a sample or a sketch_histogram pass.
+# Deliberately NOT consolidated with epoch_shuffle_frame: threading
+# sort_bin through it would touch the freshly-anchored registered
+# shuffle for zero semantic gain (the _lsh_cands_geom precedent);
+# the equality-at-degenerate-key test pins the two machines equal
+# when every bin is 0 instead. UNREGISTERED round-13 late preview;
+# promotion (one @register with oracle=curriculum_oracle_sql())
+# targeted for r14.
+
+_CURRICULUM_EPOCHS = 2
+_CURRICULUM_BIN_W = 8  # words per length bin
+_CURRICULUM_MAX_BIN = 7
+
+
+def _curriculum_frame(
+    d: DataFrame, epochs: int, spark: SparkSession
+) -> DataFrame:
+    """Two-phase curriculum rank over a (doc_id, bin) frame. Output:
+    (epoch, doc_id, bin, pos) — pos a permutation of [0, n) per
+    epoch; epoch 0 ordered by (bin, h), later epochs by h alone."""
+    e = F.broadcast(
+        spark.range(epochs).select(F.col("id").cast("bigint").alias("epoch"))
+    )
+    h = F.md5(
+        F.concat_ws(
+            ":", F.col("epoch").cast("string"), F.col("doc_id").cast("string")
+        )
+    )
+    sort_bin = F.when(F.col("epoch") == 0, F.col("bin")).otherwise(
+        F.lit(0)
+    )
+    keyed = (
+        d.select("doc_id", "bin")
+        .crossJoin(e)
+        .select(
+            "epoch",
+            "doc_id",
+            "bin",
+            sort_bin.cast("int").alias("sort_bin"),
+            h.alias("h"),
+        )
+        .withColumn("bkt", F.substring("h", 1, 2))
+    )
+    bcounts = keyed.groupBy("epoch", "sort_bin", "bkt").agg(
+        F.count(F.lit(1)).cast("bigint").alias("bn")
+    )
+    wb = (
+        Window.partitionBy("epoch")
+        .orderBy("sort_bin", "bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    boff = bcounts.select(
+        "epoch",
+        "sort_bin",
+        "bkt",
+        F.coalesce(F.sum("bn").over(wb), F.lit(0)).alias("off"),
+    )
+    win = Window.partitionBy("epoch", "sort_bin", "bkt").orderBy(
+        "h", "doc_id"
+    )
+    return (
+        keyed.join(F.broadcast(boff), ["epoch", "sort_bin", "bkt"])
+        .withColumn("rn", F.row_number().over(win).cast("bigint"))
+        .select(
+            "epoch",
+            "doc_id",
+            "bin",
+            (F.col("off") + F.col("rn") - 1).cast("bigint").alias("pos"),
+        )
+    )
+
+
+def _curriculum_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, bin) over documents: bin = least(n_words // 8, 7) —
+    a pure map, identical spelling to the oracle's."""
+    d = load_table(spark, sf_dir, "documents")
+    n_words = F.size(F.split(F.trim("text"), r"\s+"))
+    return d.select(
+        "doc_id",
+        F.least(
+            F.floor(n_words / _CURRICULUM_BIN_W),
+            F.lit(_CURRICULUM_MAX_BIN),
+        )
+        .cast("int")
+        .alias("bin"),
+    )
+
+
+def sample_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-curriculum loader order over the documents table:
+    epoch 0 short-to-long (hash-shuffled within each length bin),
+    epochs >= 1 the standard deterministic shuffle. Round-13 late
+    preview (promotion = one @register with
+    oracle=curriculum_oracle_sql()). Output: (epoch, doc_id, bin,
+    pos)."""
+    return _curriculum_frame(
+        _curriculum_bins(spark, sf_dir), _CURRICULUM_EPOCHS, spark
+    )
+
+
+def curriculum_oracle_sql(
+    table: str = "documents", epochs: int = _CURRICULUM_EPOCHS
+) -> str:
+    """sample_curriculum_order as one DuckDB text — the naive flat
+    per-epoch row_number over the composite key (the two-phase
+    decomposition is the Spark-side scale layout, rank-equal by the
+    prefix argument)."""
+    return rf"""
+    WITH feats AS (
+      SELECT doc_id,
+             CAST(least(len(regexp_split_to_array(trim(text), '\s+'))
+                        // {_CURRICULUM_BIN_W},
+                        {_CURRICULUM_MAX_BIN}) AS INTEGER) AS bin
+      FROM {table}
+    ),
+    keyed AS (
+      SELECT e.epoch, f.doc_id, f.bin,
+             CASE WHEN e.epoch = 0 THEN f.bin ELSE 0 END AS sort_bin,
+             md5(CAST(e.epoch AS VARCHAR) || ':' ||
+                 CAST(f.doc_id AS VARCHAR)) AS h
+      FROM feats f,
+           (SELECT unnest(range(0, {epochs})) AS epoch) e
+    )
+    SELECT CAST(epoch AS BIGINT) AS epoch, doc_id, bin,
+           CAST(row_number() OVER (
+                  PARTITION BY epoch
+                  ORDER BY sort_bin, h, doc_id) - 1 AS BIGINT) AS pos
+    FROM keyed
+    """
+
+
 # ------------- UniMax language-budget allocation (round-12 preview)
 #
 # UniMax (Chung et al. 2023, "UniMax: Fairer and More Effective
@@ -1408,118 +1681,6 @@ register(
     "(exact dedup -> eval + fuzzy decontamination -> survivor-scoped "
     "UniMax repeats)",
 )(pipeline_unimax_corpus)
-
-
-# ------------- epoch-shuffle loader order (round-13 preview)
-#
-# The LAST deterministic step before tokens hit the trainer: a fresh
-# global shuffle of the corpus every epoch, reproducible across
-# restarts (the Megatron/NeMo data-loader contract — epoch e's order
-# is a pure function of (corpus, e), no RNG state to checkpoint). The
-# order is rank-of-hash: position(doc, e) = rank of md5(e || ':' ||
-# doc_id) within the epoch. A naive rank is a GLOBAL row_number — the
-# single-partition window this catalog bans on corpus-sized input —
-# so the Spark side computes it with the SAME two-phase decomposition
-# pack_context_windows established: bucket every doc by its hash's
-# first two hex digits (256 ordered buckets), count per (epoch,
-# bucket) — one map-side-combinable groupBy — exclusive-prefix the
-# 256-row-per-epoch bucket table (window partitioned BY EPOCH, never
-# global), broadcast the offsets back, and rank WITHIN (epoch,
-# bucket) partitions (~n/256 rows each). Because the bucket is a
-# PREFIX of the hash, (bucket, hash) order equals hash order, and the
-# composed rank equals the oracle's flat row_number exactly.
-#
-# Scale shape: one groupBy to 256·E rows, one bounded window, one
-# broadcast join, one within-bucket window — no corpus-sized global
-# sort anywhere; at 10^10 docs each bucket partition holds ~4·10^7
-# rows, and the bucket width (2 hex digits here) widens with the
-# corpus the same way _PACK_BUCKET recurses. Registered r13 (the
-# register call follows epoch_shuffle_oracle_sql below).
-
-_SHUFFLE_EPOCHS = 2  # epochs emitted by the registered form
-
-
-def epoch_shuffle_frame(
-    d: DataFrame, epochs: int, spark: SparkSession
-) -> DataFrame:
-    """Two-phase epoch-shuffle rank over a (doc_id) frame. Output:
-    (epoch, doc_id, pos) — pos is the 0-based position of the doc in
-    epoch's deterministic order, a permutation of [0, n) per epoch."""
-    e = F.broadcast(
-        spark.range(epochs).select(F.col("id").cast("bigint").alias("epoch"))
-    )
-    h = F.md5(
-        F.concat_ws(
-            ":", F.col("epoch").cast("string"), F.col("doc_id").cast("string")
-        )
-    )
-    hashed = (
-        d.select("doc_id")
-        .crossJoin(e)
-        .select("epoch", "doc_id", h.alias("h"))
-        .withColumn("bkt", F.substring("h", 1, 2))
-    )
-    bcounts = hashed.groupBy("epoch", "bkt").agg(
-        F.count(F.lit(1)).cast("bigint").alias("bn")
-    )
-    wb = (
-        Window.partitionBy("epoch")
-        .orderBy("bkt")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    boff = bcounts.select(
-        "epoch",
-        "bkt",
-        F.coalesce(F.sum("bn").over(wb), F.lit(0)).alias("off"),
-    )
-    win = Window.partitionBy("epoch", "bkt").orderBy("h", "doc_id")
-    return (
-        hashed.join(F.broadcast(boff), ["epoch", "bkt"])
-        .withColumn("rn", F.row_number().over(win).cast("bigint"))
-        .select(
-            "epoch",
-            "doc_id",
-            (F.col("off") + F.col("rn") - 1).cast("bigint").alias("pos"),
-        )
-    )
-
-
-def sample_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic per-epoch corpus shuffle over the documents
-    table: (epoch, doc_id, pos) for _SHUFFLE_EPOCHS epochs, pos a
-    permutation of [0, n) per epoch (registered r13; r13 preview)."""
-    d = load_table(spark, sf_dir, "documents")
-    return epoch_shuffle_frame(d, _SHUFFLE_EPOCHS, spark)
-
-
-def epoch_shuffle_oracle_sql(
-    table: str = "documents", epochs: int = _SHUFFLE_EPOCHS
-) -> str:
-    """sample_epoch_shuffle as one DuckDB text — the naive flat
-    row_number form (one engine's 1000-row window is free; the
-    two-phase decomposition is the Spark-side scale layout, provably
-    rank-equal because the bucket is a hash prefix)."""
-    return f"""
-    SELECT e.epoch, d.doc_id,
-           CAST(row_number() OVER (
-                  PARTITION BY e.epoch
-                  ORDER BY md5(CAST(e.epoch AS VARCHAR) || ':' ||
-                               CAST(d.doc_id AS VARCHAR)), d.doc_id)
-                - 1 AS BIGINT) AS pos
-    FROM {table} d,
-         (SELECT unnest(range(0, {epochs})) AS epoch) e
-    """
-
-
-# r13 promotion of the r13 preview (gate-verified 2-SF before the
-# decorator landed) — the register call sits after the oracle text it
-# captures.
-register(
-    "sample_epoch_shuffle",
-    oracle=epoch_shuffle_oracle_sql(),
-    survey="north-star: deterministic per-epoch loader shuffle "
-    "(two-phase hash-bucket rank, no global sort)",
-)(sample_epoch_shuffle)
 
 
 # ------------- stride source-interleave schedule (round-13 preview)

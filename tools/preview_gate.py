@@ -44,6 +44,10 @@ def _previews():
     rest of the catalog. Current list: the round-13 LATE previews
     (r14 promotions); keep it in sync with the NOTES.md preview
     log."""
+    from nyc_traffic_insight_spark.queries.samplingq import (
+        curriculum_oracle_sql,
+        sample_curriculum_order,
+    )
     from nyc_traffic_insight_spark.queries.textops import (
         dedup_retention_oracle_sql,
         emb_pq_codes,
@@ -57,6 +61,11 @@ def _previews():
         ("emb_pq_codes", emb_pq_codes, pq_codes_oracle_sql()),
         ("qa_pq_distortion", qa_pq_distortion, pq_distortion_oracle_sql()),
         ("qa_dedup_retention", qa_dedup_retention, dedup_retention_oracle_sql()),
+        (
+            "sample_curriculum_order",
+            sample_curriculum_order,
+            curriculum_oracle_sql(),
+        ),
     ]
 
 
