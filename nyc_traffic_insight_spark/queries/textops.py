@@ -2165,6 +2165,131 @@ def pq_distortion_oracle_sql() -> str:
     )
 
 
+# --- ADC (asymmetric distance computation) search over the PQ codes:
+# the query stays exact, the corpus is its M codes, and the distance
+# is a LUT sum — sum over subspaces of dist(query_subvector,
+# codebook[m][code_m(x)]). This is the compressed-domain scan at the
+# heart of IVF-PQ serving (Jégou et al. 2011 §IV); here it scans the
+# WHOLE corpus (the "ADC without IVF" baseline — the production form
+# restricts the scan to nprobe inverted lists, the documented
+# sim_search_ivf_topk composition). The per-query LUT is M·k = 40
+# BIGINT entries — built as a k-row-per-subspace frame and BROADCAST
+# onto the corpus codes (the corpus is never exchanged); the only
+# shuffles are the (query, neighbor) partial-sum groupBy (n·|Q| short
+# integer rows) and the per-query top-k window. Every distance is the
+# assign chain's integer tick arithmetic — the oracle literally
+# reuses its d2 relation as the LUT. UNREGISTERED round-13 late
+# preview; promotion (one @register with
+# oracle=pq_adc_oracle_sql()) targeted for r14.
+
+_ADC_NQUERY = 5  # query set: vec_id < 5, the sim_search convention
+_ADC_TOPK = 3
+
+
+def _pq_lut_frame(e: DataFrame, codebooks: list) -> DataFrame:
+    """All-code tick distances for the query set: one row per
+    (query_id, subspace, code) — the in-row explode of the assign
+    machine WITHOUT its argmin (M·k rows per query)."""
+
+    def ticks_of(col):
+        return F.transform(
+            col,
+            lambda v: F.floor(v.cast("double") * 1e6 + F.lit(0.5)).cast(
+                "long"
+            ),
+        )
+
+    entries = []
+    for m, codes in enumerate(codebooks):
+        tx = ticks_of(F.slice("embedding", m * _PQ_SUB + 1, _PQ_SUB))
+        for code, tick_vec in codes:
+            entries.append(
+                F.struct(
+                    F.lit(m).alias("subspace"),
+                    F.lit(code).alias("code"),
+                    F.aggregate(
+                        F.zip_with(
+                            tx,
+                            F.array(*[F.lit(t) for t in tick_vec]),
+                            lambda a, b: (a - b) * (a - b),
+                        ),
+                        F.lit(0).cast("long"),
+                        lambda acc, v: acc + v,
+                    ).alias("d2"),
+                )
+            )
+    return e.select(
+        F.col("vec_id").alias("query_id"),
+        F.explode(F.array(*entries)).alias("l"),
+    ).select(
+        "query_id",
+        F.col("l.subspace").cast("int").alias("subspace"),
+        F.col("l.code").cast("int").alias("code"),
+        F.col("l.d2").cast("bigint").alias("d2"),
+    )
+
+
+def sim_search_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC top-k over the PQ-compressed corpus: each query (vec_id <
+    5, exact) against every vector's M codes via the broadcast LUT.
+    Round-13 late preview (promotion = one @register with
+    oracle=pq_adc_oracle_sql()). Output: (query_id, neighbor_id,
+    rank, adc_d2_ticks) — top-3 per query, ties by neighbor id (the
+    query itself ranks by its own quantization distortion)."""
+    from pyspark.sql import Window
+
+    e = _embs(spark, sf_dir)
+    cb = _pq_codebooks(spark, sf_dir)
+    codes = _pq_assign_frame(e, cb).select(
+        F.col("vec_id").alias("neighbor_id"), "subspace", "code"
+    )
+    lut = _pq_lut_frame(e.filter(F.col("vec_id") < _ADC_NQUERY), cb)
+    approx = (
+        codes.join(F.broadcast(lut), ["subspace", "code"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("d2").cast("bigint").alias("adc_d2_ticks"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        "adc_d2_ticks", "neighbor_id"
+    )
+    return (
+        approx.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= _ADC_TOPK)
+        .select("query_id", "neighbor_id", "rank", "adc_d2_ticks")
+    )
+
+
+def pq_adc_oracle_sql(
+    nquery: int = _ADC_NQUERY, topk: int = _ADC_TOPK
+) -> str:
+    """sim_search_pq_adc as one DuckDB text — the shared assign chain
+    read twice: `assign` as the corpus codes, `d2` (pre-argmin)
+    restricted to the query set as the LUT."""
+    return (
+        _pq_assign_sql()
+        + f""",
+    approx AS (
+      SELECT l.vec_id AS query_id, a.vec_id AS neighbor_id,
+             CAST(sum(l.d2) AS BIGINT) AS adc_d2_ticks
+      FROM assign a
+      JOIN d2 l ON l.subspace = a.subspace AND l.code = a.code
+      WHERE l.vec_id < {nquery}
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, adc_d2_ticks,
+             CAST(row_number() OVER (
+                    PARTITION BY query_id
+                    ORDER BY adc_d2_ticks, neighbor_id) AS INTEGER)
+               AS rank
+      FROM approx
+    )
+    SELECT query_id, neighbor_id, rank, adc_d2_ticks
+    FROM ranked WHERE rank <= {topk}
+    """
+    )
+
+
 # ---------------------------------------------------------- text analysis
 
 _STOPWORDS = ["the", "a", "of", "to", "and", "is", "in", "that", "it", "on"]

@@ -139,6 +139,60 @@ def test_pq_codes_plan_is_a_pure_map(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_pq_adc_matches_oracle(spark, duck_smoke):
+    from nyc_traffic_insight_spark.queries.textops import (
+        pq_adc_oracle_sql,
+        sim_search_pq_adc,
+    )
+
+    spdf = sim_search_pq_adc(spark, SF_SMOKE).toPandas()
+    odf = duck_smoke.execute(pq_adc_oracle_sql()).fetchdf()
+    compare(spdf, odf, "sim_search_pq_adc")
+
+
+def test_pq_adc_rank1_is_the_self_distortion(spark):
+    """Provable floor: for any x, adc(q, x) = Σ_m dist(q_m,
+    cb[code_m(x)]) ≥ Σ_m min_code dist(q_m, ·) = q's own assignment
+    distortion — so every query's rank-1 ADC distance must equal the
+    sum of its emb_pq_codes d2_ticks."""
+    from nyc_traffic_insight_spark.queries.textops import (
+        _ADC_NQUERY,
+        emb_pq_codes,
+        sim_search_pq_adc,
+    )
+
+    own = (
+        emb_pq_codes(spark, SF_SMOKE)
+        .toPandas()
+        .query(f"vec_id < {_ADC_NQUERY}")
+        .groupby("vec_id")["d2_ticks"]
+        .sum()
+    )
+    top = sim_search_pq_adc(spark, SF_SMOKE).toPandas()
+    r1 = top[top["rank"] == 1].set_index("query_id")["adc_d2_ticks"]
+    assert len(r1) == _ADC_NQUERY
+    for q, floor_d2 in own.items():
+        assert int(r1.loc[q]) == int(floor_d2), q
+
+
+def test_pq_adc_plan_is_flag_free(spark):
+    """The LUT (M·k rows per query) broadcasts onto the corpus codes:
+    no BNLJ, no cartesian, no single-partition exchange — the corpus
+    itself is only shuffled as (query, neighbor) partial sums."""
+    from nyc_traffic_insight_spark.queries.textops import sim_search_pq_adc
+
+    plan = (
+        sim_search_pq_adc(spark, SF_SMOKE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    own = plan.split("InMemoryTableScan")[0]
+    assert "Exchange SinglePartition" not in own
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_pq_distortion_plan_one_group_exchange(spark):
     """The audit adds exactly ONE hash exchange (the map-side
     combinable (subspace, code) groupBy) and no SinglePartition."""
