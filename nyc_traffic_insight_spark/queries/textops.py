@@ -2290,6 +2290,161 @@ def pq_adc_oracle_sql(
     )
 
 
+# --- IVF-PQ serving, composed end to end: the coarse quantizer
+# routes each query to its nprobe nearest cells (sim_search_ivf_topk's
+# machinery, identical expression spellings), and ADC scores ONLY the
+# vectors assigned there — the production path where the whole-corpus
+# ADC scan above is the baseline. Candidate volume shrinks by
+# ~|cells|/nprobe exactly as in the float IVF; the scored payload is
+# codes, not vectors. Self-matches are excluded (the IVF top-k
+# convention). Scale shape: the union of its parts — narrow coarse
+# assignment + narrow code assignment on the corpus side (neither
+# exchanges the corpus), the |Q|·nprobe probe table and the M·k-row
+# LUT broadcast, one candidate equi-join on cell, one partial-sum
+# groupBy, one per-query top-k window. UNREGISTERED round-13 late
+# preview; promotion (one @register with
+# oracle=ivfpq_oracle_sql()) targeted for r14.
+
+
+def pipeline_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN serving: coarse probe (nprobe=2 cells) + ADC
+    re-rank over the probed cells' PQ codes. Round-13 late preview
+    (promotion = one @register with oracle=ivfpq_oracle_sql()).
+    Output: (query_id, neighbor_id, rank, adc_d2_ticks) — top-3 per
+    query among probed cells, self excluded, ties by neighbor id."""
+    from pyspark.sql import Window
+
+    e = _embs(spark, sf_dir)
+    cb = _pq_codebooks(spark, sf_dir)
+    cells = _ivf_centroids(spark, sf_dir)
+    cent_arr = F.array(
+        *[
+            F.struct(
+                F.lit(cell).alias("cell"),
+                F.array(*[F.lit(v) for v in vec]).alias("cvec"),
+            )
+            for cell, vec in cells
+        ]
+    )
+
+    # the registered IVF operator's narrow cell ranking, same
+    # expression spelling (negated double cosine, ties by cell)
+    def ranked_cells(emb_col):
+        scored = F.transform(
+            F.col("cells"),
+            lambda c: F.struct(
+                (-_norm_dot(emb_col, c["cvec"])).alias("negcos"),
+                c["cell"].alias("cell"),
+            ),
+        )
+        return F.array_sort(scored)
+
+    with_cells = e.withColumn("cells", cent_arr)
+    coarse = with_cells.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.element_at(ranked_cells(F.col("embedding")), 1)["cell"].alias(
+            "cell"
+        ),
+    )
+    probes = (
+        with_cells.filter(F.col("vec_id") < _ADC_NQUERY)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.explode(
+                F.slice(ranked_cells(F.col("embedding")), 1, _NPROBE)
+            ).alias("pc"),
+        )
+        .select("query_id", F.col("pc")["cell"].alias("cell"))
+    )
+    cand = (
+        coarse.join(F.broadcast(probes), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+    )
+    codes = _pq_assign_frame(e, cb).select(
+        F.col("vec_id").alias("neighbor_id"), "subspace", "code"
+    )
+    lut = _pq_lut_frame(e.filter(F.col("vec_id") < _ADC_NQUERY), cb)
+    approx = (
+        cand.join(codes, "neighbor_id")
+        .join(F.broadcast(lut), ["query_id", "subspace", "code"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("d2").cast("bigint").alias("adc_d2_ticks"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        "adc_d2_ticks", "neighbor_id"
+    )
+    return (
+        approx.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= _ADC_TOPK)
+        .select("query_id", "neighbor_id", "rank", "adc_d2_ticks")
+    )
+
+
+def ivfpq_oracle_sql(
+    nquery: int = _ADC_NQUERY, topk: int = _ADC_TOPK, nprobe: int = None
+) -> str:
+    """pipeline_ann_ivfpq as one DuckDB text — the shared PQ assign
+    chain (corpus codes + the pre-argmin d2 LUT) extended with the
+    IVF coarse CTEs (identical spellings to sim_search_ivf_topk's
+    oracle, reading `cent` back from the shared chain)."""
+    np_ = _NPROBE if nprobe is None else nprobe
+    return (
+        _pq_assign_sql()
+        + f""",
+    centroids AS (
+      SELECT code AS cell, list(c ORDER BY pos) AS cvec
+      FROM cent GROUP BY code
+    ),
+    coarse AS (
+      SELECT vec_id, cell FROM (
+        SELECT e.vec_id, c.cell,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY list_cosine_similarity(e.embedding::DOUBLE[],
+                                                 c.cvec) DESC, c.cell) AS rn
+        FROM embeddings e, centroids c
+      ) WHERE rn = 1
+    ),
+    probes AS (
+      SELECT vec_id AS query_id, cell FROM (
+        SELECT e.vec_id, c.cell,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY list_cosine_similarity(e.embedding::DOUBLE[],
+                                                 c.cvec) DESC, c.cell) AS rn
+        FROM embeddings e, centroids c
+        WHERE e.vec_id < {nquery}
+      ) WHERE rn <= {np_}
+    ),
+    cand AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id
+      FROM probes p JOIN coarse a ON a.cell = p.cell
+      WHERE a.vec_id <> p.query_id
+    ),
+    approx AS (
+      SELECT cd.query_id, cd.neighbor_id,
+             CAST(sum(l.d2) AS BIGINT) AS adc_d2_ticks
+      FROM cand cd
+      JOIN assign x ON x.vec_id = cd.neighbor_id
+      JOIN d2 l ON l.vec_id = cd.query_id
+               AND l.subspace = x.subspace AND l.code = x.code
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, adc_d2_ticks,
+             CAST(row_number() OVER (
+                    PARTITION BY query_id
+                    ORDER BY adc_d2_ticks, neighbor_id) AS INTEGER)
+               AS rank
+      FROM approx
+    )
+    SELECT query_id, neighbor_id, rank, adc_d2_ticks
+    FROM ranked WHERE rank <= {topk}
+    """
+    )
+
+
 # ---------------------------------------------------------- text analysis
 
 _STOPWORDS = ["the", "a", "of", "to", "and", "is", "in", "that", "it", "on"]

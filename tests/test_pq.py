@@ -193,6 +193,69 @@ def test_pq_adc_plan_is_flag_free(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_ivfpq_matches_oracle(spark, duck_smoke):
+    from nyc_traffic_insight_spark.queries.textops import (
+        ivfpq_oracle_sql,
+        pipeline_ann_ivfpq,
+    )
+
+    spdf = pipeline_ann_ivfpq(spark, SF_SMOKE).toPandas()
+    odf = duck_smoke.execute(ivfpq_oracle_sql()).fetchdf()
+    compare(spdf, odf, "pipeline_ann_ivfpq")
+
+
+def test_ivfpq_structure_and_adc_consistency(spark):
+    """Shape: 3 ranked rows per query, no self-matches, distances
+    non-decreasing with rank. Consistency: IVF-PQ and the full-scan
+    ADC baseline run the SAME distance machine, so any (query,
+    neighbor) pair appearing in both top-k lists must carry the
+    identical adc_d2_ticks."""
+    from nyc_traffic_insight_spark.queries.textops import (
+        _ADC_NQUERY,
+        _ADC_TOPK,
+        pipeline_ann_ivfpq,
+        sim_search_pq_adc,
+    )
+
+    ivf = pipeline_ann_ivfpq(spark, SF_SMOKE).toPandas()
+    assert len(ivf) == _ADC_NQUERY * _ADC_TOPK
+    assert (ivf["query_id"] != ivf["neighbor_id"]).all()
+    for _, g in ivf.groupby("query_id"):
+        g = g.sort_values("rank")
+        assert list(g["rank"]) == list(range(1, _ADC_TOPK + 1))
+        assert g["adc_d2_ticks"].is_monotonic_increasing
+    adc = sim_search_pq_adc(spark, SF_SMOKE).toPandas()
+    both = ivf.merge(
+        adc,
+        on=["query_id", "neighbor_id"],
+        suffixes=("_ivf", "_adc"),
+    )
+    assert len(both) > 0, "top-k lists never overlap — vacuous check"
+    assert (
+        both["adc_d2_ticks_ivf"] == both["adc_d2_ticks_adc"]
+    ).all()
+
+
+def test_ivfpq_plan_is_flag_free(spark):
+    """The composed plan inherits its parts' shapes: narrow coarse +
+    code assignment, broadcast probes and LUT — no BNLJ, cartesian,
+    or single-partition exchange anywhere."""
+    from nyc_traffic_insight_spark.queries.textops import (
+        pipeline_ann_ivfpq,
+    )
+
+    plan = (
+        pipeline_ann_ivfpq(spark, SF_SMOKE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    own = plan.split("InMemoryTableScan")[0]
+    assert "Exchange SinglePartition" not in own
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_pq_distortion_plan_one_group_exchange(spark):
     """The audit adds exactly ONE hash exchange (the map-side
     combinable (subspace, code) groupBy) and no SinglePartition."""

@@ -51,6 +51,8 @@ def _previews():
     from nyc_traffic_insight_spark.queries.textops import (
         dedup_retention_oracle_sql,
         emb_pq_codes,
+        ivfpq_oracle_sql,
+        pipeline_ann_ivfpq,
         pq_adc_oracle_sql,
         pq_codes_oracle_sql,
         pq_distortion_oracle_sql,
@@ -63,6 +65,7 @@ def _previews():
         ("emb_pq_codes", emb_pq_codes, pq_codes_oracle_sql()),
         ("qa_pq_distortion", qa_pq_distortion, pq_distortion_oracle_sql()),
         ("sim_search_pq_adc", sim_search_pq_adc, pq_adc_oracle_sql()),
+        ("pipeline_ann_ivfpq", pipeline_ann_ivfpq, ivfpq_oracle_sql()),
         ("qa_dedup_retention", qa_dedup_retention, dedup_retention_oracle_sql()),
         (
             "sample_curriculum_order",
