@@ -3601,6 +3601,162 @@ register(
 )(qa_contamination_rate)
 
 
+# ------------- DSIR importance weights (round-13 late preview)
+#
+# Data Selection via Importance Resampling (Xie et al. 2023): score
+# every training document by how target-domain-like it is, as the
+# log importance ratio of two hashed-unigram bag-of-words models —
+# log w(doc) = Σ_occurrences [ln p_target(b) − ln q_train(b)] over
+# the word's hash BUCKET b. The bucket table is FIXED at B=4096 rows
+# (the paper's hashed-feature trick), so the feature space is bounded
+# at ANY corpus size — raw-word vocabularies are not. "Target" is
+# the catalog's standing eval slice (doc_id % _DECON_EVAL_MOD == 0);
+# a real run points it at a quality corpus sample. Laplace-smoothed:
+# p(b) = (tc_b+1)/(N_t+B), q(b) = (qc_b+1)/(N_q+B).
+#
+# Determinism: the per-bucket log-ratio is ONE shared expression over
+# BIGINT counts — ln of integer-valued doubles, the lm_score
+# exactness class (stable across engines for integer inputs; the
+# tick quantization additionally tolerates sub-half-tick ulps) —
+# quantized to 1e-6 ticks, and the per-doc weight is the order-free
+# BIGINT tick sum (the ADVICE-r11 pattern, applied from birth).
+# Scale shape: one map-side-combinable bucket groupBy (B-row table),
+# one accounted one-row totals merge broadcast back, then one narrow
+# broadcast join on the token stream + the per-doc groupBy — exactly
+# lm_score_perplexity's accounted shapes. UNREGISTERED round-13 late
+# preview; promotion (one @register with
+# oracle=dsir_oracle_sql()) targeted for r14.
+
+_DSIR_B = 4096  # hashed-feature buckets (fixed at any corpus size)
+
+
+def _dsir_bucket_col():
+    """Word → bucket: the catalog's md5 64-bit hash (the minhash
+    spelling) mod B — nonnegative, identical in both engines."""
+    return (
+        F.conv(F.substring(F.md5("w"), 1, 15), 16, 10).cast("bigint")
+        % _DSIR_B
+    )
+
+
+def text_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR log importance weight per TRAIN document against the eval
+    slice as the target domain. Round-13 late preview (promotion =
+    one @register with oracle=dsir_oracle_sql()). Output: (doc_id,
+    n_tokens, log_weight) — higher = more target-like."""
+    return _dsir_frame(_docs(spark, sf_dir))
+
+
+def _dsir_frame(d: DataFrame) -> DataFrame:
+    """The DSIR machine over a (doc_id, text) frame — factored so the
+    synthetic direction test can feed a corpus with known target
+    words."""
+    is_target = F.col("doc_id") % _DECON_EVAL_MOD == 0
+    toks = (
+        d.select(
+            "doc_id",
+            is_target.alias("is_target"),
+            F.explode(
+                F.split(F.lower(F.trim("text")), r"\s+")
+            ).alias("w"),
+        )
+        .filter(F.col("w") != "")
+        .select("doc_id", "is_target", _dsir_bucket_col().alias("b"))
+    )
+    counts = toks.groupBy("b").agg(
+        F.sum(F.when(F.col("is_target"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("tc"),
+        F.sum(F.when(F.col("is_target"), 0).otherwise(1))
+        .cast("bigint")
+        .alias("qc"),
+    )
+    tot = counts.agg(
+        F.sum("tc").cast("bigint").alias("nt"),
+        F.sum("qc").cast("bigint").alias("nq"),
+    )
+    # ln(tc+1) - ln(nt+B) - ln(qc+1) + ln(nq+B), left-associated —
+    # the identical parse shape as the oracle text
+    lr = (
+        F.log(F.col("tc") + 1)
+        - F.log(F.col("nt") + F.lit(float(_DSIR_B)))
+        - F.log(F.col("qc") + 1)
+        + F.log(F.col("nq") + F.lit(float(_DSIR_B)))
+    )
+    ratio = counts.crossJoin(F.broadcast(tot)).select(
+        "b",
+        F.floor(lr * 1e6 + F.lit(0.5)).cast("bigint").alias("ticks"),
+    )
+    # 4dp readout computed IN TICK SPACE: floor((S+50)/100) is the
+    # half-up 4dp rounding of S·1e-6 done in exact integer artihmetic
+    # — the naive r4(S/1e6) spelling flipped on exact half-tick
+    # boundaries (S ending in 50) because the two engines fold the
+    # /1e6·1e4 chain differently (caught at sf0.001 doc 70: Spark
+    # -93.7732 vs DuckDB -93.7731 from S = -93,773,150). (S+50)/100.0
+    # is exact whenever the true quotient is integral (numerator <
+    # 2^53), so the boundary case cannot flip.
+    w4 = (
+        F.floor((F.sum("ticks") + F.lit(50)) / F.lit(100.0)).cast(
+            "bigint"
+        )
+        / F.lit(10000.0)
+    )
+    return (
+        toks.filter(~F.col("is_target"))
+        .join(F.broadcast(ratio), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            w4.alias("log_weight"),
+        )
+    )
+
+
+def dsir_oracle_sql(table: str = "documents") -> str:
+    """text_dsir_weights as one DuckDB text — identical bucket hash,
+    identical left-associated log-ratio expression, tick sums, and
+    the tick-space 4dp readout (see the builder's boundary note)."""
+    m, bb = _DECON_EVAL_MOD, _DSIR_B
+    return rf"""
+    WITH words AS (
+      SELECT doc_id, doc_id % {m} = 0 AS is_target,
+             unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS w
+      FROM {table}
+    ),
+    toks AS (
+      SELECT doc_id, is_target,
+             ('0x' || substr(md5(w), 1, 15))::BIGINT % {bb} AS b
+      FROM words WHERE w <> ''
+    ),
+    counts AS (
+      SELECT b,
+             CAST(sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS BIGINT)
+               AS tc,
+             CAST(sum(CASE WHEN is_target THEN 0 ELSE 1 END) AS BIGINT)
+               AS qc
+      FROM toks GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(sum(tc) AS BIGINT) AS nt,
+             CAST(sum(qc) AS BIGINT) AS nq
+      FROM counts
+    ),
+    ratio AS (
+      SELECT b,
+             CAST(floor((ln(tc + 1) - ln(nt + {bb}.0) - ln(qc + 1)
+                         + ln(nq + {bb}.0)) * 1e6 + 0.5) AS BIGINT)
+               AS ticks
+      FROM counts CROSS JOIN tot
+    )
+    SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(floor((sum(r.ticks) + 50) / 100.0) AS BIGINT) / 10000.0
+             AS log_weight
+    FROM toks t JOIN ratio r ON r.b = t.b
+    WHERE NOT t.is_target
+    GROUP BY 1
+    """
+
+
 @register(
     "text_decontaminate",
     survey="north-star: train/eval n-gram decontamination (overlap join "

@@ -50,6 +50,7 @@ def _previews():
     )
     from nyc_traffic_insight_spark.queries.textops import (
         dedup_retention_oracle_sql,
+        dsir_oracle_sql,
         emb_pq_codes,
         ivfpq_oracle_sql,
         pipeline_ann_ivfpq,
@@ -59,6 +60,7 @@ def _previews():
         qa_dedup_retention,
         qa_pq_distortion,
         sim_search_pq_adc,
+        text_dsir_weights,
     )
 
     return [
@@ -67,6 +69,7 @@ def _previews():
         ("sim_search_pq_adc", sim_search_pq_adc, pq_adc_oracle_sql()),
         ("pipeline_ann_ivfpq", pipeline_ann_ivfpq, ivfpq_oracle_sql()),
         ("qa_dedup_retention", qa_dedup_retention, dedup_retention_oracle_sql()),
+        ("text_dsir_weights", text_dsir_weights, dsir_oracle_sql()),
         (
             "sample_curriculum_order",
             sample_curriculum_order,
