@@ -119,12 +119,24 @@ def test_pq_synthetic_codebook_exact_and_tiebreak(spark):
     assert (v2.code == 0).all() and (v2.d2_ticks == _PQ_SUB).all()
 
 
+def _non_cache_exchanges(plan: str) -> int:
+    """Exchanges in the operator's own plan segment, excluding the
+    source-widening artifacts. Two cache states occur in-suite: with
+    the _embs persist live, its REPARTITION renders under
+    InMemoryRelation (below InMemoryTableScan — the test_doc_claims
+    gotcha); after some earlier test clears the Spark cache, the same
+    RoundRobin repartition renders INLINE. Count only exchanges above
+    any InMemoryTableScan that are not the RoundRobin widening."""
+    own = plan.split("InMemoryTableScan")[0]
+    return own.count("Exchange") - own.count(
+        "Exchange RoundRobinPartitioning"
+    )
+
+
 def test_pq_codes_plan_is_a_pure_map(spark):
     """The assignment operator adds NO exchange of any kind: the plan
-    above the cached embeddings relation is scan -> project ->
-    generate. (The cached _embs child renders its own REPARTITION
-    exchanges inside InMemoryRelation — the test_doc_claims gotcha —
-    so the contract is pinned on the operator's own segment.)"""
+    above the (possibly uncached) embeddings source is scan ->
+    project -> generate."""
     from nyc_traffic_insight_spark.queries.textops import emb_pq_codes
 
     plan = (
@@ -133,8 +145,7 @@ def test_pq_codes_plan_is_a_pure_map(spark):
         .executedPlan()
         .toString()
     )
-    own = plan.split("InMemoryTableScan")[0]
-    assert "Exchange" not in own, f"pure-map contract broken:\n{own}"
+    assert _non_cache_exchanges(plan) == 0, f"pure-map contract broken:\n{plan[:3000]}"
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
 
@@ -267,6 +278,5 @@ def test_pq_distortion_plan_one_group_exchange(spark):
         .executedPlan()
         .toString()
     )
-    own = plan.split("InMemoryTableScan")[0]
-    assert own.count("Exchange") == 1, f"expected 1 exchange:\n{own}"
-    assert "Exchange SinglePartition" not in own
+    assert _non_cache_exchanges(plan) == 1, f"expected 1 exchange:\n{plan[:3000]}"
+    assert "Exchange SinglePartition" not in plan.split("InMemoryTableScan")[0]
