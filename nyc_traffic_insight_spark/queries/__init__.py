@@ -45,8 +45,18 @@ class QuerySpec:
 REGISTRY: dict[str, QuerySpec] = {}
 
 
-def register(name: str, oracle: str | None = None, survey: str = ""):
-    """Decorator: add a query to the catalog."""
+def register(name: str, oracle=None, survey: str = ""):
+    """Decorator: add a query to the catalog.
+
+    ``oracle`` is the DuckDB SQL text, ``None`` (rows-only check), or
+    a ZERO-ARG CALLABLE returning the text. The callable form renders
+    LAZILY in ``load_all()`` after every catalog module has imported —
+    use it whenever the oracle text interpolates a constant defined
+    later in the module or composes another module's fragments
+    (eager rendering there forces fragile placement workarounds:
+    the r13 review found a register call exiled 2,400 lines from its
+    builder and a comment-enforced section ordering, both of which
+    this mechanism removes)."""
 
     def deco(fn: Builder) -> Builder:
         if name in REGISTRY:
@@ -162,6 +172,17 @@ def load_all() -> dict[str, QuerySpec]:
         behaviorq,
         core,
     )
+
+    # render lazy (callable) oracles now — every module is imported,
+    # so cross-module fragments and late-defined constants resolve
+    for n, s in list(REGISTRY.items()):
+        if callable(s.oracle):
+            REGISTRY[n] = QuerySpec(
+                name=s.name,
+                builder=s.builder,
+                oracle=s.oracle(),
+                survey=s.survey,
+            )
 
     unknown = set(_CHECK_FIRST) - REGISTRY.keys()
     if unknown:

@@ -947,15 +947,16 @@ def sketch_hll_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------- epoch-shuffle loader order (round-13 preview)
 #
-# PLACEMENT CONSTRAINT: this section must stay ABOVE the UniMax
-# corpus pipeline's register call. That call builds its oracle by
-# importing textops, whose own module body registers
-# pipeline_pretrain_order by importing THIS module's
-# epoch_shuffle_oracle_sql back — so whichever of the two modules is
-# imported first, the shuffle oracle must already be defined when
-# samplingq's first textops-importing register executes (caught by
-# an import-samplingq-first smoke after the r13 promotions; load_all
-# masks it by always importing textops first).
+# Placement note: this section once HAD to sit above the UniMax
+# corpus pipeline's register call — that call builds its oracle by
+# importing textops, whose module body used to eagerly render
+# pipeline_pretrain_order's oracle by importing THIS module's
+# epoch_shuffle_oracle_sql back (importing samplingq first then
+# failed unless the shuffle oracle was already defined). The r13
+# review made that oracle LAZY (rendered in load_all after all
+# imports), dissolving the constraint; the section order is kept,
+# and tests/test_compare_harness.py pins the samplingq-first import
+# in a subprocess so the whole class stays caught.
 #
 # The LAST deterministic step before tokens hit the trainer: a fresh
 # global shuffle of the corpus every epoch, reproducible across

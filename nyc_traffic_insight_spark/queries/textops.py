@@ -1219,10 +1219,17 @@ def contamination_rate_oracle_sql() -> str:
     )
 
 
-# qa_contamination_rate's register call lives next to the
-# _DECON_EVAL_MOD constant its oracle text interpolates (defined in
-# the decontamination section below — an eager call here would hit
-# the name before module evaluation reaches it).
+# r13 promotion of the r13 preview — register call after the oracle.
+# The oracle is LAZY: its text interpolates _DECON_EVAL_MOD, defined
+# in the decontamination section below; load_all renders it after the
+# whole module has evaluated (this call originally had to live 2,400
+# lines away next to the constant — r13 review #4).
+register(
+    "qa_contamination_rate",
+    oracle=contamination_rate_oracle_sql,
+    survey="north-star: corpus-level eval-contamination rate "
+    "(n-gram-level + doc-level, model-card headline)",
+)(qa_contamination_rate)
 
 
 def _zipf_select(sums: str) -> str:
@@ -1627,6 +1634,55 @@ def _ivf_centroids(spark: SparkSession, sf_dir: str) -> list:
 _IVF_CENTROID_CACHE: dict[tuple[str, str], list] = {}
 
 
+def _ivf_cent_arr(cells: list) -> F.Column:
+    """The centroid literal — array<struct<cell, cvec>> from the
+    _ivf_centroids artifact. ONE spelling for every consumer
+    (sim_search_ivf_topk, qa_ivf_index_audit, pipeline_ann_ivfpq),
+    extracted in the r13 review pass so the coarse quantizer cannot
+    drift between the index and the operators composed on it."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(cell).alias("cell"),
+                F.array(*[F.lit(v) for v in vec]).alias("cvec"),
+            )
+            for cell, vec in cells
+        ]
+    )
+
+
+def _ivf_ranked_cells(emb_col) -> F.Column:
+    """Per-vector cell ranking, fully narrow: score all k cells from
+    the bound `cells` literal column, sort by (-cos, cell) ascending
+    == (cos DESC, cell ASC) — negation of a double is exact, so the
+    tie-break order matches the oracles' window ORDER BY
+    bit-for-bit. ONE spelling for every consumer (see
+    _ivf_cent_arr)."""
+    scored = F.transform(
+        F.col("cells"),
+        lambda c: F.struct(
+            (-_norm_dot(emb_col, c["cvec"])).alias("negcos"),
+            c["cell"].alias("cell"),
+        ),
+    )
+    return F.array_sort(scored)
+
+
+# The oracle-side twin of _ivf_ranked_cells: the coarse-ranking
+# window over an `embeddings e, centroids c` product — ONE SQL
+# spelling shared by sim_search_ivf_topk's oracle (both its assign
+# and probes CTEs) and pipeline_ann_ivfpq's (coarse and probes), so
+# the cell routing cannot drift between the index and anything
+# composed on it (r13 review #1).
+_IVF_RANK_SQL = (
+    "row_number() OVER (\n"
+    "                 PARTITION BY e.vec_id\n"
+    "                 ORDER BY list_cosine_similarity("
+    "e.embedding::DOUBLE[], c.cvec)\n"
+    "                          DESC, c.cell) AS rn"
+)
+
+
 @register(
     "sim_search_ivf_topk",
     survey="north-star: IVF ANN — coarse centroids, nprobe cells, in-cell top-k",
@@ -1647,20 +1703,14 @@ _IVF_CENTROID_CACHE: dict[tuple[str, str], list] = {}
     assign AS (
       SELECT vec_id, cell, embedding, rn FROM (
         SELECT e.vec_id, c.cell, e.embedding,
-               row_number() OVER (
-                 PARTITION BY e.vec_id
-                 ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cvec)
-                          DESC, c.cell) AS rn
+               {_IVF_RANK_SQL}
         FROM embeddings e, centroids c
       ) WHERE rn = 1
     ),
     probes AS (
       SELECT vec_id AS query_id, cell, embedding AS q_emb, rn FROM (
         SELECT e.vec_id, c.cell, e.embedding,
-               row_number() OVER (
-                 PARTITION BY e.vec_id
-                 ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cvec)
-                          DESC, c.cell) AS rn
+               {_IVF_RANK_SQL}
         FROM embeddings e, centroids c
         WHERE e.vec_id < 5
       ) WHERE rn <= {_NPROBE}
@@ -1723,35 +1773,13 @@ def sim_search_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # queries — and it removes the per-query centroid job + broadcast
     # exchange from the critical path.
     cells = _ivf_centroids(spark, sf_dir)
-    cent_arr = F.array(
-        *[
-            F.struct(
-                F.lit(cell).alias("cell"),
-                F.array(*[F.lit(v) for v in vec]).alias("cvec"),
-            )
-            for cell, vec in cells
-        ]
-    )
-
-    # Per-vector cell ranking, fully narrow: score all k cells, sort by
-    # (-cos, cell) ascending == (cos DESC, cell ASC) — negation of a
-    # double is exact, so the tie-break order matches the oracle's
-    # window ORDER BY bit-for-bit.
-    def ranked_cells(emb_col):
-        scored = F.transform(
-            F.col("cells"),
-            lambda c: F.struct(
-                (-_norm_dot(emb_col, c["cvec"])).alias("negcos"),
-                c["cell"].alias("cell"),
-            ),
-        )
-        return F.array_sort(scored)
-
-    with_cells = e.withColumn("cells", cent_arr)
+    # shared spellings: _ivf_cent_arr / _ivf_ranked_cells (one
+    # expression for every consumer of the coarse quantizer)
+    with_cells = e.withColumn("cells", _ivf_cent_arr(cells))
     assign = with_cells.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("c_emb"),
-        F.element_at(ranked_cells(F.col("embedding")), 1)["cell"].alias("cell"),
+        F.element_at(_ivf_ranked_cells(F.col("embedding")), 1)["cell"].alias("cell"),
     )
     probes = (
         with_cells.filter(F.col("vec_id") < 5)
@@ -1759,7 +1787,7 @@ def sim_search_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vec_id").alias("query_id"),
             F.col("embedding").alias("q_emb"),
             F.explode(
-                F.slice(ranked_cells(F.col("embedding")), 1, _NPROBE)
+                F.slice(_ivf_ranked_cells(F.col("embedding")), 1, _NPROBE)
             ).alias("pc"),
         )
         .select("query_id", "q_emb", F.col("pc")["cell"].alias("cell"))
@@ -1818,26 +1846,9 @@ def qa_ivf_index_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = _embs(spark, sf_dir)
     cells = _ivf_centroids(spark, sf_dir)
-    cent_arr = F.array(
-        *[
-            F.struct(
-                F.lit(cell).alias("cell"),
-                F.array(*[F.lit(v) for v in vec]).alias("cvec"),
-            )
-            for cell, vec in cells
-        ]
-    )
-    scored = F.array_sort(
-        F.transform(
-            F.col("cells"),
-            lambda c: F.struct(
-                (-_norm_dot(F.col("embedding"), c["cvec"])).alias("negcos"),
-                c["cell"].alias("cell"),
-            ),
-        )
-    )
-    best = F.element_at(scored, 1)
-    assign = e.withColumn("cells", cent_arr).select(
+    # shared spellings: _ivf_cent_arr / _ivf_ranked_cells
+    best = F.element_at(_ivf_ranked_cells(F.col("embedding")), 1)
+    assign = e.withColumn("cells", _ivf_cent_arr(cells)).select(
         best["cell"].alias("cell"),
         (-best["negcos"]).alias("cos_own"),
     )
@@ -2003,35 +2014,44 @@ def _pq_codebooks(spark: SparkSession, sf_dir: str) -> list:
     ]
 
 
+def _pq_ticks_of(col) -> F.Column:
+    """1e-6-tick quantization of an array<float> subvector — ONE
+    spelling for the assign machine and the ADC LUT (r13 review:
+    the expression that must stay bit-identical everywhere)."""
+    return F.transform(
+        col,
+        lambda v: F.floor(v.cast("double") * 1e6 + F.lit(0.5)).cast(
+            "long"
+        ),
+    )
+
+
+def _pq_tick_d2(tx, tick_vec: list) -> F.Column:
+    """BIGINT squared tick distance between a tick-array column and a
+    literal codebook entry — ONE spelling (see _pq_ticks_of)."""
+    return F.aggregate(
+        F.zip_with(
+            tx,
+            F.array(*[F.lit(t) for t in tick_vec]),
+            lambda a, b: (a - b) * (a - b),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
 def _pq_assign_frame(e: DataFrame, codebooks: list) -> DataFrame:
     """PQ code assignment over a (vec_id, embedding) frame: one row
     per (vec_id, subspace) — (vec_id, subspace, code, d2_ticks),
     d2_ticks the squared tick-space distance to the chosen code.
     Narrow end to end: zero exchanges."""
-
-    def ticks_of(col):
-        return F.transform(
-            col,
-            lambda v: F.floor(v.cast("double") * 1e6 + F.lit(0.5)).cast(
-                "long"
-            ),
-        )
-
     per_sub = []
     for m, codes in enumerate(codebooks):
-        tx = ticks_of(F.slice("embedding", m * _PQ_SUB + 1, _PQ_SUB))
+        tx = _pq_ticks_of(F.slice("embedding", m * _PQ_SUB + 1, _PQ_SUB))
         scored = F.array(
             *[
                 F.struct(
-                    F.aggregate(
-                        F.zip_with(
-                            tx,
-                            F.array(*[F.lit(t) for t in tick_vec]),
-                            lambda a, b: (a - b) * (a - b),
-                        ),
-                        F.lit(0).cast("long"),
-                        lambda acc, v: acc + v,
-                    ).alias("d2"),
+                    _pq_tick_d2(tx, tick_vec).alias("d2"),
                     F.lit(code).alias("code"),
                 )
                 for code, tick_vec in codes
@@ -2189,33 +2209,18 @@ _ADC_TOPK = 3
 def _pq_lut_frame(e: DataFrame, codebooks: list) -> DataFrame:
     """All-code tick distances for the query set: one row per
     (query_id, subspace, code) — the in-row explode of the assign
-    machine WITHOUT its argmin (M·k rows per query)."""
-
-    def ticks_of(col):
-        return F.transform(
-            col,
-            lambda v: F.floor(v.cast("double") * 1e6 + F.lit(0.5)).cast(
-                "long"
-            ),
-        )
-
+    machine WITHOUT its argmin (M·k rows per query). Distances via
+    the SHARED _pq_ticks_of / _pq_tick_d2 spellings — the assign/LUT
+    identity test_pq_adc_rank1_is_the_self_distortion relies on."""
     entries = []
     for m, codes in enumerate(codebooks):
-        tx = ticks_of(F.slice("embedding", m * _PQ_SUB + 1, _PQ_SUB))
+        tx = _pq_ticks_of(F.slice("embedding", m * _PQ_SUB + 1, _PQ_SUB))
         for code, tick_vec in codes:
             entries.append(
                 F.struct(
                     F.lit(m).alias("subspace"),
                     F.lit(code).alias("code"),
-                    F.aggregate(
-                        F.zip_with(
-                            tx,
-                            F.array(*[F.lit(t) for t in tick_vec]),
-                            lambda a, b: (a - b) * (a - b),
-                        ),
-                        F.lit(0).cast("long"),
-                        lambda acc, v: acc + v,
-                    ).alias("d2"),
+                    _pq_tick_d2(tx, tick_vec).alias("d2"),
                 )
             )
     return e.select(
@@ -2317,32 +2322,13 @@ def pipeline_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _embs(spark, sf_dir)
     cb = _pq_codebooks(spark, sf_dir)
     cells = _ivf_centroids(spark, sf_dir)
-    cent_arr = F.array(
-        *[
-            F.struct(
-                F.lit(cell).alias("cell"),
-                F.array(*[F.lit(v) for v in vec]).alias("cvec"),
-            )
-            for cell, vec in cells
-        ]
-    )
-
-    # the registered IVF operator's narrow cell ranking, same
-    # expression spelling (negated double cosine, ties by cell)
-    def ranked_cells(emb_col):
-        scored = F.transform(
-            F.col("cells"),
-            lambda c: F.struct(
-                (-_norm_dot(emb_col, c["cvec"])).alias("negcos"),
-                c["cell"].alias("cell"),
-            ),
-        )
-        return F.array_sort(scored)
-
-    with_cells = e.withColumn("cells", cent_arr)
+    # the registered IVF operator's narrow cell ranking — the SHARED
+    # _ivf_cent_arr / _ivf_ranked_cells spellings (r13 review: three
+    # hand-copies consolidated so the composition cannot drift)
+    with_cells = e.withColumn("cells", _ivf_cent_arr(cells))
     coarse = with_cells.select(
         F.col("vec_id").alias("neighbor_id"),
-        F.element_at(ranked_cells(F.col("embedding")), 1)["cell"].alias(
+        F.element_at(_ivf_ranked_cells(F.col("embedding")), 1)["cell"].alias(
             "cell"
         ),
     )
@@ -2351,7 +2337,7 @@ def pipeline_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("vec_id").alias("query_id"),
             F.explode(
-                F.slice(ranked_cells(F.col("embedding")), 1, _NPROBE)
+                F.slice(_ivf_ranked_cells(F.col("embedding")), 1, _NPROBE)
             ).alias("pc"),
         )
         .select("query_id", F.col("pc")["cell"].alias("cell"))
@@ -2399,20 +2385,14 @@ def ivfpq_oracle_sql(
     coarse AS (
       SELECT vec_id, cell FROM (
         SELECT e.vec_id, c.cell,
-               row_number() OVER (
-                 PARTITION BY e.vec_id
-                 ORDER BY list_cosine_similarity(e.embedding::DOUBLE[],
-                                                 c.cvec) DESC, c.cell) AS rn
+               {_IVF_RANK_SQL}
         FROM embeddings e, centroids c
       ) WHERE rn = 1
     ),
     probes AS (
       SELECT vec_id AS query_id, cell FROM (
         SELECT e.vec_id, c.cell,
-               row_number() OVER (
-                 PARTITION BY e.vec_id
-                 ORDER BY list_cosine_similarity(e.embedding::DOUBLE[],
-                                                 c.cvec) DESC, c.cell) AS rn
+               {_IVF_RANK_SQL}
         FROM embeddings e, centroids c
         WHERE e.vec_id < {nquery}
       ) WHERE rn <= {np_}
@@ -3588,19 +3568,6 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DECON_EVAL_MOD = 97
 
 
-# r13 promotion of the r13 corpus-health preview. The builder and
-# oracle live in the corpus-health trio section above; the register
-# call sits here because the oracle text interpolates
-# _DECON_EVAL_MOD, which module evaluation only reaches at this
-# point.
-register(
-    "qa_contamination_rate",
-    oracle=contamination_rate_oracle_sql(),
-    survey="north-star: corpus-level eval-contamination rate "
-    "(n-gram-level + doc-level, model-card headline)",
-)(qa_contamination_rate)
-
-
 # ------------- DSIR importance weights (round-13 late preview)
 #
 # Data Selection via Importance Resampling (Xie et al. 2023): score
@@ -4278,14 +4245,15 @@ def epoch_shuffle_oracle_import():
     return epoch_shuffle_oracle_sql
 
 
-# r13 promotion of the r13 preview. Building the oracle here imports
-# samplingq mid-textops-import, which is safe: samplingq reaches back
-# into textops only inside function bodies (no module-level import),
-# so there is no load cycle — load_all() just fills samplingq's
-# registry entries a moment earlier than its own import line.
+# r13 promotion of the r13 preview. The oracle is LAZY (rendered in
+# load_all after every module imports) because its text composes
+# samplingq's shuffle-oracle fragment — eager rendering here pulled
+# samplingq mid-textops-import and created an import-order trap
+# (importing samplingq first failed until its shuffle section was
+# placed above its own textops-importing register; r13 review #2/#4).
 register(
     "pipeline_pretrain_order",
-    oracle=pretrain_order_oracle_sql(),
+    oracle=pretrain_order_oracle_sql,
     survey="north-star: loader-order capstone — Gopher filter → "
     "context packing re-scoped to survivors → per-epoch shuffle",
 )(pipeline_pretrain_order)

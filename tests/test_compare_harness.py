@@ -46,6 +46,34 @@ def test_catches_null_flip():
         compare(bad, BASE, "null_flip")
 
 
+def test_samplingq_imports_standalone():
+    """Import samplingq FIRST in a fresh interpreter. load_all() (and
+    most of the suite) always imports textops before samplingq, so a
+    module-evaluation-order regression in the cross-module oracle
+    composition (samplingq's unimax register pulls textops; textops'
+    pretrain-order oracle reaches back) only surfaces for consumers
+    that import samplingq directly — exactly the ImportError the r13
+    promotions introduced and the lazy-oracle mechanism removed.
+    This subprocess pin keeps the whole class caught in CI."""
+    import os
+    import subprocess
+    import sys
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r = subprocess.run(
+        [
+            sys.executable,
+            "-c",
+            "import nyc_traffic_insight_spark.queries.samplingq",
+        ],
+        capture_output=True,
+        text=True,
+        cwd=root,
+        timeout=120,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+
+
 def test_rotation_front_names_all_exist():
     """load_all() silently skips _CHECK_FIRST names missing from the
     registry (`if n in REGISTRY`), so a typo would quietly drop a query
