@@ -141,6 +141,16 @@ HEADLINE = [
     # against earlier rounds.
     "pipeline_pretrain_order",
     "lm_score_kneser_ney",
+    # round 13 third wave: the seven late previews were promoted
+    # in-round; the two anchor-worthy entries join the perf gate —
+    # the composed IVF-PQ serving path (coarse probe + ADC over the
+    # probed lists, the ANN ladder's capstone) and the DSIR
+    # corpus-scoring pass (fixed-B bucket models broadcast onto the
+    # token stream — the lm_score-class shape). 43 -> 45 queries;
+    # the standing like-for-like subsets in BASELINE.md are
+    # unchanged — subtract these two against earlier rounds.
+    "pipeline_ann_ivfpq",
+    "text_dsir_weights",
 ]
 
 

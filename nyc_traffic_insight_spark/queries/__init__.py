@@ -80,16 +80,19 @@ def register(name: str, oracle=None, survey: str = ""):
 #   2. the TWELVE r13-preview promotions (never driver-checked;
 #      pre-verified the same way, 24/24 PASS, plus the adversarial
 #      local[8]/7-partition session sweep);
-#   3. the 30 oldest queries of the 46-query r7-stale tier,
-#      registration order (win_roll_mean_24 ... ml_segmented_model).
-# 8 + 12 + 30 = 50 fronted exactly; the 12-query r7-stale remainder
-# (ml_permutation_importance ... agg_cumulative_users) and the
+#   3. the SEVEN r13-LATE-preview promotions (never driver-checked;
+#      gate 14/14 at both SFs + the adversarial sweep 7/7 — promoted
+#      in-round rather than held to r14, same ranking rule);
+#   4. the 23 oldest queries of the 46-query r7-stale tier,
+#      registration order (win_roll_mean_24 ... ml_kmeans).
+# 8 + 12 + 7 + 23 = 50 fronted exactly; the 19-query r7-stale
+# remainder (sim_search_ivf_kmeans ... agg_cumulative_users) and the
 # 4-query r7 registration-order tail (report_pareto_deciles,
 # flagship_volume_features, split_random, layout_bucketed_join) roll
 # to r14 — flagship keeps every-round smoke evidence via entry()
-# regardless. After this round the staleness floor for everything
-# outside those 16 moves to r8. Everything else keeps standing r8+
-# evidence and registers last.
+# regardless. r14 front precompute: 19 + 4 + the 27 oldest r8-stale
+# = 50 exactly. Everything else keeps standing r8+ evidence and
+# registers last.
 _CHECK_FIRST = [
     # 1. r12-preview promotions (never driver-checked)
     "pack_context_windows",
@@ -113,7 +116,15 @@ _CHECK_FIRST = [
     "qa_contamination_rate",
     "qa_zipf_slope",
     "mm_dedup_phash",
-    # 3. r7-stale tier, registration order (30 oldest of 46)
+    # 3. r13-late-preview promotions (never driver-checked)
+    "emb_pq_codes",
+    "qa_pq_distortion",
+    "sim_search_pq_adc",
+    "pipeline_ann_ivfpq",
+    "qa_dedup_retention",
+    "sample_curriculum_order",
+    "text_dsir_weights",
+    # 4. r7-stale tier, registration order (23 oldest of 46)
     "win_roll_mean_24",
     "win_range_time",
     "win_seasonal_decompose",
@@ -137,13 +148,6 @@ _CHECK_FIRST = [
     "sim_search_bruteforce_topk",
     "sim_search_topk_vectorized",
     "ml_kmeans",
-    "sim_search_ivf_kmeans",
-    "dedup_connected_components",
-    "emb_covariance_matrix",
-    "emb_pca_project",
-    "text_bpe_pair_counts",
-    "pipeline_http_to_parquet",
-    "ml_segmented_model",
 ]
 
 

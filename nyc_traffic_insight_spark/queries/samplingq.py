@@ -1093,9 +1093,8 @@ register(
 # sort_bin through it would touch the freshly-anchored registered
 # shuffle for zero semantic gain (the _lsh_cands_geom precedent);
 # the equality-at-degenerate-key test pins the two machines equal
-# when every bin is 0 instead. UNREGISTERED round-13 late preview;
-# promotion (one @register with oracle=curriculum_oracle_sql())
-# targeted for r14.
+# when every bin is 0 instead. Registered late in r13 (the register
+# call follows curriculum_oracle_sql below).
 
 _CURRICULUM_EPOCHS = 2
 _CURRICULUM_BIN_W = 8  # words per length bin
@@ -1179,10 +1178,8 @@ def _curriculum_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sample_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Length-curriculum loader order over the documents table:
     epoch 0 short-to-long (hash-shuffled within each length bin),
-    epochs >= 1 the standard deterministic shuffle. Round-13 late
-    preview (promotion = one @register with
-    oracle=curriculum_oracle_sql()). Output: (epoch, doc_id, bin,
-    pos)."""
+    epochs >= 1 the standard deterministic shuffle (registered r13;
+    r13 late preview). Output: (epoch, doc_id, bin, pos)."""
     return _curriculum_frame(
         _curriculum_bins(spark, sf_dir), _CURRICULUM_EPOCHS, spark
     )
@@ -1217,6 +1214,15 @@ def curriculum_oracle_sql(
                   ORDER BY sort_bin, h, doc_id) - 1 AS BIGINT) AS pos
     FROM keyed
     """
+
+
+# r13 late promotion — register call after the oracle.
+register(
+    "sample_curriculum_order",
+    oracle=curriculum_oracle_sql,
+    survey="north-star: length-curriculum loader order (easy-first "
+    "epoch 0, plain shuffle after; two-phase composite-key rank)",
+)(sample_curriculum_order)
 
 
 # ------------- UniMax language-budget allocation (round-12 preview)

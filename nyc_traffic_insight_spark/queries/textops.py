@@ -860,17 +860,15 @@ register(
 # qa_lsh_recall_audit's number); the threshold fan-out is an IN-ROW
 # array filter + explode (≤3 extra rows per pair, narrow); the
 # rollup is one groupBy to 3 rows + the accounted one-row corpus
-# count. UNREGISTERED round-13 late preview; promotion (one
-# @register with oracle=dedup_retention_oracle_sql()) targeted for
-# r14.
+# count. Registered late in r13 (the register call follows
+# dedup_retention_oracle_sql below).
 
 _RETENTION_T10 = [5, 7, 9]  # Jaccard thresholds ×10
 
 
 def qa_dedup_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus retention after pair-rule dedup at each Jaccard
-    threshold. Round-13 late preview (promotion = one @register with
-    oracle=dedup_retention_oracle_sql()). Output: one row per
+    threshold (registered r13; r13 late preview). Output: one row per
     threshold — (threshold_x10, n_pairs, n_docs_removed, n_docs,
     retention_rate)."""
     sh = _shingle_sets_persisted(spark, sf_dir).select(
@@ -992,6 +990,15 @@ def dedup_retention_oracle_sql() -> str:
     CROSS JOIN nd
     """
     )
+
+
+# r13 late promotion — register call after the oracle.
+register(
+    "qa_dedup_retention",
+    oracle=dedup_retention_oracle_sql,
+    survey="north-star: dedup retention curve (corpus survival at "
+    "Jaccard 0.5/0.7/0.9, exact pair truth, integer tests)",
+)(qa_dedup_retention)
 
 
 # ------------- corpus-health QA trio (round-13 previews)
@@ -1982,9 +1989,9 @@ register(
 # subspace) assignment is a narrow array fold, and the long output is
 # an in-row posexplode: ZERO exchanges of any kind (test-pinned).
 # `qa_pq_distortion` (the index-QA path) adds exactly one
-# map-side-combinable groupBy to M·k rows. UNREGISTERED round-13
-# late previews; promotion (one @register each with the oracles
-# below) targeted for r14.
+# map-side-combinable groupBy to M·k rows. Registered late in r13
+# (each register call follows the oracle it captures; gate-verified
+# at both SFs + the adversarial session first).
 
 _PQ_M = 4
 _PQ_SUB = _DIM // _PQ_M
@@ -2079,9 +2086,9 @@ def _pq_assign_frame(e: DataFrame, codebooks: list) -> DataFrame:
 
 def emb_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization code assignment over the embeddings table
-    (the IVF-PQ index-build data path). Round-13 late preview
-    (promotion = one @register with oracle=pq_codes_oracle_sql()).
-    Output: (vec_id, subspace, code, d2_ticks) — M rows per vector."""
+    (the IVF-PQ index-build data path; registered r13, r13 late
+    preview). Output: (vec_id, subspace, code, d2_ticks) — M rows per
+    vector."""
     return _pq_assign_frame(
         _embs(spark, sf_dir), _pq_codebooks(spark, sf_dir)
     )
@@ -2140,12 +2147,20 @@ def pq_codes_oracle_sql() -> str:
     )
 
 
+# r13 late promotion — register call after the oracle.
+register(
+    "emb_pq_codes",
+    oracle=pq_codes_oracle_sql,
+    survey="north-star: product-quantization code assignment "
+    "(IVF-PQ index build; pure map, integer tick distances)",
+)(emb_pq_codes)
+
+
 def qa_pq_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ codebook-quality audit: one row per (subspace, code) —
     occupancy and the mean/max squared quantization distance in
-    original units (ticks² / 1e12). Round-13 late preview (promotion
-    = one @register with oracle=pq_distortion_oracle_sql()). Output:
-    (subspace, code, n_vectors, mean_sqdist, max_sqdist)."""
+    original units (ticks² / 1e12; registered r13, r13 late preview).
+    Output: (subspace, code, n_vectors, mean_sqdist, max_sqdist)."""
     codes = _pq_assign_frame(
         _embs(spark, sf_dir), _pq_codebooks(spark, sf_dir)
     )
@@ -2185,6 +2200,15 @@ def pq_distortion_oracle_sql() -> str:
     )
 
 
+# r13 late promotion — register call after the oracle.
+register(
+    "qa_pq_distortion",
+    oracle=pq_distortion_oracle_sql,
+    survey="north-star: PQ codebook-quality audit (per-(subspace, "
+    "code) occupancy + quantization distortion)",
+)(qa_pq_distortion)
+
+
 # --- ADC (asymmetric distance computation) search over the PQ codes:
 # the query stays exact, the corpus is its M codes, and the distance
 # is a LUT sum — sum over subspaces of dist(query_subvector,
@@ -2198,9 +2222,8 @@ def pq_distortion_oracle_sql() -> str:
 # shuffles are the (query, neighbor) partial-sum groupBy (n·|Q| short
 # integer rows) and the per-query top-k window. Every distance is the
 # assign chain's integer tick arithmetic — the oracle literally
-# reuses its d2 relation as the LUT. UNREGISTERED round-13 late
-# preview; promotion (one @register with
-# oracle=pq_adc_oracle_sql()) targeted for r14.
+# reuses its d2 relation as the LUT. Registered late in r13 (the
+# register call follows pq_adc_oracle_sql below).
 
 _ADC_NQUERY = 5  # query set: vec_id < 5, the sim_search convention
 _ADC_TOPK = 3
@@ -2236,11 +2259,11 @@ def _pq_lut_frame(e: DataFrame, codebooks: list) -> DataFrame:
 
 def sim_search_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ADC top-k over the PQ-compressed corpus: each query (vec_id <
-    5, exact) against every vector's M codes via the broadcast LUT.
-    Round-13 late preview (promotion = one @register with
-    oracle=pq_adc_oracle_sql()). Output: (query_id, neighbor_id,
-    rank, adc_d2_ticks) — top-3 per query, ties by neighbor id (the
-    query itself ranks by its own quantization distortion)."""
+    5, exact) against every vector's M codes via the broadcast LUT
+    (registered r13; r13 late preview). Output: (query_id,
+    neighbor_id, rank, adc_d2_ticks) — top-3 per query, ties by
+    neighbor id (the query itself ranks by its own quantization
+    distortion)."""
     from pyspark.sql import Window
 
     e = _embs(spark, sf_dir)
@@ -2295,6 +2318,15 @@ def pq_adc_oracle_sql(
     )
 
 
+# r13 late promotion — register call after the oracle.
+register(
+    "sim_search_pq_adc",
+    oracle=pq_adc_oracle_sql,
+    survey="north-star: ADC compressed-domain top-k over PQ codes "
+    "(labeled whole-corpus baseline; broadcast LUT)",
+)(sim_search_pq_adc)
+
+
 # --- IVF-PQ serving, composed end to end: the coarse quantizer
 # routes each query to its nprobe nearest cells (sim_search_ivf_topk's
 # machinery, identical expression spellings), and ADC scores ONLY the
@@ -2306,17 +2338,16 @@ def pq_adc_oracle_sql(
 # assignment + narrow code assignment on the corpus side (neither
 # exchanges the corpus), the |Q|·nprobe probe table and the M·k-row
 # LUT broadcast, one candidate equi-join on cell, one partial-sum
-# groupBy, one per-query top-k window. UNREGISTERED round-13 late
-# preview; promotion (one @register with
-# oracle=ivfpq_oracle_sql()) targeted for r14.
+# groupBy, one per-query top-k window. Registered late in r13 (the
+# register call follows ivfpq_oracle_sql below).
 
 
 def pipeline_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ ANN serving: coarse probe (nprobe=2 cells) + ADC
-    re-rank over the probed cells' PQ codes. Round-13 late preview
-    (promotion = one @register with oracle=ivfpq_oracle_sql()).
-    Output: (query_id, neighbor_id, rank, adc_d2_ticks) — top-3 per
-    query among probed cells, self excluded, ties by neighbor id."""
+    re-rank over the probed cells' PQ codes (registered r13; r13
+    late preview). Output: (query_id, neighbor_id, rank,
+    adc_d2_ticks) — top-3 per query among probed cells, self
+    excluded, ties by neighbor id."""
     from pyspark.sql import Window
 
     e = _embs(spark, sf_dir)
@@ -2423,6 +2454,15 @@ def ivfpq_oracle_sql(
     FROM ranked WHERE rank <= {topk}
     """
     )
+
+
+# r13 late promotion — register call after the oracle.
+register(
+    "pipeline_ann_ivfpq",
+    oracle=ivfpq_oracle_sql,
+    survey="north-star: IVF-PQ ANN serving composed (coarse probe + "
+    "ADC over probed inverted lists)",
+)(pipeline_ann_ivfpq)
 
 
 # ---------------------------------------------------------- text analysis
@@ -3590,9 +3630,8 @@ _DECON_EVAL_MOD = 97
 # Scale shape: one map-side-combinable bucket groupBy (B-row table),
 # one accounted one-row totals merge broadcast back, then one narrow
 # broadcast join on the token stream + the per-doc groupBy — exactly
-# lm_score_perplexity's accounted shapes. UNREGISTERED round-13 late
-# preview; promotion (one @register with
-# oracle=dsir_oracle_sql()) targeted for r14.
+# lm_score_perplexity's accounted shapes. Registered late in r13 (the
+# register call follows dsir_oracle_sql below).
 
 _DSIR_B = 4096  # hashed-feature buckets (fixed at any corpus size)
 
@@ -3608,9 +3647,9 @@ def _dsir_bucket_col():
 
 def text_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR log importance weight per TRAIN document against the eval
-    slice as the target domain. Round-13 late preview (promotion =
-    one @register with oracle=dsir_oracle_sql()). Output: (doc_id,
-    n_tokens, log_weight) — higher = more target-like."""
+    slice as the target domain (registered r13; r13 late preview).
+    Output: (doc_id, n_tokens, log_weight) — higher = more
+    target-like."""
     return _dsir_frame(_docs(spark, sf_dir))
 
 
@@ -3722,6 +3761,17 @@ def dsir_oracle_sql(table: str = "documents") -> str:
     WHERE NOT t.is_target
     GROUP BY 1
     """
+
+
+# r13 late promotion — register call after the oracle (lazy: the
+# text interpolates _DECON_EVAL_MOD, defined in the decontamination
+# section below).
+register(
+    "text_dsir_weights",
+    oracle=dsir_oracle_sql,
+    survey="north-star: DSIR importance weights (hashed-unigram "
+    "log ratio vs the eval slice; fixed B-bucket feature space)",
+)(text_dsir_weights)
 
 
 @register(

@@ -335,6 +335,18 @@ ALLOWED = {
     # four one-row aggregates crossJoined (the qa_freshness_audit
     # one-row-constant shape), each side exactly one row
     "qa_contamination_rate": {"single_partition", "bnlj"},
+    # --- r13 late-preview promotions (flag inventory probed at
+    # preview time, recorded in the NOTES.md preview log; the four
+    # PQ-family entries probed flag-free and carry no row).
+    # one-row corpus-count merge + its broadcast onto the 3-row
+    # threshold dim
+    "qa_dedup_retention": {"single_partition", "bnlj"},
+    # the lm_score accounted pair: one-row bucket-totals merge +
+    # its crossJoin broadcast onto the B-row ratio table
+    "text_dsir_weights": {"single_partition", "bnlj"},
+    # BNLJ against the 2-row broadcast epoch range (the registered
+    # epoch shuffle's exact inventory)
+    "sample_curriculum_order": {"bnlj"},
 }
 
 

@@ -40,42 +40,15 @@ def _previews():
     qa_ivf_index_audit, qa_lsh_banding_sweep, pipeline_pretrain_order,
     text_dup_ngram_rate, qa_contamination_rate, qa_zipf_slope,
     mm_dedup_phash) followed later the same round (24/24 PASS here
-    first) — all twenty now ride tools/verify_rotation.py like the
-    rest of the catalog. Current list: the round-13 LATE previews
-    (r14 promotions); keep it in sync with the NOTES.md preview
-    log."""
-    from nyc_traffic_insight_spark.queries.samplingq import (
-        curriculum_oracle_sql,
-        sample_curriculum_order,
-    )
-    from nyc_traffic_insight_spark.queries.textops import (
-        dedup_retention_oracle_sql,
-        dsir_oracle_sql,
-        emb_pq_codes,
-        ivfpq_oracle_sql,
-        pipeline_ann_ivfpq,
-        pq_adc_oracle_sql,
-        pq_codes_oracle_sql,
-        pq_distortion_oracle_sql,
-        qa_dedup_retention,
-        qa_pq_distortion,
-        sim_search_pq_adc,
-        text_dsir_weights,
-    )
-
-    return [
-        ("emb_pq_codes", emb_pq_codes, pq_codes_oracle_sql()),
-        ("qa_pq_distortion", qa_pq_distortion, pq_distortion_oracle_sql()),
-        ("sim_search_pq_adc", sim_search_pq_adc, pq_adc_oracle_sql()),
-        ("pipeline_ann_ivfpq", pipeline_ann_ivfpq, ivfpq_oracle_sql()),
-        ("qa_dedup_retention", qa_dedup_retention, dedup_retention_oracle_sql()),
-        ("text_dsir_weights", text_dsir_weights, dsir_oracle_sql()),
-        (
-            "sample_curriculum_order",
-            sample_curriculum_order,
-            curriculum_oracle_sql(),
-        ),
-    ]
+    first), and the round-13 LATE set (emb_pq_codes,
+    qa_pq_distortion, sim_search_pq_adc, pipeline_ann_ivfpq,
+    qa_dedup_retention, text_dsir_weights, sample_curriculum_order)
+    closed the round the same way (14/14 PASS here + the adversarial
+    sweep before their registers landed) — all twenty-seven now ride
+    tools/verify_rotation.py like the rest of the catalog. The list
+    is EMPTY until the next preview lands; keep it in sync with the
+    NOTES.md preview log."""
+    return []
 
 
 def main() -> int:
