@@ -98,6 +98,83 @@ def build_corpus(spark, variant: str, replicas: int) -> str:
     return out
 
 
+def build_emb_corpus(spark, variant: str, replicas: int) -> str:
+    """Write a replicas×-replicated embeddings.parquet; return its
+    sf_dir (r14; VERDICT r13 "Next round" #5 — the embeddings table
+    grows only ~4× per testdata decade, so the embedding tier had
+    never seen a true 10×/100× vector-count read).
+
+    Variants:
+    - ``ident``: vectors copied verbatim, vec_ids offset by
+      ID_OFFSET·k (disjoint). Every replica of a vector sits at
+      cosine 1.0 to its original — the DUP-HEAVY worst case for
+      SemDeDup's within-cell pair stage (pairs grow ~replicas² per
+      dup group) and the zero-new-skew case for IVF (occupancy scales
+      exactly ×replicas per cell).
+    - ``jitter``: replica 0 verbatim; replicas 1.. get a DETERMINISTIC
+      per-component relative perturbation of up to ±10%
+      ((vec_id·131 + pos·17 + k·7919) mod 2001 − 1000) · 1e-4 — no
+      randomness, reproducible across runs. Vectors spread WITHIN
+      cells (realistic corpus growth: near-dup-light, cell occupancy
+      grows with real assignment drift), the right axis for the ANN
+      ladder and the D4 pipeline.
+    """
+    out = _scratch(f"emb_{variant}{replicas}")
+    dst = os.path.join(out, "embeddings.parquet")
+    if os.path.exists(dst):
+        return out
+    base = spark.read.parquet(os.path.join(SF_BASE, "embeddings.parquet"))
+    reps = spark.range(replicas).withColumnRenamed("id", "k")
+    rep = base.crossJoin(F.broadcast(reps)).withColumn(
+        "vec_id", F.col("vec_id") + F.col("k") * ID_OFFSET
+    )
+    if variant == "jitter":
+        jittered = F.transform(
+            F.col("embedding"),
+            lambda x, i: (
+                x
+                * (
+                    1.0
+                    + (
+                        (
+                            F.col("vec_id") * 131
+                            + i * 17
+                            + F.col("k") * 7919
+                        )
+                        % 2001
+                        - 1000
+                    ).cast("double")
+                    * 1e-4
+                )
+            ).cast("float"),
+        )
+        rep = rep.withColumn(
+            "embedding",
+            F.when(F.col("k") == 0, F.col("embedding")).otherwise(jittered),
+        )
+    rep.drop("k").repartition(8).write.mode("overwrite").parquet(dst)
+    return out
+
+
+def ivf_cell_skew(spark, sf_dir: str) -> dict:
+    """IVF cell-occupancy skew at this corpus, read off the registered
+    qa_ivf_index_audit (same centroids, same assignment spelling):
+    max/mean occupancy ratio and the max cell share. The number that
+    justifies (or resizes) the k=10 cell count — a ratio near 1 means
+    balanced cells; a large ratio means the hottest cell's Σ|cell|²
+    pair term and its probe traffic dominate."""
+    rows = load_all()["qa_ivf_index_audit"].builder(spark, sf_dir).collect()
+    ns = sorted(r["n_vectors"] for r in rows)
+    mean = sum(ns) / len(ns)
+    return {
+        "n_cells": len(ns),
+        "occ_min": ns[0],
+        "occ_max": ns[-1],
+        "occ_max_over_mean": round(ns[-1] / mean, 3),
+        "max_share": round(max(r["share"] for r in rows), 4),
+    }
+
+
 def _executor_shuffle_bytes(spark) -> int:
     """Lifetime-cumulative executor shuffle-write bytes via the status
     REST API (the bench.py convention — noise-free, best-effort with a
@@ -149,9 +226,81 @@ def time_query(spark, name: str, sf_dir: str, reps: int) -> dict:
     }
 
 
+def run_emb_tier(spark, reps: int) -> int:
+    """The r14 embedding-tier probe: walls + shuffle bytes for the
+    three never-decade-proven embedding queries over replicated vector
+    corpora, plus the IVF cell-occupancy skew per corpus.
+
+    Corpus sizing per query follows each one's scale shape:
+    - dedup_semantic: its pair stage is Σ|cell|² — quadratic in cell
+      occupancy BY DESIGN (SemDeDup controls it by scaling k with the
+      corpus, which this fixed-k testdata deliberately does not). The
+      ident 10× cell is the dup-heavy worst case; 100× at k=10 would
+      be a ~10⁴× pair blowup of a corpus SemDeDup itself would shard
+      over more cells, so the probe stops at 10× and reports the
+      measured exponent instead.
+    - pipeline_d4_curation: same Σ|cell|² first stage → 10× jitter.
+    - pipeline_ann_ivfpq: probe-bounded serving (fixed query set,
+      candidates from probed cells only) → corpus-linear → runs the
+      full 10× AND 100×.
+    """
+    cells = {
+        "dedup_semantic": {
+            "sf0.01 (200 vecs)": "/root/testdata/sf0.01",
+            "sf0.1 (2k vecs)": SF_BASE,
+            "jitter 10x (20k vecs)": build_emb_corpus(spark, "jitter", 10),
+            "ident 10x (20k vecs, dup-heavy)": build_emb_corpus(
+                spark, "ident", 10
+            ),
+        },
+        "pipeline_d4_curation": {
+            "sf0.01 (200 vecs)": "/root/testdata/sf0.01",
+            "sf0.1 (2k vecs)": SF_BASE,
+            "jitter 10x (20k vecs)": build_emb_corpus(spark, "jitter", 10),
+        },
+        "pipeline_ann_ivfpq": {
+            "sf0.01 (200 vecs)": "/root/testdata/sf0.01",
+            "sf0.1 (2k vecs)": SF_BASE,
+            "jitter 10x (20k vecs)": build_emb_corpus(spark, "jitter", 10),
+            "jitter 100x (200k vecs)": build_emb_corpus(
+                spark, "jitter", 100
+            ),
+        },
+    }
+    results: dict = {}
+    for q, corpora in cells.items():
+        results[q] = {}
+        for tag, sf_dir in corpora.items():
+            r = time_query(spark, q, sf_dir, reps)
+            results[q][tag] = r
+            print(
+                f"{q:24s} {tag:34s} wall={r['wall_s']:8.3f}s "
+                f"bytes={r['shuffle_bytes_per_rep']}",
+                flush=True,
+            )
+    skews: dict = {}
+    for tag, sf_dir in cells["pipeline_ann_ivfpq"].items():
+        skews[tag] = ivf_cell_skew(spark, sf_dir)
+        print(f"ivf-skew {tag:34s} {skews[tag]}", flush=True)
+    print(
+        json.dumps(
+            {"probe": "emb_decade", "results": results, "ivf_skew": skews}
+        )
+    )
+    return 0
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument(
+        "--tier",
+        choices=["docs", "emb", "all"],
+        default="docs",
+        help="docs = the r13 BPE/UniMax probe (default, unchanged); "
+        "emb = the r14 embedding-tier probe (SemDeDup / D4 / IVF-PQ "
+        "over 10x/100x replicated vector corpora + cell-skew readout)",
+    )
     args = ap.parse_args()
 
     spark = get_spark(
@@ -159,6 +308,14 @@ def main() -> int:
         extra_conf={"spark.ui.enabled": "true"},  # byte readout needs the REST API
     )
     spark.sparkContext.setLogLevel("ERROR")
+
+    if args.tier in ("emb", "all"):
+        rc = run_emb_tier(spark, args.reps)
+        if args.tier == "emb":
+            shutil.rmtree(
+                f"/tmp/ntis_decade_probe_{os.getpid()}", ignore_errors=True
+            )
+            return rc
 
     # BPE at 50k docs is floor-bound (the 10-iteration chain's fixed
     # scheduling cost dominates), so its probe runs TWO more decades —
