@@ -151,6 +151,12 @@ HEADLINE = [
     # unchanged — subtract these two against earlier rounds.
     "pipeline_ann_ivfpq",
     "text_dsir_weights",
+    # round 14: mm_dedup_phash's candidate stage was rebuilt as the
+    # distributed (band, byte) self equi-join (VERDICT r13 #3) — it
+    # joins the perf gate so the byte anchor guards the new shape.
+    # 45 -> 46 queries; the standing like-for-like subsets in
+    # BASELINE.md are unchanged — subtract it against earlier rounds.
+    "mm_dedup_phash",
 ]
 
 
@@ -189,10 +195,11 @@ def consume(df) -> None:
 _PROBE_ROWS = 1 << 32
 _PROBE_SLOTS = 32
 
-#: Probe median on the calibration box at the time BASELINE.md's
-#: round-14 anchor was recorded (idle-ish load; see BASELINE.md
+#: Probe value on the calibration box at the time BASELINE.md's
+#: round-14 anchor was recorded — the mean of that run's before/after
+#: probe medians (1.183 / 0.941, 2026-08-16, idle box; see BASELINE.md
 #: "Round-14 calibrated anchor"). Re-record BOTH together or neither.
-PROBE_REF_SEC = None  # set after the r14 recording session below
+PROBE_REF_SEC = 1.062
 
 
 def calibration_probe(spark) -> float:
