@@ -43,8 +43,42 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from nyc_traffic_insight_spark.queries import load_all  # noqa: E402
 from nyc_traffic_insight_spark.session import DEFAULT_SF_DIR, get_spark  # noqa: E402
 
+# The r1-anchored 25-query subset: the standing like-for-like wall
+# line every BASELINE.md recording reports, and the set the calibrated
+# <=1.3x gate compares (r14). A NAMED tuple, not a list slice — the
+# gate must not silently re-bind if a future round inserts a headline
+# entry anywhere but the tail.
+SUBSET25 = (
+    "flagship_volume_features",
+    "join_traffic_weather_boro",
+    "join_traffic_weather_time",
+    "join_star_broadcast",
+    "join_asof",
+    "join_range_binned",
+    "join_salted_skew",
+    "join_nearest_spatial",
+    "agg_count",
+    "agg_regression_metrics",
+    "win_lag_multi",
+    "win_roll_mean_24",
+    "win_ranking",
+    "pivot_onehot",
+    "stream_sessionization",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "sim_search_bruteforce_topk",
+    "sim_search_lsh_buckets",
+    "sim_search_ivf_topk",
+    "sim_search_topk_vectorized",
+    "text_quality_score",
+    "text_fingerprint",
+    "geo_reproject_forward",
+    "mm_extract_features",
+)
+
 # Headline set: one per operator family, weighted toward the expensive
-# shapes (joins, windows, dedup/similarity at scale).
+# shapes (joins, windows, dedup/similarity at scale). The first 25 ARE
+# SUBSET25 (pinned by an assert below).
 HEADLINE = [
     "flagship_volume_features",
     "join_traffic_weather_boro",
@@ -158,6 +192,7 @@ HEADLINE = [
     # BASELINE.md are unchanged — subtract it against earlier rounds.
     "mm_dedup_phash",
 ]
+assert tuple(HEADLINE[:25]) == SUBSET25, "subset25 anchor drifted"
 
 
 def consume(df) -> None:
@@ -352,9 +387,7 @@ def main() -> None:
     probe_now = round((probe_before + probe_after) / 2, 3)
 
     total = round(sum(timings.values()), 3)
-    # the r1-anchored 25-query subset: the standing like-for-like wall
-    # line every BASELINE.md recording reports
-    subset25 = round(sum(timings[n] for n in HEADLINE[:25]), 3)
+    subset25 = round(sum(timings[n] for n in SUBSET25), 3)
     calib = (
         round(PROBE_REF_SEC / probe_now, 4)
         if PROBE_REF_SEC and probe_now

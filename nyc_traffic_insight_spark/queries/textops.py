@@ -328,7 +328,6 @@ _N_HASHES = 8
 _LSH_B = 4
 _LSH_R = 2
 assert _LSH_B * _LSH_R == _N_HASHES, "banding must tile the signature"
-_BANDS = _LSH_B
 _H_MOD = 1 << 30  # minhash value space
 
 

@@ -169,14 +169,17 @@ class _Handler(BaseHTTPRequestHandler):
         if url.path == "/map":
             q = parse_qs(url.query)
             borough = (q.get("borough") or [""])[0]
-            year_s = (q.get("year") or [""])[0]
-            if not borough or not year_s.lstrip("-").isdigit():
+            try:
+                year = int((q.get("year") or [""])[0])
+            except ValueError:
+                year = None
+            if not borough or year is None:
                 self._json(
                     400, {"error": "borough and integer year required"}
                 )
                 return
             try:
-                html = self.server.map_html(borough, int(year_s))
+                html = self.server.map_html(borough, year)
             except Exception as ex:  # noqa: BLE001 - surface as 500
                 self._json(500, {"error": str(ex)[:500]})
                 return
@@ -195,9 +198,18 @@ class _Handler(BaseHTTPRequestHandler):
         try:
             n = int(self.headers.get("Content-Length") or 0)
             feats = json.loads(self.rfile.read(n) or b"{}")
+            if not isinstance(feats, dict):
+                raise ValueError("body must be a JSON object")
+        except (json.JSONDecodeError, ValueError) as ex:
+            self._json(400, {"error": f"bad request body: {ex}"})
+            return
+        try:
             pred = self.server.predict_service.predict(feats)
         except KeyError as ex:
             self._json(400, {"error": f"missing feature {ex}"})
+            return
+        except (TypeError, ValueError) as ex:
+            self._json(400, {"error": f"bad feature value: {ex}"})
             return
         except Exception as ex:  # noqa: BLE001 - surface as 500
             self._json(500, {"error": str(ex)[:500]})

@@ -661,6 +661,23 @@ def test_phash_banding_recall_guarantee_still_holds(spark):
         texts.append((next_id, t, len(t)))
         want_pairs.add((0, next_id, d))
         next_id += 1
+    # the must-NOT-surface case: a text at Hamming distance >= 3 from
+    # base that nevertheless SHARES a full band (a band-collision
+    # candidate) — the popcount verify must filter it. P(share a
+    # band) ~= 1.6% per pair, so the pool always contains one.
+    def bands(h):
+        return {(k, (h >> (8 * k)) & 255) for k in range(4)}
+
+    base_bands = bands(bh)
+    far_id = None
+    for t in pool[1:]:
+        d = bin(bh ^ hashes[t]).count("1")
+        if d >= 3 and bands(hashes[t]) & base_bands:
+            texts.append((next_id, t, len(t)))
+            far_id = next_id
+            next_id += 1
+            break
+    assert far_id is not None, "pool has no shared-band far pair"
     sdf = spark.createDataFrame(
         texts, "doc_id long, text string, n_chars long"
     )
@@ -676,6 +693,10 @@ def test_phash_banding_recall_guarantee_still_holds(spark):
         mm._docs = orig
     for a, b, d in want_pairs:
         assert got.get((a, b)) == d, (a, b, d, got)
+    # the shared-band far pair IS a banding candidate but must be
+    # verified away — its absence is the popcount filter working,
+    # not a fixture accident
+    assert (0, far_id) not in got, got.get((0, far_id))
     assert all(v <= 2 for v in got.values())
 
 

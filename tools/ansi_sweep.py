@@ -46,9 +46,11 @@ def main() -> int:
         },
     )
     spark.sparkContext.setLogLevel("ERROR")
-    assert spark.conf.get("spark.sql.ansi.enabled") == "true", (
-        "session is not ANSI — the sweep would prove nothing"
-    )
+    # a real raise, not assert: python -O strips asserts, and a sweep
+    # that silently ran non-ANSI would record a guarantee it never
+    # checked (the load_all()/ADVICE r8 convention)
+    if spark.conf.get("spark.sql.ansi.enabled") != "true":
+        raise RuntimeError("session is not ANSI — the sweep would prove nothing")
     specs = load_all()
     failures: list[tuple[str, str]] = []
     t0 = time.time()
