@@ -81,26 +81,29 @@ def register(
 # rows). Round-14 ordering — VERDICT r13 #2's precomputed front,
 # adjusted for this round's code changes (changed/new entries outrank
 # stale refresh, the standing convention):
-#   1. the TWO queries whose code changed or was added in r14:
+#   1. the THREE queries whose code changed or was added in r14:
 #      mm_dedup_phash (candidate stage rebuilt as the distributed
-#      (band, byte) self equi-join — VERDICT r13 "What's wrong" #1)
-#      and mm_dedup_canonical (new: the multimodal keep/drop arc,
-#      VERDICT r13 #4; never driver-checked, pre-verified cross-engine
-#      at sf0.001/0.01/0.1);
+#      (band, byte) self equi-join — VERDICT r13 "What's wrong" #1),
+#      mm_dedup_canonical (new: the multimodal keep/drop arc,
+#      VERDICT r13 #4) and mm_dedup_frames (new: video near-dedup by
+#      frame-fingerprint overlap) — the two new entries never
+#      driver-checked, all three pre-verified cross-engine at
+#      sf0.001/0.01/0.1;
 #   2. the 19-query r7-stale remainder, registration order
 #      (sim_search_ivf_kmeans ... agg_cumulative_users);
 #   3. the 4-query r7 registration-order tail (report_pareto_deciles,
 #      flagship_volume_features, split_random, layout_bucketed_join);
-#   4. the 25 oldest r8-stale queries, registration order
-#      (win_lag1 ... text_token_count).
-# 2 + 19 + 4 + 25 = 50 fronted exactly; the r8-stale remainder
-# (text_quality_score ... scan_object_store, 25 queries) fronts in
+#   4. the 24 oldest r8-stale queries, registration order
+#      (win_lag1 ... sim_search_lsh_buckets).
+# 3 + 19 + 4 + 24 = 50 fronted exactly; the r8-stale remainder
+# (text_token_count ... scan_object_store, 26 queries) fronts in
 # r15.
 # Everything else keeps standing r8+ evidence and registers last.
 _CHECK_FIRST = [
     # 1. changed/new in r14
     "mm_dedup_phash",
     "mm_dedup_canonical",
+    "mm_dedup_frames",
     # 2. r7-stale remainder, registration order
     "sim_search_ivf_kmeans",
     "dedup_connected_components",
@@ -151,7 +154,6 @@ _CHECK_FIRST = [
     "json_struct_build",
     "json_extract",
     "sim_search_lsh_buckets",
-    "text_token_count",
 ]
 
 

@@ -448,3 +448,166 @@ register(
     "connected components → canonical asset per cluster (keep/drop "
     "list, the text tier's dedup_canonical_select shape)",
 )(mm_dedup_canonical)
+
+
+# ------------- video near-dup by frame-fingerprint overlap (r14)
+#
+# The video-specific member of the dedup arc: image/audio near-dups
+# hash the WHOLE payload (mm_dedup_phash); videos are near-dups when
+# their sampled FRAME sets overlap — re-encodes, trims and prefix
+# clips share most frames while whole-file hashes differ. Standard
+# shape (frame fingerprint → exact fingerprint equi-join → per-pair
+# set overlap): sample frames on a fixed grid (the
+# operators/multimodal.py sample_video_frames contract,
+# explode(sequence) — no Python), fingerprint each frame, equi-join
+# fingerprints between videos (uniform 60-bit keys — candidate
+# generation AND verification in one distributed join; no video-pair
+# enumeration ever happens), then one groupBy (video1, video2) with
+# per-video frame counts for the Jaccard.
+#
+# The fingerprint derives from the same deterministic fake decoder as
+# the rest of the tier: sha256(payload || ':' || frame_ms) — a real
+# deployment swaps a perceptual frame hash behind the same seam and
+# the join/overlap machinery is unchanged. Honest fixture note: the
+# sha fake means only identical payloads share frames, and same text
+# ⇒ same duration, so gate-SF rows are true empty-vs-empty matches;
+# the live branch (partial/prefix overlap, Jaccard in (0, 1)) is
+# exercised by the synthetic test, which gives one text two different
+# durations.
+
+_FRAME_STEP_MS = 1000
+_FRAME_JACCARD_MIN = 0.2
+
+
+def mm_dedup_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate video pairs by sampled-frame fingerprint overlap.
+    Output: (video1, video2, common_frames, jaccard) with
+    jaccard >= _FRAME_JACCARD_MIN, video1 < video2, jaccard rounded
+    4dp floor-form both engines."""
+    from nyc_traffic_insight_spark.functions.rounding import r as _r
+
+    frames = (
+        _assets(spark, sf_dir)
+        .filter(
+            (F.col("modality") == "video") & (F.col("duration_ms") >= 1)
+        )
+        .select(
+            "asset_id",
+            "payload",
+            F.explode(
+                F.sequence(
+                    F.lit(0).cast("long"),
+                    (F.col("duration_ms") - 1).cast("long"),
+                    F.lit(_FRAME_STEP_MS).cast("long"),
+                )
+            ).alias("frame_ms"),
+        )
+        .select(
+            "asset_id",
+            F.conv(
+                F.substring(
+                    F.sha2(
+                        F.concat(
+                            "payload",
+                            F.encode(
+                                F.concat(
+                                    F.lit(":"),
+                                    F.col("frame_ms").cast("string"),
+                                ),
+                                "UTF-8",
+                            ),
+                        ),
+                        256,
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            )
+            .cast("bigint")
+            .alias("fhash"),
+        )
+    )
+    counts = frames.groupBy("asset_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    a = frames.select(F.col("asset_id").alias("video1"), "fhash")
+    b = frames.select(F.col("asset_id").alias("video2"), "fhash")
+    common = (
+        a.join(b, "fhash")
+        .filter(F.col("video1") < F.col("video2"))
+        .groupBy("video1", "video2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("common_frames"))
+    )
+    ca = counts.select(F.col("asset_id").alias("video1"), F.col("n").alias("n1"))
+    cb = counts.select(F.col("asset_id").alias("video2"), F.col("n").alias("n2"))
+    jac = F.col("common_frames").cast("double") / (
+        F.col("n1") + F.col("n2") - F.col("common_frames")
+    )
+    return (
+        common.join(ca, "video1")
+        .join(cb, "video2")
+        .select(
+            "video1",
+            "video2",
+            "common_frames",
+            _r(jac, 4).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= _FRAME_JACCARD_MIN)
+    )
+
+
+def frames_oracle_sql(table: str = "documents") -> str:
+    """mm_dedup_frames as one DuckDB text — identical frame grid
+    (generate_series, stop-inclusive like Spark's sequence), identical
+    fingerprint (sha256 of the UTF-8 payload bytes ++ ':' ++ frame_ms
+    — DuckDB hashes the VARCHAR's UTF-8, the established phash
+    equivalence), same join/overlap/threshold."""
+    from nyc_traffic_insight_spark.functions.rounding import r4_sql as r4
+
+    return f"""
+    WITH videos AS (
+      SELECT doc_id AS asset_id, text,
+             1000 + (n_chars * 7) % 9000 AS duration_ms
+      FROM {table} WHERE text IS NOT NULL AND doc_id % 3 = 2
+    ),
+    frames AS (
+      SELECT asset_id,
+             ('0x' || substr(sha256(text || ':' || CAST(f AS VARCHAR)),
+                             1, 15))::BIGINT AS fhash
+      FROM videos,
+           LATERAL unnest(generate_series(0, duration_ms - 1,
+                                          {_FRAME_STEP_MS})) AS t(f)
+      WHERE duration_ms >= 1
+    ),
+    counts AS (
+      SELECT asset_id, CAST(count(*) AS BIGINT) AS n
+      FROM frames GROUP BY 1
+    ),
+    common AS (
+      SELECT a.asset_id AS video1, b.asset_id AS video2,
+             CAST(count(*) AS BIGINT) AS common_frames
+      FROM frames a JOIN frames b
+        ON a.fhash = b.fhash AND a.asset_id < b.asset_id
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT c.video1, c.video2, c.common_frames,
+             {r4("CAST(c.common_frames AS DOUBLE)"
+                 " / (ca.n + cb.n - c.common_frames)")} AS jaccard
+      FROM common c
+      JOIN counts ca ON ca.asset_id = c.video1
+      JOIN counts cb ON cb.asset_id = c.video2
+    )
+    SELECT video1, video2, common_frames, jaccard
+    FROM scored WHERE jaccard >= {_FRAME_JACCARD_MIN}
+    """
+
+
+register(
+    "mm_dedup_frames",
+    oracle=frames_oracle_sql(),
+    survey="north-star: video near-dedup by sampled-frame fingerprint "
+    "overlap (frame grid -> fingerprint equi-join -> pair Jaccard)",
+)(mm_dedup_frames)

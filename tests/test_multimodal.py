@@ -79,3 +79,63 @@ def test_sample_video_frames(spark):
     frames = sample_video_frames(_assets(spark), every_ms=1000).collect()
     got = sorted((r["asset_id"], r["frame_ms"]) for r in frames)
     assert got == [(3, 0), (3, 1000), (3, 2000), (3, 3000)]
+
+
+def test_mm_dedup_frames_prefix_overlap(spark):
+    """r14 live branch: the same video content at two durations (a
+    clip and its prefix trim — the case whole-file hashing misses and
+    frame overlap exists to catch). doc_ids 2 and 5 are both videos
+    (mod 3 == 2); same text + different n_chars gives durations 3000
+    vs 9000 ms (duration = 1000 + (n_chars·7) % 9000: 2000 → 6000 ms,
+    5000 → 9000 ms) → frame sets of 6 and 9 where the 6 are a prefix
+    subset → common 6, Jaccard 6/9 ≈ 0.6667 in BOTH engines. A third video
+    with different text shares nothing and must not pair."""
+    import duckdb
+
+    import nyc_traffic_insight_spark.queries.multimodalq as mm
+
+    texts = [
+        (2, "same clip content", 2000),
+        (5, "same clip content", 5000),
+        (8, "entirely different film", 2000),
+    ]
+    sdf = spark.createDataFrame(
+        texts, "doc_id long, text string, n_chars long"
+    )
+    orig = mm._docs
+    try:
+        mm._docs = lambda _s, _d: sdf
+        spdf = mm.mm_dedup_frames(spark, "unused").toPandas()
+    finally:
+        mm._docs = orig
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE docs(doc_id BIGINT, text VARCHAR, n_chars BIGINT)"
+    )
+    con.executemany("INSERT INTO docs VALUES (?, ?, ?)", texts)
+    odf = con.sql(mm.frames_oracle_sql("docs")).fetchdf()
+    from tests.oracle_utils import compare
+
+    compare(spdf, odf, "mm_dedup_frames[synthetic]")
+    assert len(spdf) == 1
+    row = spdf.iloc[0]
+    assert (row.video1, row.video2) == (2, 5)
+    assert row.common_frames == 6
+    assert abs(row.jaccard - 6 / 9) < 1e-4
+
+
+def test_mm_dedup_frames_plan_is_distributed(spark):
+    """The fingerprint join is the phash lesson applied from birth:
+    no CollectList bucket arrays, no cartesian — a plain equi-join on
+    the 60-bit fingerprint."""
+    from nyc_traffic_insight_spark.queries.multimodalq import (
+        mm_dedup_frames,
+    )
+    from tests.conftest import SF_SMOKE
+
+    df = mm_dedup_frames(spark, SF_SMOKE)
+    df.count()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CollectList" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
