@@ -341,16 +341,23 @@ def main() -> None:
     consume(specs["sim_search_lsh_buckets"].builder(spark, sf_dir))
     consume(specs["join_traffic_weather_boro"].builder(spark, sf_dir))
 
-    # load-calibration probe: once before the timed region (first, per
-    # the gate statement) and once after (load can drift over a run);
-    # the mean of the two medians calibrates the totals.
+    # load-calibration probe: before the timed region (first, per the
+    # gate statement), at its midpoint, and after — the mean of the
+    # three medians calibrates the totals. The midpoint sample exists
+    # because a before/after pair is blind to a load burst that rises
+    # and subsides INSIDE the ~9-minute timed region (observed r14:
+    # walls uniformly x1.36 on byte-identical plans while both
+    # endpoint probes read idle).
     probe_before = calibration_probe(spark)
+    probe_mid = None
 
     timings: dict[str, float] = {}
     spreads: dict[str, list[float]] = {}
     query_metrics: dict[str, dict[str, int]] = {}
     n_reps = 3
-    for name in HEADLINE:
+    for qi, name in enumerate(HEADLINE):
+        if qi == len(HEADLINE) // 2:
+            probe_mid = calibration_probe(spark)
         reps = []
         before = _exec_totals(ui_url)
         for _ in range(n_reps):
@@ -384,7 +391,9 @@ def main() -> None:
         query_metrics[name]["rep_secs"] = [round(x, 3) for x in reps]
 
     probe_after = calibration_probe(spark)
-    probe_now = round((probe_before + probe_after) / 2, 3)
+    probes = [probe_before, probe_mid, probe_after]
+    probes = [p for p in probes if p is not None]
+    probe_now = round(sum(probes) / len(probes), 3)
 
     total = round(sum(timings.values()), 3)
     subset25 = round(sum(timings[n] for n in SUBSET25), 3)
@@ -424,6 +433,7 @@ def main() -> None:
                 "subset25": subset25,
                 "probe_sec": {
                     "before": probe_before,
+                    "mid": probe_mid,
                     "after": probe_after,
                     "ref": PROBE_REF_SEC,
                 },
