@@ -192,7 +192,8 @@ HEADLINE = [
     # BASELINE.md are unchanged — subtract it against earlier rounds.
     "mm_dedup_phash",
 ]
-assert tuple(HEADLINE[:25]) == SUBSET25, "subset25 anchor drifted"
+if tuple(HEADLINE[:25]) != SUBSET25:  # a real raise: -O strips asserts
+    raise RuntimeError("subset25 anchor drifted from HEADLINE[:25]")
 
 
 def consume(df) -> None:

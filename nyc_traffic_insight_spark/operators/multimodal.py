@@ -111,7 +111,9 @@ def extract_features(assets: DataFrame) -> DataFrame:
     return assets.mapInPandas(run, schema=FEATURES_SCHEMA)
 
 
-def sample_video_frames(assets: DataFrame, every_ms: int = 1000) -> DataFrame:
+def sample_video_frames(
+    assets: DataFrame, every_ms: int = 1000, keep: tuple[str, ...] = ()
+) -> DataFrame:
     """Frame-sample timestamps: one output row per sampled frame at
     ``every_ms`` intervals in [0, duration_ms). Pure relational —
     ``explode(sequence(...))`` fans out JVM-side inside whole-stage
@@ -122,6 +124,10 @@ def sample_video_frames(assets: DataFrame, every_ms: int = 1000) -> DataFrame:
     ``duration_ms >= 1`` filter keeps the sequence bounds legal
     (sequence(0, -1) with a positive step is an error) and matches the
     range(0, 0) == empty semantics for zero-length videos.
+
+    ``keep`` carries extra asset columns (e.g. the payload for frame
+    fingerprinting) through the fan-out, so consumers that need them
+    (mm_dedup_frames) share THIS grid instead of re-implementing it.
     """
     return (
         assets.filter(
@@ -129,6 +135,7 @@ def sample_video_frames(assets: DataFrame, every_ms: int = 1000) -> DataFrame:
         )
         .select(
             F.col("asset_id").cast("long").alias("asset_id"),
+            *keep,
             F.explode(
                 F.sequence(
                     F.lit(0).cast("long"),

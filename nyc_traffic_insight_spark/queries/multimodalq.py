@@ -54,18 +54,26 @@ def _assets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_ASSETS_SQL = """
+def _assets_sql(table: str = "documents") -> str:
+    """The assets CTE — THE one SQL spelling of the asset derivation
+    (modality cycle, duration formula, payload bytes); every
+    multimodal oracle composes it so the fixture formulas live in
+    exactly two places total (here and the Spark _assets above)."""
+    return f"""
     assets AS (
-      SELECT doc_id AS asset_id,
+      SELECT doc_id AS asset_id, text,
              CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
                   ELSE 'video' END AS modality,
              sha256(text) AS hex,
              octet_length(encode(text)) AS payload_bytes,
              CASE WHEN doc_id % 3 = 2
                   THEN 1000 + (n_chars * 7) % 9000 END AS duration_ms
-      FROM documents WHERE text IS NOT NULL
+      FROM {table} WHERE text IS NOT NULL
     )
 """
+
+
+_ASSETS_SQL = _assets_sql()
 
 
 def _feat_sql(k: int) -> str:
@@ -487,20 +495,10 @@ def mm_dedup_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nyc_traffic_insight_spark.functions.rounding import r as _r
 
     frames = (
-        _assets(spark, sf_dir)
-        .filter(
-            (F.col("modality") == "video") & (F.col("duration_ms") >= 1)
-        )
-        .select(
-            "asset_id",
-            "payload",
-            F.explode(
-                F.sequence(
-                    F.lit(0).cast("long"),
-                    (F.col("duration_ms") - 1).cast("long"),
-                    F.lit(_FRAME_STEP_MS).cast("long"),
-                )
-            ).alias("frame_ms"),
+        sample_video_frames(
+            _assets(spark, sf_dir),
+            every_ms=_FRAME_STEP_MS,
+            keep=("payload",),
         )
         .select(
             "asset_id",
@@ -567,10 +565,10 @@ def frames_oracle_sql(table: str = "documents") -> str:
     from nyc_traffic_insight_spark.functions.rounding import r4_sql as r4
 
     return f"""
-    WITH videos AS (
-      SELECT doc_id AS asset_id, text,
-             1000 + (n_chars * 7) % 9000 AS duration_ms
-      FROM {table} WHERE text IS NOT NULL AND doc_id % 3 = 2
+    WITH {_assets_sql(table)},
+    videos AS (
+      SELECT asset_id, text, duration_ms
+      FROM assets WHERE modality = 'video'
     ),
     frames AS (
       SELECT asset_id,

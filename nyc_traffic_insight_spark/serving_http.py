@@ -197,6 +197,10 @@ class _Handler(BaseHTTPRequestHandler):
             return
         try:
             n = int(self.headers.get("Content-Length") or 0)
+            if n < 0:
+                # read(-1) would block until client EOF, leaking the
+                # handler thread on a keep-alive connection
+                raise ValueError("negative Content-Length")
             feats = json.loads(self.rfile.read(n) or b"{}")
             if not isinstance(feats, dict):
                 raise ValueError("body must be a JSON object")

@@ -85,7 +85,7 @@ def test_mm_dedup_frames_prefix_overlap(spark):
     """r14 live branch: the same video content at two durations (a
     clip and its prefix trim — the case whole-file hashing misses and
     frame overlap exists to catch). doc_ids 2 and 5 are both videos
-    (mod 3 == 2); same text + different n_chars gives durations 3000
+    (mod 3 == 2); same text + different n_chars gives durations 6000
     vs 9000 ms (duration = 1000 + (n_chars·7) % 9000: 2000 → 6000 ms,
     5000 → 9000 ms) → frame sets of 6 and 9 where the 6 are a prefix
     subset → common 6, Jaccard 6/9 ≈ 0.6667 in BOTH engines. A third video
