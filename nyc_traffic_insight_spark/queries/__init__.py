@@ -129,7 +129,7 @@ _CHECK_FIRST = [
     "flagship_volume_features",
     "split_random",
     "layout_bucketed_join",
-    # 4. 25 oldest r8-stale, registration order
+    # 4. 24 oldest r8-stale, registration order
     "win_lag1",
     "win_cumulative",
     "time_spine_gapfill",

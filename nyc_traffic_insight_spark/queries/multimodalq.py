@@ -474,14 +474,19 @@ register(
 # per-video frame counts for the Jaccard.
 #
 # The fingerprint derives from the same deterministic fake decoder as
-# the rest of the tier: sha256(payload || ':' || frame_ms) — a real
-# deployment swaps a perceptual frame hash behind the same seam and
-# the join/overlap machinery is unchanged. Honest fixture note: the
-# sha fake means only identical payloads share frames, and same text
-# ⇒ same duration, so gate-SF rows are true empty-vs-empty matches;
-# the live branch (partial/prefix overlap, Jaccard in (0, 1)) is
-# exercised by the synthetic test, which gives one text two different
-# durations.
+# the rest of the tier: sha256(sha256(payload) || ':' || frame_ms) —
+# the payload is pre-hashed to a FIXED 64-char digest BEFORE the frame
+# fan-out (ADVICE r14 #2: carrying the raw payload through the explode
+# replicates a multi-MB blob into every frame row; for real video
+# durations that is thousands of frames × megabytes of in-flight row
+# width, even though nothing shuffles — the digest caps it at 64
+# bytes/row). A real deployment swaps a perceptual frame hash behind
+# the same seam and the join/overlap machinery is unchanged. Honest
+# fixture note: the sha fake means only identical payloads share
+# frames, and same text ⇒ same duration, so gate-SF rows are true
+# empty-vs-empty matches; the live branch (partial/prefix overlap,
+# Jaccard in (0, 1)) is exercised by the synthetic test, which gives
+# one text two different durations.
 
 _FRAME_STEP_MS = 1000
 _FRAME_JACCARD_MIN = 0.2
@@ -496,24 +501,24 @@ def mm_dedup_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     frames = (
         sample_video_frames(
-            _assets(spark, sf_dir),
+            _assets(spark, sf_dir).withColumn(
+                "pdigest", F.sha2("payload", 256)
+            ),
             every_ms=_FRAME_STEP_MS,
-            keep=("payload",),
+            keep=("pdigest",),
         )
         .select(
             "asset_id",
             F.conv(
                 F.substring(
                     F.sha2(
-                        F.concat(
-                            "payload",
-                            F.encode(
-                                F.concat(
-                                    F.lit(":"),
-                                    F.col("frame_ms").cast("string"),
-                                ),
-                                "UTF-8",
+                        F.encode(
+                            F.concat(
+                                F.col("pdigest"),
+                                F.lit(":"),
+                                F.col("frame_ms").cast("string"),
                             ),
+                            "UTF-8",
                         ),
                         256,
                     ),
@@ -559,9 +564,10 @@ def mm_dedup_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 def frames_oracle_sql(table: str = "documents") -> str:
     """mm_dedup_frames as one DuckDB text — identical frame grid
     (generate_series, stop-inclusive like Spark's sequence), identical
-    fingerprint (sha256 of the UTF-8 payload bytes ++ ':' ++ frame_ms
-    — DuckDB hashes the VARCHAR's UTF-8, the established phash
-    equivalence), same join/overlap/threshold."""
+    fingerprint (sha256 of the 64-char payload pre-digest ++ ':' ++
+    frame_ms — DuckDB hashes the VARCHAR's UTF-8, the established
+    phash equivalence; sha256(text) IS the pre-digest since payload =
+    encode(text, UTF-8)), same join/overlap/threshold."""
     from nyc_traffic_insight_spark.functions.rounding import r4_sql as r4
 
     return f"""
@@ -572,7 +578,8 @@ def frames_oracle_sql(table: str = "documents") -> str:
     ),
     frames AS (
       SELECT asset_id,
-             ('0x' || substr(sha256(text || ':' || CAST(f AS VARCHAR)),
+             ('0x' || substr(sha256(sha256(text) || ':'
+                                    || CAST(f AS VARCHAR)),
                              1, 15))::BIGINT AS fhash
       FROM videos,
            LATERAL unnest(generate_series(0, duration_ms - 1,

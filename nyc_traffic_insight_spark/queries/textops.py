@@ -154,7 +154,7 @@ def clear_caches(spark: SparkSession | None = None) -> int:
     ContextCleaner makes non-monotone in a shared session)."""
     app = spark.sparkContext.applicationId if spark is not None else None
     dropped = 0
-    for cache in (_WIDE_CACHE, _SHINGLE_CACHE):
+    for cache in (_WIDE_CACHE, _SHINGLE_CACHE, _SIG_CACHE):
         for key in list(cache):
             if app is not None and key[0] != app:
                 continue
@@ -452,24 +452,62 @@ def dedup_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _minhash_sig(spark, sf_dir)
 
 
+# One persisted minhash-signature DataFrame per (application,
+# input-plan semantic hash).  The r15 candidate stage is a band
+# SELF-join, and self-joins defeat exchange reuse (NOTES r1:
+# DeduplicateRelations re-ids the plan) — without the persist each
+# branch would run the explode + 8-way-min signature aggregation
+# independently.  Keyed by the INPUT frame's canonicalized-plan hash,
+# not sf_dir, because the helper takes an arbitrary shingle-set frame.
+# Cleared by clear_caches like the other session caches.
+_SIG_CACHE: dict[tuple[str, int], DataFrame] = {}
+
+
+def _lsh_sig_persisted(ds: DataFrame) -> DataFrame:
+    """Minhash signature table for a shingle-set frame, persisted once
+    per (app, input plan) — narrow (doc_id + 8 ints), so the persist
+    is cheap; on a cluster the equivalent is checkpointing the
+    signature table to parquet between phases."""
+    spark = ds.sparkSession
+    key = (
+        spark.sparkContext.applicationId,
+        ds._jdf.queryExecution().analyzed().semanticHash(),
+    )
+    sig = _SIG_CACHE.get(key)
+    if sig is None:
+        sig = _sig_from_shingles(
+            ds.select("doc_id", F.explode("sh").alias("s"))
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        _SIG_CACHE[key] = sig
+    return sig
+
+
 def _lsh_candidate_pairs(
     ds: DataFrame, b: int | None = None, r: int | None = None
 ) -> DataFrame:
     """LSH candidate pairs (doc1 < doc2) from per-doc shingle sets.
 
     Unpivots the minhash signature into b bands of r hashes (defaults:
-    the module (_LSH_B, _LSH_R) geometry — r14, one place to change
-    it), then candidate pairs come from groupBy(band, r scalar keys) +
-    in-bucket pair expansion — no self-join, so the signature pipeline
-    runs exactly once. Minhash values are uniform → no grouping skew;
-    a hot bucket (a true near-dup cluster) expands quadratically,
-    which is inherent to LSH and bounded by the verify threshold
-    downstream. Shared by dedup_minhash_lsh (Jaccard verify) and
-    dedup_edit_distance (Levenshtein verify)."""
+    the module (_LSH_B, _LSH_R) geometry), then candidates come from a
+    DISTRIBUTED self equi-join on (band, k0..k{r-1}) — the
+    mm_dedup_phash pattern (multimodalq.py), ported here per VERDICT
+    r14 #2. The previous groupBy + collect_list + in-array expansion
+    put a true dup cluster of size m into ONE task's array and
+    expanded m² pairs THERE — a single-task OOM at a dup-heavy 100 TB
+    corpus, and structurally invisible to AQE (skew-split does not
+    apply to an aggregate). The join form shuffles both sides on the
+    band keys, so a hot bucket is an ordinary skewed join partition:
+    AQE splits it by mapper ranges and the m² pairs stream through
+    many tasks instead of materializing in one array. The signature
+    table is persisted (see _lsh_sig_persisted) so the self-join's two
+    branches share one materialization. Shared by dedup_minhash_lsh
+    (Jaccard verify), dedup_edit_distance (Levenshtein verify),
+    dedup_connected_components / dedup_canonical_select (components),
+    text_decontaminate_fuzzy and qa_lsh_recall_audit."""
     b = _LSH_B if b is None else b
     r = _LSH_R if r is None else r
     key_cols = [f"k{j}" for j in range(r)]
-    sig = _sig_from_shingles(ds.select("doc_id", F.explode("sh").alias("s")))
+    sig = _lsh_sig_persisted(ds)
     bands_long = sig.select(
         "doc_id",
         F.explode(
@@ -487,23 +525,16 @@ def _lsh_candidate_pairs(
             )
         ).alias("bb"),
     ).select("doc_id", "bb.band", *[f"bb.{k}" for k in key_cols])
-    members = (
-        bands_long.groupBy("band", *key_cols)
-        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
-        .filter(F.size("ids") >= 2)
+    left = bands_long.select(
+        "band", *key_cols, F.col("doc_id").alias("doc1")
     )
-    pair_expr = F.flatten(
-        F.transform(
-            "ids",
-            lambda x, i: F.transform(
-                F.slice("ids", i + 2, F.size("ids")),
-                lambda y: F.struct(x.alias("doc1"), y.alias("doc2")),
-            ),
-        )
+    right = bands_long.select(
+        "band", *key_cols, F.col("doc_id").alias("doc2")
     )
     return (
-        members.select(F.explode(pair_expr).alias("p"))
-        .select(F.col("p.doc1").alias("doc1"), F.col("p.doc2").alias("doc2"))
+        left.join(right, on=["band", *key_cols])
+        .filter(F.col("doc1") < F.col("doc2"))
+        .select("doc1", "doc2")
         .distinct()
     )
 
@@ -691,14 +722,15 @@ _SWEEP_GEOMS = [(8, 1), (4, 2), (2, 4)]  # (bands, rows_per_band); b·r = 8
 def _lsh_cands_geom(sig: DataFrame, b: int, r: int) -> DataFrame:
     """Candidate pairs at banding geometry (b, r) over an 8-hash
     signature frame — the parametric form of _lsh_candidate_pairs'
-    fixed (4, 2) expansion (same groupBy + in-bucket pair idiom).
+    fixed (4, 2) expansion, using the SAME distributed band self-join
+    idiom (r15 rebuild, VERDICT r14 #2 — the collect_list form's hot
+    bucket was a single-task m² expansion; the per-idiom rationale in
+    _lsh_candidate_pairs applies verbatim).
 
     DELIBERATELY not consolidated with the fixed form (review r13):
-    _lsh_candidate_pairs groups on scalar k0..k{r-1} keys while this
-    groups on an array key, and rewriting the registered
-    dedup_minhash_lsh through this helper would change its shuffle
-    byte anchor (845,500, byte-stable since r7) for zero semantic
-    gain. Drift protection is the sweep test instead:
+    this joins on an array key over a caller-materialized signature,
+    the fixed form on scalar k0..k{r-1} keys over the persisted one.
+    Drift protection is the sweep test:
     test_lsh_sweep_matches_oracle_and_tradeoff_is_monotone pins this
     helper's (4, 2) output EQUAL to qa_lsh_recall_audit's (which runs
     the fixed form), so the two implementations cannot diverge
@@ -720,23 +752,16 @@ def _lsh_cands_geom(sig: DataFrame, b: int, r: int) -> DataFrame:
             )
         ).alias("bb"),
     ).select("doc_id", "bb.band", "bb.key")
-    members = (
-        bands_long.groupBy("band", "key")
-        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
-        .filter(F.size("ids") >= 2)
+    left = bands_long.select(
+        "band", "key", F.col("doc_id").alias("doc1")
     )
-    pair_expr = F.flatten(
-        F.transform(
-            "ids",
-            lambda x, i: F.transform(
-                F.slice("ids", i + 2, F.size("ids")),
-                lambda y: F.struct(x.alias("doc1"), y.alias("doc2")),
-            ),
-        )
+    right = bands_long.select(
+        "band", "key", F.col("doc_id").alias("doc2")
     )
     return (
-        members.select(F.explode(pair_expr).alias("p"))
-        .select(F.col("p.doc1").alias("doc1"), F.col("p.doc2").alias("doc2"))
+        left.join(right, on=["band", "key"])
+        .filter(F.col("doc1") < F.col("doc2"))
+        .select("doc1", "doc2")
         .distinct()
     )
 

@@ -30,6 +30,7 @@ the per-request 515 MB download.
 
 from __future__ import annotations
 
+import html
 import json
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -133,9 +134,10 @@ def render_map_html(
 
 
 def _esc(s: str) -> str:
-    return (
-        s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
-    )
+    # quote=True so the helper stays safe if a field is ever
+    # interpolated into an HTML/SVG *attribute*, not just a text node
+    # (ADVICE r14 #3).
+    return html.escape(s, quote=True)
 
 
 class _Handler(BaseHTTPRequestHandler):
