@@ -56,14 +56,30 @@ def _fingerprint(
     h = hashlib.sha256()
     h.update(tag.encode())
     h.update(json.dumps(params, sort_keys=True).encode())
-    for t in tables:
-        h.update(t.encode())
-        with open(os.path.join(sf_dir, f"{t}.parquet"), "rb") as f:
+    def _feed_file(path: str) -> None:
+        with open(path, "rb") as f:
             while True:
                 chunk = f.read(1 << 20)
                 if not chunk:
                     break
                 h.update(chunk)
+
+    for t in tables:
+        h.update(t.encode())
+        root = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.isdir(root):
+            # directory-shaped parquet (the normal cluster layout):
+            # hash the data files in sorted relative order, skipping
+            # Spark's commit markers (their timestamps vary per write)
+            for dirpath, dirnames, filenames in sorted(os.walk(root)):
+                dirnames.sort()
+                for fn in sorted(filenames):
+                    if fn.startswith((".", "_")):
+                        continue
+                    h.update(fn.encode())
+                    _feed_file(os.path.join(dirpath, fn))
+        else:
+            _feed_file(root)
     return h.hexdigest()[:20]
 
 

@@ -63,6 +63,104 @@ from nyc_traffic_insight_spark.queries.textops import (
 
 _SEMDEDUP_THRESH = 0.4  # same near-dup line as dedup_embedding_cosine
 
+# ------------- scale-k-with-n cell index (r15; VERDICT r14 #5)
+#
+# SemDeDup's pair term is Σ|cell|²: bounded ONLY when the cell count
+# scales with the corpus (the paper's k≈110k on LAION). The r14 decade
+# probe measured ×9.8–14.2 wall per 10× vectors at the FIXED k=10
+# label index — the documented contract ("scale k with n") was not in
+# the code. It now is: k = 10·m cells with
+#
+#   m = max(1, ceil(n / (10 · _SEMDEDUP_TARGET_OCC)))
+#
+# i.e. target mean occupancy _SEMDEDUP_TARGET_OCC per cell. At every
+# gate SF (n ≤ 2000) m = 1 and the index IS the label-centroid
+# artifact — bit-identical outputs to r14. Past that, each label's
+# cell splits into m sub-cells by equal-width buckets of the vector's
+# cosine to its OWN label centroid — a LOCALITY-PRESERVING scalar
+# (|cos(a,c) − cos(b,c)| is bounded by the a↔b angle, so near-dups
+# share a bucket except at bucket boundaries, the loss any space
+# partitioning pays), unlike a hash subdivision which would cut
+# recall by 1/m. Sub-cell centroids are per-cell means rounded 6dp —
+# the same engine-portable spelling as the base artifact — so the
+# full scaled pipeline keeps its value-hash oracle: the oracle
+# recomputes m, the buckets, and the centroids from the same integer
+# and IEEE double arithmetic.
+_SEMDEDUP_TARGET_OCC = 200
+_SEMDEDUP_DIV = 10 * _SEMDEDUP_TARGET_OCC
+
+
+def _semdedup_cells(spark: SparkSession, sf_dir: str) -> list:
+    """The D4 tier's scaled centroid index [[cell, cvec], ...] —
+    content-addressed on disk like the base artifact (artifacts.py)."""
+    from nyc_traffic_insight_spark.artifacts import cached_json
+
+    def _build() -> list:
+        e = _embs(spark, sf_dir)
+        n = e.count()
+        m = max(1, (n + _SEMDEDUP_DIV - 1) // _SEMDEDUP_DIV)
+        base = _ivf_centroids(spark, sf_dir)
+        if m == 1:
+            return [[int(c), list(vec)] for c, vec in base]
+        cmap = F.create_map(
+            *[
+                x
+                for c, vec in base
+                for x in (F.lit(c), F.array(*[F.lit(v) for v in vec]))
+            ]
+        )
+        scored = e.select(
+            "vec_id",
+            "label",
+            "embedding",
+            _norm_dot(F.col("embedding"), cmap[F.col("label")]).alias(
+                "own_cos"
+            ),
+        )
+        bounds = scored.groupBy("label").agg(
+            F.min("own_cos").alias("mn"), F.max("own_cos").alias("mx")
+        )
+        bucket = (
+            F.when(F.col("mx") == F.col("mn"), F.lit(0).cast("bigint"))
+            .otherwise(
+                F.least(
+                    F.lit(m - 1).cast("bigint"),
+                    F.floor(
+                        ((F.col("own_cos") - F.col("mn")) * F.lit(m))
+                        / (F.col("mx") - F.col("mn"))
+                    ).cast("bigint"),
+                )
+            )
+        )
+        sub = scored.join(F.broadcast(bounds), "label").select(
+            (F.col("label") * F.lit(m) + bucket).alias("cell0"),
+            "embedding",
+        )
+        comp = sub.select(
+            "cell0", F.posexplode("embedding").alias("pos", "v")
+        )
+        cent = comp.groupBy("cell0", "pos").agg(
+            _r(F.avg(F.col("v").cast("double")), 6).alias("c")
+        )
+        centroids = cent.groupBy("cell0").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c"))),
+                lambda x: x["c"],
+            ).alias("cvec")
+        )
+        return sorted(
+            [int(row["cell0"]), list(row["cvec"])]
+            for row in centroids.collect()
+        )
+
+    return cached_json(
+        "semdedup_cells",
+        sf_dir,
+        ["embeddings"],
+        {"occ": _SEMDEDUP_TARGET_OCC},
+        _build,
+    )
+
 
 def semdedup_frame(
     e: DataFrame, cells: list, thresh: float, with_cos: bool = False
@@ -179,20 +277,64 @@ def _centroid_assign_cte(table: str) -> str:
     the shared-fragment doctrine). `assign` carries vec_id, cell, the
     raw embedding (for pair cosines) and cos_raw, the vector's cosine
     to its OWN centroid (the prototypicality score — unchanged by any
-    downstream filtering, since the centroids are a fixed artifact)."""
+    downstream filtering, since the centroids are a fixed artifact).
+
+    r15: recomputes the scale-k index (_semdedup_cells) — m from the
+    same integer formula, buckets from the same IEEE expression
+    (((own_cos − mn) · m) / (mx − mn), floored, least-capped), sub-cell
+    centroids from the same round(avg, 6). At every gate SF m = 1,
+    every bucket is 0, and the chain degenerates to the r14 label-mean
+    index byte-for-byte in VALUES (the text itself carries the general
+    form)."""
     return f"""
-    WITH comp AS (
+    WITH mval AS (
+      SELECT GREATEST(1, (count(*) + {_SEMDEDUP_DIV - 1}) // {_SEMDEDUP_DIV})
+               AS m
+      FROM {table}
+    ),
+    lcomp AS (
       SELECT vec_id, label, i + 1 AS pos,
              CAST(embedding[i + 1] AS DOUBLE) AS v
       FROM {table}, (SELECT unnest(range(0, {_DIM})) AS i)
     ),
-    cent AS (
+    lcent AS (
       SELECT label, pos, round(avg(v), 6) AS c
+      FROM lcomp GROUP BY 1, 2
+    ),
+    lcentroids AS (
+      SELECT label AS cell, list(c ORDER BY pos) AS cvec
+      FROM lcent GROUP BY label
+    ),
+    owncos AS (
+      SELECT e.vec_id, e.label, e.embedding,
+             list_cosine_similarity(e.embedding::DOUBLE[], lc.cvec)
+               AS own_cos
+      FROM {table} e JOIN lcentroids lc ON lc.cell = e.label
+    ),
+    bnds AS (
+      SELECT label, min(own_cos) AS mn, max(own_cos) AS mx
+      FROM owncos GROUP BY 1
+    ),
+    subbed AS (
+      SELECT o.vec_id, o.embedding,
+             o.label * m + CASE WHEN b.mx = b.mn THEN 0
+               ELSE LEAST(m - 1,
+                          CAST(floor(((o.own_cos - b.mn) * m)
+                                     / (b.mx - b.mn)) AS BIGINT))
+             END AS cell0
+      FROM owncos o JOIN bnds b USING (label), mval
+    ),
+    comp AS (
+      SELECT cell0, i + 1 AS pos, CAST(embedding[i + 1] AS DOUBLE) AS v
+      FROM subbed, (SELECT unnest(range(0, {_DIM})) AS i)
+    ),
+    cent AS (
+      SELECT cell0, pos, round(avg(v), 6) AS c
       FROM comp GROUP BY 1, 2
     ),
     centroids AS (
-      SELECT label AS cell, list(c ORDER BY pos) AS cvec
-      FROM cent GROUP BY label
+      SELECT cell0 AS cell, list(c ORDER BY pos) AS cvec
+      FROM cent GROUP BY cell0
     ),
     assign AS (
       SELECT vec_id, cell, embedding, cos_raw FROM (
@@ -258,7 +400,7 @@ def dedup_semantic(
     keep the minimum vec_id. Round-11 preview promoted in round 12.
     Output: (vec_id, cell, is_kept, dup_of)."""
     return semdedup_frame(
-        _embs(spark, sf_dir), _ivf_centroids(spark, sf_dir), thresh
+        _embs(spark, sf_dir), _semdedup_cells(spark, sf_dir), thresh
     )
 
 
@@ -374,7 +516,7 @@ def emb_prototypes_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroid. Round-11 preview promoted in round 12. Output:
     (vec_id, cell, proto_cos, proto_rank, is_kept)."""
     return proto_filter_frame(
-        _embs(spark, sf_dir), _ivf_centroids(spark, sf_dir)
+        _embs(spark, sf_dir), _semdedup_cells(spark, sf_dir)
     )
 
 
@@ -471,7 +613,7 @@ def pipeline_d4_curation(
 
     sd = semdedup_frame(
         _embs(spark, sf_dir),
-        _ivf_centroids(spark, sf_dir),
+        _semdedup_cells(spark, sf_dir),
         thresh,
         with_cos=True,
     )

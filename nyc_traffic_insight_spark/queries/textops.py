@@ -950,6 +950,16 @@ def _retention_frame(
         .join(cb, F.col("doc2") == F.col("cb.doc_id"))
         .select("doc1", "doc2", "c", F.col("ca.n").alias("n1"), F.col("cb.n").alias("n2"))
     )
+    return _retention_tail(spark, pc, nd)
+
+
+def _retention_tail(
+    spark: SparkSession, pc: DataFrame, nd: DataFrame
+) -> DataFrame:
+    """Threshold fan-out + rollup over a (doc1, doc2, c, n1, n2)
+    integer pair frame — shared by the exact machine above and the
+    banded sibling (r15), so the two retention curves differ ONLY in
+    where their pairs come from."""
     # in-row threshold fan-out: each pair explodes to the thresholds
     # it passes (10c >= t*(n1+n2-c), pure integers)
     union_sz = F.col("n1") + F.col("n2") - F.col("c")
@@ -1039,6 +1049,106 @@ register(
     survey="north-star: dedup retention curve (corpus survival at "
     "Jaccard 0.5/0.7/0.9, exact pair truth, integer tests)",
 )(qa_dedup_retention)
+
+
+# ------------- banded retention curve (r15; VERDICT r14 #8)
+#
+# The exact curve above is the TRUTH leg: its pair join is the
+# exhaustive shingle self-join, quadratic in clone count (the r14
+# decade probe measured 24.8× bytes at the salted-ident decade —
+# SCALE.md). This sibling is the named scale path: the SAME three
+# thresholds and rollup, but candidate pairs from the banded LSH join
+# (_lsh_candidate_pairs — since r15 the distributed band self
+# equi-join) with the exact integer verify run on candidates only.
+# At thresholds ≥ 0.5 under the (4, 2) geometry the expected recall
+# vs the exact curve is qa_lsh_recall_audit's measured number; the
+# oracle composes the same banding geometry via _lsh_cands_geom_sql,
+# so the curve is value-hash-checked end to end, banding included.
+
+
+def qa_dedup_retention_banded(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Retention curve with LSH-banded candidates + exact verify —
+    the shape that survives a clone-heavy 100 TB corpus. Output
+    schema identical to qa_dedup_retention."""
+    ds = _shingle_sets_persisted(spark, sf_dir)
+    cands = _lsh_candidate_pairs(ds)
+    sa = ds.select(F.col("doc_id").alias("doc1"), F.col("sh").alias("sh1"))
+    sb = ds.select(F.col("doc_id").alias("doc2"), F.col("sh").alias("sh2"))
+    pc = (
+        cands.join(sa, "doc1")
+        .join(sb, "doc2")
+        .select(
+            "doc1",
+            "doc2",
+            F.size(F.array_intersect("sh1", "sh2")).cast("long").alias("c"),
+            F.size("sh1").cast("long").alias("n1"),
+            F.size("sh2").cast("long").alias("n2"),
+        )
+    )
+    nd = _docs(spark, sf_dir).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    return _retention_tail(spark, pc, nd)
+
+
+def dedup_retention_banded_oracle_sql() -> str:
+    """qa_dedup_retention_banded as one DuckDB text — signature +
+    banding candidates (the shared _lsh_cands_geom_sql geometry),
+    exact verify over candidates, the same integer threshold tests
+    and 3-row rollup as the exact curve."""
+    from nyc_traffic_insight_spark.functions.rounding import r6_sql
+
+    t10 = ", ".join(str(t) for t in _RETENTION_T10)
+    return (
+        _SIG_SQL
+        + _lsh_cands_geom_sql("candidates", _LSH_B, _LSH_R)
+        + f""",
+    cnt AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY 1),
+    verified AS (
+      SELECT c.doc1, c.doc2, count(*) AS cc
+      FROM candidates c
+      JOIN shingles sa ON sa.doc_id = c.doc1
+      JOIN shingles sb ON sb.doc_id = c.doc2 AND sb.s = sa.s
+      GROUP BY 1, 2
+    ),
+    thr AS (SELECT unnest([{t10}]) AS threshold_x10),
+    passing AS (
+      SELECT t.threshold_x10, v.doc1, v.doc2
+      FROM verified v
+      JOIN cnt ca ON ca.doc_id = v.doc1
+      JOIN cnt cb ON cb.doc_id = v.doc2
+      JOIN thr t ON 10 * v.cc >= t.threshold_x10 * (ca.n + cb.n - v.cc)
+    ),
+    stats AS (
+      SELECT threshold_x10,
+             CAST(count(*) AS BIGINT) AS n_pairs,
+             CAST(count(DISTINCT doc2) AS BIGINT) AS n_docs_removed
+      FROM passing GROUP BY 1
+    ),
+    nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents)
+    SELECT t.threshold_x10,
+           CAST(coalesce(s.n_pairs, 0) AS BIGINT) AS n_pairs,
+           CAST(coalesce(s.n_docs_removed, 0) AS BIGINT) AS n_docs_removed,
+           nd.n_docs,
+           {r6_sql("CAST(nd.n_docs - coalesce(s.n_docs_removed, 0)"
+                   " AS DOUBLE) / nd.n_docs")} AS retention_rate
+    FROM thr t LEFT JOIN stats s ON s.threshold_x10 = t.threshold_x10
+    CROSS JOIN nd
+    """
+    )
+
+
+register(
+    "qa_dedup_retention_banded",
+    oracle=dedup_retention_banded_oracle_sql,
+    survey="north-star: dedup retention curve over LSH-banded "
+    "candidates + exact verify — the clone-robust scale path the "
+    "exact curve's own decade probe motivated (quadratic-in-clones "
+    "exhaustive self-join avoided; banding geometry shared with "
+    "dedup_minhash_lsh)",
+)(qa_dedup_retention_banded)
 
 
 # ------------- corpus-health QA trio (round-13 previews)

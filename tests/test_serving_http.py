@@ -80,6 +80,15 @@ def test_http_routes_with_injected_slice():
     try:
         status, body = _get(srv, "/health")
         assert status == 200 and json.loads(body) == {"status": "ok"}
+        # r15: GET / and GET /filter serve the borough/year form
+        # (reference main.py:161-163, 250-275) — the route matrix is
+        # now 5 GET-side entries
+        for path in ("/", "/filter"):
+            status, body = _get(srv, path)
+            assert status == 200
+            assert '<form action="/map" method="get"' in body
+            assert body.count("<option") == 5 + 10  # boroughs + years
+            assert "Staten Island" in body and "2023" in body
         status, body = _get(srv, "/map?borough=Queens&year=2024")
         assert status == 200
         assert body.count("<circle") == 3
