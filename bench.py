@@ -231,40 +231,111 @@ def consume(df) -> None:
 _PROBE_ROWS = 1 << 32
 _PROBE_SLOTS = 32
 
-#: Probe value on the calibration box at the time BASELINE.md's
-#: round-14 anchor was recorded — the mean of that run's before/after
-#: probe medians (1.183 / 0.941, 2026-08-16, idle box; see BASELINE.md
-#: "Round-14 calibrated anchor"). Re-record BOTH together or neither.
-PROBE_REF_SEC = 1.062
+# r15 (VERDICT r14 #1): the r14 driver bench read 1.67× the calibrated
+# gate while the CPU probe read IDLE — and the slow tier was exactly
+# the allocation/string-heavy and Python-worker queries, i.e. the
+# resource classes a register-bound codegen loop cannot see (the
+# symmetric blind spot BASELINE.md's honesty note conceded). The probe
+# is now a BATTERY, one fixed job per resource class:
+#
+#   cpu    — the r14 xxhash64 loop (registers + whole-stage codegen)
+#   alloc  — md5-string array construction through an interpreted
+#            higher-order function: JVM allocation rate, GC, UTF8String
+#            churn — the dedup/text tier's cost profile
+#   shuffle— 4096 tiny groups through one exchange + a second stage:
+#            scheduler latency + shuffle round-trip, the many-small-
+#            stage profile (qdigest, BPE, pipelines)
+#
+# calibrated = raw · geomean_over_probes(ref_p / now_p) — a uniform
+# host slowdown still divides out exactly (every ratio shifts
+# together), and a single-resource constraint now moves at least one
+# probe instead of none. Per-probe values ride the headline line so a
+# reader can attribute a gap to its resource class without this
+# machine. Refs recorded in the SAME session as the r15 anchor
+# (BASELINE.md "Round-15 calibrated anchor") — re-record all together
+# or none.
+PROBE_REF_SEC = {"cpu": None, "alloc": None, "shuffle": None}
 
 
-def calibration_probe(spark) -> float:
-    """Median-of-3 wall of the fixed probe job (seconds)."""
-
-    # bit_xor, not sum: a sum of 2^31 hashes overflows BIGINT under
-    # ANSI mode (Spark 4 default); XOR is overflow-free and just as
-    # deterministic. A FRESH DataFrame per rep: re-collecting one
-    # DataFrame object re-runs its cached QueryExecution, whose AQE
-    # shuffle stages are already materialized — the second collect
-    # would read 32 rows from the first's shuffle output and measure
-    # nothing (observed: 2.1 s first rep, 0.06 s after).
-    def job():
+def _probe_jobs(spark) -> dict:
+    # Fresh DataFrame per call everywhere: re-collecting one object
+    # re-runs its cached QueryExecution (AQE stages already
+    # materialized) and measures nothing.
+    def cpu():
         return spark.range(0, _PROBE_ROWS, 1, _PROBE_SLOTS).selectExpr(
             "bit_xor(xxhash64(id)) AS s"
         )
 
-    # two untimed warmup reps: codegen compile on the first, C2 JIT
-    # promotion of the generated loop on the second — medians drifted
-    # 1.09 -> 0.70 s across probe CALLS with a single warmup
-    job().collect()
-    job().collect()
-    reps = []
-    for _ in range(3):
-        spark.sparkContext._jvm.System.gc()
-        t0 = time.perf_counter()
+    def alloc():
+        # 24 md5 hex strings built per row inside transform() — the
+        # interpreted-HOF + allocation profile of the shingle/LSH tier.
+        return spark.range(0, 1 << 21, 1, _PROBE_SLOTS).selectExpr(
+            "bit_xor(xxhash64(concat_ws('-', transform(sequence(1, 24),"
+            " i -> md5(concat(cast(id AS string), '-',"
+            " cast(i AS string))))))) AS s"
+        )
+
+    def shuffle():
+        # one full exchange over 4096 tiny groups + the second-stage
+        # aggregate: scheduler + shuffle-fetch latency, ~no compute
+        return (
+            spark.range(0, 1 << 22, 1, _PROBE_SLOTS)
+            .selectExpr("id % 4096 AS k", "id AS v")
+            .groupBy("k")
+            .sum("v")
+            .selectExpr("bit_xor(xxhash64(k)) AS s")
+        )
+
+    return {"cpu": cpu, "alloc": alloc, "shuffle": shuffle}
+
+
+def calibration_probe(spark) -> dict:
+    """Median-of-3 wall per probe class (seconds each)."""
+    out = {}
+    for name, job in _probe_jobs(spark).items():
+        # bit_xor, not sum: a sum of 2^31 hashes overflows BIGINT under
+        # ANSI mode (Spark 4 default). Two untimed warmup reps: codegen
+        # compile on the first, C2 JIT promotion on the second —
+        # medians drifted 1.09 -> 0.70 s with a single warmup.
         job().collect()
-        reps.append(time.perf_counter() - t0)
-    return round(sorted(reps)[1], 3)
+        job().collect()
+        reps = []
+        for _ in range(3):
+            spark.sparkContext._jvm.System.gc()
+            t0 = time.perf_counter()
+            job().collect()
+            reps.append(time.perf_counter() - t0)
+        out[name] = round(sorted(reps)[1], 3)
+    return out
+
+
+def _env_diagnostics() -> dict:
+    """Cheap host facts for decomposing a driver-vs-builder wall gap
+    (r15; read-only, best-effort — zeros mean unreadable)."""
+    out = {"mem_available_kb": 0, "load_avg_1m": 0.0, "nproc": os.cpu_count()}
+    try:
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith("MemAvailable:"):
+                    out["mem_available_kb"] = int(line.split()[1])
+                    break
+    except OSError:
+        pass
+    try:
+        out["load_avg_1m"] = round(os.getloadavg()[0], 2)
+    except OSError:
+        pass
+    for p in (
+        "/sys/fs/cgroup/memory.max",
+        "/sys/fs/cgroup/memory/memory.limit_in_bytes",
+    ):
+        try:
+            with open(p) as f:
+                out["cgroup_mem_max"] = f.read().strip()
+            break
+        except OSError:
+            pass
+    return out
 
 
 def _exec_totals(ui_url: str | None) -> dict[str, int]:
@@ -392,17 +463,32 @@ def main() -> None:
         query_metrics[name]["rep_secs"] = [round(x, 3) for x in reps]
 
     probe_after = calibration_probe(spark)
-    probes = [probe_before, probe_mid, probe_after]
-    probes = [p for p in probes if p is not None]
-    probe_now = round(sum(probes) / len(probes), 3)
+    samples = [p for p in (probe_before, probe_mid, probe_after) if p]
+    probe_now = {
+        k: round(sum(s[k] for s in samples) / len(samples), 3)
+        for k in samples[0]
+    }
 
     total = round(sum(timings.values()), 3)
     subset25 = round(sum(timings[n] for n in SUBSET25), 3)
-    calib = (
-        round(PROBE_REF_SEC / probe_now, 4)
-        if PROBE_REF_SEC and probe_now
-        else None
-    )
+    # geometric mean of per-class ref/now ratios (see the battery
+    # comment above) — None until refs are recorded
+    calib = None
+    if all(PROBE_REF_SEC.get(k) for k in probe_now) and all(
+        probe_now.values()
+    ):
+        import math
+
+        calib = round(
+            math.exp(
+                sum(
+                    math.log(PROBE_REF_SEC[k] / probe_now[k])
+                    for k in probe_now
+                )
+                / len(probe_now)
+            ),
+            4,
+        )
     # Durable sidecar for the executor metrics; NOT on the headline line
     # (see module docstring).
     metrics_path = os.path.join(
@@ -438,6 +524,8 @@ def main() -> None:
                     "after": probe_after,
                     "ref": PROBE_REF_SEC,
                 },
+                # host facts for gap decomposition (r15; VERDICT r14 #1)
+                "env": _env_diagnostics(),
                 "value_calibrated": (
                     round(total * calib, 3) if calib else None
                 ),

@@ -162,6 +162,191 @@ def _semdedup_cells(spark: SparkSession, sf_dir: str) -> list:
     )
 
 
+def _semdedup_index(spark: SparkSession, sf_dir: str) -> dict:
+    """The full scaled index: {"m", "labels", "cells"} — the sub-cell
+    table plus the 10-row label level the two-level assignment scores
+    first (r15; one content-addressed artifact so the two levels can
+    never drift)."""
+    from nyc_traffic_insight_spark.artifacts import cached_json
+
+    def _build() -> dict:
+        e = _embs(spark, sf_dir)
+        n = e.count()
+        m = max(1, (n + _SEMDEDUP_DIV - 1) // _SEMDEDUP_DIV)
+        labels = [
+            [int(c), list(vec)] for c, vec in _ivf_centroids(spark, sf_dir)
+        ]
+        cells = _semdedup_cells(spark, sf_dir)
+        return {"m": m, "labels": labels, "cells": cells}
+
+    return cached_json(
+        "semdedup_index",
+        sf_dir,
+        ["embeddings"],
+        {"occ": _SEMDEDUP_TARGET_OCC},
+        _build,
+    )
+
+
+def _assigned_frame(e: DataFrame, index, with_cos: bool) -> DataFrame:
+    """One narrow assignment pass → (vec_id, embedding, cell
+    [, own_cos]). Built FRESH per call: higher-order-function lambda
+    variables carry expression ids, and reusing one plan object on
+    both sides of a self-join makes Catalyst's branch dedup lose the
+    inner lambda refs at bind time
+    (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND on uncached inputs).
+
+    `index` is either a flat [[cell, cvec], ...] list (single-level:
+    score every cell in-row — tests and the m = 1 gate shape) or the
+    _semdedup_index dict with m > 1, which switches to TWO-LEVEL
+    scoring (r15): nearest of the 10 label centroids first, then
+    nearest of that label's own sub-centroids — per-vector cost
+    (10 + m)·dim instead of (10·m)·dim. Without this the scaled
+    index's assignment re-grows the very term the index removes (the
+    clean decade probe read the flat-k=99 assignment at 2×5.1 s of
+    dedup_semantic's 14.4 s wall at 20k vectors). Tie-breaks are
+    (cos DESC, cell ASC) at BOTH levels — the oracle's two window
+    ORDER BYs."""
+
+    import math
+
+    # Scoring-cost note (r15, measured): _norm_dot inside the lambda
+    # evaluated FOUR 64-element aggregates per (row, cell) — the dot,
+    # the constant cell norm, and the row norm, the last an OUTER
+    # EXPRESSION re-evaluated per element (the NOTES r1 trap). Here
+    # the row norm is materialized ONCE per row as column __na (an
+    # attribute read inside the lambda, not a re-evaluated
+    # expression) and each cell's norm rides the index literal as
+    # `nrm`, computed in Python with the IDENTICAL sequential
+    # float64 accumulation + sqrt — so cos = dot / (__na · nrm) is
+    # bit-for-bit the _norm_dot value and the oracle's
+    # list_cosine_similarity, at 2/5 the per-cell op count.
+    na_col = F.sqrt(
+        F.aggregate(
+            F.col("embedding"),
+            F.lit(0.0),
+            lambda acc, v: acc + v.cast("double") * v.cast("double"),
+        )
+    )
+
+    def _pynorm(vec) -> float:
+        s = 0.0
+        for v in vec:
+            s += float(v) * float(v)
+        return math.sqrt(s)
+
+    def _scored(cand_col):
+        def cos(c):
+            dot = F.aggregate(
+                F.zip_with(
+                    F.col("embedding"),
+                    c["cvec"],
+                    lambda x, y: x.cast("double") * y.cast("double"),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            return dot / (F.col("__na") * c["nrm"])
+
+        return F.transform(
+            cand_col,
+            lambda c: F.struct(
+                (-cos(c)).alias("negcos"),
+                c["cell"].alias("cell"),
+            ),
+        )
+
+    # ONE F.expr per literal table, not one F.lit per double: every
+    # F.lit/F.struct/F.array is a py4j round trip, and the scaled
+    # index is ~26k of them per assignment branch — measured 11–18 s
+    # of pure PYTHON-side plan building per dedup_semantic call at
+    # m = 10 (the box sat idle; the walls looked like execution but
+    # were driver-side py4j). A generated SQL string is one round
+    # trip; CAST('<repr>' AS DOUBLE) round-trips every finite double
+    # exactly (shortest-repr law), so the folded literal is
+    # bit-identical to the F.lit form.
+    _CELLS_T = "ARRAY<STRUCT<cell: INT, cvec: ARRAY<DOUBLE>, nrm: DOUBLE>>"
+
+    def _d(v) -> str:
+        return f"CAST('{float(v)!r}' AS DOUBLE)"
+
+    def _lit_cells(pairs):
+        if not pairs:
+            return F.expr(f"CAST(array() AS {_CELLS_T})")
+        items = ", ".join(
+            "named_struct('cell', {c}, 'cvec', array({vs}), 'nrm', {n})".format(
+                c=int(cell),
+                vs=", ".join(_d(v) for v in vec),
+                n=_d(_pynorm(vec)),
+            )
+            for cell, vec in pairs
+        )
+        return F.expr(f"array({items})")
+
+    two_level = isinstance(index, dict) and index["m"] > 1
+    if not two_level:
+        cells = index["cells"] if isinstance(index, dict) else index
+        best = F.element_at(F.array_sort(_scored(F.col("cells"))), 1)
+        out = [
+            F.col("vec_id"),
+            F.col("embedding"),
+            F.col("__na"),
+            best["cell"].cast("int").alias("cell"),
+        ]
+        if with_cos:
+            out.append((-best["negcos"]).alias("own_cos"))
+        return (
+            e.withColumn("__na", na_col)
+            .withColumn("cells", _lit_cells(cells))
+            .select(*out)
+        )
+
+    m = index["m"]
+    by_label: dict = {}
+    for cell0, vec in index["cells"]:
+        by_label.setdefault(cell0 // m, []).append((cell0, vec))
+    # label → sub-cell list as a label-value-indexed ARRAY literal, not
+    # a map: GetMapValue on a literal map of array-of-struct values
+    # measured 6× slower per row than GetArrayItem (6.6 s vs 1.1 s for
+    # the 20k-vector assignment pass) — the map scan compares/copies
+    # complex values, the array index is a reference read. Labels are
+    # small non-negative ints; missing labels get empty placeholders
+    # (never selected — lbl_best comes from the existing labels).
+    max_lbl = max(by_label)
+    if max_lbl > 10_000:
+        raise ValueError(
+            f"label space too large to array-index ({max_lbl}); "
+            "re-introduce a position lookup before raising this cap"
+        )
+    subs_arr = F.array(
+        *[
+            _lit_cells(by_label.get(lbl, []))
+            for lbl in range(max_lbl + 1)
+        ]
+    )
+    lbl_best = F.element_at(
+        F.array_sort(_scored(F.col("lcells"))), 1
+    )["cell"]
+    best = F.element_at(F.array_sort(_scored(F.col("cand"))), 1)
+    out = [
+        F.col("vec_id"),
+        F.col("embedding"),
+        F.col("__na"),
+        best["cell"].cast("int").alias("cell"),
+    ]
+    if with_cos:
+        out.append((-best["negcos"]).alias("own_cos"))
+    return (
+        e.withColumn("__na", na_col)
+        .withColumn("lcells", _lit_cells(index["labels"]))
+        .withColumn("subsarr", subs_arr)
+        .withColumn(
+            "cand", F.element_at(F.col("subsarr"), lbl_best.cast("int") + 1)
+        )
+        .select(*out)
+    )
+
+
 def semdedup_frame(
     e: DataFrame, cells: list, thresh: float, with_cos: bool = False
 ) -> DataFrame:
@@ -176,39 +361,10 @@ def semdedup_frame(
     frame directly instead of re-running the assignment; the default
     keeps dedup_semantic's shuffle rows 8 bytes narrower."""
     def _assigned() -> DataFrame:
-        # Narrow assignment: score all k cells in-row, sort by
-        # (-cos, cell) — the exact tie-break the oracle's window spells
-        # as ORDER BY cos DESC, cell (negating a double is exact).
-        # Built FRESH per join side: higher-order-function lambda
-        # variables carry expression ids, and reusing one plan object
-        # on both sides of the self-join below makes Catalyst's branch
-        # dedup lose the inner lambda refs at bind time
-        # (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND on uncached inputs).
-        cent_arr = F.array(
-            *[
-                F.struct(
-                    F.lit(cell).alias("cell"),
-                    F.array(*[F.lit(v) for v in vec]).alias("cvec"),
-                )
-                for cell, vec in cells
-            ]
-        )
-        scored = F.transform(
-            F.col("cells"),
-            lambda c: F.struct(
-                (-_norm_dot(F.col("embedding"), c["cvec"])).alias("negcos"),
-                c["cell"].alias("cell"),
-            ),
-        )
-        best = F.element_at(F.array_sort(scored), 1)
-        out = [
-            F.col("vec_id"),
-            F.col("embedding"),
-            best["cell"].cast("int").alias("cell"),
-        ]
-        if with_cos:
-            out.append((-best["negcos"]).alias("own_cos"))
-        return e.withColumn("cells", cent_arr).select(*out)
+        # Narrow assignment (single- or two-level per the index shape;
+        # see _assigned_frame). Built FRESH per join side — the lambda
+        # bind-time caveat in _assigned_frame's docstring.
+        return _assigned_frame(e, cells, with_cos)
 
     # Within-cell witness search: equi-join on cell (bucketed by
     # construction), keep earlier-id pairs above the threshold, take
@@ -258,8 +414,23 @@ def semdedup_frame(
                 F.when(
                     (F.col("a.vec_id") < F.col("b.vec_id"))
                     & (
-                        _norm_dot(
-                            F.col("a.embedding"), F.col("b.embedding")
+                        # pair cosine from the carried __na norms —
+                        # dot / (na·nb), the exact _norm_dot grouping,
+                        # so the double (and the oracle hash) is
+                        # unchanged while the per-pair op count drops
+                        # from four 64-element aggregates to two
+                        (
+                            F.aggregate(
+                                F.zip_with(
+                                    F.col("a.embedding"),
+                                    F.col("b.embedding"),
+                                    lambda x, y: x.cast("double")
+                                    * y.cast("double"),
+                                ),
+                                F.lit(0.0),
+                                lambda acc, v: acc + v,
+                            )
+                            / (F.col("a.__na") * F.col("b.__na"))
                         )
                         > F.lit(float(thresh))
                     ),
@@ -282,9 +453,13 @@ def _centroid_assign_cte(table: str) -> str:
     r15: recomputes the scale-k index (_semdedup_cells) — m from the
     same integer formula, buckets from the same IEEE expression
     (((own_cos − mn) · m) / (mx − mn), floored, least-capped), sub-cell
-    centroids from the same round(avg, 6). At every gate SF m = 1,
-    every bucket is 0, and the chain degenerates to the r14 label-mean
-    index byte-for-byte in VALUES (the text itself carries the general
+    centroids from the same round(avg, 6) — and assigns TWO-LEVEL
+    exactly like the Spark side (_assigned_frame): nearest label
+    centroid (lrn window), then nearest sub-centroid of that label
+    (rn window over c.cell // m = lbl). At every gate SF m = 1, every
+    bucket is 0, each label has one sub-cell, and the chain
+    degenerates to the r14 single-window label-mean assignment
+    byte-for-byte in VALUES (the text itself carries the general
     form)."""
     return f"""
     WITH mval AS (
@@ -336,16 +511,28 @@ def _centroid_assign_cte(table: str) -> str:
       SELECT cell0 AS cell, list(c ORDER BY pos) AS cvec
       FROM cent GROUP BY cell0
     ),
-    assign AS (
-      SELECT vec_id, cell, embedding, cos_raw FROM (
-        SELECT e.vec_id, c.cell, e.embedding,
-               list_cosine_similarity(e.embedding::DOUBLE[], c.cvec)
-                 AS cos_raw,
+    l1 AS (
+      SELECT vec_id, embedding, lbl FROM (
+        SELECT e.vec_id, e.embedding, lc.cell AS lbl,
                row_number() OVER (
                  PARTITION BY e.vec_id
-                 ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cvec)
+                 ORDER BY list_cosine_similarity(e.embedding::DOUBLE[],
+                                                 lc.cvec) DESC, lc.cell)
+                 AS lrn
+        FROM {table} e, lcentroids lc
+      ) WHERE lrn = 1
+    ),
+    assign AS (
+      SELECT vec_id, cell, embedding, cos_raw FROM (
+        SELECT s.vec_id, c.cell, s.embedding,
+               list_cosine_similarity(s.embedding::DOUBLE[], c.cvec)
+                 AS cos_raw,
+               row_number() OVER (
+                 PARTITION BY s.vec_id
+                 ORDER BY list_cosine_similarity(s.embedding::DOUBLE[], c.cvec)
                           DESC, c.cell) AS rn
-        FROM {table} e, centroids c
+        FROM l1 s CROSS JOIN mval
+        JOIN centroids c ON (c.cell // m) = s.lbl
       ) WHERE rn = 1
     )"""
 
@@ -400,7 +587,7 @@ def dedup_semantic(
     keep the minimum vec_id. Round-11 preview promoted in round 12.
     Output: (vec_id, cell, is_kept, dup_of)."""
     return semdedup_frame(
-        _embs(spark, sf_dir), _semdedup_cells(spark, sf_dir), thresh
+        _embs(spark, sf_dir), _semdedup_index(spark, sf_dir), thresh
     )
 
 
@@ -430,33 +617,16 @@ _PROTO_TENTH = 10.0  # prune floor(n_cell / 10) most-prototypical
 
 def proto_filter_frame(e: DataFrame, cells: list) -> DataFrame:
     """Core prototype-filter pass over a (vec_id, embedding) frame
-    given the centroid artifact [(cell, cvec), ...]. Output:
+    given the centroid artifact [(cell, cvec), ...] (or the
+    _semdedup_index dict — r15, same two-level assignment as the
+    SemDeDup pass, see _assigned_frame). Output:
     (vec_id, cell, proto_cos, proto_rank, is_kept) — rank 1 is the
     cell's most prototypical vector (ties by vec_id), and ranks
     1..floor(n_cell/10) are pruned."""
     from pyspark.sql import Window
 
-    cent_arr = F.array(
-        *[
-            F.struct(
-                F.lit(cell).alias("cell"),
-                F.array(*[F.lit(v) for v in vec]).alias("cvec"),
-            )
-            for cell, vec in cells
-        ]
-    )
-    scored = F.transform(
-        F.col("cells"),
-        lambda c: F.struct(
-            (-_norm_dot(F.col("embedding"), c["cvec"])).alias("negcos"),
-            c["cell"].alias("cell"),
-        ),
-    )
-    best = F.element_at(F.array_sort(scored), 1)
-    assign = e.withColumn("cells", cent_arr).select(
-        "vec_id",
-        best["cell"].cast("int").alias("cell"),
-        (-best["negcos"]).alias("cos_raw"),
+    assign = _assigned_frame(e, cells, with_cos=True).select(
+        "vec_id", "cell", F.col("own_cos").alias("cos_raw")
     )
     sizes = assign.groupBy("cell").agg(F.count(F.lit(1)).alias("n_cell"))
     w = Window.partitionBy("cell").orderBy(F.desc("cos_raw"), F.col("vec_id"))
@@ -516,7 +686,7 @@ def emb_prototypes_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroid. Round-11 preview promoted in round 12. Output:
     (vec_id, cell, proto_cos, proto_rank, is_kept)."""
     return proto_filter_frame(
-        _embs(spark, sf_dir), _semdedup_cells(spark, sf_dir)
+        _embs(spark, sf_dir), _semdedup_index(spark, sf_dir)
     )
 
 
@@ -613,7 +783,7 @@ def pipeline_d4_curation(
 
     sd = semdedup_frame(
         _embs(spark, sf_dir),
-        _semdedup_cells(spark, sf_dir),
+        _semdedup_index(spark, sf_dir),
         thresh,
         with_cos=True,
     )
