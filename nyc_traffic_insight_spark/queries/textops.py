@@ -1737,17 +1737,25 @@ def sim_search_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     double, so the sign bits — and hence buckets — match exactly.
     """
     e = _embs(spark, sf_dir)
-    bucket = None
+    # one generated expr, not 512 F.lit py4j round trips (r15 — the
+    # same plan-build tax fix as the PQ tier; identical SQL
+    # primitives, so the analyzed plan and the sequential-accumulation
+    # bit-identity are unchanged)
+    bits = []
     for p, ws in enumerate(_plane_weights()):
-        plane = F.array(*[F.lit(w) for w in ws])
-        dot = F.aggregate(
-            F.zip_with("embedding", plane, lambda x, w: x.cast("double") * w),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
+        plane = ", ".join(f"CAST('{w!r}' AS DOUBLE)" for w in ws)
+        dot = (
+            f"aggregate(zip_with(embedding, array({plane}), "
+            "(x, w) -> CAST(x AS DOUBLE) * w), 0.0D, "
+            "(acc, v) -> acc + v)"
         )
-        bit = F.when(dot >= 0, F.lit(1 << p)).otherwise(F.lit(0))
-        bucket = bit if bucket is None else bucket + bit
-    return e.select("vec_id", bucket.cast("bigint").alias("bucket"))
+        bits.append(f"(CASE WHEN {dot} >= 0 THEN {1 << p} ELSE 0 END)")
+    return e.select(
+        "vec_id",
+        F.expr("CAST({} AS BIGINT)".format(" + ".join(bits))).alias(
+            "bucket"
+        ),
+    )
 
 
 _DIM = 64
@@ -1812,16 +1820,23 @@ def _ivf_cent_arr(cells: list) -> F.Column:
     _ivf_centroids artifact. ONE spelling for every consumer
     (sim_search_ivf_topk, qa_ivf_index_audit, pipeline_ann_ivfpq),
     extracted in the r13 review pass so the coarse quantizer cannot
-    drift between the index and the operators composed on it."""
-    return F.array(
-        *[
-            F.struct(
-                F.lit(cell).alias("cell"),
-                F.array(*[F.lit(v) for v in vec]).alias("cvec"),
-            )
-            for cell, vec in cells
-        ]
+    drift between the index and the operators composed on it.
+
+    Emitted as ONE generated SQL expression, not per-value F.lit calls
+    (r15): each F.lit/F.struct/F.array is a py4j round trip, and the
+    640-lit form cost ~1 s of driver-side Python per consumer call.
+    CAST('<repr>' AS DOUBLE) round-trips every finite double exactly
+    (shortest-repr law), so the folded literal is bit-identical."""
+    items = ", ".join(
+        "named_struct('cell', {c}, 'cvec', array({vs}))".format(
+            c=int(cell),
+            vs=", ".join(
+                f"CAST('{float(v)!r}' AS DOUBLE)" for v in vec
+            ),
+        )
+        for cell, vec in cells
     )
+    return F.expr(f"array({items})")
 
 
 def _ivf_ranked_cells(emb_col) -> F.Column:
@@ -2201,15 +2216,46 @@ def _pq_ticks_of(col) -> F.Column:
 
 def _pq_tick_d2(tx, tick_vec: list) -> F.Column:
     """BIGINT squared tick distance between a tick-array column and a
-    literal codebook entry — ONE spelling (see _pq_ticks_of)."""
+    literal codebook entry — ONE spelling (see _pq_ticks_of). The
+    literal rides one generated expr, not per-value F.lit py4j round
+    trips (r15 — the PQ consumers build hundreds of these)."""
+    ticks = F.expr(
+        "array({})".format(", ".join(f"{int(t)}L" for t in tick_vec))
+    )
     return F.aggregate(
         F.zip_with(
             tx,
-            F.array(*[F.lit(t) for t in tick_vec]),
+            ticks,
             lambda a, b: (a - b) * (a - b),
         ),
         F.lit(0).cast("long"),
         lambda acc, v: acc + v,
+    )
+
+
+# SQL-text twins of _pq_ticks_of / _pq_tick_d2 for the Spark side
+# (r15): the PQ consumers build 40–80 tick-distance expressions per
+# plan, and the Column-API form cost ~15k py4j round trips (~3 s of
+# driver-side Python per call, profiled). One generated expr string is
+# one round trip; the SQL functions are the IDENTICAL engine
+# primitives, so the analyzed plan (and every byte anchor) is
+# unchanged.
+
+
+def _pq_tx_sql(m: int) -> str:
+    return (
+        f"transform(slice(embedding, {m * _PQ_SUB + 1}, {_PQ_SUB}), "
+        "v -> CAST(floor(CAST(v AS DOUBLE) * 1000000.0D + 0.5D) "
+        "AS BIGINT))"
+    )
+
+
+def _pq_d2_sql(tx: str, tick_vec: list) -> str:
+    ticks = ", ".join(f"{int(t)}L" for t in tick_vec)
+    return (
+        f"aggregate(zip_with({tx}, array({ticks}), "
+        "(a, b) -> (a - b) * (a - b)), CAST(0 AS BIGINT), "
+        "(acc, v) -> acc + v)"
     )
 
 
@@ -2220,19 +2266,17 @@ def _pq_assign_frame(e: DataFrame, codebooks: list) -> DataFrame:
     Narrow end to end: zero exchanges."""
     per_sub = []
     for m, codes in enumerate(codebooks):
-        tx = _pq_ticks_of(F.slice("embedding", m * _PQ_SUB + 1, _PQ_SUB))
-        scored = F.array(
-            *[
-                F.struct(
-                    _pq_tick_d2(tx, tick_vec).alias("d2"),
-                    F.lit(code).alias("code"),
-                )
+        tx = _pq_tx_sql(m)
+        scored = "array({})".format(
+            ", ".join(
+                f"named_struct('d2', {_pq_d2_sql(tx, tick_vec)}, "
+                f"'code', {int(code)})"
                 for code, tick_vec in codes
-            ]
+            )
         )
         # array_sort on (d2, code) structs = min by distance, ties by
         # code id — the oracle's ORDER BY d2, code
-        best = F.element_at(F.array_sort(scored), 1)
+        best = F.element_at(F.array_sort(F.expr(scored)), 1)
         per_sub.append(
             F.struct(
                 F.lit(m).alias("subspace"),
@@ -2403,18 +2447,17 @@ def _pq_lut_frame(e: DataFrame, codebooks: list) -> DataFrame:
     identity test_pq_adc_rank1_is_the_self_distortion relies on."""
     entries = []
     for m, codes in enumerate(codebooks):
-        tx = _pq_ticks_of(F.slice("embedding", m * _PQ_SUB + 1, _PQ_SUB))
+        tx = _pq_tx_sql(m)
         for code, tick_vec in codes:
             entries.append(
-                F.struct(
-                    F.lit(m).alias("subspace"),
-                    F.lit(code).alias("code"),
-                    _pq_tick_d2(tx, tick_vec).alias("d2"),
-                )
+                f"named_struct('subspace', {m}, 'code', {int(code)}, "
+                f"'d2', {_pq_d2_sql(tx, tick_vec)})"
             )
     return e.select(
         F.col("vec_id").alias("query_id"),
-        F.explode(F.array(*entries)).alias("l"),
+        F.explode(F.expr("array({})".format(", ".join(entries)))).alias(
+            "l"
+        ),
     ).select(
         "query_id",
         F.col("l.subspace").cast("int").alias("subspace"),
