@@ -75,85 +75,80 @@ def register(
     return deco
 
 
-# Registration-order rotation (VERDICT.md rounds 2-13). The driver's
+# Registration-order rotation (VERDICT.md rounds 2-14). The driver's
 # sf0.01 correctness gate walks REGISTRY front-to-back with a
-# ~50-query budget (CORRECTNESS_r04-r13 each carried exactly 50
-# rows). Round-14 ordering — VERDICT r13 #2's precomputed front,
+# ~50-query budget (CORRECTNESS_r04-r14 each carried exactly 50
+# rows). Round-15 ordering — NOTES "Round-15 rotation precompute",
 # adjusted for this round's code changes (changed/new entries outrank
 # stale refresh, the standing convention):
-#   1. the THREE queries whose code changed or was added in r14:
-#      mm_dedup_phash (candidate stage rebuilt as the distributed
-#      (band, byte) self equi-join — VERDICT r13 "What's wrong" #1),
-#      mm_dedup_canonical (new: the multimodal keep/drop arc,
-#      VERDICT r13 #4) and mm_dedup_frames (new: video near-dedup by
-#      frame-fingerprint overlap) — the two new entries never
-#      driver-checked, all three pre-verified cross-engine at
-#      sf0.001/0.01/0.1;
-#   2. the 19-query r7-stale remainder, registration order
-#      (sim_search_ivf_kmeans ... agg_cumulative_users);
-#   3. the 4-query r7 registration-order tail (report_pareto_deciles,
-#      flagship_volume_features, split_random, layout_bucketed_join);
-#   4. the 24 oldest r8-stale queries, registration order
-#      (win_lag1 ... sim_search_lsh_buckets).
-# 3 + 19 + 4 + 24 = 50 fronted exactly; the r8-stale remainder
-# (text_token_count ... scan_object_store, 26 queries) fronts in
-# r15.
-# Everything else keeps standing r8+ evidence and registers last.
+#   1. the 23 queries whose code, oracle, or artifact path changed in
+#      r15 (LSH candidate stage → distributed band self-join; D4 tier
+#      scale-k index + two-level assignment + oracle rewrite; ANN tier
+#      generated-SQL literals; kmeans/centroid/LR-model disk
+#      artifacts; mm_dedup_frames payload pre-digest) plus the ONE
+#      new entry qa_dedup_retention_banded — all pre-verified
+#      cross-engine this round;
+#   2. 25 of the 26-query r8-stale remainder, registration order
+#      (text_token_count ... scan_object_store — dedup_edit_distance
+#      already fronts with the changed set), plus stream_file_ingest;
+#   3. one r10-stale top-up (win_lag_multi) to fill the 50 budget.
+# 23 + 26 + 1 = 50 fronted exactly; the r10 block
+# (win_roll_mean_3 ... agg_count) fronts in r16.
+# Everything else keeps standing r10+ evidence and registers last.
 _CHECK_FIRST = [
-    # 1. changed/new in r14
-    "mm_dedup_phash",
-    "mm_dedup_canonical",
-    "mm_dedup_frames",
-    # 2. r7-stale remainder, registration order
-    "sim_search_ivf_kmeans",
+    # 1. changed/new in r15
+    "qa_dedup_retention_banded",
+    "dedup_minhash_lsh",
+    "dedup_edit_distance",
     "dedup_connected_components",
-    "emb_covariance_matrix",
-    "emb_pca_project",
-    "text_bpe_pair_counts",
-    "pipeline_http_to_parquet",
-    "ml_segmented_model",
+    "dedup_canonical_select",
+    "text_decontaminate_fuzzy",
+    "qa_lsh_recall_audit",
+    "qa_lsh_banding_sweep",
+    "qa_dedup_retention",
+    "dedup_semantic",
+    "emb_prototypes_filter",
+    "pipeline_d4_curation",
+    "sim_search_ivf_topk",
+    "qa_ivf_index_audit",
+    "pipeline_ann_ivfpq",
+    "emb_pq_codes",
+    "sim_search_pq_adc",
+    "qa_pq_distortion",
+    "sim_search_lsh_buckets",
+    "sim_search_ivf_kmeans",
     "ml_permutation_importance",
     "ml_inference_single_row",
-    "ml_segmented_router",
-    "agg_approx_count_distinct",
-    "sketch_tdigest",
-    "sketch_qdigest",
-    "agg_bootstrap_ci",
-    "report_ab_test",
-    "win_max_drawdown",
-    "report_cohort_ltv",
-    "graph_pagerank_topk",
-    "agg_cumulative_users",
-    # 3. r7 registration-order tail
-    "report_pareto_deciles",
-    "flagship_volume_features",
-    "split_random",
-    "layout_bucketed_join",
-    # 4. 24 oldest r8-stale, registration order
-    "win_lag1",
-    "win_cumulative",
-    "time_spine_gapfill",
-    "join_traffic_weather_boro",
-    "join_traffic_weather_time",
-    "join_holiday_dim",
-    "join_coord_map",
-    "join_nearest_edge",
-    "str_wkt_parse",
-    "str_functions",
-    "str_timestamp_build",
-    "dt_extract",
-    "flag_weekend",
-    "flag_season",
-    "flag_rush_hour",
-    "cyclical_encode",
-    "log1p_expm1",
-    "interaction_products",
-    "case_volume_bins",
-    "round_decimal",
-    "cond_route",
-    "json_struct_build",
-    "json_extract",
-    "sim_search_lsh_buckets",
+    "mm_dedup_frames",
+    # 2. r8-stale remainder, registration order
+    "text_token_count",
+    "text_quality_score",
+    "text_lang_id",
+    "text_fingerprint",
+    "doc_stats_by_source",
+    "sketch_count_min",
+    "sketch_heavy_hitters",
+    "emb_normalize",
+    "emb_quantize_int8",
+    "pipeline_text_prep",
+    "dedup_substring_cdc",
+    "stream_tumbling_counts",
+    "stream_sliding_counts",
+    "stream_dedup_ids",
+    "stream_sessionization",
+    "mm_extract_features",
+    "mm_video_frames",
+    "mm_asset_stats",
+    "sample_stratified",
+    "sample_reservoir_topk",
+    "sketch_bloom_filter",
+    "text_pii_scrub",
+    "agg_percentile_exact",
+    "ml_grouped_ols",
+    "scan_object_store",
+    "stream_file_ingest",
+    # 3. r10-stale top-up
+    "win_lag_multi",
 ]
 
 

@@ -610,55 +610,22 @@ def _bpe_run_chain(
         f"vocab AS ({_bpe_vocab_body()}), "
         f"allwords AS ({_bpe_allwords_body()}) "
     )
-    # r15 job fusion (VERDICT r14 #6): the chain's wall was pure
-    # sequential-job latency — 2 (train) / 3 (encode) driver round
-    # trips per merge iteration over a bounded table. Two orchestration
-    # changes, ZERO fragment changes (the generated SQL the oracle
-    # shares is byte-identical):
-    #
-    # 1. b{i} (the argmax pair) is a lazy VIEW, not a checkpoint: the
-    #    merge materialization computes pairs→best inline (referenced
-    #    once, over a checkpointed state — no re-expansion), so each
-    #    iteration is ONE job. The trainer's final b0..bN union
-    #    recomputes the 10 one-row argmaxes in a single parallel query
-    #    over the checkpointed states (deterministic: exact integer
-    #    counts, full ORDER BY tie-break).
-    # 2. (encode) the capped chain IS the uncapped chain restricted to
-    #    the vocabulary: _bpe_merge_body partitions everything by
-    #    word, so each word's state evolves independently and the
-    #    restriction commutes with the merge loop — w{i} becomes a
-    #    filtered VIEW of a{i} (broadcast semi-join against the
-    #    2000-row vocab) instead of a second materialized chain.
-    # Measured: train 6.1→3.4 s, encode 8.6→3.6 s medians at sf0.1.
+    _materialize(spark.sql(base + _bpe_init_body("vocab"))
+                 ).createOrReplaceTempView(f"{v}_w0")
     if with_apply:
-        spark.sql(
-            f"WITH wf AS (SELECT * FROM {v}_wf) {_bpe_vocab_body()}"
-        ).createOrReplaceTempView(f"{v}_vocab")
         _materialize(spark.sql(base + _bpe_init_body("allwords"))
                      ).createOrReplaceTempView(f"{v}_a0")
-        spark.sql(
-            f"SELECT word, freq, pos, sym FROM {v}_a0 "
-            f"WHERE word IN (SELECT word FROM {v}_vocab)"
-        ).createOrReplaceTempView(f"{v}_w0")
-    else:
-        _materialize(spark.sql(base + _bpe_init_body("vocab"))
-                     ).createOrReplaceTempView(f"{v}_w0")
     for i in range(_BPE_MERGES):
-        spark.sql(
+        _materialize(spark.sql(
             _bpe_best_body(f"({_bpe_pairs_body(f'{v}_w{i}')}) p")
-        ).createOrReplaceTempView(f"{v}_b{i}")
+        )).createOrReplaceTempView(f"{v}_b{i}")
+        _materialize(spark.sql(
+            _bpe_merge_body(f"{v}_w{i}", f"{v}_b{i}")
+        )).createOrReplaceTempView(f"{v}_w{i + 1}")
         if with_apply:
             _materialize(spark.sql(
                 _bpe_merge_body(f"{v}_a{i}", f"{v}_b{i}")
             )).createOrReplaceTempView(f"{v}_a{i + 1}")
-            spark.sql(
-                f"SELECT word, freq, pos, sym FROM {v}_a{i + 1} "
-                f"WHERE word IN (SELECT word FROM {v}_vocab)"
-            ).createOrReplaceTempView(f"{v}_w{i + 1}")
-        else:
-            _materialize(spark.sql(
-                _bpe_merge_body(f"{v}_w{i}", f"{v}_b{i}")
-            )).createOrReplaceTempView(f"{v}_w{i + 1}")
 
 
 def _bpe_drop_views(spark: SparkSession, v: str, with_apply: bool) -> None:
@@ -672,7 +639,6 @@ def _bpe_drop_views(spark: SparkSession, v: str, with_apply: bool) -> None:
     names += [f"{v}_b{i}" for i in range(_BPE_MERGES)]
     if with_apply:
         names += [f"{v}_a{i}" for i in range(_BPE_MERGES + 1)]
-        names.append(f"{v}_vocab")
     for name in names:
         spark.catalog.dropTempView(name)
 
