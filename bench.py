@@ -311,8 +311,21 @@ def calibration_probe(spark) -> dict:
 
 def _env_diagnostics() -> dict:
     """Cheap host facts for decomposing a driver-vs-builder wall gap
-    (r15; read-only, best-effort — zeros mean unreadable)."""
+    (r15; read-only, best-effort — zeros mean unreadable). Sampled
+    BEFORE the warmups and AFTER the last probe; the cpu_* fields are
+    cumulative jiffies from /proc/stat, so the before/after DELTA
+    gives busy/idle/STEAL core-time over the whole run — bursty
+    host-level steal (2.19M jiffies cumulative on the r15 builder
+    box) is exactly the contention class that dodges point probes."""
     out = {"mem_available_kb": 0, "load_avg_1m": 0.0, "nproc": os.cpu_count()}
+    try:
+        with open("/proc/stat") as f:
+            v = [int(x) for x in f.readline().split()[1:]]
+        out["cpu_busy_jiffies"] = v[0] + v[1] + v[2]
+        out["cpu_idle_jiffies"] = v[3]
+        out["cpu_steal_jiffies"] = v[7] if len(v) > 7 else 0
+    except (OSError, ValueError):
+        pass
     try:
         with open("/proc/meminfo") as f:
             for line in f:
@@ -383,6 +396,7 @@ def main() -> None:
     # store retention stays at defaults — shuffle totals come from the
     # executors endpoint (lifetime-cumulative, eviction-proof), see
     # _exec_totals.
+    env_before = _env_diagnostics()
     spark = get_spark(
         app_name="ntis-bench",
         extra_conf={
@@ -524,8 +538,11 @@ def main() -> None:
                     "after": probe_after,
                     "ref": PROBE_REF_SEC,
                 },
-                # host facts for gap decomposition (r15; VERDICT r14 #1)
-                "env": _env_diagnostics(),
+                # host facts for gap decomposition (r15; VERDICT
+                # r14 #1): cpu_*_jiffies deltas between the two
+                # samples give busy/idle/steal core-time for the run
+                "env_before": env_before,
+                "env_after": _env_diagnostics(),
                 "value_calibrated": (
                     round(total * calib, 3) if calib else None
                 ),

@@ -2202,44 +2202,13 @@ def _pq_codebooks(spark: SparkSession, sf_dir: str) -> list:
     ]
 
 
-def _pq_ticks_of(col) -> F.Column:
-    """1e-6-tick quantization of an array<float> subvector — ONE
-    spelling for the assign machine and the ADC LUT (r13 review:
-    the expression that must stay bit-identical everywhere)."""
-    return F.transform(
-        col,
-        lambda v: F.floor(v.cast("double") * 1e6 + F.lit(0.5)).cast(
-            "long"
-        ),
-    )
-
-
-def _pq_tick_d2(tx, tick_vec: list) -> F.Column:
-    """BIGINT squared tick distance between a tick-array column and a
-    literal codebook entry — ONE spelling (see _pq_ticks_of). The
-    literal rides one generated expr, not per-value F.lit py4j round
-    trips (r15 — the PQ consumers build hundreds of these)."""
-    ticks = F.expr(
-        "array({})".format(", ".join(f"{int(t)}L" for t in tick_vec))
-    )
-    return F.aggregate(
-        F.zip_with(
-            tx,
-            ticks,
-            lambda a, b: (a - b) * (a - b),
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
-    )
-
-
-# SQL-text twins of _pq_ticks_of / _pq_tick_d2 for the Spark side
-# (r15): the PQ consumers build 40–80 tick-distance expressions per
-# plan, and the Column-API form cost ~15k py4j round trips (~3 s of
-# driver-side Python per call, profiled). One generated expr string is
-# one round trip; the SQL functions are the IDENTICAL engine
-# primitives, so the analyzed plan (and every byte anchor) is
-# unchanged.
+# The ONE spelling of the tick quantization + tick distance, as
+# generated SQL text (r15): the PQ consumers build 40–80 tick-distance
+# expressions per plan, and the former Column-API spelling cost ~15k
+# py4j round trips (~3 s of driver-side Python per call, profiled).
+# One generated expr string is one round trip; the SQL functions are
+# the IDENTICAL engine primitives, so the analyzed plan (and every
+# byte anchor) is unchanged.
 
 
 def _pq_tx_sql(m: int) -> str:
@@ -2443,7 +2412,7 @@ def _pq_lut_frame(e: DataFrame, codebooks: list) -> DataFrame:
     """All-code tick distances for the query set: one row per
     (query_id, subspace, code) — the in-row explode of the assign
     machine WITHOUT its argmin (M·k rows per query). Distances via
-    the SHARED _pq_ticks_of / _pq_tick_d2 spellings — the assign/LUT
+    the SHARED _pq_tx_sql / _pq_d2_sql spellings — the assign/LUT
     identity test_pq_adc_rank1_is_the_self_distortion relies on."""
     entries = []
     for m, codes in enumerate(codebooks):
