@@ -212,16 +212,22 @@ def _assigned_frame(e: DataFrame, index, with_cos: bool) -> DataFrame:
 
     # Scoring-cost note (r15, measured): _norm_dot inside the lambda
     # evaluated FOUR 64-element aggregates per (row, cell) — the dot,
-    # the constant cell norm, and the row norm, the last an OUTER
-    # EXPRESSION re-evaluated per element (the NOTES r1 trap). Here
-    # the row norm is materialized ONCE per row as column __na (an
-    # attribute read inside the lambda, not a re-evaluated
-    # expression) and each cell's norm rides the index literal as
-    # `nrm`, computed in Python with the IDENTICAL sequential
-    # float64 accumulation + sqrt — so cos = dot / (__na · nrm) is
-    # bit-for-bit the _norm_dot value and the oracle's
-    # list_cosine_similarity, at 2/5 the per-cell op count.
-    na_col = F.sqrt(
+    # the constant cell norm, and the row norm twice over. Each cell's
+    # norm now rides the index literal as `nrm`, computed in Python
+    # with the IDENTICAL sequential float64 accumulation + sqrt — so
+    # cos = dot / (na · nrm) is bit-for-bit the _norm_dot value and
+    # the oracle's list_cosine_similarity at 3/5 the per-cell op
+    # count. The row norm is deliberately NOT hoisted to a column and
+    # referenced from the lambda: CollapseProject inlines a
+    # withColumn-defined expression into every use site, so an
+    # "attribute read" inside the lambda silently becomes the full
+    # aggregate re-evaluated per element ANYWAY — plus a second copy
+    # at every other use (measured: the hoisted form was ~40% SLOWER
+    # than recomputing na inline). __na IS emitted as an output
+    # column (one evaluation in the output projection) because the
+    # witness pair stage downstream reads it across the join boundary,
+    # where it is genuinely materialized.
+    na_expr = F.sqrt(
         F.aggregate(
             F.col("embedding"),
             F.lit(0.0),
@@ -246,7 +252,7 @@ def _assigned_frame(e: DataFrame, index, with_cos: bool) -> DataFrame:
                 F.lit(0.0),
                 lambda acc, v: acc + v,
             )
-            return dot / (F.col("__na") * c["nrm"])
+            return dot / (na_expr * c["nrm"])
 
         return F.transform(
             cand_col,
@@ -296,7 +302,7 @@ def _assigned_frame(e: DataFrame, index, with_cos: bool) -> DataFrame:
         if with_cos:
             out.append((-best["negcos"]).alias("own_cos"))
         return (
-            e.withColumn("__na", na_col)
+            e.withColumn("__na", na_expr)
             .withColumn("cells", _lit_cells(cells))
             .select(*out)
         )
@@ -337,7 +343,7 @@ def _assigned_frame(e: DataFrame, index, with_cos: bool) -> DataFrame:
     if with_cos:
         out.append((-best["negcos"]).alias("own_cos"))
     return (
-        e.withColumn("__na", na_col)
+        e.withColumn("__na", na_expr)
         .withColumn("lcells", _lit_cells(index["labels"]))
         .withColumn("subsarr", subs_arr)
         .withColumn(

@@ -341,6 +341,8 @@ ALLOWED = {
     # one-row corpus-count merge + its broadcast onto the 3-row
     # threshold dim
     "qa_dedup_retention": {"single_partition", "bnlj"},
+    # r15 banded sibling: same thr-spine/one-row-corpus-count tail
+    "qa_dedup_retention_banded": {"single_partition", "bnlj"},
     # the lm_score accounted pair: one-row bucket-totals merge +
     # its crossJoin broadcast onto the B-row ratio table
     "text_dsir_weights": {"single_partition", "bnlj"},
