@@ -246,15 +246,20 @@ _PROBE_SLOTS = 32
 #            scheduler latency + shuffle round-trip, the many-small-
 #            stage profile (qdigest, BPE, pipelines)
 #
-# calibrated = raw · geomean_over_probes(ref_p / now_p) — a uniform
-# host slowdown still divides out exactly (every ratio shifts
-# together), and a single-resource constraint now moves at least one
-# probe instead of none. Per-probe values ride the headline line so a
-# reader can attribute a gap to its resource class without this
-# machine. Refs recorded in the SAME session as the r15 anchor
-# (BASELINE.md "Round-15 calibrated anchor") — re-record all together
-# or none.
-PROBE_REF_SEC = {"cpu": None, "alloc": None, "shuffle": None}
+# calibrated = raw · geomean over the probes WITH a recorded ref
+# (ref_p / now_p) — a uniform host slowdown still divides out exactly
+# (every ratio shifts together), and a latency/scheduler constraint
+# moves the shuffle probe where the r14 CPU-only probe read idle.
+# The alloc probe is DIAGNOSTIC-ONLY (ref = None): its value reads an
+# allocation-constrained environment, but it measures the JVM's
+# session-path-dependent heap state and drifted 7 → 15 s WITHIN the
+# r15 recording run — a noise source, not a reference. All probe
+# values ride the headline line so a reader can attribute a gap to
+# its resource class without this machine. Refs recorded in the SAME
+# session as the r15 anchor (BASELINE.md "Round-15 calibrated
+# anchor", recording run of 2026-08-16: cpu 0.936/0.902/0.924,
+# shuffle 0.691/0.650/0.701) — re-record all together or none.
+PROBE_REF_SEC = {"cpu": 0.921, "alloc": None, "shuffle": 0.681}
 
 
 def _probe_jobs(spark) -> dict:
@@ -485,21 +490,21 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     subset25 = round(sum(timings[n] for n in SUBSET25), 3)
-    # geometric mean of per-class ref/now ratios (see the battery
-    # comment above) — None until refs are recorded
+    # geometric mean of ref/now ratios over the probes with a
+    # recorded ref (see the battery comment above — alloc is
+    # diagnostic-only)
     calib = None
-    if all(PROBE_REF_SEC.get(k) for k in probe_now) and all(
-        probe_now.values()
-    ):
+    ref_keys = [k for k, r in PROBE_REF_SEC.items() if r]
+    if ref_keys and all(probe_now.get(k) for k in ref_keys):
         import math
 
         calib = round(
             math.exp(
                 sum(
                     math.log(PROBE_REF_SEC[k] / probe_now[k])
-                    for k in probe_now
+                    for k in ref_keys
                 )
-                / len(probe_now)
+                / len(ref_keys)
             ),
             4,
         )
