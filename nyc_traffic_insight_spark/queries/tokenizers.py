@@ -310,22 +310,39 @@ def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Scale shape: the ONLY full-corpus operation is the word-frequency
 # aggregate (map-side partials, the standard BPE collapse — a
 # trillion-token corpus costs one word count). Everything after runs
-# on the capped vocabulary's symbol table (<= _BPE_VOCAB * (_BPE_MAXLEN
-# + 1) rows, ~62k here): each iteration is three window passes and an
-# alphabet^2-bounded aggregate over that bounded table, partitioned by
-# word; application state is ∝ DISTINCT corpus words, never corpus
-# size. Like sketch_qdigest's level cascade, the iterations are an
-# SF-INDEPENDENT constant cost; Spark materializes each iteration's
-# state via _materialize() (reliable checkpoint on the cluster
-# profile, localCheckpoint on local[*]) so CTE re-inlining cannot
-# re-run the chain, while DuckDB's oracle uses AS MATERIALIZED hints
-# for the same reason (measured: the un-hinted monolith re-expands the
-# chain 2^iterations — 14 s at 6 iterations vs 0.2 s hinted).
+# on bounded or word-keyed state, split by WHERE the bound comes from:
+#
+# - TRAINING state is CAP-BOUNDED BY CONSTRUCTION: the top-_BPE_VOCAB
+#   vocabulary is <= 2000 (word, freq) rows at ANY corpus size, so the
+#   merge loop runs DRIVER-SIDE on the collected vocabulary
+#   (_bpe_train_local) — the same contract-bounded-collect class as
+#   the catalog's query-set broadcast and the 64x64 eigensolve, and
+#   exactly how production BPE trainers work (HuggingFace tokenizers /
+#   SentencePiece: distributed count, in-memory merge loop). The r15
+#   per-iteration Spark orchestration was measured at its floor
+#   (~0.5 s/job x ~20 sequential bounded-data jobs, pure scheduling —
+#   NOTES r15 "BPE fusion attempt"); a 62k-row loop does not need a
+#   cluster, and pretending it does costs 20 scheduler round-trips.
+# - APPLICATION state is ∝ DISTINCT corpus words (NOT cap-bounded), so
+#   it stays distributed: with the learned pairs as a 10-row literal
+#   table, the a0..aN merge chain is LINEAR (each state referenced
+#   exactly once) and composes into ONE Spark SQL job — the window
+#   cascade runs entirely inside the word partitioning, no
+#   per-iteration materialization, no scheduler round-trips.
+#
+# DuckDB's oracle is UNCHANGED: the full relational WITH-chain (AS
+# MATERIALIZED hints — the un-hinted monolith re-expands the chain
+# 2^iterations: 14 s at 6 iterations vs 0.2 s hinted). The driver's
+# value-hash compare therefore pins the driver-side fold against the
+# relational parity-rule algorithm EXECUTED by DuckDB on every check,
+# and tests/test_bpe_train.py pins both against an independent Python
+# reference (400-case fuzz of the merge body included).
 
 _BPE_MAXLEN = 30  # words longer than this are excluded (both engines)
 _BPE_VOCAB = 2000  # vocabulary cap: top-V words by (freq DESC, word ASC)
 _BPE_MERGES = 10  # merge iterations = trainer output rows
 _BPE_TOP_TOKENS = 50  # bpe_encode output size
+_BPE_APPLY_FUSE = 4  # merge bodies chained per application job (r15)
 
 # Explicit ASCII-whitespace class, NOT \s: Java regex (Spark), RE2
 # (DuckDB) and Python disagree on \s (RE2's \s excludes \x0B; Python's
@@ -514,9 +531,10 @@ def _bpe_oracle_parts(table: str, with_apply: bool) -> list[str]:
     over the uncapped word table. AS MATERIALIZED is DuckDB-side glue,
     not fragment text: each chained state is referenced twice, so the
     default inlining re-expands the chain exponentially (see the
-    module comment). The Spark orchestration (_bpe_run_chain) stitches
-    the SAME fragments, so a fix to either chain is a fix to both
-    engines and both operators."""
+    module comment). The Spark side executes the SAME vocab/init/merge
+    fragments (bpe_encode_top_tokens's fused application chain and
+    _bpe_collect_vocab) around the driver-side merge loop, so a fix to
+    a fragment is a fix to both engines and both operators."""
     parts = [
         f"WITH wf AS ({_bpe_wf_duckdb(table)}),",
         f"spine AS ({_bpe_spine_sql()}),",
@@ -577,70 +595,85 @@ def bpe_encode_oracle_sql(table: str = "documents") -> str:
 _BPE_SEQ = _itertools.count()
 
 
-def _bpe_run_chain(
-    spark: SparkSession, sf_dir: str, with_apply: bool, v: str
-) -> None:
-    """ONE Spark orchestration for both operators: build the
-    word-frequency table (the only full-data pass and the only
-    engine-glue step — same _BPE_WS class and _BPE_UP/_BPE_LO ASCII
-    fold as the DuckDB side), then execute the generated fragments
-    iteration by iteration, each state materialized via
-    _materialize() (reliable checkpoint on the cluster profile — a
-    lost executor must not kill the 10-step chain; localCheckpoint on
-    local[*]). Registers temp views {v}_wf, {v}_w{i}, {v}_b{i} and
-    (with_apply) {v}_a{i} under the caller-allocated prefix; the
-    caller drops them in a finally via _bpe_drop_views() (a failure
-    anywhere in this 30+-job chain must not leak catalog views, which
-    would pin their checkpointed frames for the session — the same
-    resource-lifetime rule as the r8 ML-audit try/finally fix)."""
+def _bpe_wf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus word-frequency aggregate — the ONLY full-data pass
+    in either BPE operator, and the only engine-glue step (same
+    _BPE_WS class and _BPE_UP/_BPE_LO ASCII fold as the DuckDB side's
+    _bpe_wf_duckdb). Map-side partials, one shuffle keyed on
+    uniformly distributed words."""
     words = _docs(spark, sf_dir).select(
         F.explode(
             F.split(F.translate(F.trim("text"), _BPE_UP, _BPE_LO), _BPE_WS)
         ).alias("w")
     )
-    wf = (
+    return (
         words.filter(F.col("w") != "")
         .groupBy("w")
         .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
     )
-    _materialize(wf).createOrReplaceTempView(f"{v}_wf")
-    base = (
-        f"WITH wf AS (SELECT * FROM {v}_wf), "
-        f"spine AS ({_bpe_spine_sql()}), "
-        f"vocab AS ({_bpe_vocab_body()}), "
-        f"allwords AS ({_bpe_allwords_body()}) "
-    )
-    _materialize(spark.sql(base + _bpe_init_body("vocab"))
-                 ).createOrReplaceTempView(f"{v}_w0")
-    if with_apply:
-        _materialize(spark.sql(base + _bpe_init_body("allwords"))
-                     ).createOrReplaceTempView(f"{v}_a0")
-    for i in range(_BPE_MERGES):
-        _materialize(spark.sql(
-            _bpe_best_body(f"({_bpe_pairs_body(f'{v}_w{i}')}) p")
-        )).createOrReplaceTempView(f"{v}_b{i}")
-        _materialize(spark.sql(
-            _bpe_merge_body(f"{v}_w{i}", f"{v}_b{i}")
-        )).createOrReplaceTempView(f"{v}_w{i + 1}")
-        if with_apply:
-            _materialize(spark.sql(
-                _bpe_merge_body(f"{v}_a{i}", f"{v}_b{i}")
-            )).createOrReplaceTempView(f"{v}_a{i + 1}")
 
 
-def _bpe_drop_views(spark: SparkSession, v: str, with_apply: bool) -> None:
-    """Drop one chain's temp views — runs in the builders' finally, so
-    it must tolerate a chain that failed partway (dropTempView on a
-    never-registered name returns False, no raise). Safe AFTER the
-    result DataFrame is built: spark.sql resolves views eagerly at
-    analysis, and the materialized states back the resolved plans,
-    not the catalog."""
-    names = [f"{v}_wf"] + [f"{v}_w{i}" for i in range(_BPE_MERGES + 1)]
-    names += [f"{v}_b{i}" for i in range(_BPE_MERGES)]
-    if with_apply:
-        names += [f"{v}_a{i}" for i in range(_BPE_MERGES + 1)]
-    for name in names:
-        spark.catalog.dropTempView(name)
+def _bpe_collect_vocab(
+    spark: SparkSession, wf_view: str
+) -> list[tuple[str, int]]:
+    """Collect the capped vocabulary through the SAME generated
+    fragment the oracle runs (_bpe_vocab_body: freq DESC, word ASC,
+    LIMIT _BPE_VOCAB). The collect is contract-bounded by the LIMIT —
+    <= 2000 rows at any corpus size, the same bounded-collect class as
+    the catalog's query-set broadcast — and arrives freq-DESC/word-ASC
+    ordered, which _bpe_train_local's argmax does not depend on."""
+    return [
+        (r["word"], r["freq"])
+        for r in spark.sql(
+            f"WITH wf AS (SELECT * FROM {wf_view}) {_bpe_vocab_body()}"
+        ).collect()
+    ]
+
+
+def _bpe_train_local(
+    vocab: list[tuple[str, int]], merges: int = _BPE_MERGES
+) -> list[tuple[int, str, str, str, int]]:
+    """The BPE merge loop (Sennrich et al. 2016) over the CAP-BOUNDED
+    collected vocabulary: per iteration, exact frequency-weighted
+    adjacent-pair counts over every spelling, argmax with the
+    deterministic tie-break (cnt DESC, then lexicographic pair ASC —
+    the same ORDER BY as _bpe_best_body), then the greedy LEFTMOST
+    NON-OVERLAPPING fold. Returns (rank, left, right, merged, cnt)
+    rows; stops early if the pair table drains.
+
+    This is the algorithm the oracle's relational chain computes
+    (parity rule over symbol runs == greedy fold — proven and fuzzed
+    in tests/test_bpe_train.py); the driver's value-hash compare
+    re-pins the two forms against each other on every check. Python
+    iterates code points (list(w)), matching both engines'
+    character-based substr()."""
+    spellings = {w: list(w) + ["</w>"] for w, _ in vocab}
+    freqs = dict(vocab)
+    out: list[tuple[int, str, str, str, int]] = []
+    for rank in range(1, merges + 1):
+        stats: dict[tuple[str, str], int] = {}
+        for w, syms in spellings.items():
+            f = freqs[w]
+            for i in range(len(syms) - 1):
+                pair = (syms[i], syms[i + 1])
+                stats[pair] = stats.get(pair, 0) + f
+        if not stats:
+            break
+        (a, b), cnt = min(stats.items(), key=lambda kv: (-kv[1], kv[0]))
+        out.append((rank, a, b, a + b, cnt))
+        for w, syms in spellings.items():
+            merged: list[str] = []
+            i = 0
+            n = len(syms)
+            while i < n:  # greedy leftmost non-overlap
+                if i + 1 < n and syms[i] == a and syms[i + 1] == b:
+                    merged.append(a + b)
+                    i += 2
+                else:
+                    merged.append(syms[i])
+                    i += 1
+            spellings[w] = merged
+    return out
 
 
 @register(
@@ -653,17 +686,33 @@ def _bpe_drop_views(spark: SparkSession, v: str, with_apply: bool) -> None:
     oracle=bpe_oracle_sql("documents"),
 )
 def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distributed BPE merge training over the documents corpus —
-    the r8 preview promoted in round 9, completing
-    text_bpe_pair_counts (which is this trainer's first pair table).
-    Output: (rank, left_sym, right_sym, merged, cnt), one row per
-    learned merge, _BPE_MERGES rows unless the pair table drains."""
+    """BPE merge training over the documents corpus — the r8 preview
+    promoted in round 9, completing text_bpe_pair_counts (which is
+    this trainer's first pair table). Output: (rank, left_sym,
+    right_sym, merged, cnt), one row per learned merge, _BPE_MERGES
+    rows unless the pair table drains.
+
+    Orchestration (r15; see the section comment): ONE distributed job
+    — the word-frequency aggregate feeding the generated vocab
+    fragment's top-_BPE_VOCAB collect — then the merge loop runs
+    driver-side on the <= 2000-row vocabulary (_bpe_train_local),
+    exactly the distributed-count + in-memory-loop split every
+    production BPE trainer uses. Replaces 22 sequential bounded-data
+    Spark jobs whose cost was pure scheduling (measured at its floor,
+    NOTES r15); the oracle still executes the full relational chain,
+    so the driver compare pins the fold against the parity-rule
+    algorithm on every check."""
     v = f"__bpe{next(_BPE_SEQ)}"
+    _bpe_wf(spark, sf_dir).createOrReplaceTempView(f"{v}_wf")
     try:
-        _bpe_run_chain(spark, sf_dir, with_apply=False, v=v)
-        return spark.sql(_bpe_merges_select(f"{v}_b"))
+        vocab = _bpe_collect_vocab(spark, f"{v}_wf")
     finally:
-        _bpe_drop_views(spark, v, with_apply=False)
+        spark.catalog.dropTempView(f"{v}_wf")
+    return spark.createDataFrame(
+        _bpe_train_local(vocab),
+        schema="rank INT, left_sym STRING, right_sym STRING, "
+        "merged STRING, cnt BIGINT",
+    )
 
 
 @register(
@@ -681,18 +730,77 @@ def bpe_encode_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply in one self-contained query) and emit the top-K token
     frequencies — the inference side of bpe_train_merges.
 
-    The application chain runs the IDENTICAL generated merge fragment
-    as training (the greedy-non-overlap parity rule), just over the
-    uncapped word table and driven by each iteration's learned best
-    pair — one orchestration function stitches both, so training and
-    application cannot drift. Output: (token, n_occurrences),
-    _BPE_TOP_TOKENS rows max, ties broken by token ASC."""
+    The application side stays DISTRIBUTED (its state is ∝ distinct
+    corpus words, not cap-bounded) and runs the IDENTICAL generated
+    merge fragment as the oracle (the greedy-non-overlap parity rule),
+    driven by the learned pairs as a <= _BPE_MERGES-row local
+    relation. With each best-pair a bounded 1-row filter of that
+    relation, the a0..aN chain is LINEAR (every state referenced
+    exactly once), so merge bodies fuse _BPE_APPLY_FUSE per
+    localCheckpoint job — the window cascade executes inside the word
+    partitioning, and the checkpoint every few bodies truncates
+    lineage so Catalyst never analyzes a 60-select-deep plan (measured
+    r15: the fully-fused single SQL spent 3-6 s in plan
+    analysis/optimization alone; the r14 per-iteration shape spent
+    ~0.3 s/job x 30 jobs in scheduling; the segmented form pays
+    neither). A drained trainer (k < _BPE_MERGES merges) chains k
+    bodies; the oracle's remaining empty-best merges are identity
+    passes (the LEFT JOIN pass-through pinned by
+    tests/test_bpe_train.py's drained case), so the states agree.
+    Output: (token, n_occurrences), _BPE_TOP_TOKENS rows max, ties
+    broken by token ASC."""
     v = f"__bpe{next(_BPE_SEQ)}"
+    views = [f"{v}_wf", f"{v}_b"]
     try:
-        _bpe_run_chain(spark, sf_dir, with_apply=True, v=v)
-        return spark.sql(_bpe_token_counts_body(f"{v}_a{_BPE_MERGES}"))
+        _materialize(_bpe_wf(spark, sf_dir)).createOrReplaceTempView(
+            f"{v}_wf"
+        )
+        merges = _bpe_train_local(_bpe_collect_vocab(spark, f"{v}_wf"))
+        k = len(merges)
+        if k:
+            # the learned pairs as ONE local relation — exact strings,
+            # no literal-escaping hazard; each b{i} is a 1-row filter
+            spark.createDataFrame(
+                [(rk, a, b) for rk, a, b, _, _ in merges],
+                schema="rank INT, left_sym STRING, right_sym STRING",
+            ).createOrReplaceTempView(f"{v}_b")
+        _materialize(
+            spark.sql(
+                f"WITH wf AS (SELECT * FROM {v}_wf), "
+                f"spine AS ({_bpe_spine_sql()}), "
+                f"allwords AS ({_bpe_allwords_body()}) "
+                + _bpe_init_body("allwords")
+            )
+        ).createOrReplaceTempView(f"{v}_a0")
+        views.append(f"{v}_a0")
+        done = 0
+        while done < k:
+            take = min(_BPE_APPLY_FUSE, k - done)
+            parts = [f"WITH a{done} AS (SELECT * FROM {v}_a{done})"]
+            for i in range(done, done + take):
+                parts.append(
+                    f", b{i} AS (SELECT left_sym, right_sym FROM {v}_b"
+                    f" WHERE rank = {i + 1})"
+                )
+                if i < done + take - 1:
+                    parts.append(
+                        f", a{i + 1} AS "
+                        f"({_bpe_merge_body(f'a{i}', f'b{i}')})"
+                    )
+            last = done + take - 1
+            nxt = _materialize(
+                spark.sql(
+                    "".join(parts)
+                    + _bpe_merge_body(f"a{last}", f"b{last}")
+                )
+            )
+            done += take
+            nxt.createOrReplaceTempView(f"{v}_a{done}")
+            views.append(f"{v}_a{done}")
+        return spark.sql(_bpe_token_counts_body(f"{v}_a{k}"))
     finally:
-        _bpe_drop_views(spark, v, with_apply=True)
+        for name in views:
+            spark.catalog.dropTempView(name)
 
 
 # ----------------- bigram language model (round-10 preview)
@@ -957,7 +1065,9 @@ def _lm_run_chain(
 
 def _lm_drop_views(spark: SparkSession, v: str) -> None:
     """Drop one LM chain's temp views — finally-safe on a partially
-    built chain, same reasoning as _bpe_drop_views."""
+    built chain (dropTempView on a never-registered name returns
+    False, no raise), and safe AFTER the result DataFrame is built
+    (spark.sql resolves views eagerly at analysis)."""
     for name in (f"{v}_toks", f"{v}_pairs", f"{v}_vocab", f"{v}_bg"):
         spark.catalog.dropTempView(name)
 
