@@ -8,20 +8,26 @@ per SESSION (driver-held literal caches), so every cold session paid
 10–30 s of index builds that a warmed builder session never saw — and
 the grading driver always runs cold (VERDICT r14 "What's wrong" #4).
 
-This module is the missing durability layer: small JSON (or MLlib
+This module is that durability layer: small JSON (or MLlib
 save/load) artifacts keyed by a CONTENT FINGERPRINT of the exact
 inputs — the source parquet bytes, the build parameters, and an
 algorithm version tag. A changed corpus, parameter, or algorithm
 produces a different key, so stale reuse is structurally impossible:
 the fingerprint IS the freshness check (no TTLs, no mtime heuristics).
 
-Placement: $NTIS_ARTIFACT_DIR if set, else ``.ntis_artifacts/`` at the
-repo root (the testdata directory is read-only here; on a cluster the
-same artifacts would live beside the table, e.g. ``<table>/_index/``).
-Artifacts for the standard testdata are committed, so a fresh checkout
-starts warm; if the driver regenerates testdata with different bytes,
-the fingerprint misses and the build runs — correctness never depends
-on a hit.
+Placement: $NTIS_ARTIFACT_DIR if set (the production deployment — on
+a cluster the artifacts live beside the table, e.g.
+``<table>/_index/``, shared across sessions), else a PER-PROCESS
+scratch directory removed at interpreter exit (the same PID-scoped
+lifetime as the sink/rescan scratch dirs in queries/core.py). The
+per-process default is deliberate for the benchmark contract: every
+bench invocation must compute its indexes and model fits from the
+parquet inputs — cross-run persistence of derived state for the
+fixed testdata would make a re-run measure a disk read instead of
+the build, and would contaminate the driver's lower-core-count
+scaling run with state built at the higher core count. Within one
+process the store still collapses N consumer queries onto one build,
+which is what VERDICT r14 #3's cold-cost finding actually needs.
 
 Scale note: the fingerprint reads the source parquet once (the local
 fixtures are ≤11 MB). At 100 TB you would fingerprint table METADATA
@@ -31,20 +37,28 @@ bytes — the seam is `_fingerprint`, one function.
 
 from __future__ import annotations
 
+import atexit
 import hashlib
 import json
 import os
+import shutil
 import tempfile
 from typing import Any, Callable, Sequence
 
-_DEFAULT_ROOT = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-    ".ntis_artifacts",
-)
+_CLEANUP_REGISTERED: set[str] = set()
 
 
 def artifact_root() -> str:
-    return os.environ.get("NTIS_ARTIFACT_DIR", _DEFAULT_ROOT)
+    root = os.environ.get("NTIS_ARTIFACT_DIR")
+    if root:
+        return root
+    root = os.path.join(
+        tempfile.gettempdir(), "ntis_artifacts", f"pid{os.getpid()}"
+    )
+    if root not in _CLEANUP_REGISTERED:
+        _CLEANUP_REGISTERED.add(root)
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+    return root
 
 
 def _fingerprint(
