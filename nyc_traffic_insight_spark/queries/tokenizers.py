@@ -324,11 +324,12 @@ def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   NOTES r15 "BPE fusion attempt"); a 62k-row loop does not need a
 #   cluster, and pretending it does costs 20 scheduler round-trips.
 # - APPLICATION state is ∝ DISTINCT corpus words (NOT cap-bounded), so
-#   it stays distributed: with the learned pairs as a 10-row literal
-#   table, the a0..aN merge chain is LINEAR (each state referenced
-#   exactly once) and composes into ONE Spark SQL job — the window
-#   cascade runs entirely inside the word partitioning, no
-#   per-iteration materialization, no scheduler round-trips.
+#   it stays distributed: one Arrow-batched mapInPandas pass over the
+#   word-frequency table applies the merges as a chain of C-speed
+#   non-regex str.replace calls on the token-delimited rendering
+#   (_bpe_render / _bpe_pats — leftmost non-overlapping replace on
+#   that rendering IS the greedy fold), pre-aggregated per batch so
+#   the only shuffle is the partially-aggregated token histogram.
 #
 # DuckDB's oracle is UNCHANGED: the full relational WITH-chain (AS
 # MATERIALIZED hints — the un-hinted monolith re-expands the chain
@@ -342,7 +343,6 @@ _BPE_MAXLEN = 30  # words longer than this are excluded (both engines)
 _BPE_VOCAB = 2000  # vocabulary cap: top-V words by (freq DESC, word ASC)
 _BPE_MERGES = 10  # merge iterations = trainer output rows
 _BPE_TOP_TOKENS = 50  # bpe_encode output size
-_BPE_APPLY_FUSE = 4  # merge bodies chained per application job (r15)
 
 # Explicit ASCII-whitespace class, NOT \s: Java regex (Spark), RE2
 # (DuckDB) and Python disagree on \s (RE2's \s excludes \x0B; Python's
@@ -676,6 +676,32 @@ def _bpe_train_local(
     return out
 
 
+def _bpe_render(w: str) -> str:
+    """Token-delimited rendering of a word's initial symbol sequence:
+    every symbol wrapped in single spaces (so adjacent symbols are
+    separated by exactly TWO spaces, and the string starts/ends with
+    one). Symbols can never contain 0x20 — words come from a split on
+    the _BPE_WS class — so ' a  b ' occurs in the rendering IFF symbol
+    a immediately precedes symbol b, and replacing it with ' ab '
+    preserves the invariant exactly."""
+    return " " + "  ".join([*w, "</w>"]) + " "
+
+
+def _bpe_pats(
+    merges: list[tuple[int, str, str, str, int]],
+) -> list[tuple[str, str]]:
+    """The learned merges as (pattern, replacement) pairs over the
+    _bpe_render form, rank-ordered. Python's non-regex str.replace
+    scans left-to-right and never rescans replaced text, which on the
+    token-delimited rendering is EXACTLY the greedy leftmost
+    non-overlapping fold (the a = b equal-run case included: in
+    ' a  a  a ' the pattern ' a  a ' consumes offsets 0-1, resumes
+    after the match, and leaves the odd trailing symbol — positions
+    0, 2, 4, ... merge, the parity rule). Differentially fuzzed
+    against the list fold in tests/test_bpe_train.py."""
+    return [(f" {a}  {b} ", f" {a + b} ") for _, a, b, _, _ in merges]
+
+
 @register(
     "bpe_train_merges",
     survey="north-star text tier: distributed BPE tokenizer TRAINING "
@@ -731,76 +757,57 @@ def bpe_encode_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     frequencies — the inference side of bpe_train_merges.
 
     The application side stays DISTRIBUTED (its state is ∝ distinct
-    corpus words, not cap-bounded) and runs the IDENTICAL generated
-    merge fragment as the oracle (the greedy-non-overlap parity rule),
-    driven by the learned pairs as a <= _BPE_MERGES-row local
-    relation. With each best-pair a bounded 1-row filter of that
-    relation, the a0..aN chain is LINEAR (every state referenced
-    exactly once), so merge bodies fuse _BPE_APPLY_FUSE per
-    localCheckpoint job — the window cascade executes inside the word
-    partitioning, and the checkpoint every few bodies truncates
-    lineage so Catalyst never analyzes a 60-select-deep plan (measured
-    r15: the fully-fused single SQL spent 3-6 s in plan
-    analysis/optimization alone; the r14 per-iteration shape spent
-    ~0.3 s/job x 30 jobs in scheduling; the segmented form pays
-    neither). A drained trainer (k < _BPE_MERGES merges) chains k
-    bodies; the oracle's remaining empty-best merges are identity
-    passes (the LEFT JOIN pass-through pinned by
-    tests/test_bpe_train.py's drained case), so the states agree.
-    Output: (token, n_occurrences), _BPE_TOP_TOKENS rows max, ties
-    broken by token ASC."""
+    corpus words, not cap-bounded): one Arrow-batched mapInPandas
+    pass over the word-frequency table applies the learned merges as
+    a chain of C-speed non-regex str.replace calls on the
+    token-delimited rendering (_bpe_render / _bpe_pats — leftmost
+    non-overlapping replace on that rendering IS the greedy fold,
+    proven + fuzzed in tests/test_bpe_train.py), then pre-aggregates
+    (token, Σfreq) per batch so the only shuffle is the map-side
+    partially-aggregated token histogram. This replaced the r14
+    relational window cascade (5 window passes × _BPE_MERGES merges
+    over the exploded symbol table + a localCheckpoint every 4 merge
+    bodies): same fold, zero window shuffles, zero checkpoints, one
+    job instead of ~5 (bench median 7.3 s → ~1.5 s at sf0.1). A
+    drained trainer (k < _BPE_MERGES merges) applies k replaces; the
+    oracle's remaining empty-best merges are identity passes (the
+    LEFT JOIN pass-through pinned by tests/test_bpe_train.py's
+    drained case), so the two sides agree. Output:
+    (token, n_occurrences), _BPE_TOP_TOKENS rows max, ties broken by
+    token ASC."""
     v = f"__bpe{next(_BPE_SEQ)}"
-    views = [f"{v}_wf", f"{v}_b"]
+    wf = _materialize(_bpe_wf(spark, sf_dir))
+    wf.createOrReplaceTempView(f"{v}_wf")
     try:
-        _materialize(_bpe_wf(spark, sf_dir)).createOrReplaceTempView(
-            f"{v}_wf"
-        )
         merges = _bpe_train_local(_bpe_collect_vocab(spark, f"{v}_wf"))
-        k = len(merges)
-        if k:
-            # the learned pairs as ONE local relation — exact strings,
-            # no literal-escaping hazard; each b{i} is a 1-row filter
-            spark.createDataFrame(
-                [(rk, a, b) for rk, a, b, _, _ in merges],
-                schema="rank INT, left_sym STRING, right_sym STRING",
-            ).createOrReplaceTempView(f"{v}_b")
-        _materialize(
-            spark.sql(
-                f"WITH wf AS (SELECT * FROM {v}_wf), "
-                f"spine AS ({_bpe_spine_sql()}), "
-                f"allwords AS ({_bpe_allwords_body()}) "
-                + _bpe_init_body("allwords")
-            )
-        ).createOrReplaceTempView(f"{v}_a0")
-        views.append(f"{v}_a0")
-        done = 0
-        while done < k:
-            take = min(_BPE_APPLY_FUSE, k - done)
-            parts = [f"WITH a{done} AS (SELECT * FROM {v}_a{done})"]
-            for i in range(done, done + take):
-                parts.append(
-                    f", b{i} AS (SELECT left_sym, right_sym FROM {v}_b"
-                    f" WHERE rank = {i + 1})"
-                )
-                if i < done + take - 1:
-                    parts.append(
-                        f", a{i + 1} AS "
-                        f"({_bpe_merge_body(f'a{i}', f'b{i}')})"
-                    )
-            last = done + take - 1
-            nxt = _materialize(
-                spark.sql(
-                    "".join(parts)
-                    + _bpe_merge_body(f"a{last}", f"b{last}")
-                )
-            )
-            done += take
-            nxt.createOrReplaceTempView(f"{v}_a{done}")
-            views.append(f"{v}_a{done}")
-        return spark.sql(_bpe_token_counts_body(f"{v}_a{k}"))
     finally:
-        for name in views:
-            spark.catalog.dropTempView(name)
+        spark.catalog.dropTempView(f"{v}_wf")
+    pats = _bpe_pats(merges)
+
+    def _segment(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            s = pd.Series(
+                [_bpe_render(w) for w in pdf["w"]], dtype=object
+            )
+            for pat, rep in pats:
+                s = s.str.replace(pat, rep, regex=False)
+            out = pd.DataFrame(
+                {"token": s.str.split(), "n": pdf["cnt"].to_numpy()}
+            ).explode("token", ignore_index=True)
+            yield (
+                out.groupby("token", sort=False)["n"].sum().reset_index()
+            )
+
+    allwords = wf.filter(F.length("w") <= _BPE_MAXLEN).select("w", "cnt")
+    toks = allwords.mapInPandas(_segment, schema="token STRING, n BIGINT")
+    return (
+        toks.groupBy("token")
+        .agg(F.sum("n").cast("bigint").alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), F.asc("token"))
+        .limit(_BPE_TOP_TOKENS)
+    )
 
 
 # ----------------- bigram language model (round-10 preview)

@@ -368,3 +368,58 @@ def test_merge_body_fuzz_vs_greedy_fold():
         for word, want in expected.items():
             if word.endswith(f"|{a}{b}"):
                 assert got.get(word, []) == want, (word, a, b)
+
+
+def test_string_replace_fold_matches_list_fold_fuzz():
+    """r15 encode rework pin: on the token-delimited rendering
+    (_bpe_render), a chain of non-regex str.replace calls (_bpe_pats)
+    must equal the greedy leftmost non-overlapping list fold for every
+    merge chain — including the a = b equal-symbol-run parity cases
+    the relational merge body needed gaps-and-islands for."""
+    import random
+
+    from nyc_traffic_insight_spark.queries.tokenizers import (
+        _bpe_pats,
+        _bpe_render,
+        _bpe_train_local,
+    )
+
+    rng = random.Random(1509)
+
+    def list_fold(word, merges):
+        syms = list(word) + ["</w>"]
+        for _, a, b, _, _ in merges:
+            merged, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    merged.append(a + b)
+                    i += 2
+                else:
+                    merged.append(syms[i])
+                    i += 1
+            syms = merged
+        return syms
+
+    def str_fold(word, pats):
+        s = _bpe_render(word)
+        for pat, rep in pats:
+            s = s.replace(pat, rep)
+        return s.split()
+
+    # deterministic worst-cases first: odd/even equal runs, full merge
+    explicit = ["a", "aa", "aaa", "aaaa", "aaaaa", "ab", "abab", "aab"]
+    for trial in range(200):
+        if trial < len(explicit):
+            words = [explicit[trial]]
+        else:
+            words = [
+                "".join(
+                    rng.choice("aab") for _ in range(rng.randint(1, 12))
+                )
+                for _ in range(rng.randint(1, 20))
+            ]
+        vocab = [(w, rng.randint(1, 9)) for w in sorted(set(words))]
+        merges = _bpe_train_local(vocab)
+        pats = _bpe_pats(merges)
+        for w, _ in vocab:
+            assert str_fold(w, pats) == list_fold(w, merges), (w, merges)
