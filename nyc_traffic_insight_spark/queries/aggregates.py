@@ -807,29 +807,38 @@ def sketch_qdigest(spark: SparkSession, sf_dir: str) -> DataFrame:
     edge. Rank error ≤ LEVELS·T ranks (≈4% at K=256); value resolution
     is one leaf width.
 
-    Scale shape: the only full-data op is the 1024-key leaf groupBy
-    (map-side partials, one shuffle of ≤1024 rows per task); the ten
-    compression levels and the quantile read run over ≤1024-row
-    intermediates (broadcast one-row domain joins, a single tiny
-    window). The digest is mergeable by construction — union two
-    digests' node counts and re-run the count-only compression — which
-    is the q-digest's original sensor-network use. Spark executes the
-    IDENTICAL generated SQL fragments the oracle's monolithic text is
-    assembled from, so the cross-engine check pins the algorithm, not
-    two hopefully-equal implementations; the domain row itself (exact
-    min/max/count) is computed in ONE pass and inlined as literals —
-    see _qdigest_sql's dom_select note for why (Spark CTE inlining
-    would otherwise rescan the fact table per reference).
+    Scale shape: the only full-data ops are the one-row domain
+    aggregate and the 1024-key leaf groupBy (map-side partials, one
+    shuffle of ≤1024 rows per task). Everything after runs on state
+    HARD-BOUNDED by the 2^_QD_LEVELS leaf-id domain, so the
+    compression cascade and the probe read run DRIVER-SIDE on the
+    collected ≤1024-row histogram (r15; the same
+    contract-bounded-collect class as the BPE trainer's capped vocab
+    and the catalog's query-set broadcast — and how every production
+    sketch library builds a digest: distributed histogram, in-memory
+    compression). The r14 execution shape ran the ten ≤1024-row
+    carrier levels as localCheckpoint jobs — measured at a
+    scheduling-latency floor of ~13 sequential tiny jobs (~2.6–6.5 s
+    wall at ANY SF, inflating 1:1 with host steal; two fewer-stage
+    relational reworks both measured WORSE, NOTES r15). The digest is
+    mergeable by construction — union two digests' node counts and
+    re-run the count-only compression — which is the q-digest's
+    original sensor-network use.
 
-    Execution shape (differs from the oracle's single text ONLY in
-    materialization boundaries): Spark inlines deterministic CTEs, so
-    the ten-level chain as one text fans out ~2^levels tiny subplans
-    over the checkpointed histogram — a CONSTANT ~6-8 s of
-    planning/scheduling at any SF (the r6 accepted cost, now fixed).
-    Instead each level's carrier c{lv-1} materializes via
-    localCheckpoint (≤1024 rows, one tiny job per level), and the
-    final read assembles the SAME g/f fragments over those
-    materialized views — linear fan-out, ~30 bounded scans total."""
+    Cross-engine parity: the driver fold replicates the fragment
+    arithmetic operation-for-operation — integer halving id // 2
+    (= CAST(floor(id / 2.0) AS BIGINT) for non-negative ids), BIGINT
+    count sums as Python ints (exact), the post-order (ub ASC,
+    lb DESC) rank scan, rank = ceil(q · double(n)) via math.ceil on
+    the float product, and the floor-form 4dp estimate with every
+    intermediate an IEEE double in the same order the SQL spells —
+    while DuckDB executes the full generated relational cascade
+    (_qdigest_sql) unchanged, so the driver's value-hash compare
+    re-pins the in-memory fold against the relational algorithm on
+    every check (tests/test_sketches.py adds the rank-error and
+    covering-tree invariants on top)."""
+    import math
+
     li = load_table(spark, sf_dir, "lineitem")
     lo, hi, n = li.agg(
         F.min("l_extendedprice"),
@@ -843,32 +852,62 @@ def sketch_qdigest(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"CAST({float(hi)!r} AS DOUBLE) AS hi, "
         f"CAST({n} AS BIGINT) AS n, CAST({t} AS BIGINT) AS t"
     )
-    # one real pass over the fact table -> ≤1024-row histogram,
-    # materialized so CTE inlining can't replicate the scan
-    leaves = spark.sql(
-        f"WITH base AS (SELECT l_extendedprice AS v FROM __qd_lineitem),"
-        f" dom AS ({dom}) {_qd_leaf_body()}"
-    ).localCheckpoint()
-    leaves.createOrReplaceTempView(f"__qd_c{_QD_LEVELS}")
-    # level-by-level compression, each carrier materialized (same
-    # fragment text the oracle runs; see docstring)
+    # one real pass over the fact table -> ≤1024-row histogram (the
+    # SAME generated leaf fragment the oracle runs), collected under
+    # the hard 2^_QD_LEVELS-row bound
+    cur = {
+        r["id"]: r["cnt"]
+        for r in spark.sql(
+            f"WITH base AS (SELECT l_extendedprice AS v FROM"
+            f" __qd_lineitem), dom AS ({dom}) {_qd_leaf_body()}"
+        ).collect()
+    }
+    # level-synchronous compression (the g/cnext/f fragment bodies as
+    # an in-memory fold): sibling pairs whose combined count fits the
+    # threshold collapse into their parent; the rest emit as nodes
+    nodes: list[tuple[int, int, int]] = []
     for lv in range(_QD_LEVELS, 0, -1):
-        nxt = spark.sql(
-            f"WITH dom AS ({dom}), "
-            f"c{lv} AS (SELECT id, cnt FROM __qd_c{lv}), "
-            f"g{lv} AS ({_qd_g_body(lv)}) {_qd_cnext_body(lv)}"
-        ).localCheckpoint()
-        nxt.createOrReplaceTempView(f"__qd_c{lv - 1}")
-    level_ctes = ", ".join(
-        [
-            f"c{lv} AS (SELECT id, cnt FROM __qd_c{lv}), "
-            f"g{lv} AS ({_qd_g_body(lv)}), f{lv} AS ({_qd_f_body(lv)})"
-            for lv in range(_QD_LEVELS, 0, -1)
-        ]
-        + ["c0 AS (SELECT id, cnt FROM __qd_c0)"]
-    )
-    return spark.sql(
-        f"WITH dom AS ({dom}), {level_ctes}{_qd_tail(_qd_nodes_union())}"
+        grouped: dict[int, int] = {}
+        for cid, cnt in cur.items():
+            grouped[cid // 2] = grouped.get(cid // 2, 0) + cnt
+        nxt: dict[int, int] = {}
+        for pid, s in grouped.items():
+            if s <= t:
+                nxt[pid] = s
+            else:
+                for cid in (2 * pid, 2 * pid + 1):
+                    if cid in cur:
+                        nodes.append((lv, cid, cur[cid]))
+        cur = nxt
+    nodes.extend((0, cid, cnt) for cid, cnt in cur.items())
+    # the digest read (_qd_tail's arithmetic): post-order rank scan
+    ranked = [
+        (
+            (cid + 1) * (1 << (_QD_LEVELS - lv)) - 1,  # ub
+            cid * (1 << (_QD_LEVELS - lv)),  # lb
+            cnt,
+        )
+        for lv, cid, cnt in nodes
+    ]
+    ranked.sort(key=lambda r: (r[0], -r[1]))
+    csums: list[tuple[int, int]] = []  # (ub, csum) in scan order
+    acc = 0
+    for ub, _lb, cnt in ranked:
+        acc += cnt
+        csums.append((ub, acc))
+    width = max(float(hi) - float(lo), 1e-12) / float(2**_QD_LEVELS)
+    out = []
+    for q in _QD_PROBES:
+        rank = math.ceil(q * float(n))
+        ub_leaf = min(ub for ub, c in csums if c >= rank)
+        est = (
+            math.floor((float(lo) + (ub_leaf + 1) * width) * 10000.0 + 0.5)
+            / 10000.0
+        )
+        out.append((float(q), est, len(nodes), n))
+    return spark.createDataFrame(
+        out,
+        schema="q DOUBLE, est DOUBLE, n_nodes BIGINT, total_weight BIGINT",
     )
 
 

@@ -419,3 +419,48 @@ def test_qdigest_merge_of_halves_equals_digest_of_union():
         _qdigest_sql("t_full", dom_select=dom, leaves_select=merged_leaves)
     ).fetchdf().sort_values("q").reset_index(drop=True)
     assert full.equals(merged), (full, merged)
+
+
+def test_qdigest_driver_fold_matches_duckdb_on_adversarial_multisets(
+    spark, tmp_path
+):
+    """r15 rework pin: the compression cascade + probe read now run
+    driver-side on the collected ≤1024-row leaf histogram; the DuckDB
+    oracle still executes the full generated relational cascade. Pin
+    the two against each other on value multisets chosen to stress the
+    fold's branches: all-equal (every count in one leaf, t = n/256
+    threshold busts every ancestor pair), two-point mass at the domain
+    edges, uniform spread (everything collapses to the root carrier),
+    and a skewed mix with singleton tail leaves."""
+    import duckdb
+    import pandas as pd
+
+    from nyc_traffic_insight_spark.queries import load_all
+    from nyc_traffic_insight_spark.queries.aggregates import _qdigest_sql
+
+    cases = {
+        "all_equal": [100.0] * 3000,
+        "two_point": [1.0] * 1500 + [1024.0] * 1500,
+        "uniform": [float(i) for i in range(2048)],
+        "skewed_tail": [5.0] * 2500 + [float(900 + i) for i in range(64)],
+    }
+    spec = load_all()["sketch_qdigest"]
+    for name, vals in cases.items():
+        sf_dir = tmp_path / name
+        sf_dir.mkdir()
+        # minimal lineitem: only l_extendedprice is read by the query
+        pd.DataFrame({"l_extendedprice": pd.array(vals, dtype="float64")}
+                     ).to_parquet(sf_dir / "lineitem.parquet")
+        got = sorted(
+            (r["q"], r["est"], r["n_nodes"], r["total_weight"])
+            for r in spec.builder(spark, str(sf_dir)).collect()
+        )
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW lineitem AS SELECT * FROM "
+            f"'{sf_dir}/lineitem.parquet'"
+        )
+        want = sorted(
+            tuple(r) for r in con.sql(_qdigest_sql("lineitem")).fetchall()
+        )
+        assert got == want, name
