@@ -356,6 +356,23 @@ def _env_diagnostics() -> dict:
     return out
 
 
+def _flush_status(spark) -> None:
+    """Drain the listener-bus backlog so the status store reflects
+    every finished task BEFORE a byte snapshot (r15 measurement fix,
+    documented in OPTIMIZATION_r15.md): on a busy box the appStatus
+    listener lags seconds behind task completion, so a query's shuffle
+    bytes could post AFTER its 'after' snapshot and leak into the NEXT
+    query's window — dedup_semantic's anchor flapped 76 kB ↔ 235 kB
+    across otherwise identical runs from exactly this (the 'late
+    landing' clamp note at the call sites caught the negative half of
+    the race but not the cross-window attribution). The flush runs
+    OUTSIDE the timed region; walls are unaffected."""
+    try:
+        spark.sparkContext._jsc.sc().listenerBus().waitUntilEmpty(10000)
+    except Exception:  # noqa: BLE001 - metrics are best-effort
+        pass
+
+
 def _exec_totals(ui_url: str | None) -> dict[str, int]:
     """Cumulative shuffle-write bytes from the executors REST endpoint
     (monotonic per-executor lifetime totals — NOT subject to stage
@@ -366,7 +383,8 @@ def _exec_totals(ui_url: str | None) -> dict[str, int]:
     best-effort read at the DEFAULT retention (a full run stays under
     the 1000-stage default; if eviction ever fires the delta clamps to
     0 rather than corrupting).  Zeros if the UI is unreachable so
-    metrics degrade gracefully to wall-time-only."""
+    metrics degrade gracefully to wall-time-only. Callers snapshotting
+    a per-query window must _flush_status(spark) first."""
     if not ui_url:
         return {"shuffle_write_bytes": 0, "spilled_bytes": 0}
     out = {"shuffle_write_bytes": 0, "spilled_bytes": 0}
@@ -450,6 +468,7 @@ def main() -> None:
         if qi == len(HEADLINE) // 2:
             probe_mid = calibration_probe(spark)
         reps = []
+        _flush_status(spark)
         before = _exec_totals(ui_url)
         for _ in range(n_reps):
             # Collect garbage from the PREVIOUS run outside the timed
@@ -460,6 +479,7 @@ def main() -> None:
             t0 = time.perf_counter()
             consume(specs[name].builder(spark, sf_dir))
             reps.append(time.perf_counter() - t0)
+        _flush_status(spark)
         after = _exec_totals(ui_url)
         # median-of-3: robust to a single scheduler/GC hiccup in either
         # direction, unlike best-of (optimistic) or mean (one bad rep
