@@ -910,22 +910,37 @@ def fuzzy_pairs_ed1(df: DataFrame, key: str, name: str) -> DataFrame:
     guaranteed by neighborhood completeness + levenshtein verification
     (differentially tested on random adversarial strings in
     tests/test_join_props.py, not just the oracle's structured
-    fixture names)."""
+    fixture names).
+
+    The candidate join is keyed on xxhash64(variant), not the variant
+    string (r15, guide §2.3 "narrower types"): the exploded frame is
+    two BIGINTs per row instead of (BIGINT, ~|name|-char string), so
+    the hashed relation / shuffle carries ~half the bytes and the
+    join probes compare 8-byte longs instead of strings. Hash
+    collisions between UNRELATED variants can only ADD candidate
+    pairs, and every candidate is verified with an exact
+    levenshtein ≤ 1 before emission — the verification that already
+    removes FastSS's own false positives removes hash collisions for
+    free, so the result set is bit-identical (the differential test
+    covers this path)."""
     base = df.select(F.col(key).alias("__k"), F.col(name).alias("__n"))
     variants = F.array_distinct(
-        F.concat(
-            F.array("__n"),
-            F.expr(
-                "transform(sequence(1, length(__n)), i -> "
-                "concat(substring(__n, 1, i - 1), "
-                "substring(__n, i + 1)))"
+        F.transform(
+            F.concat(
+                F.array("__n"),
+                F.expr(
+                    "transform(sequence(1, length(__n)), i -> "
+                    "concat(substring(__n, 1, i - 1), "
+                    "substring(__n, i + 1)))"
+                ),
             ),
+            lambda v: F.xxhash64(v),
         )
     )
-    nb = base.select("__k", F.explode(variants).alias("variant"))
+    nb = base.select("__k", F.explode(variants).alias("vh"))
     pairs = (
-        nb.select(F.col("__k").alias("key_a"), "variant")
-        .join(nb.select(F.col("__k").alias("key_b"), "variant"), "variant")
+        nb.select(F.col("__k").alias("key_a"), "vh")
+        .join(nb.select(F.col("__k").alias("key_b"), "vh"), "vh")
         .filter(F.col("key_a") < F.col("key_b"))
         .select("key_a", "key_b")
         .distinct()
@@ -981,13 +996,16 @@ def join_fuzzy_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     as the brute force, guaranteed by completeness + verification.
 
     Scale shape: fan-out is ≤|name|+1 variant rows per key (narrow,
-    JVM-side, deduped IN-ROW with array_distinct before the explode —
-    a name with repeated characters emits each distinct variant once,
-    which on zero-padded keys cuts the fan-out ~20%), the candidate
-    join is a plain equi-shuffle on uniformly distributed variant
-    strings, and verification runs only on candidate pairs — n·L rows
-    shuffled instead of n² pairs compared. The variant frames carry
-    (key, variant) ONLY: candidate pairs dedupe as two ints, and the
+    JVM-side, hashed IN-ROW to xxhash64 longs and deduped with
+    array_distinct before the explode — a name with repeated
+    characters emits each distinct variant once, which on zero-padded
+    keys cuts the fan-out ~20%), the candidate join is a plain
+    equi-join on uniformly distributed 8-byte variant hashes (r15;
+    the strings themselves never leave the row they were derived in —
+    hash collisions just add candidates the exact verify removes),
+    and verification runs only on candidate pairs — n·L rows moved
+    instead of n² pairs compared. The variant frames carry
+    (key, hash) ONLY: candidate pairs dedupe as two ints, and the
     names come back via two small-dim joins for the final levenshtein
     verify — the wide strings never ride the big shuffle (the first
     draft shuffled name_a/name_b through the variant join and
