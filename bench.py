@@ -373,6 +373,32 @@ def _flush_status(spark) -> None:
         pass
 
 
+def _settled_totals(spark, ui_url: str | None) -> dict[str, int]:
+    """Flush-then-poll byte snapshot: drain the listener bus, read the
+    executor totals, and repeat until two consecutive reads agree (or a
+    ~3 s budget runs out). The r15 flush alone narrows but does not
+    close the attribution race on a loaded box: the appStatus store's
+    async write path can post a query's bytes AFTER waitUntilEmpty
+    returns, so a window opened immediately still inherits the tail of
+    the PREVIOUS query's bytes (observed: pipeline_d4_curation's rep0
+    window caught ~900 kB of upstream-tier late bytes → the recorded
+    per-query mean read 3.2× its own plan's shuffle). Totals are
+    monotonic per executor lifetime, so equality across a poll gap
+    means the backlog has drained. Runs OUTSIDE the timed region —
+    walls are computed from perf_counter around the reps only."""
+    _flush_status(spark)
+    prev = _exec_totals(ui_url)
+    deadline = time.perf_counter() + 3.0
+    while time.perf_counter() < deadline:
+        time.sleep(0.15)
+        _flush_status(spark)
+        cur = _exec_totals(ui_url)
+        if cur == prev:
+            return cur
+        prev = cur
+    return prev
+
+
 def _exec_totals(ui_url: str | None) -> dict[str, int]:
     """Cumulative shuffle-write bytes from the executors REST endpoint
     (monotonic per-executor lifetime totals — NOT subject to stage
@@ -468,8 +494,7 @@ def main() -> None:
         if qi == len(HEADLINE) // 2:
             probe_mid = calibration_probe(spark)
         reps = []
-        _flush_status(spark)
-        before = _exec_totals(ui_url)
+        before = _settled_totals(spark, ui_url)
         for _ in range(n_reps):
             # Collect garbage from the PREVIOUS run outside the timed
             # region: ~50 plans per session leave broadcast blocks and
@@ -479,8 +504,7 @@ def main() -> None:
             t0 = time.perf_counter()
             consume(specs[name].builder(spark, sf_dir))
             reps.append(time.perf_counter() - t0)
-        _flush_status(spark)
-        after = _exec_totals(ui_url)
+        after = _settled_totals(spark, ui_url)
         # median-of-3: robust to a single scheduler/GC hiccup in either
         # direction, unlike best-of (optimistic) or mean (one bad rep
         # drags it)

@@ -3104,17 +3104,24 @@ def emb_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L2 normalization: per-vector norm plus the self-dot of the unit
     vector (≡1, computed through the normalized values — pins that the
     normalize-then-dot path is numerically sane). Fully narrow; at
-    100 TB this runs inside the scan stage."""
+    100 TB this runs inside the scan stage.
+
+    r15 shape: the squared-norm aggregate is LAMBDA-BOUND (the
+    chunk_cdc let idiom) — referenced three times as a plain column it
+    was inlined per consumer (9 aggregate() occurrences in the
+    optimized plan → 1), an O(dim) fold per reference per row."""
     e = _embs(spark, sf_dir)
-    sq = F.aggregate(
-        F.col("embedding"),
-        F.lit(0.0),
-        lambda acc, v: acc + v.cast("double") * v.cast("double"),
+    out = F.expr(
+        "transform(array("
+        "aggregate(embedding, CAST(0.0 AS DOUBLE), "
+        "(acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))"
+        "), s -> struct(sqrt(s) AS norm, "
+        "s / greatest(s, CAST(1e-12 AS DOUBLE)) AS unit_dot))[0]"
     )
-    return e.select(
+    return e.select("vec_id", out.alias("__o")).select(
         "vec_id",
-        _r(F.sqrt(sq), 6).alias("norm"),
-        _r(sq / F.greatest(sq, F.lit(1e-12)), 6).alias("unit_dot"),
+        _r(F.col("__o.norm"), 6).alias("norm"),
+        _r(F.col("__o.unit_dot"), 6).alias("unit_dot"),
     )
 
 
@@ -3148,21 +3155,33 @@ def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     storage shrink every embedding store applies): q = round(x/scale ·
     127), half away from zero on both engines. The query emits the
     scale and integer aggregates of the quantized vector — exact
-    cross-engine values, no float hashing."""
+    cross-engine values, no float hashing.
+
+    r15 shape: emb / scale / q are LAMBDA-BOUND in a nested let (the
+    chunk_cdc idiom). The column form referenced `scale` INSIDE the
+    quantize lambda — the exact outer-reference trap the shingle
+    builder documents: the O(dim) scale scan re-evaluated per ELEMENT
+    (O(dim²)/row), and `q` was inlined into both its consumers
+    (18 transform() occurrences in the optimized plan → 6; wall
+    0.30 → 0.12 s at sf0.1, max rep 2.1 → 0.3 s). Per-element
+    arithmetic is verbatim — results bit-identical."""
     e = _embs(spark, sf_dir)
-    emb = F.transform("embedding", lambda x: x.cast("double"))
-    scale = F.array_max(F.transform(emb, lambda x: F.abs(x)))
-    q = F.transform(
-        emb,
-        lambda x: F.when(x < 0, -F.floor(F.abs(x) / scale * 127 + F.lit(0.5)))
-        .otherwise(F.floor(F.abs(x) / scale * 127 + F.lit(0.5))),
+    out = F.expr(
+        "transform(array(transform(embedding, x -> CAST(x AS DOUBLE))), e -> "
+        "transform(array(array_max(transform(e, x -> abs(x)))), s -> "
+        "transform(array(transform(e, x -> IF(x < 0, "
+        "-floor(abs(x) / s * 127 + 0.5), "
+        "floor(abs(x) / s * 127 + 0.5)))), q -> "
+        "struct(s AS scale, "
+        "aggregate(q, CAST(0 AS BIGINT), (a, v) -> a + CAST(v AS BIGINT)) "
+        "AS q_sum, "
+        "CAST(array_max(q) AS BIGINT) AS q_max))[0])[0])[0]"
     )
-    qsum = F.aggregate(q, F.lit(0).cast("bigint"), lambda a, v: a + v.cast("bigint"))
-    return e.select(
+    return e.select("vec_id", out.alias("__o")).select(
         "vec_id",
-        _r(scale, 6).alias("scale_out"),
-        qsum.alias("q_sum"),
-        F.array_max(q).cast("bigint").alias("q_max"),
+        _r(F.col("__o.scale"), 6).alias("scale_out"),
+        F.col("__o.q_sum").alias("q_sum"),
+        F.col("__o.q_max").alias("q_max"),
     )
 
 
@@ -5754,14 +5773,24 @@ def chunk_cdc(docs: DataFrame) -> DataFrame:
     Returns (doc_id, chunk_start [1-based], chunk) exploded one row
     per chunk. Consumed by the registered dedup_substring_cdc query;
     the promotion was round 8's sanctioned registry addition
-    (VERDICT r7 #2)."""
+    (VERDICT r7 #2).
+
+    Plan shape (r15): the bounds array is LAMBDA-BOUND — computed once
+    inside ``transform(array(<bounds>), b -> zip_with(...))[0]`` — not
+    carried as a withColumn the consumers reference. The withColumn
+    form let projection collapse inline the full per-position md5 scan
+    into every consumer: the optimized plan held the O(len) cut scan
+    NINE times (measured: 10 md5 / 3 zip_with occurrences; ~1.0 s at
+    sf0.1). A lambda variable is opaque to the optimizer, so the scan
+    is evaluated exactly once per document (2 md5 / 1 zip_with; ~0.5 s
+    same-session interleaved A/B, results bit-identical)."""
     # Guard the sequence: for texts shorter than W, sequence(W, len)
     # would DESCEND (Spark's default step is -1 when start > stop),
     # emitting phantom cut positions past end-of-text. Docs shorter
     # than the window have no qualifying position by definition and
     # must yield exactly one whole-text chunk, like the Python
     # reference's empty range(w, len+1).
-    cuts = F.expr(
+    cuts = (
         f"IF(length(text) >= {_CDC_W}, "
         f"filter(transform(sequence({_CDC_W}, length(text)), i -> "
         f"IF(conv(substring(md5(substring(text, i - {_CDC_W} + 1, "
@@ -5769,21 +5798,20 @@ def chunk_cdc(docs: DataFrame) -> DataFrame:
         "x -> x > 0), "
         "array())"
     )
-    bounds = F.array_distinct(
-        F.concat(F.array(F.lit(0)), cuts, F.array(F.length("text")))
+    bounds = (
+        f"array_distinct(concat(array(0), {cuts}, array(length(text))))"
     )
     chunks = F.expr(
-        "zip_with(slice(__b, 1, size(__b) - 1), "
-        "slice(__b, 2, size(__b) - 1), "
+        f"transform(array({bounds}), b -> "
+        "zip_with(slice(b, 1, size(b) - 1), "
+        "slice(b, 2, size(b) - 1), "
         "(s, e) -> struct(s + 1 AS chunk_start, "
-        "substring(text, s + 1, e - s) AS chunk))"
+        "substring(text, s + 1, e - s) AS chunk)))[0]"
     )
     return (
         docs.select("doc_id", "text")
         .filter(F.length("text") > 0)
-        .withColumn("__b", bounds)
-        .withColumn("__c", chunks)
-        .select("doc_id", F.explode("__c").alias("c"))
+        .select("doc_id", F.explode(chunks).alias("c"))
         .select("doc_id", F.col("c.chunk_start"), F.col("c.chunk"))
     )
 

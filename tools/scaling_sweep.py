@@ -62,15 +62,13 @@ def _measure(spark, specs, names, sf_dir, reps, ui_url):
     out = {}
     for name in names:
         walls = []
-        bench._flush_status(spark)
-        before = bench._exec_totals(ui_url)
+        before = bench._settled_totals(spark, ui_url)
         for _ in range(reps):
             spark.sparkContext._jvm.System.gc()
             t0 = time.perf_counter()
             bench.consume(specs[name].builder(spark, sf_dir))
             walls.append(time.perf_counter() - t0)
-        bench._flush_status(spark)
-        after = bench._exec_totals(ui_url)
+        after = bench._settled_totals(spark, ui_url)
         out[name] = {
             "wall": sorted(walls)[len(walls) // 2],
             "bytes": max(
