@@ -494,7 +494,8 @@ def main() -> None:
         if qi == len(HEADLINE) // 2:
             probe_mid = calibration_probe(spark)
         reps = []
-        before = _settled_totals(spark, ui_url)
+        rep_bytes: list[dict[str, int]] = []
+        prev = _settled_totals(spark, ui_url)
         for _ in range(n_reps):
             # Collect garbage from the PREVIOUS run outside the timed
             # region: ~50 plans per session leave broadcast blocks and
@@ -504,7 +505,13 @@ def main() -> None:
             t0 = time.perf_counter()
             consume(specs[name].builder(spark, sf_dir))
             reps.append(time.perf_counter() - t0)
-        after = _settled_totals(spark, ui_url)
+            # per-REP byte window (settled on both edges, outside the
+            # timed region). max(0, ...) clamps the async-status-store
+            # race where the edge lands before the final stage posts
+            # (ADVICE r2 #1) — a negative delta is always bogus.
+            cur = _settled_totals(spark, ui_url)
+            rep_bytes.append({k: max(0, cur[k] - prev[k]) for k in prev})
+            prev = cur
         # median-of-3: robust to a single scheduler/GC hiccup in either
         # direction, unlike best-of (optimistic) or mean (one bad rep
         # drags it)
@@ -515,13 +522,19 @@ def main() -> None:
         # without access to this machine. Full rep lists go to the
         # metrics sidecar.
         spreads[name] = [round(min(reps), 3), round(max(reps), 3)]
-        # per-run executor bytes: the reps run the same plan, so the
-        # delta divides evenly; a changed number between rounds means
-        # the PLAN changed, not the box.  max(0, ...) clamps the
-        # async-status-store race where 'after' lands before the final
-        # stage posts (ADVICE r2 #1) — a negative delta is always bogus.
+        # per-rep byte MEDIAN (r15 second measurement fix, declared in
+        # OPTIMIZATION_r15.md item 11): the reps run the same plan, so
+        # each clean window reads the same bytes and the median IS the
+        # per-run value — and a single window polluted by late-posting
+        # bytes the settle budget could not drain (observed: a ~900 kB
+        # upstream burst landing in pipeline_d4_curation's first rep
+        # window on a loaded box, reading 3.2x on an unchanged plan)
+        # is discarded exactly like a wall hiccup. On clean runs the
+        # median equals the old aggregate//n_reps value, so anchors
+        # stay comparable.
         query_metrics[name] = {
-            k: max(0, after[k] - before[k]) // n_reps for k in before
+            k: sorted(rb[k] for rb in rep_bytes)[n_reps // 2]
+            for k in rep_bytes[0]
         }
         query_metrics[name]["rep_secs"] = [round(x, 3) for x in reps]
 

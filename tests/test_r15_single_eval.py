@@ -72,3 +72,20 @@ def test_emb_quantize_single_scale_scan(spark):
     # scale scan inlined per element and q per consumer)
     assert plan.count("transform(") <= 6, plan
     assert plan.count("aggregate(") == 1, plan
+
+
+def test_pq_assign_tick_vector_bound_once(spark):
+    """The per-subspace tick conversion (`tx`) must appear once per
+    subspace, not once per codebook entry: the pre-let shape embedded
+    the tx text into every code's d2 expression (M·k copies — 80
+    transform() occurrences at M=4, k=10), re-running the O(sub) tick
+    conversion per code per row."""
+    import nyc_traffic_insight_spark.queries.textops as t
+
+    q = t.emb_pq_codes(spark, SF_SMOKE)
+    plan = q._jdf.queryExecution().optimizedPlan().toString()
+    # per subspace: tick-vector binder + tick-conversion transform +
+    # argmin-struct binder -> 3·M total (M=_PQ_M); the pre-let shape
+    # had 2·M·k (tx inlined per code AND the scored sort re-evaluated
+    # per extracted field)
+    assert plan.count("transform(") <= 3 * t._PQ_M + 2, plan
