@@ -2,14 +2,20 @@
 
 Prints ONE compact JSON line as the FINAL line of stdout:
   {"metric": "...", "value": <total_sec>, "unit": "sec",
-   "queries": {"q1": median_sec, ...},
-   "spread": {"q1": [min_sec, max_sec], ...}, "sf": <sf>}
+   "queries": {"q1": median_sec, ...}, "sf": <sf>,
+   "subset25": ..., "calib": ..., "calib25": ...,
+   "value_calibrated": ..., "subset25_calibrated": ...}
 
-Per-query executor metrics (shuffle-write / spill byte deltas) go to a
-separate file, BENCH_metrics.json next to this script — round 2 put them
-on the headline line, which overflowed the driver's output-tail capture
-and left BENCH_r02.json unparseable (VERDICT r2, "What's wrong" #1).
-The headline line is last so tail-capture always keeps it.
+Per-query executor metrics (shuffle-write / spill byte deltas), the
+per-query [min, max] wall spreads, the probe battery and the host
+facts go to a separate file, BENCH_metrics.json next to this script —
+round 2 put metrics on the headline line, which overflowed the
+driver's output-tail capture and left BENCH_r02.json unparseable
+(VERDICT r2, "What's wrong" #1), and the r15 line (spread + probes +
+env blocks) was one growth spurt from doing it again (the r14 line
+WAS truncated, costing that round its automatic per-query PERF
+comparison — VERDICT r15 #8). The headline line is last so
+tail-capture always keeps it, and is kept under ~4 kB.
 
 Each timed run executes the query plan end-to-end through the "noop"
 sink: every output row and column is materialized by the executors, but
@@ -586,7 +592,28 @@ def main() -> None:
         os.path.dirname(os.path.abspath(__file__)), "BENCH_metrics.json"
     )
     with open(metrics_path, "w") as f:
-        json.dump({"sf": sf, "query_metrics": query_metrics}, f, indent=1)
+        json.dump(
+            {
+                "sf": sf,
+                "query_metrics": query_metrics,
+                # moved off the headline line (r16; VERDICT r15 #8):
+                # per-query [min, max] wall spreads, the full probe
+                # battery, and the host facts for gap decomposition
+                # (cpu_*_jiffies deltas give busy/idle/steal core-time
+                # over the run)
+                "spread": spreads,
+                "probe_sec": {
+                    "before": probe_before,
+                    "mid": probe_mid,
+                    "after": probe_after,
+                    "ref": PROBE_REF_SEC,
+                },
+                "env_before": env_before,
+                "env_after": _env_diagnostics(),
+            },
+            f,
+            indent=1,
+        )
     # Drop every persisted block the catalog accumulated (widened
     # docs/embeddings, shingle sets) before stopping — VERDICT r3 #6.
     from nyc_traffic_insight_spark.queries.textops import clear_caches
@@ -594,7 +621,15 @@ def main() -> None:
     clear_caches(spark)
     spark.stop()
     # Compact headline line LAST so the driver's output-tail capture
-    # always retains it.
+    # always retains it. r16 (VERDICT r15 #8): the line grew past the
+    # driver's tail-capture window once already (r14's PERF per-query
+    # comparison was lost to a mid-dict truncation), so everything a
+    # reader can get from the sidecar — per-query [min, max] spreads,
+    # the full probe battery, the /proc host facts — now lives ONLY in
+    # BENCH_metrics.json; the line keeps the contract fields
+    # (metric/value/unit/queries/sf), the gate fields (subset25,
+    # *_calibrated) and the two calibration factors, and stays well
+    # under ~4 kB at 46 queries.
     print(
         json.dumps(
             {
@@ -602,24 +637,14 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "spread": spreads,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 # load calibration (r14; VERDICT r13 #1): raw AND
                 # probe-normalized walls ride the headline line. The
                 # wall contract is stated in BASELINE.md as
-                # calibrated subset25 <= 1.3x the r14 anchor.
+                # calibrated subset25 <= 1.3x the anchor.
                 "subset25": subset25,
-                "probe_sec": {
-                    "before": probe_before,
-                    "mid": probe_mid,
-                    "after": probe_after,
-                    "ref": PROBE_REF_SEC,
-                },
-                # host facts for gap decomposition (r15; VERDICT
-                # r14 #1): cpu_*_jiffies deltas between the two
-                # samples give busy/idle/steal core-time for the run
-                "env_before": env_before,
-                "env_after": _env_diagnostics(),
+                "calib": calib,
+                "calib25": calib25,
                 "value_calibrated": (
                     round(total * calib, 3) if calib else None
                 ),

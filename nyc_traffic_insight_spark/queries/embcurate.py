@@ -25,6 +25,7 @@ from nyc_traffic_insight_spark.functions.rounding import r as _r
 from nyc_traffic_insight_spark.queries.textops import (
     _DIM,
     _embs,
+    _fold_idx_sql,
     _ivf_centroids,
     _norm_dot,
 )
@@ -267,27 +268,27 @@ def _assigned_frame(e: DataFrame, index, with_cos: bool) -> DataFrame:
     # index is ~26k of them per assignment branch — measured 11–18 s
     # of pure PYTHON-side plan building per dedup_semantic call at
     # m = 10 (the box sat idle; the walls looked like execution but
-    # were driver-side py4j). A generated SQL string is one round
-    # trip; CAST('<repr>' AS DOUBLE) round-trips every finite double
-    # exactly (shortest-repr law), so the folded literal is
-    # bit-identical to the F.lit form.
+    # were driver-side py4j). r16: the expr is now a constant-foldable
+    # from_json literal (textops._fold_idx_sql) — the r15 CAST-text
+    # tree still cost O(k·dim) nodes PER ANALYZER RUN on every
+    # DataFrame op over the frame, and the scale-k index grows that
+    # tree with the corpus; the from_json string is a 2-node tree at
+    # any index size and folds to the bit-identical constant (repr ↔
+    # parseDouble round-trip, same law the CAST spelling used).
     _CELLS_T = "ARRAY<STRUCT<cell: INT, cvec: ARRAY<DOUBLE>, nrm: DOUBLE>>"
 
-    def _d(v) -> str:
-        return f"CAST('{float(v)!r}' AS DOUBLE)"
+    def _cells_payload(pairs) -> list:
+        return [
+            {
+                "cell": int(cell),
+                "cvec": [float(v) for v in vec],
+                "nrm": _pynorm(vec),
+            }
+            for cell, vec in pairs
+        ]
 
     def _lit_cells(pairs):
-        if not pairs:
-            return F.expr(f"CAST(array() AS {_CELLS_T})")
-        items = ", ".join(
-            "named_struct('cell', {c}, 'cvec', array({vs}), 'nrm', {n})".format(
-                c=int(cell),
-                vs=", ".join(_d(v) for v in vec),
-                n=_d(_pynorm(vec)),
-            )
-            for cell, vec in pairs
-        )
-        return F.expr(f"array({items})")
+        return F.expr(_fold_idx_sql(_cells_payload(pairs), _CELLS_T))
 
     two_level = isinstance(index, dict) and index["m"] > 1
     if not two_level:
@@ -324,11 +325,16 @@ def _assigned_frame(e: DataFrame, index, with_cos: bool) -> DataFrame:
             f"label space too large to array-index ({max_lbl}); "
             "re-introduce a position lookup before raising this cap"
         )
-    subs_arr = F.array(
-        *[
-            _lit_cells(by_label.get(lbl, []))
-            for lbl in range(max_lbl + 1)
-        ]
+    # the whole label-indexed table as ONE from_json literal (r16):
+    # the analyzed tree stays 2 nodes as m (and the index) grows
+    subs_arr = F.expr(
+        _fold_idx_sql(
+            [
+                _cells_payload(by_label.get(lbl, []))
+                for lbl in range(max_lbl + 1)
+            ],
+            f"ARRAY<{_CELLS_T}>",
+        )
     )
     lbl_best = F.element_at(
         F.array_sort(_scored(F.col("lcells"))), 1

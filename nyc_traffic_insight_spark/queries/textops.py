@@ -1738,14 +1738,15 @@ def sim_search_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     e = _embs(spark, sf_dir)
     # one generated expr, not 512 F.lit py4j round trips (r15 — the
-    # same plan-build tax fix as the PQ tier; identical SQL
-    # primitives, so the analyzed plan and the sequential-accumulation
-    # bit-identity are unchanged)
+    # same plan-build tax fix as the PQ tier); r16: each plane is a
+    # constant-foldable from_json literal (_fold_idx_sql) that folds
+    # to the identical array constant, so the analyzed tree is flat
+    # in dim and the sequential-accumulation bit-identity is unchanged
     bits = []
     for p, ws in enumerate(_plane_weights()):
-        plane = ", ".join(f"CAST('{w!r}' AS DOUBLE)" for w in ws)
+        plane = _fold_idx_sql([float(w) for w in ws], "ARRAY<DOUBLE>")
         dot = (
-            f"aggregate(zip_with(embedding, array({plane}), "
+            f"aggregate(zip_with(embedding, {plane}, "
             "(x, w) -> CAST(x AS DOUBLE) * w), 0.0D, "
             "(acc, v) -> acc + v)"
         )
@@ -1815,6 +1816,38 @@ def _ivf_centroids(spark: SparkSession, sf_dir: str) -> list:
 _IVF_CENTROID_CACHE: dict[tuple[str, str], list] = {}
 
 
+def _fold_idx_sql(payload, ddl: str) -> str:
+    """An index/codebook artifact as ONE constant-foldable expression:
+    ``from_json('<json>', '<ddl>')`` (r16; VERDICT r15 #2/#3).
+
+    The r15 generated-SQL literal form killed the per-value py4j
+    storm, but the values still rode the plan as an EXPRESSION TREE
+    (3 nodes per double: Cast(Literal(str))) — and PySpark DataFrame
+    ops analyze eagerly, so every .select/.join over an index-bearing
+    frame re-traversed the whole k·dim-node tree. pipeline_ann_ivfpq
+    paid ~0.7 s of per-call plan construction from exactly this, and
+    the D4 scale-k index makes the tree grow with the corpus. Here
+    the whole artifact is ONE string literal under a from_json call —
+    a 2-node tree at ANY index size — which Catalyst CONSTANT-FOLDS
+    once per query into the identical in-memory constant the old tree
+    folded to, so execution is byte-for-byte the literal path (the
+    scalar-subquery and broadcast-relation alternatives were measured
+    3–5× slower per row — interleaved A/B in OPTIMIZATION_r16.md).
+
+    Exactness: json.dumps renders doubles with repr (shortest form)
+    and from_json parses with Java Double.parseDouble — the same
+    round-trip law the CAST('<repr>' AS DOUBLE) spelling relied on;
+    verified value-identical against the CAST form on 500 random
+    doubles plus denormal/large magnitudes. Ticks/ints are exact in
+    JSON by construction. NaN/Inf never occur in these artifacts."""
+    import json as _json
+
+    js = _json.dumps(payload, separators=(",", ":"))
+    if "'" in js or "\\" in js:  # never true for numeric payloads
+        raise ValueError("index payload not SQL-single-quote-safe")
+    return f"from_json('{js}', '{ddl}')"
+
+
 def _ivf_cent_arr(cells: list) -> F.Column:
     """The centroid literal — array<struct<cell, cvec>> from the
     _ivf_centroids artifact. ONE spelling for every consumer
@@ -1822,21 +1855,18 @@ def _ivf_cent_arr(cells: list) -> F.Column:
     extracted in the r13 review pass so the coarse quantizer cannot
     drift between the index and the operators composed on it.
 
-    Emitted as ONE generated SQL expression, not per-value F.lit calls
-    (r15): each F.lit/F.struct/F.array is a py4j round trip, and the
-    640-lit form cost ~1 s of driver-side Python per consumer call.
-    CAST('<repr>' AS DOUBLE) round-trips every finite double exactly
-    (shortest-repr law), so the folded literal is bit-identical."""
-    items = ", ".join(
-        "named_struct('cell', {c}, 'cvec', array({vs}))".format(
-            c=int(cell),
-            vs=", ".join(
-                f"CAST('{float(v)!r}' AS DOUBLE)" for v in vec
-            ),
+    r16: one constant-foldable from_json literal (see _fold_idx_sql) —
+    the analyzed tree no longer grows with k·dim, and the folded
+    constant is bit-identical to the r15 CAST-text form."""
+    return F.expr(
+        _fold_idx_sql(
+            [
+                {"cell": int(cell), "cvec": [float(v) for v in vec]}
+                for cell, vec in cells
+            ],
+            "ARRAY<STRUCT<cell: INT, cvec: ARRAY<DOUBLE>>>",
         )
-        for cell, vec in cells
     )
-    return F.expr(f"array({items})")
 
 
 def _ivf_ranked_cells(emb_col) -> F.Column:
@@ -2219,12 +2249,32 @@ def _pq_tx_sql(m: int) -> str:
     )
 
 
-def _pq_d2_sql(tx: str, tick_vec: list) -> str:
-    ticks = ", ".join(f"{int(t)}L" for t in tick_vec)
+def _pq_d2_sql(tx: str, ticks: str) -> str:
+    """Squared tick distance between two BIGINT tick-vector SQL
+    expressions — the identical zip_with/aggregate fold at any ticks
+    source (r15 rendered a literal tick list here; r16 callers pass
+    the lambda-bound codebook entry's `ticks` field)."""
     return (
-        f"aggregate(zip_with({tx}, array({ticks}), "
+        f"aggregate(zip_with({tx}, {ticks}, "
         "(a, b) -> (a - b) * (a - b)), CAST(0 AS BIGINT), "
         "(acc, v) -> acc + v)"
+    )
+
+
+def _pq_cb_sql(codebooks: list, m: int) -> str:
+    """Subspace m's codebook [(code, ticks)] as ONE constant-foldable
+    from_json literal (r16; see _fold_idx_sql) — the analyzed tree no
+    longer carries k·sub tick nodes. Asserting non-empty closes the
+    ADVICE r15 latent edge (an empty codebook list would previously
+    have generated invalid concat())."""
+    if not codebooks or not codebooks[m]:
+        raise ValueError("PQ codebooks must be non-empty per subspace")
+    return _fold_idx_sql(
+        [
+            {"code": int(code), "ticks": [int(t) for t in ticks]}
+            for code, ticks in codebooks[m]
+        ],
+        "ARRAY<STRUCT<code: INT, ticks: ARRAY<BIGINT>>>",
     )
 
 
@@ -2239,28 +2289,38 @@ def _pq_assign_frame(e: DataFrame, codebooks: list) -> DataFrame:
     d2 expression made the O(sub) tick conversion run once per CODE
     per row (k× waste) and carried k copies of the tx subtree through
     parse/analysis (plan 46,954 → 39,597 chars, transform() 80 → 16;
-    exec 0.223 → 0.152 s at sf0.1, results bit-identical)."""
+    exec 0.223 → 0.152 s at sf0.1, results bit-identical).
+
+    r16 shape: the codebook VALUES left the expression tree too — one
+    from_json literal per subspace (_pq_cb_sql), lambda-bound once
+    (cbm), with the scored per-code structs built by ONE transform
+    over it. Catalyst folds the from_json into the identical constant
+    the unrolled form held, so per-row arithmetic — the same
+    zip_with/aggregate tick distance per code, the same array_sort
+    (d2, code) argmin, ties by code id — is unchanged; only the
+    analyzed tree (and hence per-op analysis cost) shrinks from
+    O(M·k·sub) to O(M)."""
     per_sub = []
-    for m, codes in enumerate(codebooks):
+    for m in range(len(codebooks)):
         tx = _pq_tx_sql(m)
-        structs = ", ".join(
-            f"named_struct('d2', {_pq_d2_sql('txv', tick_vec)}, "
-            f"'code', {int(code)})"
-            for code, tick_vec in codes
+        scored = (
+            "transform(cbm, ce -> named_struct("
+            f"'d2', {_pq_d2_sql('txv', 'ce.ticks')}, 'code', ce.code))"
         )
         # array_sort on (d2, code) structs = min by distance, ties by
-        # code id — the oracle's ORDER BY d2, code. TWO let levels:
-        # the outer transform binds the tick vector ONCE (txv), the
-        # inner binds the argmin struct ONCE (b) — extracting 'code'
-        # and 'd2' from an unbound best expression re-evaluated the
-        # whole scored sort per field.
+        # code id — the oracle's ORDER BY d2, code. THREE let levels:
+        # cbm binds the subspace codebook once, txv the tick vector
+        # once, b the argmin struct once (extracting 'code' and 'd2'
+        # from an unbound best expression re-evaluated the whole
+        # scored sort per field).
         per_sub.append(
             F.expr(
-                f"element_at(transform(array({tx}), txv -> "
+                f"element_at(transform(array({_pq_cb_sql(codebooks, m)}), "
+                f"cbm -> element_at(transform(array({tx}), txv -> "
                 f"element_at(transform("
-                f"array(element_at(array_sort(array({structs})), 1)), "
+                f"array(element_at(array_sort({scored}), 1)), "
                 f"b -> named_struct('subspace', {m}, "
-                "'code', b.code, 'd2_ticks', b.d2)), 1)), 1)"
+                "'code', b.code, 'd2_ticks', b.d2)), 1)), 1)), 1)"
             )
         )
     return e.select(
@@ -2424,19 +2484,19 @@ def _pq_lut_frame(e: DataFrame, codebooks: list) -> DataFrame:
     machine WITHOUT its argmin (M·k rows per query). Distances via
     the SHARED _pq_tx_sql / _pq_d2_sql spellings — the assign/LUT
     identity test_pq_adc_rank1_is_the_self_distortion relies on."""
-    # per-subspace arrays with the tick vector lambda-bound once (the
-    # _pq_assign_frame r15 let shape), concatenated then exploded
+    # per-subspace arrays off the per-subspace from_json codebook
+    # literal (r16), with the codebook (cbm) and tick vector (txv)
+    # lambda-bound once each (the _pq_assign_frame let shape),
+    # concatenated then exploded
     per_m = []
-    for m, codes in enumerate(codebooks):
+    for m in range(len(codebooks)):
         tx = _pq_tx_sql(m)
-        structs = ", ".join(
-            f"named_struct('subspace', {m}, 'code', {int(code)}, "
-            f"'d2', {_pq_d2_sql('txv', tick_vec)})"
-            for code, tick_vec in codes
-        )
         per_m.append(
-            f"element_at(transform(array({tx}), "
-            f"txv -> array({structs})), 1)"
+            f"element_at(transform(array({_pq_cb_sql(codebooks, m)}), "
+            f"cbm -> element_at(transform(array({tx}), txv -> "
+            f"transform(cbm, ce -> named_struct('subspace', {m}, "
+            f"'code', ce.code, "
+            f"'d2', {_pq_d2_sql('txv', 'ce.ticks')}))), 1)), 1)"
         )
     return e.select(
         F.col("vec_id").alias("query_id"),

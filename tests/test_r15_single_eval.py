@@ -84,8 +84,12 @@ def test_pq_assign_tick_vector_bound_once(spark):
 
     q = t.emb_pq_codes(spark, SF_SMOKE)
     plan = q._jdf.queryExecution().optimizedPlan().toString()
-    # per subspace: tick-vector binder + tick-conversion transform +
-    # argmin-struct binder -> 3·M total (M=_PQ_M); the pre-let shape
-    # had 2·M·k (tx inlined per code AND the scored sort re-evaluated
-    # per extracted field)
-    assert plan.count("transform(") <= 3 * t._PQ_M + 2, plan
+    # per subspace (r16 shape): codebook binder (cbm — the from_json
+    # literal bound once) + tick-vector binder (txv) + tick-conversion
+    # transform + the ONE scored transform over the bound codebook +
+    # argmin-struct binder -> 5·M total (M=_PQ_M); the pre-let r14
+    # shape had 2·M·k (tx inlined per code AND the scored sort
+    # re-evaluated per extracted field). The invariant is O(M), never
+    # O(M·k). (Counts depend on Spark's plan rendering — re-derive on
+    # an engine upgrade, ADVICE r15.)
+    assert plan.count("transform(") <= 5 * t._PQ_M + 2, plan
