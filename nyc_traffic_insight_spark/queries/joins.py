@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from nyc_traffic_insight_spark.queries import register
 from nyc_traffic_insight_spark.sources import load_table
+from nyc_traffic_insight_spark.sources.catalog import load_table_wide
 from nyc_traffic_insight_spark.functions.rounding import exact_avg, exact_sum, r as _r
 
 def _time_parts() -> list:
@@ -1011,8 +1012,22 @@ def join_fuzzy_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     draft shuffled name_a/name_b through the variant join and
     distinct'd 1M wide rows; this form is ~3× faster at sf0.1 on the
     same candidate volume). The canonical key_a < key_b ordering also
-    halves the candidate volume before verification."""
-    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    halves the candidate volume before verification.
+
+    r16 (VERDICT r15 #5 — the 8↔32-core ratio sat at 1.07): the
+    customer scan is one row group locally, so the variant explode,
+    BOTH candidate-join inputs, and the ~1M-row emit + the distinct's
+    map side all ran in ONE task — the slowest headline entry was
+    serial by input layout, not by algorithm. The gated widening
+    (load_table_wide — a no-op on any real multi-row-group table)
+    spreads the n·L variant fan-out across the session's cores."""
+    cust = load_table_wide(
+        spark,
+        sf_dir,
+        "customer",
+        "c_custkey",
+        columns=("c_custkey", "c_name"),
+    )
     return fuzzy_pairs_ed1(cust, "c_custkey", "c_name")
 
 
