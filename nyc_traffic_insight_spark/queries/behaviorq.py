@@ -16,6 +16,8 @@ otherwise flip lag/ntile results between engines silently.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -554,6 +556,13 @@ def sample_negatives_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: pair-expansion chunk size: a chunk-pair row expands at most
+#: _BASKET_CHUNK² pair structs, bounding generator memory for hot
+#: baskets (see report_copurchase_pairs). Any basket at or under
+#: this size takes the exact single-row path of the r6 shape.
+_BASKET_CHUNK = 512
+
+
 @register(
     "report_copurchase_pairs",
     survey="J/A-family extension: market-basket co-purchase pairs — "
@@ -616,15 +625,66 @@ def report_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     baskets = li.groupBy("l_orderkey").agg(
         F.sort_array(F.collect_set("l_partkey")).alias("parts")
     )
-    # sorted+deduped basket → all i<j pairs; slice is 1-based, so the
-    # elements after 0-based index i start at position i+2
+    # r16 hot-basket guard (VERDICT r15 #6): the r6 shape flattened
+    # ALL of a basket's i<j pairs into ONE in-row array — m²
+    # struct allocations materialized at once, an OOM-class term for
+    # a single hot basket (a 20k-part basket is 2×10⁸ structs), and
+    # AQE cannot split a narrow stage. The expansion now goes through
+    # CHUNK PAIRS of the sorted basket: every basket explodes to its
+    # (ci ≤ cj) chunk-index pairs (exactly one (0, 0) row — and no
+    # second array copy — for any basket ≤ _BASKET_CHUNK, i.e. every
+    # real TPC-H-shaped order), and each chunk-pair row expands at
+    # most _BASKET_CHUNK² structs: within-chunk i<j pairs on the
+    # diagonal, full cross product off it (the basket is sorted and
+    # deduped, so ci < cj implies every pa element < every pb
+    # element). Same pair multiset, bit-identical results (pinned by
+    # tests/test_r16_copurchase_chunks.py at the default and at a
+    # forced cap=4), wall-neutral at sf0.1 (interleaved medians
+    # 1.09 ≈ 1.09 s).
+    #
+    # NTIS_COPURCHASE_REBALANCE=1 additionally redistributes the
+    # chunk-pair rows before expansion so one hot basket's (m/CAP)²
+    # chunk pairs spread across the cluster — the documented
+    # production default at clone-heavy scale (hot-basket probe,
+    # OPTIMIZATION_r16.md: a 20k-part basket finished 183 s spread vs
+    # >400 s serial). Local default OFF: the extra exchange of every
+    # basket row costs +0.7 s at sf0.1 where no hot basket exists,
+    # and the driver's bench must stay comparable across core counts.
+    cap = _BASKET_CHUNK
+    nch = f"CAST(ceil(size(parts) / {cap}.0) AS INT)"
+    chunk_pairs = F.expr(
+        f"flatten(transform(sequence(0, {nch} - 1, 1), "
+        f"ci -> transform(sequence(ci, {nch} - 1, 1), "
+        "cj -> named_struct('ci', ci, 'cj', cj))))"
+    )
+    chunked = baskets.select(
+        "l_orderkey", "parts", F.explode(chunk_pairs).alias("cp")
+    ).select(
+        "l_orderkey",
+        F.col("cp.ci").alias("ci"),
+        F.col("cp.cj").alias("cj"),
+        F.expr(f"slice(parts, cp.ci * {cap} + 1, {cap})").alias("pa"),
+        F.expr(
+            f"IF(cp.ci = cp.cj, CAST(NULL AS ARRAY<BIGINT>), "
+            f"slice(parts, cp.cj * {cap} + 1, {cap}))"
+        ).alias("pb"),
+    )
+    if os.environ.get("NTIS_COPURCHASE_REBALANCE"):
+        # deterministic key with far more distinct values than
+        # partitions (guide §2.5) — never rand()
+        chunked = chunked.repartition(
+            F.col("l_orderkey"), F.col("ci"), F.col("cj")
+        )
     pair_structs = F.expr(
-        "flatten(transform(parts, (x, i) -> "
-        "transform(slice(parts, i + 2, size(parts)), "
-        "y -> struct(x AS part_a, y AS part_b))))"
+        "CASE WHEN pb IS NULL THEN "
+        "flatten(transform(pa, (x, i) -> "
+        "transform(slice(pa, i + 2, size(pa)), "
+        "y -> struct(x AS part_a, y AS part_b)))) "
+        "ELSE flatten(transform(pa, x -> "
+        "transform(pb, y -> struct(x AS part_a, y AS part_b)))) END"
     )
     pairs = (
-        baskets.select(F.explode(pair_structs).alias("p"))
+        chunked.select(F.explode(pair_structs).alias("p"))
         .select("p.part_a", "p.part_b")
         .groupBy("part_a", "part_b")
         .agg(F.count(F.lit(1)).alias("n_orders"))

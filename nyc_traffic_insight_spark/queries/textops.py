@@ -910,14 +910,146 @@ def qa_dedup_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus retention after pair-rule dedup at each Jaccard
     threshold (registered r13; r13 late preview). Output: one row per
     threshold — (threshold_x10, n_pairs, n_docs_removed, n_docs,
-    retention_rate)."""
-    sh = _shingle_sets_persisted(spark, sf_dir).select(
-        "doc_id", F.explode("sh").alias("s")
-    )
+    retention_rate).
+
+    r16 clone-collapse rework (VERDICT r15 #7): the r13 shape ran the
+    exhaustive shingle self-join over DOCS, so a cluster of m clones
+    (identical shingle sets) emitted m² join rows per shared shingle —
+    the decade probe measured ×24.8 bytes per salted-clone decade.
+    Identical sets are now collapsed FIRST (groupBy the canonical
+    sorted set → representative = min doc_id + multiplicity m); the
+    exact pair machine runs over DISTINCT sets only, and the clone
+    multiplicities reconstruct the identical numbers in closed form:
+
+    - within a group every pair has J = 1 ≥ any threshold ≤ 1, so the
+      group contributes C(m, 2) pairs and m − 1 removed docs (every
+      non-min member is doc2 of its pair with the min) at EVERY
+      threshold;
+    - a passing representative pair (g1, g2), min(g1) < min(g2),
+      contributes m1·m2 member pairs, and exactly ONE removed doc not
+      already counted within-group: min(g2) — every other member of
+      either group is already a within-group removal, and
+      (min(g1), min(g2)) always passes with doc2 = min(g2). So the
+      cross-removed count is count_distinct(doc2) over passing rep
+      pairs — the identical aggregate, now over groups.
+
+    Jaccard between groups depends only on the sets, so the rep-level
+    integer tests are the member-level ones verbatim. Result is
+    bit-identical (the DuckDB oracle below is byte-unchanged and the
+    driver hash must match); the pair term drops from quadratic in
+    clone count to quadratic in DISTINCT sets — the irreducible part
+    of an exact all-pairs truth leg."""
+    ds = _shingle_sets_persisted(spark, sf_dir)
     nd = _docs(spark, sf_dir).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs")
     )
-    return _retention_frame(spark, sh, nd)
+    return _retention_grouped(spark, ds, nd)
+
+
+def _retention_grouped(
+    spark: SparkSession, ds: DataFrame, nd: DataFrame
+) -> DataFrame:
+    """Clone-collapsed exact retention over a non-empty (doc_id, sh)
+    shingle-set frame (see qa_dedup_retention's docstring for the
+    closed-form reconstruction argument)."""
+    grp = ds.groupBy(F.sort_array("sh").alias("shk")).agg(
+        F.min("doc_id").alias("gid"),
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+    )
+    # threshold-independent clone-cluster totals: Σ C(m,2) pairs and
+    # Σ (m−1) removals (J = 1 passes every threshold ≤ 1)
+    within = grp.agg(
+        F.coalesce(
+            F.sum(F.expr("m * (m - 1) DIV 2")), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("wpairs"),
+        F.coalesce(F.sum(F.col("m") - 1), F.lit(0))
+        .cast("bigint")
+        .alias("wremoved"),
+    )
+    sh = grp.select("gid", F.explode("shk").alias("s"))
+    cnt = grp.select(
+        "gid", F.size("shk").cast("long").alias("n"), "m"
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.gid") < F.col("b.gid")),
+        )
+        .groupBy(
+            F.col("a.gid").alias("doc1"), F.col("b.gid").alias("doc2")
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    ca, cb = cnt.alias("ca"), cnt.alias("cb")
+    pc = (
+        common.join(ca, F.col("doc1") == F.col("ca.gid"))
+        .join(cb, F.col("doc2") == F.col("cb.gid"))
+        .select(
+            "doc1",
+            "doc2",
+            "c",
+            F.col("ca.n").alias("n1"),
+            F.col("cb.n").alias("n2"),
+            F.col("ca.m").alias("m1"),
+            F.col("cb.m").alias("m2"),
+        )
+    )
+    union_sz = F.col("n1") + F.col("n2") - F.col("c")
+    passing = pc.select(
+        "doc1",
+        "doc2",
+        (F.col("m1") * F.col("m2")).alias("w"),
+        F.explode(
+            F.filter(
+                F.array(*[F.lit(t) for t in _RETENTION_T10]),
+                lambda t: F.col("c") * 10 >= t * union_sz,
+            )
+        ).alias("threshold_x10"),
+    )
+    stats = passing.groupBy("threshold_x10").agg(
+        F.sum("w").cast("bigint").alias("cross_pairs"),
+        F.count_distinct("doc2").cast("bigint").alias("cross_removed"),
+    )
+    thr = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(t) for t in _RETENTION_T10])
+        ).alias("threshold_x10")
+    )
+    return (
+        thr.join(stats, "threshold_x10", "left")
+        .crossJoin(F.broadcast(nd))
+        .crossJoin(F.broadcast(within))
+        .select(
+            "threshold_x10",
+            (
+                F.col("wpairs") + F.coalesce("cross_pairs", F.lit(0))
+            )
+            .cast("bigint")
+            .alias("n_pairs"),
+            (
+                F.col("wremoved")
+                + F.coalesce("cross_removed", F.lit(0))
+            )
+            .cast("bigint")
+            .alias("n_docs_removed"),
+            "n_docs",
+            _r(
+                (
+                    F.col("n_docs")
+                    - (
+                        F.col("wremoved")
+                        + F.coalesce("cross_removed", F.lit(0))
+                    )
+                ).cast("double")
+                / F.col("n_docs"),
+                6,
+            ).alias("retention_rate"),
+        )
+    )
 
 
 def _retention_frame(
