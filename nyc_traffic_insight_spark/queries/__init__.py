@@ -75,80 +75,82 @@ def register(
     return deco
 
 
-# Registration-order rotation (VERDICT.md rounds 2-14). The driver's
+# Registration-order rotation (VERDICT.md rounds 2-15). The driver's
 # sf0.01 correctness gate walks REGISTRY front-to-back with a
-# ~50-query budget (CORRECTNESS_r04-r14 each carried exactly 50
-# rows). Round-15 ordering — NOTES "Round-15 rotation precompute",
-# adjusted for this round's code changes (changed/new entries outrank
-# stale refresh, the standing convention):
-#   1. the 23 queries whose code, oracle, or artifact path changed in
-#      r15 (LSH candidate stage → distributed band self-join; D4 tier
-#      scale-k index + two-level assignment + oracle rewrite; ANN tier
-#      generated-SQL literals; kmeans/centroid/LR-model disk
-#      artifacts; mm_dedup_frames payload pre-digest) plus the ONE
-#      new entry qa_dedup_retention_banded — all pre-verified
-#      cross-engine this round;
-#   2. 25 of the 26-query r8-stale remainder, registration order
-#      (text_token_count ... scan_object_store — dedup_edit_distance
-#      already fronts with the changed set), plus stream_file_ingest;
-#   3. one r10-stale top-up (win_lag_multi) to fill the 50 budget.
-# 23 + 26 + 1 = 50 fronted exactly; the r10 block
-# (win_roll_mean_3 ... agg_count) fronts in r16.
-# Everything else keeps standing r10+ evidence and registers last.
+# ~50-query budget (CORRECTNESS_r04-r15 each carried exactly 50
+# rows). Round-16 ordering (changed/new entries outrank stale
+# refresh, the standing convention):
+#   1. the 14 queries whose code changed in r16 (the from_json
+#      index-delivery rework across the ANN/PQ/D4 tiers; the widened
+#      fuzzy-key scan; the DSIR window totals; the retention
+#      clone-collapse; the chunked copurchase expansion) — all
+#      pre-verified cross-engine this round;
+#   2. the three r15 rewrites that landed AFTER the r15 rotation
+#      froze and therefore have no driver-side oracle row for their
+#      current code (VERDICT r15 "Next round" #1): bpe_train_merges,
+#      bpe_encode_top_tokens, sketch_qdigest (join_fuzzy_key, the
+#      fourth, already fronts with the changed set);
+#   3. 33 of the 48-query r10-stale block, registration order
+#      (win_roll_mean_3 ... sketch_histogram — bpe_train_merges /
+#      bpe_encode_top_tokens already front in group 2).
+# 14 + 3 + 33 = 50 fronted exactly; the r10 tail
+# (agg_grouping_sets ... make_timestamp_parts, 13 entries) fronts
+# next round. Everything else keeps standing r11+ evidence and
+# registers last.
 _CHECK_FIRST = [
-    # 1. changed/new in r15
-    "qa_dedup_retention_banded",
-    "dedup_minhash_lsh",
-    "dedup_edit_distance",
-    "dedup_connected_components",
-    "dedup_canonical_select",
-    "text_decontaminate_fuzzy",
-    "qa_lsh_recall_audit",
-    "qa_lsh_banding_sweep",
+    # 1. changed in r16
     "qa_dedup_retention",
-    "dedup_semantic",
-    "emb_prototypes_filter",
-    "pipeline_d4_curation",
+    "report_copurchase_pairs",
+    "join_fuzzy_key",
+    "text_dsir_weights",
+    "pipeline_ann_ivfpq",
     "sim_search_ivf_topk",
     "qa_ivf_index_audit",
-    "pipeline_ann_ivfpq",
     "emb_pq_codes",
     "sim_search_pq_adc",
     "qa_pq_distortion",
     "sim_search_lsh_buckets",
-    "sim_search_ivf_kmeans",
-    "ml_permutation_importance",
-    "ml_inference_single_row",
-    "mm_dedup_frames",
-    # 2. r8-stale remainder, registration order
-    "text_token_count",
-    "text_quality_score",
-    "text_lang_id",
-    "text_fingerprint",
-    "doc_stats_by_source",
-    "sketch_count_min",
-    "sketch_heavy_hitters",
-    "emb_normalize",
-    "emb_quantize_int8",
-    "pipeline_text_prep",
-    "dedup_substring_cdc",
-    "stream_tumbling_counts",
-    "stream_sliding_counts",
-    "stream_dedup_ids",
-    "stream_sessionization",
-    "mm_extract_features",
-    "mm_video_frames",
-    "mm_asset_stats",
-    "sample_stratified",
-    "sample_reservoir_topk",
-    "sketch_bloom_filter",
-    "text_pii_scrub",
-    "agg_percentile_exact",
-    "ml_grouped_ols",
-    "scan_object_store",
-    "stream_file_ingest",
-    # 3. r10-stale top-up
-    "win_lag_multi",
+    "dedup_semantic",
+    "emb_prototypes_filter",
+    "pipeline_d4_curation",
+    # 2. r15 late rewrites with no driver row for the current code
+    "bpe_train_merges",
+    "bpe_encode_top_tokens",
+    "sketch_qdigest",
+    # 3. r10-stale block, registration order
+    "win_roll_mean_3",
+    "win_time_split",
+    "win_sliding_lookback",
+    "win_lag_series",
+    "win_ranking",
+    "text_decontaminate",
+    "shard_pack_greedy",
+    "sample_temperature_mix",
+    "text_repetition_filter",
+    "pipeline_pretrain_corpus",
+    "dedup_incremental_batch",
+    "vocab_top_ngrams",
+    "ml_linear_regression",
+    "ml_random_forest",
+    "ml_gbt",
+    "ml_propensity_model",
+    "geo_reproject_forward",
+    "geo_reproject_roundtrip",
+    "agg_null_counts",
+    "agg_count",
+    "agg_distinct_years",
+    "agg_corr_matrix",
+    "agg_regression_metrics",
+    "agg_group_mean",
+    "pivot_onehot",
+    "onehot_flags",
+    "agg_feature_importance_sort",
+    "agg_rollup",
+    "agg_cube",
+    "agg_count_distinct",
+    "agg_quantiles",
+    "ols_closed_form",
+    "sketch_histogram",
 ]
 
 
