@@ -90,6 +90,26 @@ _SEMDEDUP_THRESH = 0.4  # same near-dup line as dedup_embedding_cosine
 _SEMDEDUP_TARGET_OCC = 200
 _SEMDEDUP_DIV = 10 * _SEMDEDUP_TARGET_OCC
 
+# Third assignment level (r16; VERDICT r15 #9). Two-level assignment
+# is (10 + m)·dim per vector, so at m = 100 (200k vectors) the
+# assignment term re-grows linearly with the corpus. When m reaches
+# _SEMDEDUP_L3_MIN_M the per-label sub-cell list is split into
+# mid-groups of g = ceil(sqrt(m)) CONSECUTIVE cos-buckets (the
+# sub-cells are equal-width buckets of own_cos, so consecutive
+# buckets are spatial neighbours and a group is a contiguous cos
+# band). The mid-group's representative is its MEDIAN member's
+# sub-centroid — a selection, not new float arithmetic, so both
+# engines pick byte-identical reps with no summation-order hazard.
+# Assignment becomes nearest label (10) → nearest mid rep (≈√m) →
+# nearest sub-cell within that group (≤ g = ⌈√m⌉): O(√m)·dim, the
+# documented log-depth ladder's next rung. Below the gate the
+# formula DEGENERATES (g = m → one mid-group per label, whose only
+# rep search is a 1-row window) so every m < 100 result — including
+# every driver-checked SF, where m = 1 — is bit-identical to the
+# two-level r15 shape; the oracle text carries the same general
+# form (see _centroid_assign_cte).
+_SEMDEDUP_L3_MIN_M = 100
+
 
 def _semdedup_cells(spark: SparkSession, sf_dir: str) -> list:
     """The D4 tier's scaled centroid index [[cell, cvec], ...] —
@@ -325,17 +345,6 @@ def _assigned_frame(e: DataFrame, index, with_cos: bool) -> DataFrame:
             f"label space too large to array-index ({max_lbl}); "
             "re-introduce a position lookup before raising this cap"
         )
-    # the whole label-indexed table as ONE from_json literal (r16):
-    # the analyzed tree stays 2 nodes as m (and the index) grows
-    subs_arr = F.expr(
-        _fold_idx_sql(
-            [
-                _cells_payload(by_label.get(lbl, []))
-                for lbl in range(max_lbl + 1)
-            ],
-            f"ARRAY<{_CELLS_T}>",
-        )
-    )
     lbl_best = F.element_at(
         F.array_sort(_scored(F.col("lcells"))), 1
     )["cell"]
@@ -348,6 +357,89 @@ def _assigned_frame(e: DataFrame, index, with_cos: bool) -> DataFrame:
     ]
     if with_cos:
         out.append((-best["negcos"]).alias("own_cos"))
+
+    if m >= _SEMDEDUP_L3_MIN_M:
+        # THREE-level assignment (r16; see _SEMDEDUP_L3_MIN_M). The
+        # per-label table becomes label → mid-group → cells, with a
+        # parallel label → mid-rep table; both ride ONE from_json
+        # literal each (2-node analyzed trees at any index size).
+        # mid = (cell % m) // g over the OCCUPIED cells, so absent
+        # buckets leave empty placeholder groups (never selected —
+        # mid_best comes from the reps of occupied groups only). The
+        # rep struct reuses the `cell` field name for the mid id so
+        # _scored's (negcos, cell) tie-break IS the oracle's
+        # (cos DESC, mid ASC) window order.
+        g = math.ceil(math.sqrt(m))
+        reps_payload: list = []
+        cells3_payload: list = []
+        for lbl in range(max_lbl + 1):
+            by_mid: dict = {}
+            for cell0, vec in by_label.get(lbl, []):
+                by_mid.setdefault((cell0 % m) // g, []).append(
+                    (cell0, vec)
+                )
+            n_mid = (max(by_mid) + 1) if by_mid else 0
+            reps = []
+            mids_cells = []
+            for mid in range(n_mid):
+                grp = by_mid.get(mid, [])
+                mids_cells.append(_cells_payload(grp))
+                if grp:
+                    rep_vec = grp[len(grp) // 2][1]
+                    reps.append(
+                        {
+                            "cell": int(mid),
+                            "cvec": [float(v) for v in rep_vec],
+                            "nrm": _pynorm(rep_vec),
+                        }
+                    )
+            reps_payload.append(reps)
+            cells3_payload.append(mids_cells)
+        reps_arr = F.expr(
+            _fold_idx_sql(reps_payload, f"ARRAY<{_CELLS_T}>")
+        )
+        cells3_arr = F.expr(
+            _fold_idx_sql(cells3_payload, f"ARRAY<ARRAY<{_CELLS_T}>>")
+        )
+
+        def _l3_cand(lb):
+            # lb is a lambda variable (opaque to CollapseProject), so
+            # the 10-label scoring behind lbl_best runs ONCE per row
+            # even though the label picks both the rep list and the
+            # cell table.
+            lbi = lb.cast("int") + 1
+            mid_best = F.element_at(
+                F.array_sort(_scored(F.element_at(F.col("repsarr"), lbi))),
+                1,
+            )["cell"]
+            return F.element_at(
+                F.element_at(F.col("cells3"), lbi),
+                mid_best.cast("int") + 1,
+            )
+
+        return (
+            e.withColumn("__na", na_expr)
+            .withColumn("lcells", _lit_cells(index["labels"]))
+            .withColumn("repsarr", reps_arr)
+            .withColumn("cells3", cells3_arr)
+            .withColumn(
+                "cand",
+                F.element_at(F.transform(F.array(lbl_best), _l3_cand), 1),
+            )
+            .select(*out)
+        )
+
+    # the whole label-indexed table as ONE from_json literal (r16):
+    # the analyzed tree stays 2 nodes as m (and the index) grows
+    subs_arr = F.expr(
+        _fold_idx_sql(
+            [
+                _cells_payload(by_label.get(lbl, []))
+                for lbl in range(max_lbl + 1)
+            ],
+            f"ARRAY<{_CELLS_T}>",
+        )
+    )
     return (
         e.withColumn("__na", na_expr)
         .withColumn("lcells", _lit_cells(index["labels"]))
@@ -472,7 +564,17 @@ def _centroid_assign_cte(table: str) -> str:
     bucket is 0, each label has one sub-cell, and the chain
     degenerates to the r14 single-window label-mean assignment
     byte-for-byte in VALUES (the text itself carries the general
-    form)."""
+    form).
+
+    r16 (VERDICT r15 #9): a MID level between the label and sub-cell
+    windows — g consecutive cos-buckets per mid-group with
+    g = ceil(sqrt(m)) once m >= _SEMDEDUP_L3_MIN_M, else g = m so
+    every smaller scale degenerates to ONE mid-group per label and
+    the chain is the two-level r15 text value-for-value. The
+    mid-group rep is its median member's sub-centroid (rn = cnt//2+1
+    ordered by cell — a SELECTION, no new float arithmetic, so both
+    engines agree bit-for-bit), mirroring _assigned_frame's
+    grp[len(grp) // 2] exactly."""
     return f"""
     WITH mval AS (
       SELECT GREATEST(1, (count(*) + {_SEMDEDUP_DIV - 1}) // {_SEMDEDUP_DIV})
@@ -523,6 +625,23 @@ def _centroid_assign_cte(table: str) -> str:
       SELECT cell0 AS cell, list(c ORDER BY pos) AS cvec
       FROM cent GROUP BY cell0
     ),
+    gval AS (
+      SELECT m, CASE WHEN m >= {_SEMDEDUP_L3_MIN_M}
+                     THEN CAST(ceil(sqrt(m)) AS BIGINT)
+                     ELSE m END AS g
+      FROM mval
+    ),
+    mids AS (
+      SELECT lbl, mid, cvec AS rvec FROM (
+        SELECT (c.cell // m) AS lbl, ((c.cell % m) // g) AS mid, c.cvec,
+               row_number() OVER (
+                 PARTITION BY (c.cell // m), ((c.cell % m) // g)
+                 ORDER BY c.cell) AS rn,
+               count(*) OVER (
+                 PARTITION BY (c.cell // m), ((c.cell % m) // g)) AS cnt
+        FROM centroids c CROSS JOIN gval
+      ) WHERE rn = cnt // 2 + 1
+    ),
     l1 AS (
       SELECT vec_id, embedding, lbl FROM (
         SELECT e.vec_id, e.embedding, lc.cell AS lbl,
@@ -534,6 +653,17 @@ def _centroid_assign_cte(table: str) -> str:
         FROM {table} e, lcentroids lc
       ) WHERE lrn = 1
     ),
+    l2 AS (
+      SELECT vec_id, embedding, lbl, mid FROM (
+        SELECT s.vec_id, s.embedding, s.lbl, r.mid,
+               row_number() OVER (
+                 PARTITION BY s.vec_id
+                 ORDER BY list_cosine_similarity(s.embedding::DOUBLE[],
+                                                 r.rvec) DESC, r.mid)
+                 AS mrn
+        FROM l1 s JOIN mids r ON r.lbl = s.lbl
+      ) WHERE mrn = 1
+    ),
     assign AS (
       SELECT vec_id, cell, embedding, cos_raw FROM (
         SELECT s.vec_id, c.cell, s.embedding,
@@ -543,8 +673,9 @@ def _centroid_assign_cte(table: str) -> str:
                  PARTITION BY s.vec_id
                  ORDER BY list_cosine_similarity(s.embedding::DOUBLE[], c.cvec)
                           DESC, c.cell) AS rn
-        FROM l1 s CROSS JOIN mval
+        FROM l2 s CROSS JOIN gval
         JOIN centroids c ON (c.cell // m) = s.lbl
+                        AND ((c.cell % m) // g) = s.mid
       ) WHERE rn = 1
     )"""
 

@@ -33,8 +33,13 @@ def duck_connect(sf_dir: str):
     con = duckdb.connect()
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
-        if os.path.exists(p):
-            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+        if os.path.isdir(p):
+            # Spark-written scratch corpora (the decade/L3 probes) are
+            # directory tables; read their part files recursively.
+            p = os.path.join(p, "**", "*.parquet")
+        elif not os.path.exists(p):
+            continue
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     return con
 
 
