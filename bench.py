@@ -543,6 +543,22 @@ def main() -> None:
             for k in rep_bytes[0]
         }
         query_metrics[name]["rep_secs"] = [round(x, 3) for x in reps]
+        # ADVICE r15 #1: when the per-rep windows DISAGREE beyond a
+        # small tolerance, keep the full per-rep list in the sidecar
+        # so a systematic first-rep asymmetry (e.g. a fill cost the
+        # median would silently discard) is distinguishable from a
+        # transient attribution burst. Clean runs (all reps within
+        # 10% or 4 kB of the median) stay list-free, so the sidecar
+        # does not grow on the common path.
+        disagree = {}
+        for k in rep_bytes[0]:
+            vals = [rb[k] for rb in rep_bytes]
+            med = sorted(vals)[n_reps // 2]
+            tol = max(4096, med // 10)
+            if any(abs(v - med) > tol for v in vals):
+                disagree[k] = vals
+        if disagree:
+            query_metrics[name]["rep_bytes_disagree"] = disagree
 
     probe_after = calibration_probe(spark)
     samples = [p for p in (probe_before, probe_mid, probe_after) if p]

@@ -21,6 +21,15 @@ The r15 shape lambda-binds each such value
 opaque to the optimizer, so the value is computed exactly once per
 row. These pins count expression occurrences in the optimized plans so
 a refactor that reintroduces the duplication fails loudly.
+
+RENDERING DEPENDENCE (ADVICE r15 #3): the pins count raw substrings
+("md5", "transform(", "aggregate(") in `optimizedPlan().toString()`,
+so they depend on Spark's plan *rendering*, not only on real
+re-duplication — an engine upgrade or alias-format change can trip
+them with no semantic regression. If a pin fails after a Spark bump,
+eyeball the plan first: the failure is real only when the counted
+expression's SUBTREE (e.g. the md5 cut scan) appears more often, not
+when the same single subtree merely prints differently.
 """
 
 from __future__ import annotations
