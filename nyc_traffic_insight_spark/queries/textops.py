@@ -2922,14 +2922,26 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = F.split(F.trim(F.col("text")), r"\s+")
     low_toks = F.split(F.lower("text"), r"\s+")
     stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
-    n_tok = F.size(toks).cast("double")
-    n_stop = F.size(
-        F.filter(low_toks, lambda t: F.array_contains(stop_arr, t))
-    ).cast("double")
-    n_chars = F.length("text").cast("double")
-    n_punct = F.length(
-        F.regexp_replace("text", r"[a-zA-Z0-9\s]", "")
-    ).cast("double")
+    # r16 single-evaluation shape: the O(len) scans are computed once
+    # per row behind the Generate barrier (explode(array(struct)) —
+    # see gopher_rules_frame); the four output ratios then read bound
+    # attributes instead of re-inlining the scans (~18 split sites in
+    # the r15 plan). Values identical.
+    counts = F.struct(
+        F.size(toks).cast("double").alias("ntok"),
+        F.size(F.filter(low_toks, lambda t: F.array_contains(stop_arr, t)))
+        .cast("double")
+        .alias("nstop"),
+        F.length("text").cast("double").alias("nchars"),
+        F.length(F.regexp_replace("text", r"[a-zA-Z0-9\s]", ""))
+        .cast("double")
+        .alias("npunct"),
+    )
+    d = d.select("doc_id", F.explode(F.array(counts)).alias("g"))
+    n_tok = F.col("g.ntok")
+    n_stop = F.col("g.nstop")
+    n_chars = F.col("g.nchars")
+    n_punct = F.col("g.npunct")
     quality = (
         0.4 * F.least(n_tok / 100.0, F.lit(1.0))
         + 0.4 * F.least(n_stop / n_tok * 5, F.lit(1.0))
@@ -2977,20 +2989,43 @@ _GOPHER_MIN_STOPWORDS = 2
 
 def gopher_rules_frame(d: DataFrame) -> DataFrame:
     """The rule gate over any (doc_id, text) frame — shared by
-    text_gopher_rules and the composed pipeline_pretrain_order."""
+    text_gopher_rules and the composed pipeline_pretrain_order.
+
+    r16 single-evaluation shape: the four O(len) text scans (two
+    splits, the alpha/stopword filters, the whitespace strip) are
+    computed ONCE per row into a struct materialized behind a
+    Generate barrier — ``explode(array(struct))``. CollapseProject
+    inlines a withColumn expression into every consumer (the r15
+    lesson), but it cannot collapse a Project INTO a Generate's
+    input, so the generator output is a bound attribute and every
+    downstream column (ten of them; `keep` alone referenced all
+    four counts) is a field read. The r15 form re-evaluated the
+    splits ~19× per row (plan: 41 `split(` sites); this form runs
+    each scan once. Values are bit-identical — the per-column
+    expressions are unchanged, only their shared subterms are
+    evaluated once."""
     toks = F.split(F.trim("text"), r"\s+")
     low_toks = F.split(F.lower("text"), r"\s+")
     stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
-    n_words = F.size(toks).cast("bigint")
-    n_alpha = F.size(
-        F.filter(toks, lambda w: w.rlike("[a-zA-Z]"))
-    ).cast("bigint")
-    n_stop = F.size(
-        F.filter(low_toks, lambda t: F.array_contains(stop_arr, t))
-    ).cast("bigint")
     # total word characters via whitespace strip — robust to any run
     # of separators, same spelling both engines
-    n_wchars = F.length(F.regexp_replace("text", r"\s", "")).cast("bigint")
+    counts = F.struct(
+        F.size(toks).cast("bigint").alias("nw"),
+        F.size(F.filter(toks, lambda w: w.rlike("[a-zA-Z]")))
+        .cast("bigint")
+        .alias("na"),
+        F.size(F.filter(low_toks, lambda t: F.array_contains(stop_arr, t)))
+        .cast("bigint")
+        .alias("ns"),
+        F.length(F.regexp_replace("text", r"\s", ""))
+        .cast("bigint")
+        .alias("nc"),
+    )
+    g = d.select("doc_id", F.explode(F.array(counts)).alias("g"))
+    n_words = F.col("g.nw")
+    n_alpha = F.col("g.na")
+    n_stop = F.col("g.ns")
+    n_wchars = F.col("g.nc")
     mean_len = _r(n_wchars.cast("double") / n_words, 6)
     alpha_ratio = _r(n_alpha.cast("double") / n_words, 6)
     ok_wc = (n_words >= _GOPHER_MIN_WORDS) & (n_words <= _GOPHER_MAX_WORDS)
@@ -2999,7 +3034,7 @@ def gopher_rules_frame(d: DataFrame) -> DataFrame:
     )
     ok_ar = alpha_ratio >= _GOPHER_MIN_ALPHA_RATIO
     ok_sw = n_stop >= _GOPHER_MIN_STOPWORDS
-    return d.select(
+    return g.select(
         "doc_id",
         n_words.alias("n_words"),
         mean_len.alias("mean_word_len"),

@@ -1045,17 +1045,29 @@ def _lm_run_chain(
         F.split(F.translate(F.trim("text"), _BPE_UP, _BPE_LO), _BPE_WS),
         lambda x: x != F.lit(""),
     )
-    n = F.greatest(F.size(a) - 1, F.lit(0))
-    pair = F.zip_with(
-        F.slice(a, 1, n),
-        F.slice(a, 2, n),
-        lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
-    )
     docs.select("doc_id", F.explode(a).alias("w")).createOrReplaceTempView(
         f"{v}_toks"
     )
+    # r16 single-evaluation shape for the pairs view: `a` (an O(len)
+    # split+filter scan) was referenced five times by the pair
+    # expression (two slices, and size(a) behind each slice's length
+    # term) — CollapseProject inlined the scan into every site. A
+    # first Generate (explode(array(a))) materializes the token array
+    # once per row as a bound attribute (a Project cannot be collapsed
+    # into a Generate's input — the same barrier gopher_rules_frame
+    # uses); the pair zip_with then reads the attribute. Values are
+    # identical: the pair expression is unchanged, only its shared
+    # subterm is evaluated once.
+    aa = F.col("a")
+    n = F.greatest(F.size(aa) - 1, F.lit(0))
+    pair = F.zip_with(
+        F.slice(aa, 1, n),
+        F.slice(aa, 2, n),
+        lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
+    )
     (
-        docs.select("doc_id", F.explode(pair).alias("p"))
+        docs.select("doc_id", F.explode(F.array(a)).alias("a"))
+        .select("doc_id", F.explode(pair).alias("p"))
         .select("doc_id", "p.w1", "p.w2")
         .createOrReplaceTempView(f"{v}_pairs")
     )

@@ -30,6 +30,13 @@ MARKERS = (
     "levenshtein(",
     "regexp_extract_all(",
     "sequence(",
+    # r16 second pass: the r15 list missed the tokenizer-shaped
+    # duplications (split/filter are O(len) per evaluation and HOFs
+    # are CodegenFallback, so codegen CSE does not rescue them)
+    "split(",
+    "regexp_replace(",
+    "filter(",
+    "array_sort(",
 )
 
 
